@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to execute fully (collect) and timed after a
+warm-up of the input file listing. Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# headline set: scan-agg, shuffle join, window, LSH dedup pipeline,
+# vector search, text analysis — the engine's load-bearing shapes.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_group_topk_nullsafe",
+    "q05_date_bin_histogram",
+    "q07_window_rownum",
+    "q11_shipping_priority",
+    "q12_local_supplier_volume",
+    "q18_counts_histogram",
+    "q21_field_stats_topk",
+    "q26_dedup_jaccard_verified",
+    "q28_knn_bruteforce",
+    "q31_text_quality",
+    "q33_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from parseable_spark.queries import registry
+    from parseable_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = registry()
+
+    # warm the session (JVM, file listing) outside the timed region
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

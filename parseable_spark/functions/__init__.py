@@ -1,0 +1,80 @@
+"""Engine scalar-function helpers.
+
+Spark lacks a few functions the reference surface relies on (DataFusion
+`date_bin` with an epoch anchor — reference src/query/mod.rs:676-679) and
+a few vector/text primitives the LLM-pipeline operators need. All are
+expressed as Catalyst column expressions (JVM-side, codegen-friendly) —
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Timezone-independent epoch seconds for TIMESTAMP_NTZ columns.
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Whole seconds since epoch for an NTZ timestamp (no TZ dependence)."""
+    c = ts if isinstance(ts, str) else ts._jc.toString()  # column name/expr string
+    return F.expr(f"timestampdiff(SECOND, {_EPOCH_NTZ}, {c})")
+
+
+def date_bin(ts: Column | str, bin_seconds: int, anchor_epoch: int = 0) -> Column:
+    """DataFusion-compatible DATE_BIN: floor ts into bins of `bin_seconds`
+    anchored at `anchor_epoch`, returned as epoch seconds (BIGINT).
+
+    Reference generates `DATE_BIN('{interval}', ts, TIMESTAMP '…')`
+    (src/query/mod.rs:676-679); we return the bin start as epoch seconds
+    to keep cross-engine comparison exact.
+    """
+    e = epoch_seconds(ts)
+    return (
+        ((e - F.lit(anchor_epoch)) / F.lit(bin_seconds)).cast("bigint") * bin_seconds
+        + anchor_epoch
+    ).cast("bigint")
+
+
+def date_bin_sql(ts_expr: str, bin_seconds: int, anchor_epoch: int = 0) -> str:
+    """Spark SQL string form of date_bin (for generated product SQL)."""
+    e = f"timestampdiff(SECOND, {_EPOCH_NTZ}, {ts_expr})"
+    return (
+        f"(CAST(({e} - {anchor_epoch}) / {bin_seconds} AS BIGINT) "
+        f"* {bin_seconds} + {anchor_epoch})"
+    )
+
+
+def duckdb_date_bin_sql(ts_expr: str, bin_seconds: int, anchor_epoch: int = 0) -> str:
+    """The DuckDB-equivalent expression (used by oracle SQL only)."""
+    e = f"CAST(floor(epoch({ts_expr})) AS BIGINT)"
+    return (
+        f"(CAST(floor(({e} - {anchor_epoch}) / {bin_seconds}) AS BIGINT) "
+        f"* {bin_seconds} + {anchor_epoch})"
+    )
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Cast array<float> → array<double> for exact, engine-portable math."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two array<double> columns.
+
+    Left-to-right fold => deterministic double result, bit-comparable to
+    any engine that also folds sequentially.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

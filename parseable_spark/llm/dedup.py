@@ -1,0 +1,227 @@
+"""Deduplication operators for document corpora.
+
+Design for 100 TB: every variant avoids the O(n²) all-pairs comparison.
+- exact: hash-groupBy on a content digest (one shuffle on the digest).
+- MinHash+LSH: shingle → K minhashes → B bands → shuffle on
+  (band_idx, band_hash) so only colliding docs meet in a join; the
+  candidate set is tiny relative to n².
+- SimHash: 16-bit locality-sensitive fingerprint; duplicates collide on
+  the fingerprint itself (groupBy, no pairwise work).
+- n-gram Jaccard: exact verification, run only on LSH candidates.
+
+Hash function is md5 (hex) everywhere — deterministic and available
+bit-identically in every engine, which makes the whole pipeline
+oracle-checkable (no RNG, no seed files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(text: Column) -> Column:
+    """Lowercase, whitespace-split word array."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles; empty array when the doc is shorter than n words."""
+    w = normalized_words(text)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + lead windows.
+
+    Row-based on purpose: nested higher-order-function expressions
+    (transform over slice over split) are interpreted by Spark — no
+    whole-stage codegen, no common-subexpression elimination — so the
+    split would re-execute per array element. Exploding once and
+    building shingles with lead() keeps every operator codegen'd and
+    scales linearly in corpus size (one shuffle on the doc id).
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    with_leads = words.select(
+        F.col(id_col),
+        F.col("w").alias("w0"),
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, n)],
+    )
+    return with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
+        F.col(id_col),
+        F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """K min-hashes from ONE md5 per shingle: h_k(s) = hex window
+    [4k+1, 4k+4] of md5(s), lexicographic min per doc. 16-bit hash
+    space per row is plenty for banding (false positives are removed by
+    exact Jaccard verification); one digest per shingle instead of K
+    keeps the scan cheap. groupBy-min is a codegen'd partial aggregate.
+    """
+    h = F.md5(F.col("shingle"))
+    return shingles.groupBy(id_col).agg(
+        *[F.min(F.substring(h, 1 + 4 * k, 4)).alias(f"mh{k}") for k in range(num_hashes)]
+    )
+
+
+def lsh_bands(num_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
+    """Band hashes over an existing mh0..mh{K-1} signature."""
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.md5(F.concat(*cols)).alias(f"band{b}"))
+    return bands
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    One shuffle on band hash; no all-pairs join. Scale: band-hash key
+    cardinality grows with corpus size, so partitions stay balanced;
+    pathological bands (giant buckets) would be salted/capped in a
+    production tier.
+    """
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signatures(
+        shingle_rows(docs, id_col, text_col, shingle_n), id_col, num_hashes
+    )
+    banded = sig.select(F.col(id_col), *lsh_bands(num_hashes, rows_per_band))
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_hash")
+    # materialize the signature table: the self-join would otherwise
+    # recompute the whole shingle→minhash DAG once per join branch (at
+    # warehouse scale this is a persisted signatures table).
+    melted = melted.persist()
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (id_a, id_b, jaccard)."""
+    sets = (
+        shingle_rows(docs, id_col, text_col, shingle_n)
+        .groupBy(F.col(id_col).alias("sid"))
+        .agg(F.collect_set("shingle").alias("sset"))
+        .persist()  # joined twice (id_a side + id_b side)
+    )
+    j = (
+        candidates.join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+        .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content digest: keep min-id doc per digest."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+_HEX = "0123456789abcdef"
+
+
+def _nibble(c: Column) -> Column:
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def word_hash16(word: Column) -> Column:
+    """16-bit word hash from the first 4 hex chars of md5(word)."""
+    h = F.md5(word)
+    return (
+        _nibble(F.substring(h, 1, 1)) * 4096
+        + _nibble(F.substring(h, 2, 1)) * 256
+        + _nibble(F.substring(h, 3, 1)) * 16
+        + _nibble(F.substring(h, 4, 1))
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document (id, simhash).
+
+    Explode words → per-word 16-bit hash → per-bit ±1 majority vote →
+    reassemble. One shuffle (groupBy id); entirely JVM-side expressions.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    hashed = words.select(id_col, word_hash16(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(((F.col("h") / (1 << j)).cast("bigint") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

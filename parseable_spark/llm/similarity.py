@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector
+against a full scan; Catalyst keeps the fold JVM-side (no Python in the
+loop). Scale path: sign-LSH bucketing (axis hyperplanes) so the probe
+only scans one bucket; bucketing is a pure column expression, so the
+bucket id can be a partition/cluster key at write time, making a probe
+a partition-pruned scan at 100 TB.
+
+All vector math is done after casting float→double with a sequential
+left fold, which is deterministic and engine-portable (oracle-checkable
+against DuckDB computing the same fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import as_double_array, cosine
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine; ties broken by id.
+
+    Rounds before ranking so the comparator is identical across engines.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(vec_col), q), ndigits).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def sign_lsh_bucket(vec_col: Column, num_planes: int = 8) -> Column:
+    """Axis-aligned sign LSH: bucket = sign bits of the first N dims."""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(num_planes)
+    ]
+    return F.concat(*bits)
+
+
+def bucketed_ann(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    ndigits: int = 4,
+) -> DataFrame:
+    """ANN probe: restrict the scan to the query's LSH bucket, then exact
+    cosine inside it. On a bucketed/partitioned table this is a pruned
+    scan of ~n/2^planes rows instead of n."""
+    qbits = "".join("1" if x >= 0 else "0" for x in query_vec[:num_planes])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    in_bucket = embeddings.filter(sign_lsh_bucket(F.col(vec_col), num_planes) == qbits)
+    scored = in_bucket.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(vec_col), q), ndigits).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs via bucketed self-join + cosine filter.
+
+    The join key is the LSH bucket, so only same-bucket pairs are
+    compared (the near-dup pairs we care about collide by construction).
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), ndigits).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)

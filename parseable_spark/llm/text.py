@@ -1,0 +1,100 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All pure Catalyst expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_words
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+# marker words per language for the n-gram/stopword heuristic;
+# checked in deterministic priority order on ties.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "los", "de"),
+    "fr": ("le", "les", "et", "une"),
+    "de": ("der", "die", "und", "nicht"),
+}
+_PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ndigits: int = 4
+) -> DataFrame:
+    """Length/word/stopword/punctuation quality features per doc."""
+    t = F.col(text_col)
+    words = normalized_words(t)
+    n_words = F.size(words)
+    stop_hits = _count_in(words, STOPWORDS)
+    punct = F.length(t) - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
+    return docs.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            (F.length(F.regexp_replace(t, r"\s", "")) / n_words), ndigits
+        ).alias("avg_word_len"),
+        F.round(stop_hits / n_words, ndigits).alias("stopword_ratio"),
+        punct.cast("bigint").alias("n_punct"),
+        (
+            (n_words >= 5) & (stop_hits / n_words >= 0.05) & (F.length(t) >= 64)
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language scoring; deterministic priority on ties."""
+    words = normalized_words(F.col(text_col))
+    scores = {lang: _count_in(words, markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in langs:  # first max wins — same CASE order in the oracle
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish subunit count (alpha runs / digit runs /
+    other non-space chars) — the standard pre-tokenizer approximation."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(normalized_words(t)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("bigint").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_len: int = 64
+) -> DataFrame:
+    """Deterministic document fingerprint: digest of the
+    whitespace-normalized text plus a coarse length bucket (the rolling
+    hash of the reference-style pipeline collapses to a digest over the
+    normalized stream)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, prefix_len)).alias("fp_prefix"),
+        (F.length(norm) / 100).cast("bigint").alias("len_bucket"),
+    )

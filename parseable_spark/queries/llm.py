@@ -1,0 +1,298 @@
+"""LLM-pipeline queries: dedup, similarity, text analysis — oracle-paired.
+
+Hash function md5 makes MinHash/SimHash/fingerprints bit-identical
+across Spark and DuckDB, so even the locality-sensitive pipelines are
+exact-oracle-checked (no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+from ..llm import dedup, multimodal, similarity, text
+from ..tables import load_table
+from . import register
+
+# DuckDB word/shingle helpers (oracle side)
+_DUCK_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_DUCK_SHINGLES = (
+    "list_transform(range(1, len(w)-1), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+)
+
+_DUCK_SIG = f"""
+    docs_w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    docs_sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM docs_w WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+            {", ".join(f"list_min(list_transform(shingles, s -> substring(md5(s), {1 + 4*k}, 4))) AS mh{k}" for k in range(8))}
+        FROM docs_sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_hash FROM sig" for b in range(4))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q24_dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: content-digest hash-groupBy, one shuffle on digest.",
+)
+def q24_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q25_dedup_minhash_lsh",
+    f"WITH {_DUCK_SIG} SELECT id_a, id_b FROM candidates",
+    doc="MinHash(8) + LSH(4 bands x 2) candidate pairs — shuffle on band hash, no all-pairs join.",
+)
+def q25_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q26_dedup_jaccard_verified",
+    f"""
+    WITH {_DUCK_SIG},
+    sets AS (
+        SELECT doc_id AS sid, list_distinct({_DUCK_SHINGLES}) AS sset
+        FROM docs_w WHERE len(w) >= 3
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.sset, b.sset))
+                 / len(list_distinct(list_concat(a.sset, b.sset))), 6) AS jaccard
+    FROM candidates c
+    JOIN sets a ON c.id_a = a.sid
+    JOIN sets b ON c.id_b = b.sid
+    WHERE round(len(list_intersect(a.sset, b.sset))
+                / len(list_distinct(list_concat(a.sset, b.sset))), 6) >= 0.2
+    """,
+    doc="Full near-dup pipeline: LSH candidates → exact n-gram Jaccard verification on candidates only.",
+)
+def q26_dedup_jaccard_verified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    return dedup.jaccard_verify(docs, cands, threshold=0.2)
+
+
+def _simhash_oracle() -> str:
+    nib = lambda k: f"(strpos('0123456789abcdef', substring(md5(w), {k}, 1)) - 1)"  # noqa: E731
+    h = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {h} AS h FROM words WHERE length(w) > 0
+        ),
+        votes AS (
+            SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "q27_dedup_simhash",
+    _simhash_oracle(),
+    doc="16-bit SimHash fingerprint per doc: per-word hash → per-bit majority vote; dups collide on the fingerprint (groupBy, no pairwise work).",
+)
+def q27_dedup_simhash(spark, sf_dir):
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+
+
+_DUCK_COSINE = """
+    round(
+        list_sum(list_transform(range(1, len(e)+1), i -> e[i]::DOUBLE * qv[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]::DOUBLE * e[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))),
+    4)
+"""
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter("vec_id = 0").select("embedding").first()[0])
+
+
+@register(
+    "q28_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id, {_DUCK_COSINE} AS cosine_sim
+        FROM (SELECT vec_id, embedding AS e FROM embeddings), q
+    )
+    SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-k: broadcast query vector, JVM-side sequential fold, no Python in the scan.",
+)
+def q28_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "q29_ann_lsh_bucket",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    bucketed AS (
+        SELECT vec_id, embedding AS e,
+               {" || ".join(f"(CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS bucket
+        FROM embeddings
+    ),
+    qb AS (
+        SELECT {" || ".join(f"(CASE WHEN qv[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS bucket FROM q
+    )
+    SELECT vec_id, {_DUCK_COSINE} AS cosine_sim
+    FROM bucketed, q, qb
+    WHERE bucketed.bucket = qb.bucket
+    ORDER BY cosine_sim DESC, vec_id LIMIT 5
+    """,
+    doc="ANN probe via sign-LSH bucket: scan restricted to the query's bucket (~n/256 rows); bucket id doubles as a partition key at scale.",
+)
+def q29_ann_lsh_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_ann(emb, _query_vec(spark, sf_dir), k=5)
+
+
+@register(
+    "q30_embedding_near_dups",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {" || ".join(f"(CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+           4) AS cosine_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(
+               list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+           4) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs via bucketed self-join (LSH bucket join key — no all-pairs).",
+)
+def q30_embedding_near_dups(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.3)
+
+
+@register(
+    "q31_text_quality",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(length(regexp_replace(text, '\s', '', 'g')) / len(w), 4) AS avg_word_len,
+           round(len(list_filter(w, x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) / len(w), 4) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           (len(w) >= 5
+            AND len(list_filter(w, x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) / len(w) >= 0.05
+            AND length(text) >= 64) AS quality_ok
+    FROM base
+    """,
+    doc="Text quality scoring: length/word/stopword/punctuation features.",
+)
+def q31_text_quality(spark, sf_dir):
+    return text.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    score = lambda m: (  # noqa: E731
+        "len(list_filter(w, x -> list_contains(["
+        + ",".join(f"'{s}'" for s in m)
+        + "], x)))"
+    )
+    scores = {lang: score(m) for lang, m in text.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' " + " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
+    ) + " ELSE 'und' END"
+    cols = ", ".join(f"CAST({scores[lang]} AS BIGINT) AS score_{lang}" for lang in text.LANG_MARKERS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents
+        )
+        SELECT doc_id, {cols}, {case} AS pred_lang FROM base
+    """
+
+
+@register(
+    "q32_language_id",
+    _lang_oracle(),
+    doc="Language ID via marker-word scoring (n-gram heuristic), deterministic tie-break.",
+)
+def q32_language_id(spark, sf_dir):
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q33_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
+)
+def q33_token_counts(spark, sf_dir):
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q34_fingerprints",
+    r"""
+    WITH n AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fp_full, md5(substring(norm, 1, 64)) AS fp_prefix,
+           CAST(length(norm) // 100 AS BIGINT) AS len_bucket
+    FROM n
+    """,
+    doc="Document fingerprinting: digest over whitespace-normalized text + length bucket.",
+)
+def q34_fingerprints(spark, sf_dir):
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q35_multimodal_features",
+    None,  # Python decode kernel — not SQL-expressible; rows-only check
+    doc="Multimodal plumbing: binary payload column → Arrow-batched mapInPandas feature extraction (decode kernel stubbed — no codecs in container).",
+)
+def q35_multimodal_features(spark, sf_dir):
+    media = multimodal.synthesize_media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes")

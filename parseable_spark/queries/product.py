@@ -1,0 +1,171 @@
+"""Product-surface queries — generated SQL routed through QueryEngine.
+
+These exercise the reference's API layer (counts histogram, top-K
+counts, alerts, field stats, log context) end-to-end: SQL generator →
+time-filter injection → Spark SQL → result. Oracles are the DuckDB
+equivalents of the same generated shapes.
+"""
+
+from __future__ import annotations
+
+from ..functions import duckdb_date_bin_sql
+from ..query.alerts import Condition, ConditionGroup, grouped_alert_sql
+from ..query.context import log_context_sql
+from ..query.counts import histogram_sql, top_k_counts_sql
+from ..query.engine import QueryEngine
+from ..query.field_stats import field_cardinality_sql, field_top_k_sql
+from ..tables import load_table
+from . import register
+
+
+def _engine(spark, sf_dir) -> QueryEngine:
+    eng = QueryEngine(spark, time_col="ts")
+    eng.register_stream("events", load_table(spark, sf_dir, "events"), time_col="ts")
+    return eng
+
+
+@register(
+    "q18_counts_histogram",
+    f"""
+    SELECT {duckdb_date_bin_sql('ts', 86400)} AS bin_epoch,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY bin_epoch
+    """,
+    doc="Counts API histogram: generated DATE_BIN SQL + injected time filter (reference src/query/mod.rs:665-700).",
+)
+def q18_counts_histogram(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = histogram_sql("events", "ts", 86400)
+    return eng.query(sql, "2024-01-05T00:00:00Z", "2024-01-25T00:00:00Z")
+
+
+@register(
+    "q19_counts_topk",
+    f"""
+    WITH grouped_counts AS (
+        SELECT event_type AS grp, {duckdb_date_bin_sql('ts', 21600)} AS bin_epoch,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        GROUP BY grp, bin_epoch
+    ), top_groups AS (
+        SELECT grp FROM grouped_counts
+        GROUP BY grp ORDER BY sum(cnt) DESC, grp LIMIT 2
+    )
+    SELECT g.grp AS event_type, g.bin_epoch, g.cnt
+    FROM grouped_counts g
+    INNER JOIN top_groups t ON g.grp IS NOT DISTINCT FROM t.grp
+    """,
+    doc="Counts API with group_by: 3-CTE top-K + null-safe join (reference src/query/mod.rs:716-732).",
+)
+def q19_counts_topk(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = top_k_counts_sql("events", "ts", "event_type", 21600, 2)
+    return eng.query(sql, "2024-01-08T00:00:00Z", "2024-01-22T00:00:00Z")
+
+
+@register(
+    "q20_alert_eval",
+    """
+    SELECT user_id, round(avg(value), 2) AS agg_value
+    FROM events
+    WHERE (event_type = 'error' AND value > 50.0) OR (event_type = 'purchase' AND value > 150.0)
+    GROUP BY user_id HAVING avg(value) > 120.0
+    """,
+    doc="Alert condition-tree → WHERE + whitelisted aggregate + threshold (reference src/alerts/alerts_utils.rs:94-131, 390-424).",
+)
+def q20_alert_eval(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    conds = ConditionGroup(
+        "OR",
+        [
+            ConditionGroup(
+                "AND",
+                [Condition("event_type", "=", "error"), Condition("value", ">", 50.0)],
+            ),
+            ConditionGroup(
+                "AND",
+                [Condition("event_type", "=", "purchase"), Condition("value", ">", 150.0)],
+            ),
+        ],
+    )
+    sql = grouped_alert_sql("events", "avg", "value", "user_id", ">", 120.0, conds)
+    return eng.query(sql)
+
+
+@register(
+    "q21_field_stats_topk",
+    """
+    WITH u AS (
+        SELECT 'event_type' AS field_name, CAST(event_type AS VARCHAR) AS field_value,
+               CAST(count(*) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(event_type AS VARCHAR) ASC) AS rn
+        FROM events GROUP BY CAST(event_type AS VARCHAR)
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(count(*) AS BIGINT),
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC)
+        FROM events GROUP BY CAST(user_id AS VARCHAR)
+    )
+    SELECT field_name, field_value, cnt, rn FROM u WHERE rn <= 5
+    """,
+    doc="Field-stats top-K per field w/ ROW_NUMBER (reference src/storage/field_stats.rs:991-1100).",
+)
+def q21_field_stats_topk(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = field_top_k_sql("events", ["event_type", "user_id"], 5)
+    return eng.query(sql)
+
+
+@register(
+    "q22_field_cardinality",
+    """
+    SELECT 'event_type' AS field_name, CAST(count(event_type) AS BIGINT) AS total_count,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_count
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(user_id) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    """,
+    doc="Field cardinality; Spark adds approx_count_distinct (HLL++) replacing the reference's hand-rolled HLL (field_stats.rs:595+) — exact columns oracle-checked, sketch checked in unit tests.",
+)
+def q22_field_cardinality(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = field_cardinality_sql("events", ["event_type", "user_id"])
+    return eng.query(sql).select("field_name", "total_count", "distinct_count")
+
+
+@register(
+    "q23_log_context",
+    """
+    SELECT * FROM (
+        SELECT 'before' AS direction, event_id, ts, event_type
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 12:00:00'
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 5
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'after' AS direction, event_id, ts, event_type
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+        ORDER BY ts ASC, event_id ASC
+        LIMIT 5
+    )
+    """,
+    doc="Log-context window around an anchor (reference src/handlers/http/query_context.rs:118-286).",
+)
+def q23_log_context(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = log_context_sql(
+        "events",
+        "ts",
+        "event_id",
+        "TIMESTAMP_NTZ '2024-01-15 12:00:00'",
+        5,
+        5,
+        columns="event_id, ts, event_type",
+    )
+    return eng.query(sql)

@@ -1,0 +1,145 @@
+"""Alerts — condition tree → WHERE compiler + threshold evaluation.
+
+Reference: src/alerts/alerts_utils.rs:390-424 compiles nested AND/OR
+condition groups into a parenthesized WHERE clause; :94-131 wraps one
+whitelisted aggregate (COUNT/SUM/MIN/MAX/AVG/COUNT DISTINCT —
+src/alerts/alert_enums.rs:297-304) over a rolling window; :269-278
+compares the scalar to a threshold and drives a Triggered/NotTriggered
+state machine (alert_enums.rs:320-323).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+
+# operator whitelist — reference src/alerts/alert_enums.rs:171-202
+_OPS = {
+    "=": "{col} = {val}",
+    "!=": "{col} != {val}",
+    ">": "{col} > {val}",
+    ">=": "{col} >= {val}",
+    "<": "{col} < {val}",
+    "<=": "{col} <= {val}",
+    "is null": "{col} IS NULL",
+    "is not null": "{col} IS NOT NULL",
+    "contains": "{col} LIKE {like}",
+    "not contains": "{col} NOT LIKE {like}",
+    "begins with": "{col} LIKE {prefix}",
+    "ends with": "{col} LIKE {suffix}",
+    "ilike": "{col} ILIKE {like}",
+}
+
+_AGGS = {"count", "count distinct", "sum", "min", "max", "avg"}
+
+
+def _quote_val(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+@dataclass
+class Condition:
+    column: str
+    operator: str
+    value: object = None
+
+    def to_sql(self) -> str:
+        op = self.operator.lower()
+        if op not in _OPS:
+            raise ValueError(f"operator not in whitelist: {self.operator}")
+        tmpl = _OPS[op]
+        s = str(self.value) if self.value is not None else ""
+        esc = s.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+        return tmpl.format(
+            col=self.column,
+            val=_quote_val(self.value),
+            like=f"'%{esc}%'",
+            prefix=f"'{esc}%'",
+            suffix=f"'%{esc}'",
+        )
+
+
+@dataclass
+class ConditionGroup:
+    """Nested AND/OR group — parenthesized like the reference output."""
+
+    logic: str = "AND"  # or "OR"
+    children: list = field(default_factory=list)  # Condition | ConditionGroup
+
+    def to_sql(self) -> str:
+        if not self.children:
+            return "TRUE"
+        parts = [c.to_sql() for c in self.children]
+        joined = f" {self.logic.upper()} ".join(
+            f"({p})" if isinstance(c, ConditionGroup) else p
+            for c, p in zip(self.children, parts)
+        )
+        return joined
+
+
+class AlertState(str, Enum):
+    TRIGGERED = "triggered"
+    NOT_TRIGGERED = "not-triggered"
+
+
+@dataclass
+class Alert:
+    stream: str
+    aggregate: str  # e.g. "avg"
+    agg_column: str  # e.g. "value" ("*" for count)
+    threshold_op: str  # > >= < <= = !=
+    threshold: float
+    conditions: ConditionGroup | None = None
+    state: AlertState = AlertState.NOT_TRIGGERED
+
+    def agg_sql(self) -> str:
+        a = self.aggregate.lower()
+        if a not in _AGGS:
+            raise ValueError(f"aggregate not in whitelist: {self.aggregate}")
+        if a == "count distinct":
+            return f"count(DISTINCT {self.agg_column})"
+        return f"{a}({self.agg_column})"
+
+    def to_sql(self) -> str:
+        where = f" WHERE {self.conditions.to_sql()}" if self.conditions else ""
+        return f"SELECT {self.agg_sql()} AS agg_value FROM {self.stream}{where}"
+
+    def evaluate(self, engine, start: str, end: str, now=None) -> AlertState:
+        """Run the rolling-window aggregate and update state."""
+        row = engine.query(self.to_sql(), start, end, now=now).collect()[0]
+        value = row["agg_value"] or 0.0
+        ops = {
+            ">": value > self.threshold,
+            ">=": value >= self.threshold,
+            "<": value < self.threshold,
+            "<=": value <= self.threshold,
+            "=": value == self.threshold,
+            "!=": value != self.threshold,
+        }
+        self.state = (
+            AlertState.TRIGGERED if ops[self.threshold_op] else AlertState.NOT_TRIGGERED
+        )
+        return self.state
+
+
+def grouped_alert_sql(
+    stream: str,
+    aggregate: str,
+    agg_column: str,
+    group_col: str,
+    threshold_op: str,
+    threshold: float,
+    conditions: ConditionGroup | None = None,
+    ndigits: int = 2,
+) -> str:
+    """Grouped alert evaluation (one threshold check per group)."""
+    where = f" WHERE {conditions.to_sql()}" if conditions else ""
+    agg = Alert(stream, aggregate, agg_column, threshold_op, threshold).agg_sql()
+    return (
+        f"SELECT {group_col}, round({agg}, {ndigits}) AS agg_value FROM {stream}{where} "
+        f"GROUP BY {group_col} HAVING {agg} {threshold_op} {threshold}"
+    )

@@ -1,0 +1,65 @@
+"""Counts API — histogram bins + top-K grouped counts as generated SQL.
+
+Reference: src/query/mod.rs:665-735 builds
+  SELECT DATE_BIN(...) AS start_time, COUNT(*) ... GROUP BY start_time
+and, with a group_by field, a 3-CTE query (grouped_counts, top_groups,
+null-safe inner join back). We generate the same shapes in Spark SQL;
+DATE_BIN becomes anchored floor arithmetic (functions.date_bin_sql).
+"""
+
+from __future__ import annotations
+
+from ..functions import date_bin_sql
+
+# bin tiers mirror the reference's interval selection
+# (src/utils/time.rs:68-94): 1m / 5m / 1h / 1d depending on range width.
+_TIERS = [(60 * 60, 60), (6 * 3600, 300), (3 * 86400, 3600), (None, 86400)]
+
+
+def pick_bin_seconds(range_seconds: int) -> int:
+    for ceiling, bin_s in _TIERS:
+        if ceiling is None or range_seconds <= ceiling:
+            return bin_s
+    return 86400
+
+
+def histogram_sql(
+    stream: str,
+    time_col: str,
+    bin_seconds: int,
+    where: str | None = None,
+    anchor_epoch: int = 0,
+) -> str:
+    cond = f"WHERE {where}" if where else ""
+    bin_expr = date_bin_sql(time_col, bin_seconds, anchor_epoch)
+    return (
+        f"SELECT {bin_expr} AS bin_epoch, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM {stream} {cond} GROUP BY bin_epoch"
+    )
+
+
+def top_k_counts_sql(
+    stream: str,
+    time_col: str,
+    group_col: str,
+    bin_seconds: int,
+    k: int,
+    where: str | None = None,
+) -> str:
+    """3-CTE top-K shape with null-safe join (reference mod.rs:716-732)."""
+    cond = f"WHERE {where}" if where else ""
+    bin_expr = date_bin_sql(time_col, bin_seconds)
+    return f"""
+        WITH grouped_counts AS (
+            SELECT {group_col} AS grp, {bin_expr} AS bin_epoch,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM {stream} {cond}
+            GROUP BY grp, bin_epoch
+        ), top_groups AS (
+            SELECT grp FROM grouped_counts
+            GROUP BY grp ORDER BY sum(cnt) DESC, grp LIMIT {k}
+        )
+        SELECT g.grp AS {group_col}, g.bin_epoch, g.cnt
+        FROM grouped_counts g
+        INNER JOIN top_groups t ON g.grp <=> t.grp
+    """

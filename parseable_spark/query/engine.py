@@ -1,0 +1,80 @@
+"""QueryEngine — SQL execution with time-filter injection.
+
+The reference rewrites every TableScan in the logical plan to add
+`ts >= start AND ts < end` unless the query already constrains the time
+column (src/query/mod.rs:387-424, 829-911). Spark equivalent: for each
+referenced stream we register a *time-filtered temp view* and run the
+user SQL against it — Catalyst then pushes the predicate into the scan
+(partition pruning + parquet row-group pruning), which is exactly the
+physical effect the reference achieves with manifest pruning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .timerange import TimeRange
+
+# A query "already constrains time" only if the time column appears in a
+# comparison/BETWEEN — a bare mention (e.g. inside DATE_BIN) doesn't count.
+_TIME_PRED_TMPL = (
+    r'(?<![\w."]){col}(?![\w."])\s*(?:=|!=|<>|<=?|>=?|(?i:\s+BETWEEN\b))'
+    r"|(?:=|!=|<>|<=?|>=?)\s*{col}(?![\w.\"])"
+)
+
+
+def references_time_col(sql: str, time_col: str) -> bool:
+    return re.search(_TIME_PRED_TMPL.format(col=re.escape(time_col)), sql) is not None
+
+
+def extract_table_names(sql: str) -> list[str]:
+    """Table identifiers following FROM/JOIN (simple, CTE-aware)."""
+    cte_names = {m.group(1).lower() for m in re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I)}
+    names = []
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, re.I):
+        n = m.group(1)
+        if n.lower() not in cte_names and n not in names:
+            names.append(n)
+    return names
+
+
+class QueryEngine:
+    """Executes SQL over registered streams with reference semantics."""
+
+    def __init__(self, spark: SparkSession, time_col: str = "p_timestamp"):
+        self.spark = spark
+        self.time_col = time_col
+        self._streams: dict[str, tuple[DataFrame, str]] = {}
+
+    def register_stream(self, name: str, df: DataFrame, time_col: str | None = None) -> None:
+        self._streams[name] = (df, time_col or self.time_col)
+        df.createOrReplaceTempView(name)
+
+    def query(
+        self,
+        sql: str,
+        start: str | None = None,
+        end: str | None = None,
+        now=None,
+    ) -> DataFrame:
+        """Run SQL; inject the time filter on every referenced stream
+        unless the query already filters its time column (reference
+        behavior: src/query/mod.rs:404-411)."""
+        if start is not None and end is not None:
+            tr = TimeRange.parse(start, end, now=now)
+            lo, hi = tr.sql_literals()
+            for name in extract_table_names(sql):
+                if name not in self._streams:
+                    continue
+                df, tcol = self._streams[name]
+                if references_time_col(sql, tcol):
+                    continue  # user already constrains time
+                df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}").createOrReplaceTempView(name)
+        try:
+            return self.spark.sql(sql)
+        finally:
+            # restore unfiltered views for subsequent queries
+            for name, (df, _) in self._streams.items():
+                df.createOrReplaceTempView(name)

@@ -1,0 +1,116 @@
+"""Unit tests for the query surface: time-range parsing, time-filter
+injection, SQL generators, alert state machine."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from parseable_spark.query.alerts import Alert, AlertState, Condition, ConditionGroup
+from parseable_spark.query.counts import pick_bin_seconds
+from parseable_spark.query.engine import QueryEngine, extract_table_names, references_time_col
+from parseable_spark.query.timerange import TimeRange, parse_human_time
+from parseable_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+NOW = datetime(2026, 8, 13, 12, 34, 56, tzinfo=timezone.utc)
+
+
+class TestTimeRange:
+    def test_rfc3339(self):
+        tr = TimeRange.parse("2024-01-01T10:30:45Z", "2024-01-02T00:00:00Z", now=NOW)
+        assert tr.start == datetime(2024, 1, 1, 10, 30, tzinfo=timezone.utc)  # minute-truncated
+
+    def test_human_relative(self):
+        assert parse_human_time("2 hours", NOW) == NOW.replace(hour=10)
+        assert parse_human_time("10m", NOW) == NOW.replace(hour=12, minute=24)
+        assert parse_human_time("now", NOW) == NOW
+
+    def test_rejects_inverted(self):
+        with pytest.raises(ValueError):
+            TimeRange.parse("now", "2 hours", now=NOW)
+
+
+class TestInjection:
+    def test_detects_predicate_not_mention(self):
+        assert references_time_col("SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-01'", "ts")
+        assert references_time_col("SELECT * FROM e WHERE x = 1 AND ts BETWEEN a AND b", "ts")
+        # bare mention inside a function call is NOT a constraint
+        assert not references_time_col(
+            "SELECT timestampdiff(SECOND, TIMESTAMP '1970-01-01', ts) FROM e", "ts"
+        )
+        # other identifiers containing the name don't count
+        assert not references_time_col("SELECT ts_other FROM e WHERE ts_other > 1", "ts")
+
+    def test_extract_tables_cte_aware(self):
+        sql = "WITH a AS (SELECT 1) SELECT * FROM a JOIN events e ON 1=1 JOIN orders ON 1=1"
+        assert extract_table_names(sql) == ["events", "orders"]
+
+    def test_injection_filters_rows(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        total = eng.query("SELECT count(*) AS n FROM events").collect()[0]["n"]
+        windowed = eng.query(
+            "SELECT count(*) AS n FROM events",
+            "2024-01-10T00:00:00Z",
+            "2024-01-12T00:00:00Z",
+        ).collect()[0]["n"]
+        assert 0 < windowed < total
+        # user-supplied time predicate wins (no double filter)
+        user = eng.query(
+            "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP_NTZ '2024-01-20 00:00:00'",
+            "2024-01-10T00:00:00Z",
+            "2024-01-12T00:00:00Z",
+        ).collect()[0]["n"]
+        assert user > 0
+
+    def test_views_restored_after_query(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        n1 = eng.query(
+            "SELECT count(*) AS n FROM events", "2024-01-10T00:00:00Z", "2024-01-12T00:00:00Z"
+        ).collect()[0]["n"]
+        n2 = spark.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+        assert n2 > n1
+
+
+class TestCounts:
+    def test_bin_tiers(self):
+        assert pick_bin_seconds(30 * 60) == 60
+        assert pick_bin_seconds(4 * 3600) == 300
+        assert pick_bin_seconds(2 * 86400) == 3600
+        assert pick_bin_seconds(30 * 86400) == 86400
+
+
+class TestAlerts:
+    def test_condition_tree_sql(self):
+        g = ConditionGroup(
+            "OR",
+            [
+                ConditionGroup(
+                    "AND",
+                    [Condition("level", "=", "error"), Condition("status", ">", 499)],
+                ),
+                Condition("message", "contains", "time'out"),
+            ],
+        )
+        sql = g.to_sql()
+        assert sql == (
+            "(level = 'error' AND status > 499) OR message LIKE '%time''out%'"
+        )
+
+    def test_operator_whitelist(self):
+        with pytest.raises(ValueError):
+            Condition("x", "regexp", "y").to_sql()
+
+    def test_threshold_state_machine(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        alert = Alert("events", "count", "*", ">", 1e12)
+        assert alert.evaluate(eng, "2024-01-01T00:00:00Z", "2024-01-30T00:00:00Z") == AlertState.NOT_TRIGGERED
+        alert2 = Alert(
+            "events", "avg", "value", ">", 0,
+            conditions=ConditionGroup("AND", [Condition("event_type", "=", "error")]),
+        )
+        assert alert2.evaluate(eng, "2024-01-01T00:00:00Z", "2024-01-30T00:00:00Z") == AlertState.TRIGGERED
