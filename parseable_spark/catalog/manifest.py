@@ -1,0 +1,221 @@
+"""Manifest catalog — file-level statistics for planning-time pruning.
+
+Reference mapping (SURVEY.md §1.6):
+- File{file_path, num_rows, file_size, columns: [Column]} built from
+  parquet footer metadata (src/catalog/manifest.rs:139-225).
+- Column min/max TypedStatistics (src/catalog/column.rs:26-59); stats
+  dropped on type mismatch or NaN (column.rs:78-135) — we drop NaN too.
+- Snapshot = list of ManifestItem{manifest_path, time bounds,
+  events_ingested, ...} (src/catalog/snapshot.rs:25-82).
+- Pruning: files whose [min,max] time range misses the query window
+  are skipped at planning time (stream_schema_provider.rs:505-600);
+  LIMIT truncation by cumulative num_rows (:581-597).
+- COUNT(*) fast path answers from num_rows sums without touching data
+  (src/query/mod.rs:427-462); per-bin counts from manifests whose
+  time-col minimum falls in the bin (:537-662).
+
+At 100 TB this is the difference between listing+reading thousands of
+parquet footers per query and one small JSON read; Spark still applies
+its own row-group pruning inside the files we do scan.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import asdict, dataclass, field
+from datetime import datetime
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def _stat_value(v: Any) -> Any:
+    if isinstance(v, datetime):
+        # fixed-width form so lexicographic order == time order even
+        # against bounds formatted elsewhere (isoformat() drops zero
+        # microseconds, which breaks string comparison)
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None  # reference drops NaN ranges (column.rs:118-135)
+    return v
+
+
+@dataclass
+class FileStats:
+    file_path: str
+    num_rows: int
+    file_size: int
+    columns: dict[str, dict[str, Any]]  # name -> {"min": .., "max": ..}
+
+    def time_bounds(self, time_col: str) -> tuple[str, str] | None:
+        c = self.columns.get(time_col)
+        if c and c.get("min") is not None and c.get("max") is not None:
+            return (c["min"], c["max"])
+        return None
+
+
+def build_file_stats(path: str) -> FileStats:
+    """Footer-only read — one metadata fetch per file, no data pages
+    (reference create_from_parquet_file, manifest.rs:192-225)."""
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None
+                continue
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or (mins[name] is not None and mn < mins[name]):
+                mins[name] = mn
+            if name not in maxs or (maxs[name] is not None and mx > maxs[name]):
+                maxs[name] = mx
+    columns = {n: {"min": mins.get(n), "max": maxs.get(n)} for n in set(mins) | set(maxs)}
+    return FileStats(
+        file_path=path,
+        num_rows=md.num_rows,
+        file_size=os.path.getsize(path),
+        columns=columns,
+    )
+
+
+@dataclass
+class Manifest:
+    files: list[FileStats] = field(default_factory=list)
+
+    def add_file(self, path: str) -> FileStats:
+        fs = build_file_stats(path)
+        self.files.append(fs)
+        return fs
+
+    # --- planning-time operators (metadata only) ----------------------
+    def total_rows(self) -> int:
+        """COUNT(*) fast path (reference src/query/mod.rs:427-462)."""
+        return sum(f.num_rows for f in self.files)
+
+    def prune_paths(
+        self,
+        time_col: str,
+        start: str | None = None,
+        end: str | None = None,
+        equals: dict[str, Any] | None = None,
+    ) -> list[str]:
+        """File-level min/max pruning: keep files whose stats ranges can
+        satisfy the predicates (stream_schema_provider.rs:505-600,
+        1032-1137). Unknown stats ⇒ keep (never prune unsafely)."""
+        out = []
+        for f in self.files:
+            tb = f.time_bounds(time_col)
+            if tb is not None and start is not None and end is not None:
+                if tb[1] < start or tb[0] >= end:
+                    continue
+            keep = True
+            for col, v in (equals or {}).items():
+                c = f.columns.get(col)
+                if c and c.get("min") is not None and not (c["min"] <= v <= c["max"]):
+                    keep = False
+                    break
+            if keep:
+                out.append(f.file_path)
+        return out
+
+    def limit_truncate(self, paths: list[str], limit: int) -> list[str]:
+        """Planning-time LIMIT: stop adding files once cumulative
+        num_rows covers the limit (stream_schema_provider.rs:581-597)."""
+        rows_by_path = {f.file_path: f.num_rows for f in self.files}
+        out, acc = [], 0
+        for p in paths:
+            out.append(p)
+            acc += rows_by_path.get(p, 0)
+            if acc >= limit:
+                break
+        return out
+
+    def histogram(self, time_col: str, bin_edges: list[str]) -> list[int]:
+        """Metadata-only counts histogram: a file lands in the bin that
+        contains its time minimum (reference src/query/mod.rs:537-662)."""
+        counts = [0] * (len(bin_edges) - 1)
+        for f in self.files:
+            tb = f.time_bounds(time_col)
+            if tb is None:
+                continue
+            for i in range(len(bin_edges) - 1):
+                if bin_edges[i] <= tb[0] < bin_edges[i + 1]:
+                    counts[i] += f.num_rows
+                    break
+        return counts
+
+    # --- persistence ---------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"files": [asdict(x) for x in self.files]}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            data = json.load(f)
+        return cls(files=[FileStats(**x) for x in data["files"]])
+
+
+@dataclass
+class Snapshot:
+    """Stream-level index over manifests (snapshot.rs:25-82): one entry
+    per manifest with aggregate time bounds, so planning can skip whole
+    manifests before reading them."""
+
+    items: list[dict[str, Any]] = field(default_factory=list)
+
+    def add_manifest(
+        self, manifest_path: str, manifest: Manifest, time_col: str
+    ) -> None:
+        bounds = [b for f in manifest.files if (b := f.time_bounds(time_col))]
+        self.items.append(
+            {
+                "manifest_path": manifest_path,
+                "time_lower_bound": min(b[0] for b in bounds) if bounds else None,
+                "time_upper_bound": max(b[1] for b in bounds) if bounds else None,
+                "events_ingested": manifest.total_rows(),
+                "storage_size": sum(f.file_size for f in manifest.files),
+            }
+        )
+
+    def manifests_for_range(self, start: str | None, end: str | None) -> list[str]:
+        out = []
+        for it in self.items:
+            lo, hi = it["time_lower_bound"], it["time_upper_bound"]
+            if lo is not None and hi is not None and start is not None and end is not None:
+                if hi < start or lo >= end:
+                    continue
+            out.append(it["manifest_path"])
+        return out
+
+    def total_rows(self) -> int:
+        return sum(it["events_ingested"] for it in self.items)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"items": self.items}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Snapshot":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls(items=json.load(f)["items"])

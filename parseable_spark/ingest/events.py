@@ -1,0 +1,170 @@
+"""Event batch ingestion: JSON records → typed Spark DataFrame.
+
+End-to-end parity with the reference ingest path (SURVEY.md §3,
+'Ingest lifecycle'): flatten → '@'-rename → conflict detection/renaming
+→ V1 coercion → union-merge schema commit → engine columns
+(p_timestamp/p_user_agent/p_src_ip, src/event/mod.rs:42-46) →
+columnar batch. p_timestamp as a source field is rejected
+(mod.rs:186-191).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType, TimestampNTZType
+
+from . import flatten as fl
+from . import schema as sc
+
+DEFAULT_TIMESTAMP_KEY = "p_timestamp"
+USER_AGENT_KEY = "p_user_agent"
+SRC_IP_KEY = "p_src_ip"
+FORMAT_KEY = "p_format"
+
+_META_FIELDS = (USER_AGENT_KEY, SRC_IP_KEY, FORMAT_KEY)
+
+
+@dataclass
+class StreamConfig:
+    name: str
+    schema_version: str = "v1"
+    log_source: str = "json"
+    separator: str = "_"  # '.' for OTel sources
+    custom_partition: str | None = None
+    infer_timestamp: bool = True
+    max_flatten_level: int = fl.DEFAULT_MAX_FLATTEN_LEVEL
+
+
+@dataclass
+class PreparedBatch:
+    records: list[dict[str, Any]]
+    schema: sc.SchemaRegistry
+    is_first: bool  # batch added new fields to the stream schema
+
+
+def _coerce_value(v: Any, t: str) -> Any:
+    if v is None:
+        return None
+    if t == sc.FLOAT64:
+        return float(v)
+    if t == sc.TIMESTAMP_MS:
+        if isinstance(v, str):
+            dt = datetime.fromisoformat(v.replace("Z", "+00:00").replace("z", "+00:00"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            # millisecond precision, like the reference's Timestamp(ms)
+            return dt.replace(microsecond=dt.microsecond // 1000 * 1000)
+        return v
+    if t == sc.UINT64:
+        return Decimal(v)
+    if t == sc.UTF8:
+        return v if isinstance(v, str) else str(v)
+    if t == sc.LIST:
+        return [None if x is None else str(x) for x in v] if isinstance(v, list) else v
+    return v
+
+
+def prepare_batch(
+    body: Any,
+    registry: sc.SchemaRegistry,
+    config: StreamConfig,
+    p_timestamp: datetime | None = None,
+    p_custom_fields: dict[str, str] | None = None,
+) -> PreparedBatch:
+    """Run the full normalization pipeline against the stream's
+    committed schema; mutates `registry` via union-merge."""
+    records = fl.flatten_json_body(
+        body,
+        separator=config.separator,
+        schema_version=config.schema_version,
+        log_source=config.log_source,
+        max_level=config.max_flatten_level,
+        custom_partition=config.custom_partition,
+    )
+    for rec in records:
+        if DEFAULT_TIMESTAMP_KEY in rec:
+            raise ValueError(
+                f"field {DEFAULT_TIMESTAMP_KEY} is a reserved column"
+            )  # reference mod.rs:186-191
+    records = sc.rename_json_keys(records)
+
+    raw_inferred = sc.infer_batch_schema(records)
+    conflicts = sc.detect_schema_conflicts(
+        raw_inferred, registry.fields, records, config.schema_version
+    )
+    records = sc.rename_conflicting_fields(
+        records, conflicts, registry.fields, config.schema_version
+    )
+    records = sc.rename_per_record_type_mismatches(
+        records, raw_inferred, registry.fields, config.schema_version
+    )
+
+    inferred = sc.infer_batch_schema(records)
+    coerced = sc.override_data_type(
+        inferred, records, config.schema_version, config.infer_timestamp
+    )
+    # committed types win for already-known fields (derive_arrow_schema path)
+    batch_schema = {k: registry.fields.get(k, t) for k, t in coerced.items()}
+    is_first = registry.merge(batch_schema)
+
+    ts = p_timestamp or datetime.now(timezone.utc).replace(tzinfo=None)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    ts = ts.replace(microsecond=ts.microsecond // 1000 * 1000)
+    meta = p_custom_fields or {}
+
+    out_records = []
+    for rec in records:
+        typed = {
+            k: _coerce_value(v, registry.fields[k])
+            for k, v in rec.items()
+            if registry.fields.get(k) is not None  # drop all-null untyped fields
+        }
+        typed[DEFAULT_TIMESTAMP_KEY] = ts
+        for mk in _META_FIELDS:
+            if mk in meta:
+                typed[mk] = meta[mk]
+        out_records.append(typed)
+    return PreparedBatch(records=out_records, schema=registry, is_first=is_first)
+
+
+def batch_spark_schema(registry: sc.SchemaRegistry, meta_fields: bool = True) -> StructType:
+    fields = [StructField(DEFAULT_TIMESTAMP_KEY, TimestampNTZType(), False)]
+    if meta_fields:
+        fields += [StructField(mk, StringType(), True) for mk in _META_FIELDS]
+    return StructType(fields + list(registry.to_spark_schema().fields))
+
+
+def to_dataframe(
+    spark: SparkSession, batch: PreparedBatch, meta_fields: bool = True
+) -> DataFrame:
+    schema = batch_spark_schema(batch.schema, meta_fields)
+    rows = [tuple(rec.get(f.name) for f in schema.fields) for rec in batch.records]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@dataclass
+class Stream:
+    """A named append-only event table (reference Stream,
+    src/parseable/streams.rs:216): holds config + committed schema and
+    accepts JSON batches."""
+
+    config: StreamConfig
+    registry: sc.SchemaRegistry = field(default_factory=sc.SchemaRegistry)
+
+    def ingest(
+        self,
+        spark: SparkSession,
+        body: Any,
+        p_timestamp: datetime | None = None,
+        p_custom_fields: dict[str, str] | None = None,
+    ) -> DataFrame:
+        batch = prepare_batch(
+            body, self.registry, self.config, p_timestamp, p_custom_fields
+        )
+        return to_dataframe(spark, batch)

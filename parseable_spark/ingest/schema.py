@@ -1,0 +1,363 @@
+"""Schema inference, V1 coercion, conflict renaming, union-merge evolution.
+
+Behavior parity with reference src/event/format/mod.rs and json.rs:
+
+- inference per batch (json.rs:91-96 via arrow_json; here a direct
+  Python inference with the same promotion rules: int⊔float→float,
+  anything⊔string→string — "Utf8 wins", mod.rs:607-620 commentary).
+- SchemaVersion V1 coercions (override_data_type, mod.rs:386-411):
+  every JSON number → float64; string fields whose NAME contains a
+  time-part (mod.rs:47-59) and whose VALUE parses as RFC3339/RFC2822 →
+  timestamp_ms; __series_hash_u64 stays exact unsigned (mod.rs:373-378).
+- '@'-prefixed keys renamed to '_' with collision rejection
+  (normalize_field_name mod.rs:63-70, rename_json_keys json.rs:330-374).
+- type-conflict handling: batch-level detect_schema_conflicts
+  (mod.rs:495-534) + rename_conflicting_fields_in_json (:548-584) +
+  per-record fallback rename_per_record_type_mismatches (:607-696),
+  with typed-sibling suffixes (get_datatype_suffix :415-443).
+- schema evolution is union-merge, fields sorted by name
+  (Schema::try_merge at src/event/mod.rs:158-180; sort at
+  json.rs:165-171).
+"""
+
+from __future__ import annotations
+
+import json as jsonlib
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+from email.utils import parsedate_to_datetime
+from typing import Any
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+# ---- type tags -----------------------------------------------------------
+NULL = "null"
+BOOL = "bool"
+INT64 = "int64"
+UINT64 = "uint64"
+FLOAT64 = "float64"
+UTF8 = "utf8"
+TIMESTAMP_MS = "timestamp_ms"
+LIST = "list"
+
+SERIES_HASH_COLUMN = "__series_hash_u64"  # reference src/otel/metrics.rs:40
+
+TIME_FIELD_NAME_PARTS = (  # reference mod.rs:47-59
+    "time", "date", "timestamp", "created", "received",
+    "ingested", "collected", "start", "end", "ts", "dt",
+)
+
+_SUFFIX = {  # reference get_datatype_suffix mod.rs:415-443
+    NULL: "null",
+    BOOL: "bool",
+    INT64: "int64",
+    UINT64: "uint64",
+    FLOAT64: "float64",
+    UTF8: "utf8",
+    TIMESTAMP_MS: "timestamp_ms",
+    LIST: "list",
+}
+
+_SPARK_TYPES: dict[str, DataType] = {
+    BOOL: BooleanType(),
+    INT64: LongType(),
+    # exact u64 — Spark has no unsigned long; Decimal(20,0) preserves
+    # all 64 bits (reference keeps UInt64, mod.rs:373-378)
+    UINT64: DecimalType(20, 0),
+    FLOAT64: DoubleType(),
+    UTF8: StringType(),
+    TIMESTAMP_MS: TimestampNTZType(),
+    LIST: ArrayType(StringType()),
+}
+
+_RFC3339_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def parses_as_datetime(s: str) -> bool:
+    """RFC3339 / RFC2822 / naive ISO — reference value_compatible_with_type
+    (mod.rs:455-469) and override_data_type (:384-398)."""
+    if _RFC3339_RE.match(s):
+        try:
+            datetime.fromisoformat(s.replace("Z", "+00:00").replace("z", "+00:00"))
+            return True
+        except ValueError:
+            pass
+    try:
+        parsedate_to_datetime(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def is_time_named(name: str) -> bool:
+    lower = name.lower()
+    return any(part in lower for part in TIME_FIELD_NAME_PARTS)
+
+
+def normalize_field_name(name: str) -> str:
+    """'@foo' → '_foo' (reference mod.rs:63-70)."""
+    return "_" + name[1:] if name.startswith("@") else name
+
+
+def rename_json_keys(records: list[dict]) -> list[dict]:
+    """'@'-key rename with collision rejection (json.rs:330-374)."""
+    out = []
+    for rec in records:
+        if not any(k.startswith("@") for k in rec):
+            out.append(rec)
+            continue
+        for k in rec:
+            if k.startswith("@") and normalize_field_name(k) in rec:
+                raise ValueError(
+                    f"Key collision detected: '{k}' and '{normalize_field_name(k)}' "
+                    f"would both map to '{normalize_field_name(k)}'"
+                )
+        out.append({normalize_field_name(k): v for k, v in rec.items()})
+    return out
+
+
+# ---- inference -----------------------------------------------------------
+def infer_value_type(v: Any) -> str:
+    if v is None:
+        return NULL
+    if isinstance(v, bool):
+        return BOOL
+    if isinstance(v, int):
+        return INT64
+    if isinstance(v, float):
+        return FLOAT64
+    if isinstance(v, str):
+        return UTF8
+    if isinstance(v, list):
+        return LIST
+    raise ValueError(f"unsupported JSON value for ingestion: {type(v)}")
+
+
+def promote(a: str, b: str) -> str:
+    """Batch-level type union — arrow_json promotion semantics."""
+    if a == b:
+        return a
+    if a == NULL:
+        return b
+    if b == NULL:
+        return a
+    if {a, b} == {INT64, FLOAT64}:
+        return FLOAT64
+    if UTF8 in (a, b):
+        return UTF8  # "Utf8 wins" (reference mod.rs:607-620 commentary)
+    return UTF8
+
+
+def infer_batch_schema(records: list[dict]) -> dict[str, str]:
+    schema: dict[str, str] = {}
+    for rec in records:
+        for k, v in rec.items():
+            t = infer_value_type(v)
+            schema[k] = promote(schema[k], t) if k in schema else t
+    return schema
+
+
+def override_data_type(
+    inferred: dict[str, str],
+    records: list[dict],
+    schema_version: str = "v1",
+    infer_timestamp: bool = True,
+) -> dict[str, str]:
+    """V1 coercions (reference override_data_type mod.rs:386-411)."""
+    if schema_version != "v1":
+        return dict(inferred)
+    out: dict[str, str] = {}
+    for name, t in inferred.items():
+        sample = next((r[name] for r in records if r.get(name) is not None), None)
+        if name == SERIES_HASH_COLUMN and isinstance(sample, int):
+            out[name] = UINT64
+        elif (
+            infer_timestamp
+            and t == UTF8
+            and is_time_named(name)
+            and isinstance(sample, str)
+            and parses_as_datetime(sample)
+        ):
+            out[name] = TIMESTAMP_MS
+        elif t in (INT64,):
+            out[name] = FLOAT64  # every JSON number → float64 (mod.rs:400)
+        else:
+            out[name] = t
+    return out
+
+
+# ---- conflicts -----------------------------------------------------------
+def value_compatible_with_type(v: Any, target: str, schema_version: str = "v1") -> bool:
+    """reference value_compatible_with_type (mod.rs:449-490)."""
+    if v is None:
+        return True
+    if target == TIMESTAMP_MS:
+        return isinstance(v, str) and parses_as_datetime(v)
+    if target == FLOAT64:
+        if schema_version == "v1":
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        return isinstance(v, float)
+    if target in (INT64, UINT64):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if target == BOOL:
+        return isinstance(v, bool)
+    if target == UTF8:
+        return isinstance(v, str)
+    if target == LIST:
+        return isinstance(v, list)
+    return False
+
+
+def detect_schema_conflicts(
+    inferred: dict[str, str],
+    existing: dict[str, str],
+    records: list[dict],
+    schema_version: str = "v1",
+) -> dict[str, str]:
+    """Batch-level conflict → typed-sibling mapping (mod.rs:495-534)."""
+    conflicts: dict[str, str] = {}
+    for name, t in inferred.items():
+        existing_t = existing.get(name)
+        if existing_t is None or existing_t == t or t == NULL:
+            continue
+        all_compatible = all(
+            value_compatible_with_type(r.get(name), existing_t, schema_version)
+            for r in records
+            if name in r
+        )
+        if not all_compatible:
+            conflicts[name] = f"{name}_{_SUFFIX[t]}"
+    return conflicts
+
+
+def rename_conflicting_fields(
+    records: list[dict],
+    mapping: dict[str, str],
+    existing: dict[str, str],
+    schema_version: str = "v1",
+) -> list[dict]:
+    """Per-value rename: only incompatible values route to the sibling
+    (mod.rs:548-584)."""
+    if not mapping:
+        return records
+    out = []
+    for rec in records:
+        new_rec = {}
+        for k, v in rec.items():
+            if k in mapping and not (
+                k in existing and value_compatible_with_type(v, existing[k], schema_version)
+            ):
+                new_rec[mapping[k]] = v
+            else:
+                new_rec[k] = v
+        out.append(new_rec)
+    return out
+
+
+def rename_per_record_type_mismatches(
+    records: list[dict],
+    inferred: dict[str, str],
+    existing: dict[str, str],
+    schema_version: str = "v1",
+) -> list[dict]:
+    """Per-record fallback for mixed-type batches (mod.rs:607-696)."""
+    if len(records) <= 1:
+        return records
+    out = []
+    for rec in records:
+        target_types = {
+            k: existing.get(k) or inferred.get(k)
+            for k in rec
+        }
+        needs = any(
+            v is not None
+            and target_types[k] is not None
+            and not (isinstance(v, (list, dict)) and target_types[k] == LIST)
+            and not value_compatible_with_type(v, target_types[k], schema_version)
+            for k, v in rec.items()
+        )
+        if not needs:
+            out.append(rec)
+            continue
+        new_rec = {}
+        for k, v in rec.items():
+            t = target_types[k]
+            if (
+                v is None
+                or t is None
+                or (isinstance(v, (list, dict)) and t == LIST)
+                or value_compatible_with_type(v, t, schema_version)
+            ):
+                new_rec[k] = v
+            else:
+                new_rec[f"{k}_{_SUFFIX[infer_value_type(v)]}"] = v
+        out.append(new_rec)
+    return out
+
+
+# ---- registry (evolution) ------------------------------------------------
+@dataclass
+class SchemaRegistry:
+    """Per-stream committed schema with union-merge evolution; fields
+    kept sorted by name (reference json.rs:165-171, streams.rs:1267-1277).
+    Persisted as one JSON file per stream (our stream.json analog)."""
+
+    fields: dict[str, str] = field(default_factory=dict)
+
+    def merge(self, batch_schema: dict[str, str]) -> bool:
+        """Union-merge; returns True if this batch added new fields.
+        A type clash here is a hard error — conflict renaming upstream
+        must have routed those values already (try_merge semantics,
+        src/event/mod.rs:158-180)."""
+        added = False
+        for name, t in batch_schema.items():
+            if t == NULL:
+                continue
+            existing = self.fields.get(name)
+            if existing is None:
+                self.fields[name] = t
+                added = True
+            elif existing != t:
+                raise ValueError(
+                    f"schema merge conflict on '{name}': {existing} vs {t} "
+                    "(conflict renaming should have handled this)"
+                )
+        return added
+
+    def sorted_names(self) -> list[str]:
+        return sorted(self.fields)
+
+    def to_spark_schema(self) -> StructType:
+        return StructType(
+            [
+                StructField(name, _SPARK_TYPES[self.fields[name]], True)
+                for name in self.sorted_names()
+            ]
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            jsonlib.dump({"fields": self.fields}, f, indent=1, sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls(fields=jsonlib.load(f)["fields"])

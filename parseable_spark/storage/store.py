@@ -1,0 +1,187 @@
+"""StreamStore — the stream lifecycle + scan provider.
+
+The Spark analog of the reference's StandardTableProvider + staging +
+object-storage pipeline (SURVEY.md §2.1):
+
+- ingest(): JSON batches accumulate in an in-memory staging buffer
+  (the per-minute arrow files of src/parseable/streams.rs:290-311).
+- flush(): staging → partitioned sorted parquet + manifest/snapshot
+  commit (streams.rs:922-1107, object_storage.rs:1035-1280).
+- scan(): UNION of staging memtable + manifest-pruned parquet paths
+  (stream_schema_provider.rs:602-753); staging is only consulted when
+  the query window touches the last STAGING_WINDOW_SECONDS
+  (:936-958).
+- count_fast_path(): manifest row-count sums (query/mod.rs:427-462).
+- retention(): drop partitions older than N days
+  (src/storage/retention.rs:58-160).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from glob import glob
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.manifest import Manifest, Snapshot
+from ..ingest.events import DEFAULT_TIMESTAMP_KEY, PreparedBatch, Stream, StreamConfig, prepare_batch, to_dataframe
+from .writer import write_stream_batch
+
+STAGING_WINDOW_SECONDS = 300  # reference stream_schema_provider.rs:936-958
+
+
+@dataclass
+class StreamStore:
+    spark: SparkSession
+    root: str  # storage root (local dir or object-store mount)
+    config: StreamConfig
+    time_col: str = DEFAULT_TIMESTAMP_KEY
+    stream: Stream = None  # type: ignore[assignment]
+    _staging: list[PreparedBatch] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.stream is None:
+            self.stream = Stream(self.config)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.manifest = Manifest.load(self.manifest_path)
+        self.snapshot = Snapshot.load(self.snapshot_path)
+        reg_path = self.schema_path
+        if os.path.exists(reg_path):
+            from ..ingest.schema import SchemaRegistry
+
+            self.stream.registry = SchemaRegistry.load(reg_path)
+
+    # --- paths ---------------------------------------------------------
+    @property
+    def stream_dir(self) -> str:
+        return os.path.join(self.root, self.config.name)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.stream_dir, "data")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.stream_dir, "manifest.json")
+
+    @property
+    def snapshot_path(self) -> str:
+        return os.path.join(self.stream_dir, "snapshot.json")
+
+    @property
+    def schema_path(self) -> str:
+        return os.path.join(self.stream_dir, "stream.json")
+
+    # --- ingest / flush -------------------------------------------------
+    def ingest(
+        self,
+        body: Any,
+        p_timestamp: datetime | None = None,
+        p_custom_fields: dict[str, str] | None = None,
+    ) -> int:
+        batch = prepare_batch(
+            body, self.stream.registry, self.config, p_timestamp, p_custom_fields
+        )
+        self._staging.append(batch)
+        return len(batch.records)
+
+    def staging_df(self) -> DataFrame | None:
+        """In-memory staging scan, newest-first (reference reversed
+        memtable, stream_schema_provider.rs:292-350, 780-789)."""
+        if not self._staging:
+            return None
+        batches = [to_dataframe(self.spark, b) for b in self._staging]
+        df = batches[0]
+        for b in batches[1:]:
+            df = df.unionByName(b, allowMissingColumns=True)
+        return df.orderBy(F.desc(self.time_col))
+
+    def flush(self) -> int:
+        """Staging → sorted partitioned parquet + manifest commit (the
+        60s/30s sync cycle, src/sync.rs:137-257)."""
+        df = self.staging_df()
+        if df is None:
+            return 0
+        before = set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True))
+        write_stream_batch(df, self.data_dir, time_col=self.time_col)
+        new_files = sorted(
+            set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True)) - before
+        )
+        for p in new_files:
+            self.manifest.add_file(p)
+        self.manifest.save(self.manifest_path)
+        self.snapshot = Snapshot()
+        self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
+        self.snapshot.save(self.snapshot_path)
+        self.stream.registry.save(self.schema_path)
+        n = sum(len(b.records) for b in self._staging)
+        self._staging.clear()
+        return n
+
+    # --- scan ------------------------------------------------------------
+    def _parquet_df(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return self.spark.read.schema(
+            self._full_schema()
+        ).parquet(*paths)
+
+    def _full_schema(self):
+        from ..ingest.events import batch_spark_schema
+
+        return batch_spark_schema(self.stream.registry)
+
+    def scan(
+        self,
+        start: datetime | None = None,
+        end: datetime | None = None,
+        now: datetime | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Union of manifest-pruned parquet + (fresh-window-gated)
+        staging memtable; time predicate applied on top so Spark also
+        does row-group pruning."""
+        iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.%f") if d else None  # noqa: E731
+        paths = self.manifest.prune_paths(self.time_col, iso(start), iso(end))
+        if limit is not None:
+            paths = self.manifest.limit_truncate(paths, limit)
+        df = self._parquet_df(paths)
+
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        fresh = end is None or end >= now - timedelta(seconds=STAGING_WINDOW_SECONDS)
+        if fresh and (sdf := self.staging_df()) is not None:
+            sdf = sdf.select(*[f.name for f in self._full_schema().fields])
+            df = sdf if df is None else df.unionByName(sdf)
+        if df is None:
+            return self.spark.createDataFrame([], self._full_schema())
+        if start is not None:
+            df = df.filter(F.col(self.time_col) >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col(self.time_col) < F.lit(end))
+        return df
+
+    # --- metadata-only operators ----------------------------------------
+    def count_fast_path(self) -> int:
+        """Bare COUNT(*) from manifest sums + staging rows — no scan."""
+        return self.manifest.total_rows() + sum(len(b.records) for b in self._staging)
+
+    # --- retention --------------------------------------------------------
+    def apply_retention(self, days: int, now: datetime | None = None) -> int:
+        """Delete partition dirs older than `days` (retention.rs:58-160)."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        cutoff = (now - timedelta(days=days)).strftime("%Y-%m-%d")
+        removed = 0
+        for d in glob(os.path.join(self.data_dir, "date=*")):
+            if os.path.basename(d).split("=", 1)[1] < cutoff:
+                shutil.rmtree(d)
+                removed += 1
+        if removed:
+            live = set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True))
+            self.manifest.files = [f for f in self.manifest.files if f.file_path in live]
+            self.manifest.save(self.manifest_path)
+        return removed
