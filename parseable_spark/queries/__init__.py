@@ -35,6 +35,6 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def registry() -> dict[str, QuerySpec]:
     # import for side effects: each module registers its queries
-    from . import llm, product, relational  # noqa: F401
+    from . import llm, product, relational, traces_q  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,230 @@
+"""Traces APM surface — list/count/bounds/detail over flattened spans.
+
+Reference: src/handlers/http/traces.rs:464-640. Two Spark-specific
+rewrites (SURVEY.md §7 'genuinely hard'):
+
+1. The list query uses COUNT(DISTINCT …) OVER (PARTITION BY trace_id),
+   which Spark SQL rejects → rewritten as
+   size(collect_set(…) OVER (PARTITION BY trace_id)) (traces.rs:478-498).
+2. The detail query's WITH RECURSIVE span_hierarchy (traces.rs:563-624)
+   has no Spark equivalent → bounded iterative BFS: per level one
+   self-join of the span table against a broadcast frontier, depth
+   capped at MAX_TRACE_DEPTH (traces.rs:44). A single trace is small
+   (thousands of spans), so the frontier broadcast keeps every
+   iteration shuffle-free on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MAX_TRACE_DEPTH = 100  # reference traces.rs:44
+
+SPAN_COLS = [
+    "span_span_id",
+    "span_parent_span_id",
+    "service_name",
+    "span_name",
+    "span_duration_ns",
+    "span_start_time_unix_nano_epoch",
+    "span_trace_id",
+    "span_status_code",
+]
+
+
+def trace_list(
+    spans: DataFrame,
+    errors_only: bool = False,
+    offset: int = 0,
+    limit: int = 50,
+) -> DataFrame:
+    """Trace list with per-trace span/error counts (traces.rs:464-514).
+
+    COUNT(DISTINCT x) OVER (PARTITION BY t) → size(collect_set(x) over w).
+    """
+    w = Window.partitionBy("span_trace_id")
+    stats = spans.select(
+        *SPAN_COLS,
+        F.size(F.collect_set("span_span_id").over(w)).cast("bigint").alias(
+            "total_span_count"
+        ),
+        F.size(
+            F.collect_set(
+                F.when(F.col("span_status_code") == 2, F.col("span_span_id"))
+            ).over(w)
+        ).cast("bigint").alias("error_count"),
+    )
+    out = stats.select(
+        "service_name",
+        "span_name",
+        "span_duration_ns",
+        "span_trace_id",
+        "span_span_id",
+        "span_start_time_unix_nano_epoch",
+        "total_span_count",
+        "error_count",
+    ).distinct()
+    if errors_only:
+        out = out.filter(F.col("error_count") > 0)
+    return (
+        out.orderBy(
+            F.desc("span_start_time_unix_nano_epoch"), F.asc("span_span_id")
+        )
+        .offset(offset)
+        .limit(limit)
+    )
+
+
+def trace_count(spans: DataFrame, errors_only: bool = False) -> DataFrame:
+    """COUNT(DISTINCT span_id) (traces.rs:517-531)."""
+    df = spans
+    if errors_only:
+        df = df.filter(F.col("span_status_code") == 2)
+    return df.agg(F.countDistinct("span_span_id").alias("count"))
+
+
+def trace_bounds(spans: DataFrame, trace_id: str, time_col: str = "p_timestamp") -> DataFrame:
+    """MIN/MAX time for one trace (traces.rs:532-544)."""
+    return spans.filter(F.col("span_trace_id") == trace_id).agg(
+        F.min(time_col).alias("start_time"), F.max(time_col).alias("end_time")
+    )
+
+
+def _bfs_levels(edges: list[tuple[str, str | None]], max_depth: int) -> dict[str, int]:
+    """Min-level BFS over (span_id, parent_id) edges — the recursive
+    CTE's semantics (UNION ALL walk + MIN(level) per span) in O(n)."""
+    ids = {s for s, _ in edges}
+    children: dict[str, list[str]] = {}
+    roots = []
+    for s, p in edges:
+        if not p or p not in ids:  # roots-by-absence (traces.rs:610-612)
+            roots.append(s)
+        else:
+            children.setdefault(p, []).append(s)
+    level = {s: 0 for s in roots}
+    frontier = roots
+    depth = 0
+    while frontier and depth < max_depth:
+        depth += 1
+        nxt = []
+        for p in frontier:
+            for c in children.get(p, ()):
+                if c not in level:  # first visit = min level (BFS order)
+                    level[c] = depth
+                    nxt.append(c)
+        frontier = nxt
+    return level
+
+
+def trace_detail(
+    spans: DataFrame,
+    trace_id: str,
+    max_depth: int = MAX_TRACE_DEPTH,
+    driver_bfs_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Span hierarchy for one trace — replacement of the WITH RECURSIVE
+    walk (traces.rs:545-640).
+
+    Hybrid strategy: Spark scans/filters/dedups the span table (the part
+    that is large at 100 TB); the level walk runs as a driver-side BFS
+    over just the (span, parent) edge pairs of ONE trace — bounded data
+    by construction (a trace is what a UI renders) — then joins back as
+    a broadcast. This replaces ~2 Spark jobs per level with 2 total.
+    Traces larger than `driver_bfs_threshold` spans fall back to a
+    bounded iterative-join BFS (one broadcast join per level).
+
+    Output: span columns + has_error, level (min over paths),
+    total_span_count, matching the reference projection.
+    """
+    trace = spans.filter(F.col("span_trace_id") == trace_id)
+    # dedup exact span duplicates, keeping error/earliest-time aggregates
+    group_cols = [c for c in SPAN_COLS if c != "span_status_code"]
+    deduped = (
+        trace.groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("span_status_code") == 2, 1).otherwise(0))
+            .cast("boolean")
+            .alias("has_error")
+        )
+        .persist()  # reused every BFS iteration
+    )
+    n_spans = deduped.count()
+    if n_spans <= driver_bfs_threshold:
+        edges = [
+            (r["span_span_id"], r["span_parent_span_id"])
+            for r in deduped.select("span_span_id", "span_parent_span_id")
+            .distinct()
+            .collect()
+        ]
+        level_map = _bfs_levels(edges, max_depth)
+        span_levels = F.broadcast(
+            spans.sparkSession.createDataFrame(
+                list(level_map.items()), schema="span_span_id string, level int"
+            )
+        )
+    else:
+        span_ids = deduped.select("span_span_id").distinct()
+        # roots: empty/null parent, or parent not among span ids (orphans
+        # — roots-by-absence branch, traces.rs:610-612)
+        roots = (
+            deduped.join(
+                span_ids.withColumnRenamed("span_span_id", "pid"),
+                F.col("span_parent_span_id") == F.col("pid"),
+                "left_anti",
+            )
+            .unionByName(
+                deduped.filter(
+                    F.coalesce(F.col("span_parent_span_id"), F.lit("")) == ""
+                )
+            )
+            .select("span_span_id")
+            .distinct()
+            .withColumn("level", F.lit(0))
+            .persist()
+        )
+        levels = [roots]
+        frontier = roots
+        for _depth in range(1, max_depth + 1):
+            if not frontier.take(1):  # frontier drained — tree fully walked
+                break
+            nxt = (
+                deduped.join(
+                    F.broadcast(
+                        frontier.select(
+                            F.col("span_span_id").alias("parent_id"), "level"
+                        )
+                    ),
+                    F.col("span_parent_span_id") == F.col("parent_id"),
+                )
+                .select("span_span_id", (F.col("level") + 1).alias("level"))
+                .distinct()
+                .persist()
+            )
+            levels.append(nxt)
+            frontier = nxt
+        hierarchy = levels[0]
+        for lv in levels[1:]:
+            hierarchy = hierarchy.unionByName(lv)
+        span_levels = hierarchy.groupBy("span_span_id").agg(
+            F.min("level").alias("level")
+        )
+
+    out = (
+        deduped.join(span_levels, "span_span_id")
+        .withColumn("total_span_count", F.count(F.lit(1)).over(Window.partitionBy()))
+        .orderBy("level", "span_start_time_unix_nano_epoch")
+    )
+    return out.select(
+        "span_span_id",
+        "span_parent_span_id",
+        "service_name",
+        "span_name",
+        "span_duration_ns",
+        "span_start_time_unix_nano_epoch",
+        "span_trace_id",
+        "has_error",
+        "level",
+        F.col("total_span_count").cast("bigint").alias("total_span_count"),
+    )

@@ -1,0 +1,188 @@
+"""OTel flattening + known-format extraction + trace API tests."""
+
+from __future__ import annotations
+
+from parseable_spark.ingest.known_formats import KNOWN_SCHEMA_LIST, spark_extract_columns
+from parseable_spark.ingest.otel import (
+    flatten_otel_logs,
+    flatten_otel_metrics,
+    flatten_otel_traces,
+    series_hash,
+    severity_info,
+)
+
+OTLP_LOGS = {
+    "resourceLogs": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "checkout"}}
+                ]
+            },
+            "schemaUrl": "https://opentelemetry.io/schemas/1.21.0",
+            "scopeLogs": [
+                {
+                    "scope": {"name": "applog", "version": "1.2"},
+                    "logRecords": [
+                        {
+                            "timeUnixNano": "1704067200000000000",
+                            "observedTimeUnixNano": "1704067201000000000",
+                            "severityNumber": 17,
+                            "body": {"stringValue": '{"user": "u1", "ok": false}'},
+                            "attributes": [
+                                {"key": "http.method", "value": {"stringValue": "POST"}},
+                                {"key": "http.status_code", "value": {"intValue": "500"}},
+                            ],
+                            "spanId": "aa11",
+                            "traceId": "bb22",
+                        }
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+
+class TestOtelLogs:
+    def test_flatten_known_fields(self):
+        recs = flatten_otel_logs(OTLP_LOGS)
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["service.name"] == "checkout"
+        assert r["scope_name"] == "applog"
+        assert r["severity_number"] == 17
+        assert r["severity_text"] == "ERROR"
+        assert r["p_log_category"] == "ERROR"
+        assert r["http.method"] == "POST"
+        assert r["http.status_code"] == 500
+        assert r["span_id"] == "aa11" and r["trace_id"] == "bb22"
+        # JSON string body extracted to body_-prefixed fields
+        assert r["body_user"] == "u1" and r["body_ok"] is False
+
+    def test_severity_mapping(self):
+        assert severity_info(9) == ("INFO", "INFO")
+        assert severity_info(10) == ("INFO2", "INFO")
+        assert severity_info(21) == ("FATAL", "CRITICAL")
+        assert severity_info(0)[1] == "UNSPECIFIED"
+
+
+class TestOtelMetrics:
+    def test_gauge_points_and_series_hash(self):
+        payload = {
+            "resourceMetrics": [
+                {
+                    "resource": {"attributes": []},
+                    "scopeMetrics": [
+                        {
+                            "scope": {"name": "m"},
+                            "metrics": [
+                                {
+                                    "name": "cpu.load",
+                                    "unit": "1",
+                                    "gauge": {
+                                        "dataPoints": [
+                                            {
+                                                "timeUnixNano": "1",
+                                                "asDouble": 0.7,
+                                                "attributes": [
+                                                    {"key": "host", "value": {"stringValue": "a"}}
+                                                ],
+                                            },
+                                            {
+                                                "timeUnixNano": "2",
+                                                "asDouble": 0.9,
+                                                "attributes": [
+                                                    {"key": "host", "value": {"stringValue": "b"}}
+                                                ],
+                                            },
+                                        ]
+                                    },
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+        recs = flatten_otel_metrics(payload)
+        assert [r["data_point_value"] for r in recs] == [0.7, 0.9]
+        assert recs[0]["metric_name"] == "cpu.load"
+        # distinct label sets → distinct series ids; stable across calls
+        assert recs[0]["__series_hash_u64"] != recs[1]["__series_hash_u64"]
+        assert recs[0]["__series_hash_u64"] == series_hash({"__name__": "cpu.load", "host": "a"})
+        assert 0 <= recs[0]["__series_hash_u64"] < 2**64
+
+
+class TestOtelTraces:
+    def test_span_flattening(self):
+        payload = {
+            "resourceSpans": [
+                {
+                    "resource": {"attributes": []},
+                    "scopeSpans": [
+                        {
+                            "scope": {"name": "t"},
+                            "spans": [
+                                {
+                                    "traceId": "t1",
+                                    "spanId": "s1",
+                                    "parentSpanId": "",
+                                    "name": "GET /x",
+                                    "startTimeUnixNano": "1000",
+                                    "endTimeUnixNano": "4000",
+                                    "status": {"code": "STATUS_CODE_ERROR"},
+                                    "events": [{"name": "exception"}],
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+        r = flatten_otel_traces(payload)[0]
+        assert r["span_duration_ns"] == 3000
+        assert r["span_status_code"] == 2
+        assert r["event_name"] == "exception"
+
+
+class TestKnownFormats:
+    APACHE = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+
+    def test_extract_apache(self):
+        rec = {"body": self.APACHE}
+        KNOWN_SCHEMA_LIST.extract_from_inline_log(rec, "apache_access")
+        assert rec["p_format_verified"] is True
+        assert rec["cs_method"] == "GET"
+        assert rec["sc_status"] == "200"
+        assert rec["c_ip"] == "127.0.0.1"
+
+    def test_fields_already_present_short_circuits(self):
+        rec = {
+            "c_ip": "1.2.3.4", "cs_username": "-", "timestamp": "x", "cs_method": "GET",
+            "cs_uri": "/", "cs_protocol": "HTTP/1.1", "sc_status": "200", "sc_bytes": "1",
+        }
+        KNOWN_SCHEMA_LIST.extract_from_inline_log(rec, "apache_access")
+        assert rec["p_format_verified"] is True
+
+    def test_unverified_and_unknown(self):
+        rec = {"body": "not an access line"}
+        KNOWN_SCHEMA_LIST.extract_from_inline_log(rec, "apache_access")
+        assert rec["p_format_verified"] is False
+        try:
+            KNOWN_SCHEMA_LIST.extract_from_inline_log({}, "nope")
+            raise AssertionError("expected KeyError")
+        except KeyError:
+            pass
+
+    def test_detect(self):
+        rec = {"body": "2024-01-01 10:00:00,123 - app.web - ERROR - boom"}
+        assert KNOWN_SCHEMA_LIST.detect(rec) == "python_logging"
+        assert rec["level"] == "ERROR"
+
+    def test_spark_columnar_extraction(self, spark):
+        df = spark.createDataFrame([(self.APACHE,)], "body string")
+        cols = spark_extract_columns(df["body"], "apache_access")
+        row = df.select(*cols).collect()[0]
+        assert row["cs_method"] == "GET"
+        assert row["sc_status"] == "200"
