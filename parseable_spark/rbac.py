@@ -1,0 +1,109 @@
+"""RBAC-lite + tenant namespacing.
+
+Parity with the reference's role model (src/rbac/role.rs:195-330):
+default privileges `Admin | Editor | Writer{stream} | Reader{stream} |
+Ingestor{stream}` expand to permission sets checked per-dataset before
+query execution (src/handlers/http/query.rs:102-104,176). Tenancy:
+each tenant gets its own namespace of streams (src/query/mod.rs:122-147
+gives every tenant a DataFusion schema); we prefix temp-view names with
+the tenant id, so one SparkSession serves many tenants without
+cross-tenant name capture — the multi-tenant analog of the reference's
+per-tenant catalog.
+
+Driver-side metadata checks only — nothing here touches the data path,
+so authorization cost is independent of data volume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+DEFAULT_TENANT = "default"
+
+
+class Action(str, Enum):
+    QUERY = "query"
+    INGEST = "ingest"
+    CREATE_STREAM = "create_stream"
+    DELETE_STREAM = "delete_stream"
+    LIST_STREAM = "list_stream"
+    MANAGE = "manage"  # alerts/retention/users
+
+
+# privilege → allowed actions; '*' stream scope means all streams
+# (reference perm builders, src/rbac/role.rs:300-330)
+_PRIVILEGES: dict[str, set[Action]] = {
+    "admin": set(Action),
+    "editor": {a for a in Action if a is not Action.DELETE_STREAM},
+    "writer": {Action.QUERY, Action.INGEST, Action.LIST_STREAM, Action.CREATE_STREAM},
+    "reader": {Action.QUERY, Action.LIST_STREAM},
+    "ingestor": {Action.INGEST},
+}
+
+
+@dataclass(frozen=True)
+class Grant:
+    privilege: str  # admin/editor/writer/reader/ingestor
+    stream: str = "*"  # '*' = all streams in the tenant
+    tenant: str = DEFAULT_TENANT
+
+    def allows(self, action: Action, stream: str, tenant: str) -> bool:
+        if self.tenant != tenant:
+            return False
+        if self.privilege not in _PRIVILEGES:
+            return False
+        if action not in _PRIVILEGES[self.privilege]:
+            return False
+        return self.stream == "*" or self.stream == stream
+
+
+@dataclass
+class User:
+    name: str
+    grants: list[Grant] = field(default_factory=list)
+
+
+class AccessDenied(PermissionError):
+    pass
+
+
+class Rbac:
+    def __init__(self) -> None:
+        self._users: dict[str, User] = {}
+
+    def add_user(self, name: str, grants: list[Grant]) -> User:
+        u = User(name, list(grants))
+        self._users[name] = u
+        return u
+
+    def authorize(
+        self,
+        user: str,
+        action: Action,
+        stream: str = "*",
+        tenant: str = DEFAULT_TENANT,
+    ) -> None:
+        """Raise AccessDenied unless some grant covers (action, stream,
+        tenant) — the reference's user_auth_for_datasets gate."""
+        u = self._users.get(user)
+        if u is None or not any(g.allows(action, stream, tenant) for g in u.grants):
+            raise AccessDenied(f"{user} may not {action.value} on {tenant}/{stream}")
+
+    def authorized_streams(
+        self, user: str, streams: list[str], tenant: str = DEFAULT_TENANT
+    ) -> list[str]:
+        u = self._users.get(user)
+        if u is None:
+            return []
+        return [
+            s
+            for s in streams
+            if any(g.allows(Action.QUERY, s, tenant) for g in u.grants)
+        ]
+
+
+def tenant_view_name(tenant: str, stream: str) -> str:
+    """Namespaced temp-view name: one SparkSession, many tenants."""
+    safe = tenant.replace("-", "_")
+    return stream if tenant == DEFAULT_TENANT else f"{safe}__{stream}"

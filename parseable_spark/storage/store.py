@@ -18,6 +18,7 @@ object-storage pipeline (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog.manifest import Manifest, Snapshot
 from ..ingest.events import DEFAULT_TIMESTAMP_KEY, PreparedBatch, Stream, StreamConfig, prepare_batch, to_dataframe
+from .stats import FullStats
 from .writer import write_stream_batch
 
 STAGING_WINDOW_SECONDS = 300  # reference stream_schema_provider.rs:936-958
@@ -43,6 +45,7 @@ class StreamStore:
     time_col: str = DEFAULT_TIMESTAMP_KEY
     stream: Stream = None  # type: ignore[assignment]
     _staging: list[PreparedBatch] = field(default_factory=list)
+    _pending_ingestion_bytes: int = 0
 
     def __post_init__(self):
         if self.stream is None:
@@ -50,6 +53,7 @@ class StreamStore:
         os.makedirs(self.data_dir, exist_ok=True)
         self.manifest = Manifest.load(self.manifest_path)
         self.snapshot = Snapshot.load(self.snapshot_path)
+        self.stats = FullStats.load(self.stats_path)
         reg_path = self.schema_path
         if os.path.exists(reg_path):
             from ..ingest.schema import SchemaRegistry
@@ -77,6 +81,10 @@ class StreamStore:
     def schema_path(self) -> str:
         return os.path.join(self.stream_dir, "stream.json")
 
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.stream_dir, "stats.json")
+
     # --- ingest / flush -------------------------------------------------
     def ingest(
         self,
@@ -88,6 +96,9 @@ class StreamStore:
             body, self.stream.registry, self.config, p_timestamp, p_custom_fields
         )
         self._staging.append(batch)
+        # raw JSON size — the reference's origin_size event counter
+        # (src/stats.rs, src/event/mod.rs origin_size)
+        self._pending_ingestion_bytes += len(json.dumps(body, default=str))
         return len(batch.records)
 
     def staging_df(self) -> DataFrame | None:
@@ -112,14 +123,18 @@ class StreamStore:
         new_files = sorted(
             set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True)) - before
         )
+        storage_bytes = 0
         for p in new_files:
-            self.manifest.add_file(p)
+            storage_bytes += self.manifest.add_file(p).file_size
         self.manifest.save(self.manifest_path)
         self.snapshot = Snapshot()
         self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
         self.snapshot.save(self.snapshot_path)
         self.stream.registry.save(self.schema_path)
         n = sum(len(b.records) for b in self._staging)
+        self.stats.record_ingest(n, self._pending_ingestion_bytes, storage_bytes)
+        self.stats.save(self.stats_path)
+        self._pending_ingestion_bytes = 0
         self._staging.clear()
         return n
 
@@ -182,6 +197,20 @@ class StreamStore:
                 removed += 1
         if removed:
             live = set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True))
+            dead = [f for f in self.manifest.files if f.file_path not in live]
             self.manifest.files = [f for f in self.manifest.files if f.file_path in live]
             self.manifest.save(self.manifest_path)
+            ev = sum(f.num_rows for f in dead)
+            st = sum(f.file_size for f in dead)
+            # ingestion bytes aren't tracked per file; attribute them
+            # proportionally to deleted events (reference tracks exact
+            # per-manifest ingestion_size — update_deleted_stats,
+            # src/stats.rs:117-184)
+            ing = (
+                round(self.stats.current.ingestion * ev / self.stats.current.events)
+                if self.stats.current.events
+                else 0
+            )
+            self.stats.record_deletion(ev, ing, st)
+            self.stats.save(self.stats_path)
         return removed
