@@ -71,6 +71,71 @@ def bucketed_ann(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_ann(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse-centroid
+    cell, probe only the `nprobe` cells nearest the query, exact cosine
+    inside them.
+
+    The codebook here is deterministic (the first `n_centroids` vectors
+    by id) so the whole pipeline is oracle-checkable; in production the
+    codebook comes from a sampled k-means and the mechanics are
+    unchanged. Scale shape: the codebook is broadcast (tiny), cell
+    assignment is a map-side argmax partially aggregated before the
+    groupBy shuffle, and on a cell-partitioned table the probe reads
+    nprobe/n_centroids of the data — the IVF index IS the partition
+    layout."""
+    from pyspark.sql.functions import broadcast
+
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
+    )
+    # probe cells: nearest centroids to the query (driver-side, tiny)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = [
+        r["cid"]
+        for r in cents.select(
+            "cid", F.round(cosine(F.col("cv"), q), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    # cell assignment: per-vector argmax over the broadcast codebook;
+    # max(struct) keeps the combine map-side (partial aggregation)
+    vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    assigned = (
+        vecs.join(broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+                    (-F.col("cid")).alias("neg_cid"),
+                )
+            ).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select(F.col(id_col), (-F.col("best.neg_cid")).alias("cell"), "v")
+    )
+    hits = assigned.filter(F.col("cell").isin(probe))
+    scored = hits.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cosine(F.col("v"), q), ndigits).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -296,3 +296,44 @@ def q35_multimodal_features(spark, sf_dir):
     )
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "media_type", "n_bytes")
+
+
+def _duck_cos(a: str, b: str, nd: int) -> str:
+    return f"""round(
+        list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
+    {nd})"""
+
+
+@register(
+    "q40_ann_ivf",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT cid FROM cents, q
+        ORDER BY {_duck_cos('cv', 'qv', 6)} DESC, cid LIMIT 2
+    ),
+    assign AS (
+        SELECT vec_id, e, cid AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_duck_cos('e', 'cv', 6)} DESC, cid
+               ) AS rn
+        FROM (SELECT vec_id, embedding AS e FROM embeddings) CROSS JOIN cents
+    )
+    SELECT a.vec_id, a.cell, {_duck_cos('e', 'qv', 4)} AS cosine_sim
+    FROM assign a JOIN probe p ON a.cell = p.cid, q
+    WHERE a.rn = 1
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 5
+    """,
+    doc="IVF-style ANN: broadcast coarse codebook, map-side argmax cell assignment, nprobe-cell exact search (cell id = partition key at scale).",
+)
+def q40_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(
+        emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, nprobe=2
+    )

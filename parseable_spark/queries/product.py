@@ -169,3 +169,33 @@ def q23_log_context(spark, sf_dir):
         columns="event_id, ts, event_type",
     )
     return eng.query(sql)
+
+
+@register(
+    "q39_correlation",
+    """
+    SELECT e.event_id AS events_event_id,
+           e.event_type AS events_event_type,
+           e.value AS events_value,
+           c.c_name AS customer_c_name,
+           c.c_mktsegment AS customer_c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND e.ts < TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    doc="Correlation: two streams joined on field equality with selected-field projection (reference src/correlation.rs:400-418).",
+)
+def q39_correlation(spark, sf_dir):
+    from ..query.correlation import JoinCondition, TableConfig, correlate
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        "ts >= TIMESTAMP_NTZ '2024-01-10 00:00:00' AND ts < TIMESTAMP_NTZ '2024-01-12 00:00:00'"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return correlate(
+        ev,
+        cust,
+        TableConfig("events", ("event_id", "event_type", "value")),
+        TableConfig("customer", ("c_name", "c_mktsegment")),
+        (JoinCondition("events", "user_id"), JoinCondition("customer", "c_custkey")),
+    )
