@@ -294,12 +294,17 @@ def q11_shipping_priority(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # lineitem streams; the filtered customer⋈orders side is the build
+    oc = (
+        o.filter(F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-03-15 00:00:00'"))
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
     return (
-        c.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-03-15 00:00:00'"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'"))
+        li.filter(F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -330,10 +335,15 @@ def q11_shipping_priority(spark, sf_dir):
 )
 def q12_local_supplier_volume(spark, sf_dir):
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    # lineitem is the streaming/probe side everywhere: at 100 TB the
+    # fact table must never be a hash-build side, and locally this
+    # avoids materializing a 600k-row broadcast relation
+    orders_cust = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey")
+    )
     return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        t["lineitem"]
+        .join(orders_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
