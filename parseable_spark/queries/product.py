@@ -199,3 +199,51 @@ def q39_correlation(spark, sf_dir):
         TableConfig("customer", ("c_name", "c_mktsegment")),
         (JoinCondition("events", "user_id"), JoinCondition("customer", "c_custkey")),
     )
+
+
+@register(
+    "q41_field_stats_pipeline",
+    """
+    WITH vc AS (
+        SELECT 'event_type' AS field_name,
+               coalesce(CAST(event_type AS VARCHAR), 'NULL') AS distinct_value,
+               count(*) AS value_count
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), 'NULL'), count(*)
+        FROM events GROUP BY 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY field_name ORDER BY value_count DESC, distinct_value
+        ) AS rn FROM vc
+    ), totals AS (
+        SELECT field_name, CAST(sum(value_count) AS BIGINT) AS count,
+               CAST(count(*) AS BIGINT) AS distinct_count
+        FROM vc GROUP BY 1
+    )
+    SELECT t.field_name, t.count, t.distinct_count,
+           r.distinct_value, CAST(r.value_count AS BIGINT) AS value_count
+    FROM totals t JOIN ranked r USING (field_name)
+    WHERE r.rn <= 3
+    """,
+    doc="pstats write pipeline: single-pass stacked field stats (explode + one shuffle), exploded to scalar rows for the oracle (reference field_stats.rs:99-110).",
+)
+def q41_field_stats_pipeline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..query.field_stats import compute_field_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = compute_field_stats(ev, "events", fields=["event_type", "user_id"], k=3)
+    return stats.select(
+        "field_name",
+        "count",
+        "distinct_count",
+        F.explode("distinct_stats").alias("s"),
+    ).select(
+        "field_name",
+        "count",
+        "distinct_count",
+        F.col("s.distinct_value").alias("distinct_value"),
+        F.col("s.count").alias("value_count"),
+    )

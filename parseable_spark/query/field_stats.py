@@ -48,3 +48,78 @@ def field_cardinality_sql(stream: str, fields: list[str]) -> str:
         for f in fields
     ]
     return " UNION ALL ".join(parts)
+
+
+# --- write side: the pstats dataset ----------------------------------------
+
+DATASET_STATS_STREAM_NAME = "pstats"  # field_stats.rs:84
+DATASET_STATS_CUSTOM_PARTITION = "dataset_name"  # :85
+NULL_VALUE = "NULL"  # :89
+
+
+def compute_field_stats(df, dataset_name: str, fields=None, k: int = 5):
+    """Per-field stats rows in the reference's pstats shape
+    (FieldStat/DistinctStat, field_stats.rs:99-110): one row per field
+    with total count, distinct count, and the exact top-K
+    (value, count) pairs.
+
+    Single-pass at any scale: all fields are stacked into
+    (field_name, value) pairs with one explode, so the whole job is ONE
+    shuffle on (field_name, value) + one on field_name — not a scan per
+    field like the reference's per-column rayon loop. NULLs count as
+    the literal "NULL" (reference NULL_VALUE). distinct_count uses
+    exact count here; swap approx=True for approx_count_distinct
+    (HLL++, same precision class as the reference's 2^12-register HLL)
+    when fields are high-cardinality.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fields = fields or df.columns
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field_name"),
+                        F.coalesce(F.col(f).cast("string"), F.lit(NULL_VALUE)).alias(
+                            "distinct_value"
+                        ),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    vc = stacked.groupBy("field_name", "distinct_value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy("field_name").orderBy(
+        F.desc("count"), F.asc("distinct_value")
+    )
+    ranked = vc.withColumn("rn", F.row_number().over(w))
+    per_field = ranked.groupBy("field_name").agg(
+        F.sum("count").cast("bigint").alias("count"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_count"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= k,
+                        F.struct("rn", "distinct_value", F.col("count").alias("cnt")),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["distinct_value"].alias("distinct_value"),
+                s["cnt"].cast("long").alias("count"),
+            ),
+        ).alias("distinct_stats"),
+    )
+    return per_field.select(
+        F.lit(dataset_name).alias(DATASET_STATS_CUSTOM_PARTITION),
+        "field_name",
+        "count",
+        "distinct_count",
+        "distinct_stats",
+    )

@@ -1,0 +1,71 @@
+"""Query response serialization — JSON rows + NDJSON streaming.
+
+Parity with the reference response path: RecordBatches → JSON rows
+(src/response.rs, src/utils/arrow/mod.rs:50) honoring the query flags
+`fields` (wrap as {"fields": [...], "records": [...]}) and `sendNull`
+(drop null-valued keys per record) from the /query API
+(src/handlers/http/query.rs:63-77); streaming responses are NDJSON
+chunks fed from per-partition execution (query.rs:325-407,
+src/query/mod.rs:331-369).
+
+Scale note: `ndjson_lines` iterates `toLocalIterator()` — partitions
+stream through the driver one at a time instead of a full collect, so
+result sets larger than driver memory still stream out; this mirrors
+the reference's per-partition channel fan-in.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+
+def _json_value(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return v.isoformat(sep="T", timespec="milliseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, Row):
+        return {k: _json_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    return v
+
+
+def row_to_json(row: Row, send_null: bool = True) -> dict[str, Any]:
+    d = {k: _json_value(v) for k, v in row.asDict().items()}
+    if not send_null:
+        d = {k: v for k, v in d.items() if v is not None}
+    return d
+
+
+def query_response(
+    df: DataFrame, fields: bool = False, send_null: bool = True
+) -> dict[str, Any] | list[dict[str, Any]]:
+    """Batch response body (reference QueryResponse::to_http)."""
+    records = [row_to_json(r, send_null) for r in df.collect()]
+    if fields:
+        return {"fields": df.columns, "records": records}
+    return records
+
+
+def ndjson_lines(
+    df: DataFrame, send_null: bool = True
+) -> Iterator[str]:
+    """Streaming NDJSON: one JSON object per line, partitions streamed
+    through the driver incrementally (no full materialization)."""
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        yield json.dumps(row_to_json(row, send_null), separators=(",", ":")) + "\n"
