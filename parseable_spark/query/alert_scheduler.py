@@ -1,0 +1,122 @@
+"""Alert scheduling — rolling-window evaluation loop + notification
+targets.
+
+Parity with the reference's alert runtime: each alert has an
+`EvalConfig::RollingWindow{eval_start: "10m", eval_frequency: 10min}`
+(src/alerts/alert_structs.rs:266-278); the scheduler re-evaluates the
+aggregate over `eval_start..now` every `eval_frequency` minutes
+(src/alerts/alerts_utils.rs:58-131), drives the
+Triggered/NotTriggered state machine, and fires notification targets
+on state transitions (src/alerts/target.rs).
+
+Spark shape: evaluation is one aggregate SQL through QueryEngine —
+time-filter injection prunes the scan to the rolling window, so an
+eval touches only the last few minutes of partitions regardless of
+table size. The loop itself is driver-side scheduling (the reference
+uses a tokio scheduler; any cron/Airflow slot works identically).
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any, Callable, Protocol
+
+from .alerts import Alert, AlertState
+
+
+class Target(Protocol):
+    def notify(self, alert: Alert, state: AlertState, value: float) -> None: ...
+
+
+@dataclass
+class CallbackTarget:
+    """In-process notification target (webhook/slack analog — the
+    reference posts JSON to the target URL; wire `fn` to an HTTP POST
+    in deployment)."""
+
+    fn: Callable[[dict[str, Any]], None]
+
+    def notify(self, alert: Alert, state: AlertState, value: float) -> None:
+        self.fn(
+            {
+                "stream": alert.stream,
+                "aggregate": alert.agg_sql(),
+                "threshold": f"{alert.threshold_op} {alert.threshold}",
+                "state": state.value,
+                "value": value,
+            }
+        )
+
+
+@dataclass
+class ScheduledAlert:
+    alert: Alert
+    eval_start: str = "10m"  # humantime offset (reference default)
+    eval_frequency_s: int = 600  # reference default 10 min
+    targets: list[Target] = field(default_factory=list)
+    repeat_notifications: bool = False
+    _last_eval: float = 0.0
+
+    def due(self, monotonic_now: float) -> bool:
+        return monotonic_now - self._last_eval >= self.eval_frequency_s
+
+    def evaluate(self, engine, now: datetime | None = None) -> AlertState:
+        """One rolling-window evaluation `eval_start..now`; notify
+        targets on state transition (or every trigger when
+        repeat_notifications)."""
+        prev = self.alert.state
+        row = engine.query(
+            self.alert.to_sql(), self.eval_start, "now", now=now
+        ).collect()[0]
+        value = float(row["agg_value"] or 0.0)
+        state = self.alert.update_state(value)
+        transition = state != prev
+        if (transition or (self.repeat_notifications and state is AlertState.TRIGGERED)):
+            for t in self.targets:
+                t.notify(self.alert, state, value)
+        return state
+
+
+class AlertScheduler:
+    """Driver-side evaluation loop over registered alerts."""
+
+    def __init__(self, engine) -> None:
+        self.engine = engine
+        self._alerts: list[ScheduledAlert] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def register(self, scheduled: ScheduledAlert) -> None:
+        self._alerts.append(scheduled)
+
+    def run_pending(self, now: datetime | None = None) -> int:
+        """Evaluate every due alert once (test-friendly, also the body
+        of the background loop). Returns number evaluated."""
+        m = _time.monotonic()
+        n = 0
+        for sa in self._alerts:
+            if sa.due(m):
+                sa.evaluate(self.engine, now=now)
+                sa._last_eval = m
+                n += 1
+        return n
+
+    def start(self, tick_seconds: float = 10.0) -> None:
+        """Background loop (reference scheduler ticks every 10 s,
+        src/storage/retention.rs:88-91 pattern)."""
+
+        def loop() -> None:
+            while not self._stop.is_set():
+                self.run_pending()
+                self._stop.wait(tick_seconds)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

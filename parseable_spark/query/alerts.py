@@ -111,7 +111,10 @@ class Alert:
     def evaluate(self, engine, start: str, end: str, now=None) -> AlertState:
         """Run the rolling-window aggregate and update state."""
         row = engine.query(self.to_sql(), start, end, now=now).collect()[0]
-        value = row["agg_value"] or 0.0
+        return self.update_state(row["agg_value"] or 0.0)
+
+    def update_state(self, value) -> AlertState:
+        """Threshold compare → state transition (alert_enums.rs:320-323)."""
         ops = {
             ">": value > self.threshold,
             ">=": value >= self.threshold,

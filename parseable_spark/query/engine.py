@@ -78,3 +78,22 @@ class QueryEngine:
             # restore unfiltered views for subsequent queries
             for name, (df, _) in self._streams.items():
                 df.createOrReplaceTempView(name)
+
+    def explain(
+        self,
+        sql: str,
+        start: str | None = None,
+        end: str | None = None,
+        mode: str = "formatted",
+        now=None,
+    ) -> str:
+        """Plan text for a query WITH the injected time filter — the
+        reference rewrites the plan before EXPLAIN so users see the
+        real scan bounds (src/query/mod.rs:393-413). Analysis happens
+        eagerly at spark.sql(), so the returned plan reflects the
+        filtered views even after they're restored."""
+        df = self.query(sql, start, end, now=now)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+        return df._jdf.queryExecution().explainString(jmode)
