@@ -208,6 +208,19 @@ class Snapshot:
     def total_rows(self) -> int:
         return sum(it["events_ingested"] for it in self.items)
 
+    @classmethod
+    def merge(cls, snapshots: list["Snapshot"]) -> "Snapshot":
+        """Querier-side merge of every ingestor's snapshot — distributed
+        mode reads all ingestors' manifest lists at plan time
+        (stream_schema_provider.rs:649-668, src/query/mod.rs:778-792).
+        Items stay per-manifest; planning over the merged list is
+        identical to the single-writer case."""
+        merged = cls()
+        for s in snapshots:
+            merged.items.extend(s.items)
+        merged.items.sort(key=lambda it: (it["time_lower_bound"] or "", it["manifest_path"]))
+        return merged
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:

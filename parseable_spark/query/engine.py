@@ -48,7 +48,21 @@ class QueryEngine:
         self.time_col = time_col
         self._streams: dict[str, tuple[DataFrame, str]] = {}
 
-    def register_stream(self, name: str, df: DataFrame, time_col: str | None = None) -> None:
+    def register_stream(
+        self,
+        name: str,
+        df: DataFrame,
+        time_col: str | None = None,
+        tenant: str | None = None,
+    ) -> None:
+        """Register a stream; with a tenant, the view is namespaced
+        (tenant__stream) so one SparkSession serves many tenants — the
+        analog of the reference's per-tenant DataFusion schema
+        (src/query/mod.rs:122-147)."""
+        if tenant is not None:
+            from ..rbac import tenant_view_name
+
+            name = tenant_view_name(tenant, name)
         self._streams[name] = (df, time_col or self.time_col)
         df.createOrReplaceTempView(name)
 

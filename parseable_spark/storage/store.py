@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog.manifest import Manifest, Snapshot
 from ..ingest.events import DEFAULT_TIMESTAMP_KEY, PreparedBatch, Stream, StreamConfig, prepare_batch, to_dataframe
+from .hottier import HotTier
 from .stats import FullStats
 from .writer import write_stream_batch
 
@@ -44,6 +45,7 @@ class StreamStore:
     config: StreamConfig
     time_col: str = DEFAULT_TIMESTAMP_KEY
     stream: Stream = None  # type: ignore[assignment]
+    hot_tier: "HotTier | None" = None  # optional local cache (hottier.py)
     _staging: list[PreparedBatch] = field(default_factory=list)
     _pending_ingestion_bytes: int = 0
 
@@ -165,6 +167,8 @@ class StreamStore:
         paths = self.manifest.prune_paths(self.time_col, iso(start), iso(end))
         if limit is not None:
             paths = self.manifest.limit_truncate(paths, limit)
+        if self.hot_tier is not None:
+            paths = self.hot_tier.resolve(paths)
         df = self._parquet_df(paths)
 
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
@@ -179,6 +183,16 @@ class StreamStore:
         if end is not None:
             df = df.filter(F.col(self.time_col) < F.lit(end))
         return df
+
+    def legacy_scan(self) -> DataFrame:
+        """Prefix-listing fallback for data with no manifest entries —
+        the reference's legacy listing table globs `date=/hour=/minute=`
+        prefixes (src/query/listing_table_builder.rs:46-148). Spark's
+        partition discovery does the same from the directory layout; the
+        time predicate then prunes partition dirs natively."""
+        return self.spark.read.option("basePath", self.data_dir).parquet(
+            os.path.join(self.data_dir, "date=*")
+        )
 
     # --- metadata-only operators ----------------------------------------
     def count_fast_path(self) -> int:

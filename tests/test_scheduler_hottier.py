@@ -128,3 +128,65 @@ class TestExplain:
         assert "Physical Plan" in plan
         # the injected time bound must appear in the analyzed plan
         assert "2024-01-10" in plan
+
+
+class TestScanProviderCompletion:
+    def test_hot_tier_scan_integration(self, spark, tmp_path):
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        ht = HotTier(str(tmp_path / "hot"), size_limit=10_000_000)
+        store = StreamStore(
+            spark, str(tmp_path), StreamConfig(name="s1"), hot_tier=ht
+        )
+        store.ingest(
+            [{"status": "ok"}, {"status": "err"}], p_timestamp=datetime(2026, 8, 1)
+        )
+        store.flush()
+        for f in store.manifest.files:
+            ht.add(f.file_path)
+        df = store.scan(
+            start=datetime(2026, 7, 31), end=datetime(2026, 8, 2),
+            now=datetime(2026, 8, 2),
+        )
+        assert df.count() == 2
+        # the scan read the hot-tier copies, not the remote paths
+        scanned = df.inputFiles()
+        assert scanned and all(str(tmp_path / "hot") in p for p in scanned)
+
+    def test_legacy_scan_globs_partitions(self, spark, tmp_path):
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        store.ingest([{"status": "ok"}], p_timestamp=datetime(2026, 8, 1, 10, 30))
+        store.flush()
+        os.remove(store.manifest_path)  # pre-manifest data
+        legacy = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        assert legacy.manifest.total_rows() == 0
+        df = legacy.legacy_scan()
+        assert df.count() == 1
+        assert {"date", "hour", "minute"} <= set(df.columns)
+
+    def test_snapshot_merge(self, tmp_path):
+        from parseable_spark.catalog.manifest import Snapshot
+
+        a, b = Snapshot(), Snapshot()
+        a.items.append({"manifest_path": "i1/m.json", "time_lower_bound": "2026-01-02",
+                        "time_upper_bound": "2026-01-03", "events_ingested": 10,
+                        "storage_size": 100})
+        b.items.append({"manifest_path": "i2/m.json", "time_lower_bound": "2026-01-01",
+                        "time_upper_bound": "2026-01-02", "events_ingested": 5,
+                        "storage_size": 50})
+        m = Snapshot.merge([a, b])
+        assert m.total_rows() == 15
+        assert [it["manifest_path"] for it in m.items] == ["i2/m.json", "i1/m.json"]
+        assert m.manifests_for_range("2026-01-02T12", "2026-01-04") == ["i1/m.json"]
+
+    def test_tenant_namespaced_views(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        ev = load_table(spark, SF_SMALL, "events")
+        eng.register_stream("events", ev.limit(10), time_col="ts", tenant="acme")
+        eng.register_stream("events", ev.limit(20), time_col="ts", tenant="globex")
+        assert spark.sql("SELECT count(*) c FROM acme__events").first()["c"] == 10
+        assert spark.sql("SELECT count(*) c FROM globex__events").first()["c"] == 20
