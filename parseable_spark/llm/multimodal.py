@@ -93,3 +93,63 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 480).alias("height"),
         (F.col("n_chars") * 10).alias("duration_ms"),
     )
+
+
+def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize stub: recomputes target dims (aspect-preserving clamp) and
+    passes the payload through (REAL RESIZE NOT IMPLEMENTED — no
+    codecs in container; swap the payload identity for PIL.thumbnail).
+    Metadata math is real and vectorized; only image rows are touched —
+    the filter prunes the other modalities before the Python stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(0).astype("int64")
+            h = pdf["height"].fillna(0).astype("int64")
+            scale = pd.concat(
+                [max_w / w.clip(lower=1), max_h / h.clip(lower=1)], axis=1
+            ).min(axis=1).clip(upper=1.0)
+            out = pdf.copy()
+            out["width"] = (w * scale).astype("int64")
+            out["height"] = (h * scale).astype("int64")
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling stub: one output row per sampled timestamp
+    (cardinality-changing mapInPandas — the real ffmpeg seek+decode
+    slots into the same loop; REAL DECODE NOT IMPLEMENTED). Frame
+    payloads are deterministic byte slices so downstream feature
+    extraction is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                payload = r["payload"] or b""
+                for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(ts)
+                    lo = (i * 16) % max(len(payload), 1)
+                    rows["frame_payload"].append(bytes(payload[lo : lo + 16]))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -337,3 +337,16 @@ def q40_ann_ivf(spark, sf_dir):
     return similarity.ivf_ann(
         emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, nprobe=2
     )
+
+
+@register(
+    "q42_multimodal_frames",
+    None,  # cardinality-changing Python kernel — rows-only check
+    doc="Multimodal resize + frame-sample plumbing: modality-pruned mapInPandas stages (decode stubbed — no codecs in container).",
+)
+def q42_multimodal_frames(spark, sf_dir):
+    media = multimodal.synthesize_media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return frames.select("media_id", "frame_idx", "ts_ms")

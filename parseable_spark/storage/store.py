@@ -199,6 +199,56 @@ class StreamStore:
         """Bare COUNT(*) from manifest sums + staging rows — no scan."""
         return self.manifest.total_rows() + sum(len(b.records) for b in self._staging)
 
+    # --- compaction -------------------------------------------------------
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite partition dirs holding ≥ min_files small parquet files
+        into one sorted file each (the reference's compaction collapses
+        per-minute staging files the same way, streams.rs:922-1107; at
+        cluster scale this is the OPTIMIZE job that keeps file counts —
+        and thus planning time and task counts — bounded as minutes
+        accumulate). Manifest entries for rewritten files are replaced.
+        Returns number of partitions compacted."""
+        from collections import defaultdict
+
+        by_dir: dict[str, list] = defaultdict(list)
+        for f in self.manifest.files:
+            by_dir[os.path.dirname(f.file_path)].append(f)
+        compacted = 0
+        for d, files in by_dir.items():
+            if len(files) < min_files:
+                continue
+            paths = [f.file_path for f in files]
+            df = self.spark.read.parquet(*paths)
+            tmp = d + ".compact.tmp"
+            (
+                df.coalesce(1)
+                .sortWithinPartitions(F.desc(self.time_col))
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(tmp)
+            )
+            new_files = glob(os.path.join(tmp, "*.parquet"))
+            for p in paths:
+                os.remove(p)
+            moved = []
+            for i, p in enumerate(new_files):
+                dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")
+                shutil.move(p, dest)
+                moved.append(dest)
+            shutil.rmtree(tmp)
+            self.manifest.files = [
+                f for f in self.manifest.files if f.file_path not in set(paths)
+            ]
+            for p in moved:
+                self.manifest.add_file(p)
+            compacted += 1
+        if compacted:
+            self.manifest.save(self.manifest_path)
+            self.snapshot = Snapshot()
+            self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
+            self.snapshot.save(self.snapshot_path)
+        return compacted
+
     # --- retention --------------------------------------------------------
     def apply_retention(self, days: int, now: datetime | None = None) -> int:
         """Delete partition dirs older than `days` (retention.rs:58-160)."""

@@ -136,3 +136,47 @@ def windowed_counts(
             F.col("count"),
         )
     )
+
+
+def sessionized_counts(
+    df: DataFrame,
+    time_col: str = "p_timestamp",
+    gap: str = "5 minutes",
+    watermark_delay: str = "5 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based): counts per activity
+    session, per group key. A Spark-native stateful operator the
+    reference has no analog for — watermark closes sessions whose gap
+    has elapsed, bounding state on unbounded streams."""
+    keys = [F.session_window(F.col(time_col), gap)]
+    keys += [F.col(c) for c in (group_cols or [])]
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[F.col(c) for c in (group_cols or [])],
+            F.col("count"),
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "p_timestamp",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """At-most-once per key within the watermark horizon
+    (dropDuplicatesWithinWatermark): exactly the ingest-side idempotence
+    an at-least-once delivery pipeline (Kafka/Kinesis retries) needs.
+    State is bounded by the watermark — old keys age out, so this runs
+    forever on an unbounded stream."""
+    if df.isStreaming:
+        return df.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)  # batch frames: plain exact dedup

@@ -1,0 +1,105 @@
+"""Compaction, multimodal resize/frame-sample, streaming session ops."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from parseable_spark.ingest.events import StreamConfig
+from parseable_spark.llm import multimodal
+from parseable_spark.storage.store import StreamStore
+from parseable_spark.streaming.ingest import sessionized_counts, streaming_dedup
+from parseable_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+class TestCompaction:
+    def test_compact_merges_partition_files(self, spark, tmp_path):
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        ts = datetime(2026, 8, 1, 10, 30)
+        # three flushes land three files in the same minute partition
+        for i in range(3):
+            store.ingest([{"status": f"s{i}", "n": float(i)}], p_timestamp=ts)
+            store.flush()
+        dirs = {f.file_path.rsplit("/", 1)[0] for f in store.manifest.files}
+        assert len(dirs) == 1 and len(store.manifest.files) == 3
+        before_rows = store.count_fast_path()
+
+        assert store.compact() == 1
+        assert len(store.manifest.files) == 1
+        assert store.count_fast_path() == before_rows
+        df = store.scan(
+            start=ts - timedelta(days=1), end=ts + timedelta(days=1),
+            now=ts + timedelta(days=1),
+        )
+        assert df.count() == 3
+        assert {r["status"] for r in df.collect()} == {"s0", "s1", "s2"}
+        # reopen: persisted manifest reflects the rewrite
+        again = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        assert len(again.manifest.files) == 1
+        assert again.count_fast_path() == before_rows
+
+    def test_compact_noop_on_single_files(self, spark, tmp_path):
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        store.ingest([{"status": "x"}], p_timestamp=datetime(2026, 8, 1))
+        store.flush()
+        assert store.compact() == 0
+
+
+class TestMultimodal:
+    def test_resize_clamps_and_preserves_aspect(self, spark):
+        media = multimodal.synthesize_media_from_documents(
+            load_table(spark, SF_SMALL, "documents")
+        )
+        out = multimodal.resize_images(media, max_w=100, max_h=100)
+        rows = out.collect()
+        assert rows and all(r["media_type"] == "image" for r in rows)
+        assert all(r["width"] <= 100 and r["height"] <= 100 for r in rows)
+        src = {r["media_id"]: r for r in media.filter("media_type='image'").collect()}
+        for r in rows:
+            s = src[r["media_id"]]
+            if s["width"] <= 100 and s["height"] <= 100:
+                assert (r["width"], r["height"]) == (s["width"], s["height"])
+
+    def test_frame_sampling_cardinality(self, spark):
+        media = multimodal.synthesize_media_from_documents(
+            load_table(spark, SF_SMALL, "documents")
+        )
+        frames = multimodal.sample_frames(media, every_ms=1000)
+        vids = media.filter("media_type='video'").select(
+            "media_id", (F.ceil(F.greatest(F.col("duration_ms"), F.lit(1)) / 1000)).alias("n")
+        )
+        expected = {r["media_id"]: r["n"] for r in vids.collect()}
+        got = {
+            r["media_id"]: r["cnt"]
+            for r in frames.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert got == expected
+        one = frames.filter("frame_idx = 0").first()
+        assert one["ts_ms"] == 0 and len(one["frame_payload"]) <= 16
+
+
+class TestStreamingOps:
+    def test_sessionized_counts_batch_semantics(self, spark):
+        base = datetime(2026, 8, 13, 12, 0, 0)
+        rows = [
+            (base, "u1"),
+            (base + timedelta(minutes=1), "u1"),  # same session (gap 5m)
+            (base + timedelta(minutes=20), "u1"),  # new session
+            (base + timedelta(minutes=2), "u2"),
+        ]
+        df = spark.createDataFrame(rows, "p_timestamp timestamp_ntz, user string")
+        out = sessionized_counts(df, gap="5 minutes", group_cols=["user"]).collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r["user"], []).append(r["count"])
+        assert sorted(per_user["u1"]) == [1, 2]
+        assert per_user["u2"] == [1]
+
+    def test_streaming_dedup_batch_fallback(self, spark):
+        base = datetime(2026, 8, 13, 12, 0, 0)
+        rows = [(base, "a"), (base, "a"), (base, "b")]
+        df = spark.createDataFrame(rows, "p_timestamp timestamp_ntz, k string")
+        out = streaming_dedup(df, ["k"])
+        assert out.count() == 2
