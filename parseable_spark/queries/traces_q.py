@@ -113,7 +113,7 @@ def q36_trace_hierarchy(spark, sf_dir):
     ORDER BY span_start_time_unix_nano_epoch DESC, span_span_id ASC
     OFFSET 5 LIMIT 20
     """,
-    doc="Trace list w/ COUNT(DISTINCT) OVER rewritten as size(collect_set() OVER) (traces.rs:464-514).",
+    doc="Trace list w/ COUNT(DISTINCT) OVER rewritten as grouped distinct counts + broadcast join-back (traces.rs:464-514).",
 )
 def q37_trace_list(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
