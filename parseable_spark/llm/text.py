@@ -53,18 +53,34 @@ def quality_features(
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Marker-word language scoring; deterministic priority on ties."""
-    words = normalized_words(F.col(text_col))
-    scores = {lang: _count_in(words, markers) for lang, markers in LANG_MARKERS.items()}
-    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    """Marker-word language scoring; deterministic priority on ties.
+
+    Two-stage projection: the word-split and per-language filters
+    materialize once as named columns before best/pred derive from
+    them — referencing the raw expressions directly made Catalyst
+    re-evaluate each interpreted array-filter ~3x (greatest + CASE +
+    output), measured 2.5x slower."""
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.when(has_cjk, F.lit("zh"))
-    for lang in langs:  # first max wins — same CASE order in the oracle
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    return docs.select(
+    words_df = docs.select(
         F.col(id_col),
-        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],
+        F.col(text_col).rlike(r"[一-鿿]").alias("_has_cjk"),
+        normalized_words(F.col(text_col)).alias("_w"),
+    )
+    scored = words_df.select(
+        F.col(id_col),
+        "_has_cjk",
+        *[
+            _count_in(F.col("_w"), LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
+    for lang in langs:  # first max wins — same CASE order in the oracle
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in langs],
         pred.otherwise(F.lit("und")).alias("pred_lang"),
     )
 
