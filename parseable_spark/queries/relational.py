@@ -496,3 +496,26 @@ def q17_multi_dim_histogram(spark, sf_dir):
         F.round(F.max("value"), 2).alias("max_v"),
         F.round(F.avg("value"), 2).alias("avg_v"),
     )
+
+
+@register(
+    "q43_json_extraction",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                           THEN 1 END) AS BIGINT) AS n_high,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON scalar functions over a raw JSON column (get_json_object — the SQL-surface json fns row, SURVEY §2.2); extraction stays JVM-side.",
+)
+def q43_json_extraction(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
