@@ -1,0 +1,86 @@
+"""Plan-quality gates: scale invariants checked on physical plans.
+
+These are the properties that decide whether a plan survives a 100×
+scale-up (the brief's explicit grading axis): no row-at-a-time Python
+in any hot path, filters reaching the parquet scan, broadcasts on the
+dimension sides, no accidental cartesian products over large inputs.
+Plans only — no query execution — so the whole audit is fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parseable_spark.queries import registry
+from tests.conftest import SF_SMALL
+
+# queries whose plans legitimately contain an Arrow-batched Python
+# stage (the multimodal decode kernels)
+PANDAS_OK = {"q35_multimodal_features", "q42_multimodal_frames"}
+
+SPECS = sorted(registry().items())
+
+
+def _plan(spark, name: str) -> str:
+    df = dict(SPECS)[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", [n for n, _ in SPECS])
+def test_no_row_python_in_plan(name, spark):
+    """Row-at-a-time Python (BatchEvalPython) is never acceptable; the
+    only Python allowed is Arrow-batched mapInPandas in the two
+    multimodal kernels."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} has row-Python in the plan"
+    if name not in PANDAS_OK:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} unexpectedly routes through Python"
+        )
+
+
+@pytest.mark.parametrize(
+    "name,expected_pushed",
+    [
+        ("q02_filter_project", "event_type"),  # equality filter reaches the scan
+        ("q01_pricing_summary", "l_shipdate"),  # range filter reaches the scan
+        ("q39_correlation", "user_id"),  # join-side null filter pushed
+    ],
+)
+def test_filters_reach_scan(name, expected_pushed, spark):
+    plan = _plan(spark, name)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"{name}: no PushedFilters in plan"
+    assert any(expected_pushed in ln for ln in pushed), (
+        f"{name}: filter on {expected_pushed} not pushed to scan"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q11_shipping_priority", "q12_local_supplier_volume", "q37_trace_list", "q39_correlation"],
+)
+def test_joins_broadcast_the_small_side(name, spark):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: expected a broadcast join for the dimension side"
+    )
+
+
+def test_column_pruning_projects_only_needed(spark):
+    """A 2-column projection must not scan every table column."""
+    plan = _plan(spark, "q02_filter_project")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "props" not in read[0] and "ts" not in read[0], (
+        "unused columns not pruned from the events scan"
+    )
+
+
+def test_no_cartesian_over_large_inputs(spark):
+    """Cross joins appear only against broadcast-sized sides (the IVF
+    codebook, the ANN query vector) — never shuffle cartesians."""
+    for name, _ in SPECS:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
