@@ -1,0 +1,103 @@
+"""Distributed (executor-side) ingest — equivalence with the driver
+path and behavior under schema evolution/conflicts."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from parseable_spark.ingest import schema as sc
+from parseable_spark.ingest.distributed import (
+    infer_schema_distributed,
+    normalize_distributed,
+)
+from parseable_spark.ingest.events import Stream, StreamConfig
+
+
+def _raw_df(spark, bodies, partitions=4):
+    lines = [(json.dumps(b),) for b in bodies]
+    return spark.createDataFrame(lines, "value string").repartition(partitions)
+
+
+BODIES = [
+    {"status": "ok", "latency": 12, "meta": {"region": "us", "zone": 1}},
+    {"status": "err", "latency": 99.5, "ts_created": "2026-08-01T10:00:00Z"},
+    {"status": "ok", "latency": 7, "tags": ["a", "b"]},
+    {"status": None, "latency": 3, "meta": {"region": "eu"}},
+]
+
+
+def test_matches_driver_path(spark):
+    ts = datetime(2026, 8, 13, 12, 0)
+    # driver path
+    stream = Stream(StreamConfig(name="s"))
+    driver_df = stream.ingest(spark, BODIES, p_timestamp=ts)
+
+    # distributed path
+    reg = sc.SchemaRegistry()
+    cfg = StreamConfig(name="s")
+    raw = _raw_df(spark, BODIES)
+    infer_schema_distributed(raw, reg, cfg)
+    assert reg.fields == stream.registry.fields  # identical committed schema
+
+    dist_df = normalize_distributed(spark, raw, reg, cfg, p_timestamp=ts)
+    data_cols = sorted(reg.fields)
+    a = sorted(
+        tuple(r[c] for c in data_cols) for r in driver_df.collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in data_cols) for r in dist_df.collect()
+    )
+    assert a == b
+
+
+def test_conflict_renaming_distributed(spark):
+    cfg = StreamConfig(name="s")
+    reg = sc.SchemaRegistry()
+    reg.merge({"level": sc.FLOAT64})  # committed: level is numeric
+    bodies = [{"level": 3}, {"level": "info"}]  # string arrives later
+    raw = _raw_df(spark, bodies, partitions=2)
+    infer_schema_distributed(raw, reg, cfg)
+    assert reg.fields["level"] == sc.FLOAT64
+    assert reg.fields.get("level_utf8") == sc.UTF8  # typed sibling
+    out = normalize_distributed(spark, raw, reg, cfg).collect()
+    got = {(r["level"], r["level_utf8"]) for r in out}
+    assert got == {(3.0, None), (None, "info")}
+
+
+def test_v1_coercions_distributed(spark):
+    cfg = StreamConfig(name="s")
+    reg = sc.SchemaRegistry()
+    raw = _raw_df(spark, [{"n": 5, "created_at": "2026-08-01T10:00:00Z"}])
+    infer_schema_distributed(raw, reg, cfg)
+    assert reg.fields["n"] == sc.FLOAT64  # every JSON number → float64
+    assert reg.fields["created_at"] == sc.TIMESTAMP_MS  # time-named string
+    row = normalize_distributed(spark, raw, reg, cfg).first()
+    assert row["n"] == 5.0
+    assert row["created_at"] == datetime(2026, 8, 1, 10, 0)
+
+
+def test_reserved_column_rejected(spark):
+    cfg = StreamConfig(name="s")
+    reg = sc.SchemaRegistry()
+    raw = _raw_df(spark, [{"p_timestamp": "2026-01-01"}], partitions=1)
+    with pytest.raises(Exception, match="reserved"):
+        infer_schema_distributed(raw, reg, cfg)
+
+
+def test_scales_over_partitions(spark):
+    """10k rows across 16 partitions — schema stays consistent and all
+    rows survive normalization."""
+    cfg = StreamConfig(name="s")
+    reg = sc.SchemaRegistry()
+    bodies = [
+        {"k": i % 7, "grp": f"g{i % 3}", "nested": {"x": i}} for i in range(10_000)
+    ]
+    raw = _raw_df(spark, bodies, partitions=16)
+    infer_schema_distributed(raw, reg, cfg)
+    assert set(reg.fields) == {"k", "grp", "nested_x"}
+    out = normalize_distributed(spark, raw, reg, cfg)
+    assert out.count() == 10_000
+    assert out.agg({"k": "max"}).first()[0] == 6.0
