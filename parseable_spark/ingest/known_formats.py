@@ -96,6 +96,85 @@ _BUILTIN = {
             {"timestamp", "logger", "level", "message"},
         )
     ],
+    "nginx_access": [
+        (
+            r'^(?P<remote_addr>\S+) - (?P<remote_user>\S+) \[(?P<timestamp>[^\]]+)\] '
+            r'"(?P<request>[^"]*)" (?P<status>\d{3}) (?P<body_bytes_sent>\d+) '
+            r'"(?P<http_referer>[^"]*)" "(?P<http_user_agent>[^"]*)"',
+            {"remote_addr", "remote_user", "timestamp", "request", "status",
+             "body_bytes_sent", "http_referer", "http_user_agent"},
+        )
+    ],
+    "log4j": [
+        (
+            r"^(?P<timestamp>\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}[.,]\d{3}) "
+            r"\[(?P<thread>[^\]]+)\] (?P<level>[A-Z]+)\s+(?P<logger>[\w.$]+) - (?P<message>.*)",
+            {"timestamp", "thread", "level", "logger", "message"},
+        )
+    ],
+    "klog": [
+        (
+            r"^(?P<level>[IWEF])(?P<timestamp>\d{4} \d{2}:\d{2}:\d{2}\.\d{6})\s+"
+            r"(?P<pid>\d+) (?P<src_file>[\w.]+):(?P<src_line>\d+)\] (?P<message>.*)",
+            {"level", "timestamp", "pid", "src_file", "src_line", "message"},
+        )
+    ],
+    "haproxy": [
+        (
+            r"^(?P<timestamp>\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (?P<host>\S+) "
+            r"haproxy\[(?P<pid>\d+)\]: (?P<client_ip>[\d.]+):(?P<client_port>\d+) "
+            r"\[(?P<accept_date>[^\]]+)\] (?P<frontend>\S+) (?P<backend>\S+) (?P<message>.*)",
+            {"timestamp", "host", "pid", "client_ip", "client_port",
+             "accept_date", "frontend", "backend", "message"},
+        )
+    ],
+    "redis": [
+        (
+            r"^(?P<pid>\d+):(?P<role>[XCSM]) (?P<timestamp>\d{1,2} \w{3} \d{4} "
+            r"\d{2}:\d{2}:\d{2}\.\d{3}) (?P<level>[.\-*#]) (?P<message>.*)",
+            {"pid", "role", "timestamp", "level", "message"},
+        )
+    ],
+    "postgres": [
+        (
+            r"^(?P<timestamp>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} \w+) "
+            r"\[(?P<pid>\d+)\] (?P<level>[A-Z]+):\s+(?P<message>.*)",
+            {"timestamp", "pid", "level", "message"},
+        )
+    ],
+    "rails": [
+        (
+            r"^(?P<level>[DIWEF]), \[(?P<timestamp>[^ \]]+) #(?P<pid>\d+)\]\s+"
+            r"(?P<severity>\w+) -- (?P<progname>[^:]*): (?P<message>.*)",
+            {"level", "timestamp", "pid", "severity", "progname", "message"},
+        )
+    ],
+    "aws_alb": [
+        (
+            r"^(?P<request_type>\S+) (?P<timestamp>\S+) (?P<elb>\S+) "
+            r"(?P<client_ip>[\d.]+):(?P<client_port>\d+) (?P<target>\S+) "
+            r"(?P<request_processing_time>[\d.\-]+) (?P<target_processing_time>[\d.\-]+) "
+            r"(?P<response_processing_time>[\d.\-]+) (?P<elb_status_code>\d+|-) (?P<message>.*)",
+            {"request_type", "timestamp", "elb", "client_ip", "client_port", "target",
+             "request_processing_time", "target_processing_time",
+             "response_processing_time", "elb_status_code", "message"},
+        )
+    ],
+    "go_glog": [
+        (
+            r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2}) "
+            r"(?P<timestamp>\d{2}:\d{2}:\d{2}\.\d{6})\s+(?P<tid>\d+) "
+            r"(?P<src_file>[\w.]+):(?P<src_line>\d+)\] (?P<message>.*)",
+            {"level", "month", "day", "timestamp", "tid", "src_file", "src_line", "message"},
+        )
+    ],
+    "docker_json": [
+        (
+            r'^\{"log":"(?P<message>(?:[^"\\]|\\.)*)","stream":"(?P<stream>\w+)",'
+            r'"time":"(?P<timestamp>[^"]+)"\}',
+            {"message", "stream", "timestamp"},
+        )
+    ],
 }
 
 
@@ -134,6 +213,35 @@ class EventProcessor:
                 record["p_format_verified"] = True
                 return name
         return None
+
+
+def load_formats_json(
+    path: str, processor: "EventProcessor | None" = None
+) -> "EventProcessor":
+    """Load a formats.json-shaped resource (the reference's
+    resources/formats.json layout: [{name, regex: [{pattern?, fields}]}]
+    with Rust `(?<g>…)` group syntax) into a processor at runtime —
+    known_schema.rs:61-70 does the same at startup. Patterns that use
+    regex features Python lacks are registered fields-only (the
+    fields-already-present verification path still works for them)."""
+    import json as _json
+
+    proc = processor or EventProcessor()
+    with open(path) as f:
+        formats = _json.load(f)
+    for fmt in formats:
+        for rx in fmt.get("regex", []):
+            pattern = rx.get("pattern")
+            if pattern is not None:
+                pattern = pattern.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace(
+                    "(?P<!", "(?<!"
+                )
+                try:
+                    re.compile(pattern)
+                except re.error:
+                    pattern = None  # fields-only registration
+            proc.add_format(fmt["name"], pattern, set(rx.get("fields", [])))
+    return proc
 
 
 KNOWN_SCHEMA_LIST = EventProcessor()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from parseable_spark.ingest.known_formats import KNOWN_SCHEMA_LIST, spark_extract_columns
 from parseable_spark.ingest.otel import (
     flatten_otel_logs,
@@ -186,3 +188,90 @@ class TestKnownFormats:
         row = df.select(*cols).collect()[0]
         assert row["cs_method"] == "GET"
         assert row["sc_status"] == "200"
+
+
+class TestMoreKnownFormats:
+    """Samples for the extended built-in format set."""
+
+    CASES = {
+        "nginx_access": (
+            '10.0.0.1 - alice [13/Aug/2026:12:00:00 +0000] "GET /x HTTP/1.1" 200 512 "-" "curl/8.0"',
+            {"remote_addr": "10.0.0.1", "status": "200", "http_user_agent": "curl/8.0"},
+        ),
+        "log4j": (
+            "2026-08-13 12:00:00,123 [main] ERROR com.example.App - boom",
+            {"thread": "main", "level": "ERROR", "logger": "com.example.App", "message": "boom"},
+        ),
+        "klog": (
+            "E0813 12:00:00.123456 1234 controller.go:42] sync failed",
+            {"level": "E", "pid": "1234", "src_file": "controller.go", "src_line": "42"},
+        ),
+        "redis": (
+            "123:M 13 Aug 2026 12:00:00.123 * Ready to accept connections",
+            {"pid": "123", "role": "M", "message": "Ready to accept connections"},
+        ),
+        "postgres": (
+            "2026-08-13 12:00:00.123 UTC [999] ERROR:  relation does not exist",
+            {"pid": "999", "level": "ERROR"},
+        ),
+        "docker_json": (
+            '{"log":"hello world\\n","stream":"stdout","time":"2026-08-13T12:00:00.0Z"}',
+            {"stream": "stdout", "timestamp": "2026-08-13T12:00:00.0Z"},
+        ),
+        "go_glog": (
+            "I0813 12:00:00.000001 7 main.go:10] started",
+            {"level": "I", "src_file": "main.go", "message": "started"},
+        ),
+    }
+
+    @pytest.mark.parametrize("fmt", sorted(CASES))
+    def test_extraction(self, fmt):
+        from parseable_spark.ingest.known_formats import KNOWN_SCHEMA_LIST
+
+        line, expected = self.CASES[fmt]
+        rec = {"body": line}
+        KNOWN_SCHEMA_LIST.extract_from_inline_log(rec, fmt)
+        assert rec["p_format_verified"] is True, f"{fmt} did not match"
+        for k, v in expected.items():
+            assert rec[k] == v, f"{fmt}: {k}={rec.get(k)!r} != {v!r}"
+
+
+class TestFormatsJsonLoader:
+    def test_reference_resource_loads(self, tmp_path):
+        """Round-trip a formats.json-shaped resource (Rust group syntax)."""
+        import json as _json
+
+        from parseable_spark.ingest.known_formats import load_formats_json
+
+        resource = [
+            {
+                "name": "custom_app",
+                "regex": [
+                    {
+                        "pattern": "^(?<ts>\\d{4}-\\d{2}-\\d{2}) (?<lvl>[A-Z]+) (?<msg>.*)",
+                        "fields": ["ts", "lvl", "msg"],
+                    }
+                ],
+            }
+        ]
+        p = tmp_path / "formats.json"
+        p.write_text(_json.dumps(resource))
+        proc = load_formats_json(str(p))
+        rec = {"body": "2026-08-13 WARN disk almost full"}
+        proc.extract_from_inline_log(rec, "custom_app")
+        assert rec["p_format_verified"] and rec["lvl"] == "WARN"
+
+    def test_full_reference_formats_load(self):
+        """All 53 reference formats load (incompatible patterns degrade
+        to fields-only registration, never an import error)."""
+        import os
+
+        import pytest as _pytest
+
+        path = "/root/reference/resources/formats.json"
+        if not os.path.exists(path):
+            _pytest.skip("reference resource not available")
+        from parseable_spark.ingest.known_formats import load_formats_json
+
+        proc = load_formats_json(path)
+        assert len(proc.schema_definitions) >= 50
