@@ -78,3 +78,31 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def salted_join(
+    skewed: "DataFrame",
+    other: "DataFrame",
+    on: str | list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-safe equi-join: spread a hot key over `salt_buckets` shuffle
+    partitions by salting the skewed side and replicating the other.
+
+    AQE's skew-join split handles most skew at runtime; explicit salting
+    is for the pathological case AQE can't fix — one key holding a
+    double-digit percent of the fact table, where a single reducer
+    would still own the whole key. The salt is deterministic
+    (hash of the skewed row), so results are reproducible; the other
+    side is replicated salt_buckets× (keep it the smaller input).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (typing only)
+
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    s = skewed.withColumn("_salt", salt)
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return s.join(o, on=keys + ["_salt"], how=how).drop("_salt")

@@ -93,6 +93,45 @@ class QueryEngine:
             for name, (df, _) in self._streams.items():
                 df.createOrReplaceTempView(name)
 
+    def detect_bare_count(self, sql: str) -> tuple[str, str] | None:
+        """Plan-shape detection of `SELECT COUNT(*) FROM stream` with no
+        filters/grouping — the COUNT(*) fast path trigger (reference
+        is_logical_plan_count_without_filters, src/query/mod.rs:427-462:
+        Projection←Aggregate←TableScan). Spark's analyzer folds that
+        shape into one Aggregate node over the relation, so we check:
+        Aggregate(no grouping, single count(1) expr) over an
+        alias/view-wrapped leaf with nothing else (any Filter/Project in
+        between disqualifies). Returns (stream_name, output_alias) when
+        the answer can come from manifest row counts without a scan."""
+        try:
+            plan = self.spark.sql(sql)._jdf.queryExecution().analyzed()
+        except Exception:
+            return None
+        if plan.getClass().getSimpleName() != "Aggregate":
+            return None
+        if plan.groupingExpressions().size() != 0:
+            return None
+        if plan.aggregateExpressions().size() != 1:
+            return None
+        expr = plan.aggregateExpressions().apply(0)
+        norm = expr.toString().lower()
+        if "count(1)" not in norm and "count(*)" not in norm:
+            return None
+        alias = expr.name()
+        # Walk wrappers until we hit a registered stream's alias: the
+        # view body (which may legitimately contain projections, e.g.
+        # type normalization) is part of the "scan". Any other node
+        # between the Aggregate and the stream alias — Filter, user
+        # subquery, Join — disqualifies, same as the reference's
+        # direct-TableScan requirement.
+        node = plan.child()
+        while node.getClass().getSimpleName() == "SubqueryAlias":
+            name = node.alias()
+            if name in self._streams:
+                return name, alias
+            node = node.child()
+        return None
+
     def explain(
         self,
         sql: str,

@@ -114,3 +114,56 @@ class TestAlerts:
             conditions=ConditionGroup("AND", [Condition("event_type", "=", "error")]),
         )
         assert alert2.evaluate(eng, "2024-01-01T00:00:00Z", "2024-01-30T00:00:00Z") == AlertState.TRIGGERED
+
+
+class TestCountFastPath:
+    def _engine(self, spark):
+        from parseable_spark.query.engine import QueryEngine
+        from parseable_spark.tables import load_table
+        from tests.conftest import SF_SMALL
+
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        return eng
+
+    def test_detects_bare_count(self, spark):
+        eng = self._engine(spark)
+        assert eng.detect_bare_count("SELECT COUNT(*) FROM events") == (
+            "events",
+            "count(1)",
+        )
+        stream, alias = eng.detect_bare_count("SELECT count(*) AS n FROM events")
+        assert (stream, alias) == ("events", "n")
+
+    def test_rejects_non_fast_shapes(self, spark):
+        eng = self._engine(spark)
+        assert eng.detect_bare_count("SELECT COUNT(*) FROM events WHERE value > 1") is None
+        assert eng.detect_bare_count(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY event_type"
+        ) is None
+        assert eng.detect_bare_count("SELECT COUNT(value) FROM events") is None
+        assert eng.detect_bare_count("SELECT COUNT(*) FROM unknown_stream") is None
+
+
+class TestSaltedJoin:
+    def test_equivalent_to_plain_join(self, spark):
+        from parseable_spark.functions import salted_join
+
+        # 90% of rows share one hot key
+        big = spark.range(1000).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN id ELSE 0 END AS k", "id AS payload"
+        )
+        dim = spark.range(100).selectExpr("id AS k", "id * 2 AS dim_val")
+        plain = big.join(dim, "k").selectExpr("k", "payload", "dim_val")
+        salted = salted_join(big, dim, "k").selectExpr("k", "payload", "dim_val")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_salt_expands_shuffle_keys(self, spark):
+        from parseable_spark.functions import salted_join
+
+        big = spark.range(100).selectExpr("0 AS k", "id AS payload")
+        dim = spark.range(1).selectExpr("id AS k", "id AS dim_val")
+        out = salted_join(big, dim, "k", salt_buckets=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # the salt is part of the join keys
+        assert out.count() == 100
