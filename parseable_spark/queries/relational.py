@@ -519,3 +519,62 @@ def q43_json_extraction(spark, sf_dir):
         F.count(F.when(k > 50, 1)).alias("n_high"),
         F.countDistinct(k).alias("n_distinct_k"),
     )
+
+
+@register(
+    "q44_outer_joins",
+    """
+    SELECT n.n_name,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(CASE WHEN c.c_acctbal > 5000 THEN 1 END) AS BIGINT) AS n_rich
+    FROM nation n
+    LEFT OUTER JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="LEFT OUTER join preserving unmatched dimension rows (user-SQL join surface, SURVEY §2.2 'Joins').",
+)
+def q44_outer_joins(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, F.col("c_nationkey") == F.col("n_nationkey"), "left_outer")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
+        )
+    )
+
+
+@register(
+    "q45_theta_join",
+    """
+    SELECT l.l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_late_lines,
+           round(sum(l.l_extendedprice), 2) AS late_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_orderkey
+    ORDER BY late_value DESC, l.l_orderkey
+    LIMIT 25
+    """,
+    doc="Theta join: equi key + non-equi time residual (ship > order+90d) — Catalyst keeps the hash join on the equi key and applies the range predicate as a residual filter.",
+)
+def q45_theta_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+    )
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+        )
+        .orderBy(F.desc("late_value"), F.asc("l_orderkey"))
+        .limit(25)
+    )

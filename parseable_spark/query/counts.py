@@ -63,3 +63,20 @@ def top_k_counts_sql(
         FROM grouped_counts g
         INNER JOIN top_groups t ON g.grp <=> t.grp
     """
+
+
+def fast_count(engine, sql: str, stores: dict) -> "object | None":
+    """Answer a bare COUNT(*) from manifest metadata when the plan shape
+    allows (reference route: src/handlers/http/query.rs:186-256 —
+    detection, then manifest num_rows sums instead of a scan). Returns
+    a one-row DataFrame matching the query's output alias, or None when
+    the query must actually execute."""
+    hit = engine.detect_bare_count(sql)
+    if hit is None:
+        return None
+    stream, alias = hit
+    store = stores.get(stream)
+    if store is None:
+        return None
+    n = store.count_fast_path()
+    return engine.spark.createDataFrame([(n,)], f"`{alias}` bigint")

@@ -36,6 +36,27 @@ def with_partition_columns(
     return out
 
 
+def write_otel_metrics_batch(
+    df: DataFrame,
+    path: str,
+    time_col: str = "p_timestamp",
+    mode: str = "append",
+) -> None:
+    """OTel-metrics write profile: files sorted (metric_name ASC, time
+    DESC) with a bloom filter on metric_name (reference
+    src/parseable/streams.rs:725-754, 791-843) — a point query for one
+    metric then skips whole row groups via the bloom and reads the
+    matching ones in metric order."""
+    write_stream_batch(
+        df,
+        path,
+        time_col=time_col,
+        sort_cols=[F.asc("metric_name"), F.desc(time_col)],
+        bloom_filter_cols=["metric_name"],
+        mode=mode,
+    )
+
+
 def write_stream_batch(
     df: DataFrame,
     path: str,
@@ -51,8 +72,13 @@ def write_stream_batch(
     parts += custom_partitions or []
     out = with_partition_columns(df, time_col, granularity)
     # descending time inside each file (streams.rs:756-760); OTel
-    # metrics pass [metric_name asc, time desc] instead (:725-754)
-    out = out.sortWithinPartitions(*(sort_cols or [F.desc(time_col)]))
+    # metrics pass [metric_name asc, time desc] instead (:725-754).
+    # Partition cols lead the sort so the dynamic-partition writer sees
+    # its required ordering satisfied and does NOT insert its own
+    # (unstable) sort, which would scramble the within-file order.
+    out = out.sortWithinPartitions(
+        *[F.col(c) for c in parts], *(sort_cols or [F.desc(time_col)])
+    )
     writer = out.write.mode(mode).option("compression", "zstd")
     for c in bloom_filter_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")

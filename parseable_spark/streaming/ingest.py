@@ -31,6 +31,14 @@ DEFAULT_FLUSH_SECONDS = 60  # staging flush cadence, src/lib.rs:80-86
 DEFAULT_MAX_AGE_DAYS = 30  # time-partition age limit, flatten.rs:157-220
 
 
+def _watermarkable(df: DataFrame, time_col: str) -> DataFrame:
+    """Watermarks require TimestampType; p_timestamp is TIMESTAMP_NTZ
+    engine-wide. With the session pinned to UTC the cast is lossless."""
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        return df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return df
+
+
 def json_file_stream(
     spark: SparkSession,
     path: str,
@@ -126,7 +134,8 @@ def windowed_counts(
     keys = [F.window(F.col(time_col), window_duration)]
     keys += [F.col(c) for c in (group_cols or [])]
     return (
-        df.withWatermark(time_col, watermark_delay)
+        _watermarkable(df, time_col)
+        .withWatermark(time_col, watermark_delay)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
@@ -152,7 +161,8 @@ def sessionized_counts(
     keys = [F.session_window(F.col(time_col), gap)]
     keys += [F.col(c) for c in (group_cols or [])]
     return (
-        df.withWatermark(time_col, watermark_delay)
+        _watermarkable(df, time_col)
+        .withWatermark(time_col, watermark_delay)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
@@ -176,7 +186,9 @@ def streaming_dedup(
     State is bounded by the watermark — old keys age out, so this runs
     forever on an unbounded stream."""
     if df.isStreaming:
-        return df.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
-            keys
+        return (
+            _watermarkable(df, time_col)
+            .withWatermark(time_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(keys)
         )
     return df.dropDuplicates(keys)  # batch frames: plain exact dedup

@@ -155,3 +155,80 @@ def test_livetail_unsubscribe():
     tail.drop_pipe("p1", "s")
     assert not tail.has_subscribers("s")
     tail.process("s", [{"x": 1}])  # no-op, must not raise
+
+
+def test_windowed_counts_streaming_end_to_end(spark, tmp_path):
+    """Watermarked tumbling windows over a real stream (availableNow):
+    closed windows emit in append mode."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write_drop_files(drop, n_files=3, rows_per_file=10)
+
+    agg = windowed_counts(
+        json_file_stream(spark, str(drop), SCHEMA),
+        window_duration="1 minute",
+        watermark_delay="0 seconds",
+        group_cols=["status"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    # watermark closes the first two minutes; the final minute's window
+    # stays open (no later event advances the watermark past it)
+    got = {(r["start_time"].minute, r["status"]): r["count"] for r in rows}
+    assert got[(0, "ok")] == 5 and got[(0, "error")] == 5
+    assert got[(1, "ok")] == 5 and got[(1, "error")] == 5
+
+
+def test_fast_count_from_manifest(spark, tmp_path):
+    from datetime import datetime
+
+    from parseable_spark.ingest.events import StreamConfig
+    from parseable_spark.query.counts import fast_count
+    from parseable_spark.query.engine import QueryEngine
+    from parseable_spark.storage.store import StreamStore
+
+    store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+    store.ingest([{"x": float(i)} for i in range(7)], p_timestamp=datetime(2026, 8, 1))
+    store.flush()
+    eng = QueryEngine(spark)
+    eng.register_stream("s1", store.legacy_scan())
+    out = fast_count(eng, "SELECT COUNT(*) AS n FROM s1", {"s1": store})
+    assert out is not None and out.collect()[0]["n"] == 7
+    # filtered query must NOT take the fast path
+    assert fast_count(eng, "SELECT COUNT(*) FROM s1 WHERE x > 3", {"s1": store}) is None
+
+
+def test_otel_metrics_write_profile(spark, tmp_path):
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+    from glob import glob as _glob
+
+    from parseable_spark.storage.writer import write_otel_metrics_batch
+
+    base = datetime(2026, 8, 13, 12, 0, 0)
+    rows = [
+        (base, f"metric_{i % 3}", float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_timestamp timestamp_ntz, metric_name string, value double"
+    )
+    write_otel_metrics_batch(df, str(tmp_path / "metrics"))
+    files = _glob(str(tmp_path / "metrics") + "/**/*.parquet", recursive=True)
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    names = [md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)]
+    col = md.row_group(0).column(names.index("metric_name"))
+    assert col.statistics is not None
+    # sorted ascending by metric_name within the file (time desc within
+    # each metric), matching the reference's (metric_name, time) order
+    vals = pq.ParquetFile(files[0]).read(columns=["metric_name"])["metric_name"].to_pylist()
+    assert vals == sorted(vals)
