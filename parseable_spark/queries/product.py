@@ -247,3 +247,28 @@ def q41_field_stats_pipeline(spark, sf_dir):
         F.col("s.distinct_value").alias("distinct_value"),
         F.col("s.count").alias("value_count"),
     )
+
+
+@register(
+    "q46_latency_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 3) AS p50,
+           round(quantile_cont(value, 0.95), 3) AS p95,
+           round(quantile_cont(value, 0.99), 3) AS p99,
+           round(max(value), 3) AS p100
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Latency percentiles per group (APM stat panel): exact interpolated percentile; at scale swap percentile() for approx_percentile — same plan shape, sketch-based.",
+)
+def q46_latency_percentiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 3).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 3).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 3).alias("p99"),
+        F.round(F.max("value"), 3).alias("p100"),
+    )
