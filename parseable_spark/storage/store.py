@@ -190,8 +190,12 @@ class StreamStore:
         prefixes (src/query/listing_table_builder.rs:46-148). Spark's
         partition discovery does the same from the directory layout; the
         time predicate then prunes partition dirs natively."""
-        return self.spark.read.option("basePath", self.data_dir).parquet(
-            os.path.join(self.data_dir, "date=*")
+        return (
+            self.spark.read.option("basePath", self.data_dir)
+            # files predate/postdate schema evolution steps; union their
+            # schemas like the committed-registry scan path does
+            .option("mergeSchema", "true")
+            .parquet(os.path.join(self.data_dir, "date=*"))
         )
 
     # --- metadata-only operators ----------------------------------------
