@@ -578,3 +578,46 @@ def q45_theta_join(spark, sf_dir):
         .orderBy(F.desc("late_value"), F.asc("l_orderkey"))
         .limit(25)
     )
+
+
+@register(
+    "q47_rolling_zscore",
+    """
+    WITH w AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sigma,
+               count(*) OVER win AS n
+        FROM events
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN 100 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, event_type,
+           round((value - mu) / sigma, 3) AS zscore
+    FROM w
+    WHERE n > 30 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+    doc="Rolling z-score anomaly detection: bounded window frame (ROWS BETWEEN) per group — the window-frame row of SURVEY §2.2; streams as one pass per partition, state bounded by the frame.",
+)
+def q47_rolling_zscore(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, 0)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sigma"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        w.filter((F.col("n") > 30) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "event_type", F.round(z, 3).alias("zscore"))
+    )

@@ -275,3 +275,19 @@ class TestFormatsJsonLoader:
 
         proc = load_formats_json(path)
         assert len(proc.schema_definitions) >= 50
+
+
+class TestTraceDetailBranches:
+    def test_iterative_join_bfs_matches_driver_bfs(self, spark):
+        """The distributed BFS fallback (driver_bfs_threshold=0) must
+        produce the same hierarchy as the driver-side walk."""
+        from parseable_spark.query import traces
+        from parseable_spark.queries.traces_q import _spark_spans
+        from tests.conftest import SF_SMALL
+
+        spans = _spark_spans(spark, SF_SMALL)
+        a = traces.trace_detail(spans, "T0", max_depth=12)
+        b = traces.trace_detail(spans, "T0", max_depth=12, driver_bfs_threshold=0)
+        ka = sorted((r["span_span_id"], r["level"]) for r in a.collect())
+        kb = sorted((r["span_span_id"], r["level"]) for r in b.collect())
+        assert ka == kb and len(ka) > 100
