@@ -128,6 +128,11 @@ class StreamStore:
         storage_bytes = 0
         for p in new_files:
             storage_bytes += self.manifest.add_file(p).file_size
+            if self.hot_tier is not None:
+                # freshly written files are the hottest — populate the
+                # local tier on upload, evicting the oldest buckets
+                # (reference hot-tier fill path, src/hottier.rs:374+)
+                self.hot_tier.add(p)
         self.manifest.save(self.manifest_path)
         self.snapshot = Snapshot()
         self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)

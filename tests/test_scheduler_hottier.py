@@ -190,3 +190,19 @@ class TestScanProviderCompletion:
         eng.register_stream("events", ev.limit(20), time_col="ts", tenant="globex")
         assert spark.sql("SELECT count(*) c FROM acme__events").first()["c"] == 10
         assert spark.sql("SELECT count(*) c FROM globex__events").first()["c"] == 20
+
+    def test_flush_populates_hot_tier(self, spark, tmp_path):
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        ht = HotTier(str(tmp_path / "hot"), size_limit=10_000_000)
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"), hot_tier=ht)
+        store.ingest([{"a": 1.0}], p_timestamp=datetime(2026, 8, 1))
+        store.flush()
+        # flush warmed the tier without an explicit add()
+        assert ht.used_bytes() > 0
+        df = store.scan(
+            start=datetime(2026, 7, 31), end=datetime(2026, 8, 2),
+            now=datetime(2026, 8, 2),
+        )
+        assert all(str(tmp_path / "hot") in p for p in df.inputFiles())
