@@ -148,3 +148,30 @@ def test_schema_merge_idempotent_and_order_insensitive(records):
 def test_type_promotion_commutative(a, b):
     ta, tb = sc.infer_value_type(a), sc.infer_value_type(b)
     assert sc.promote(ta, tb) == sc.promote(tb, ta)
+
+
+_type_names = st.sampled_from([sc.FLOAT64, sc.UTF8, sc.BOOL, sc.TIMESTAMP_MS, sc.LIST])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(keys, _type_names, min_size=1, max_size=3),
+    st.lists(st.dictionaries(keys, scalars, max_size=4), min_size=2, max_size=6),
+)
+def test_conflict_pipeline_yields_mergeable_schema(committed, records):
+    """After the full conflict pipeline (batch-level sibling renaming +
+    per-record fallback), the resulting batch schema must union-merge
+    into the committed schema WITHOUT a type clash — the invariant
+    SchemaRegistry.merge enforces with a hard error (mod.rs:158-180)."""
+    reg = sc.SchemaRegistry(fields=dict(committed))
+    raw_inferred = sc.infer_batch_schema(records)
+    conflicts = sc.detect_schema_conflicts(raw_inferred, reg.fields, records, "v1")
+    recs = sc.rename_conflicting_fields(records, conflicts, reg.fields, "v1")
+    recs = sc.rename_per_record_type_mismatches(recs, raw_inferred, reg.fields, "v1")
+    inferred = sc.infer_batch_schema(recs)
+    coerced = sc.override_data_type(inferred, recs, "v1", True)
+    batch_schema = {k: reg.fields.get(k, t) for k, t in coerced.items()}
+    reg.merge(batch_schema)  # must not raise
+    # committed types never change
+    for k, t in committed.items():
+        assert reg.fields[k] == t
