@@ -621,3 +621,22 @@ def q47_rolling_zscore(spark, sf_dir):
         w.filter((F.col("n") > 30) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", F.round(z, 3).alias("zscore"))
     )
+
+
+@register(
+    "q48_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy aggregate (subtotals + grand total in one pass) — multi-level aggregation from the user-SQL surface; partial aggregation applies per grouping set.",
+)
+def q48_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
