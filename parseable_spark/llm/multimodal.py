@@ -49,13 +49,22 @@ FEATURE_SCHEMA = StructType(
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder (REAL DECODE NOT
     IMPLEMENTED — container lacks image/audio libraries). Derives a
-    feature vector from payload bytes so tests have stable output."""
+    feature vector from payload bytes so tests have stable output.
+    Vectorized with numpy — inside an Arrow batch the per-row work is
+    array math, not a Python byte loop."""
     if payload is None:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] = (acc[i % dim] + b) % 997
-    return [v / 997.0 for v in acc]
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    if b.size == 0:
+        return [0.0] * dim
+    pad = (-b.size) % dim
+    if pad:
+        b = np.concatenate([b, np.zeros(pad, dtype=np.int64)])
+    # sum per lane, then mod — equivalent to the running (acc+b) % 997
+    acc = b.reshape(-1, dim).sum(axis=0) % 997
+    return (acc / 997.0).tolist()
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -350,3 +350,35 @@ def q42_multimodal_frames(spark, sf_dir):
     )
     frames = multimodal.sample_frames(media, every_ms=1000)
     return frames.select("media_id", "frame_idx", "ts_ms")
+
+
+@register(
+    "q49_distributed_ingest",
+    None,  # executor-side normalization pipeline — rows-only check
+    doc="Distributed ingest: two-phase mapInPandas normalization (infer+commit, then typed rows) over raw JSON lines derived from documents.",
+)
+def q49_distributed_ingest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..ingest import schema as sc
+    from ..ingest.distributed import infer_schema_distributed, normalize_distributed
+    from ..ingest.events import StreamConfig
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("lang"),
+                F.col("n_chars").alias("size"),
+                F.struct(F.col("source").alias("name")).alias("origin"),
+            )
+        ).alias("value")
+    ).repartition(8)
+    cfg = StreamConfig(name="docs_ingest")
+    reg = sc.SchemaRegistry()
+    infer_schema_distributed(raw, reg, cfg)
+    out = normalize_distributed(
+        spark, raw, reg, cfg, p_timestamp=__import__("datetime").datetime(2026, 1, 1)
+    )
+    return out.select("id", "lang", "size", "origin_name")

@@ -15,8 +15,12 @@ from parseable_spark.queries import registry
 from tests.conftest import SF_SMALL
 
 # queries whose plans legitimately contain an Arrow-batched Python
-# stage (the multimodal decode kernels)
-PANDAS_OK = {"q35_multimodal_features", "q42_multimodal_frames"}
+# stage (the multimodal decode kernels; the ingest normalization kernel)
+PANDAS_OK = {
+    "q35_multimodal_features",
+    "q42_multimodal_frames",
+    "q49_distributed_ingest",
+}
 
 SPECS = sorted(registry().items())
 
