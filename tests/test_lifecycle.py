@@ -170,3 +170,49 @@ class TestRbac:
     def test_tenant_view_name(self):
         assert tenant_view_name("default", "logs") == "logs"
         assert tenant_view_name("acme-corp", "logs") == "acme_corp__logs"
+
+
+class TestRetentionConfig:
+    def test_parse_valid(self):
+        from parseable_spark.storage.retention import parse_retention_config
+
+        tasks = parse_retention_config(
+            [{"description": "drop old", "action": "delete", "duration": "30d"}]
+        )
+        assert tasks[0].days == 30 and tasks[0].action == "delete"
+
+    def test_validation_rules(self):
+        import pytest as _pytest
+
+        from parseable_spark.storage.retention import (
+            RetentionConfigError,
+            parse_retention_config,
+        )
+
+        with _pytest.raises(RetentionConfigError, match="'d' suffix"):
+            parse_retention_config([{"duration": "30"}])
+        with _pytest.raises(RetentionConfigError, match="unsigned"):
+            parse_retention_config([{"duration": "xd"}])
+        with _pytest.raises(RetentionConfigError, match="36500"):
+            parse_retention_config([{"duration": "99999d"}])
+        with _pytest.raises(RetentionConfigError, match="duplicate"):
+            parse_retention_config([{"duration": "5d"}, {"duration": "6d"}])
+        # 0 days falls back to 7 (reference Task::new)
+        assert parse_retention_config([{"duration": "0d"}])[0].days == 7
+
+    def test_apply_tasks(self, spark, tmp_path):
+        from datetime import datetime
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.retention import (
+            apply_retention_tasks,
+            parse_retention_config,
+        )
+        from parseable_spark.storage.store import StreamStore
+
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s"))
+        store.ingest([{"a": 1.0}], p_timestamp=datetime(2026, 8, 1))
+        store.flush()
+        tasks = parse_retention_config([{"duration": "3d"}])
+        assert apply_retention_tasks(store, tasks, now=datetime(2026, 8, 10)) == 1
+        assert store.count_fast_path() == 0
