@@ -154,23 +154,22 @@ def trace_detail(
     trace = spans.filter(F.col("span_trace_id") == trace_id)
     # dedup exact span duplicates, keeping error/earliest-time aggregates
     group_cols = [c for c in SPAN_COLS if c != "span_status_code"]
-    deduped = (
-        trace.groupBy(*group_cols)
-        .agg(
-            F.max(F.when(F.col("span_status_code") == 2, 1).otherwise(0))
-            .cast("boolean")
-            .alias("has_error")
-        )
-        .persist()  # reused every BFS iteration
+    deduped = trace.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("span_status_code") == 2, 1).otherwise(0))
+        .cast("boolean")
+        .alias("has_error")
     )
-    n_spans = deduped.count()
+    # one job decides the strategy AND feeds the driver BFS: the edge
+    # list of a single trace is UI-render-sized by construction
+    edges = [
+        (r["span_span_id"], r["span_parent_span_id"])
+        for r in deduped.select("span_span_id", "span_parent_span_id")
+        .distinct()
+        .limit(driver_bfs_threshold + 1)
+        .collect()
+    ]
+    n_spans = len(edges)
     if n_spans <= driver_bfs_threshold:
-        edges = [
-            (r["span_span_id"], r["span_parent_span_id"])
-            for r in deduped.select("span_span_id", "span_parent_span_id")
-            .distinct()
-            .collect()
-        ]
         level_map = _bfs_levels(edges, max_depth)
         span_levels = F.broadcast(
             spans.sparkSession.createDataFrame(
