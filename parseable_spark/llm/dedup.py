@@ -225,3 +225,59 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into dedup groups: (node, cluster_id)
+    with cluster_id = min node id in the connected component.
+
+    Iterative min-label propagation — each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are shallow).
+    Each round is one self-join + groupBy on the edge list — no driver
+    materialization of the graph, so it scales to billions of pairs;
+    localCheckpoint() truncates the growing lineage per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nlabel").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))

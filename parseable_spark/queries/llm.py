@@ -382,3 +382,41 @@ def q49_distributed_ingest(spark, sf_dir):
         spark, raw, reg, cfg, p_timestamp=__import__("datetime").datetime(2026, 1, 1)
     )
     return out.select("id", "lang", "size", "origin_name")
+
+
+@register(
+    "q50_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SIG},
+    sets AS (
+        SELECT doc_id AS sid, list_distinct({_DUCK_SHINGLES}) AS sset
+        FROM docs_w WHERE len(w) >= 3
+    ),
+    vp AS (
+        SELECT c.id_a, c.id_b
+        FROM candidates c
+        JOIN sets a ON c.id_a = a.sid
+        JOIN sets b ON c.id_b = b.sid
+        WHERE round(len(list_intersect(a.sset, b.sset))
+                    / len(list_distinct(list_concat(a.sset, b.sset))), 6) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM vp
+        UNION ALL SELECT id_b, id_a FROM vp
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u AS node, re.r FROM edges e JOIN reach re ON re.node = e.v
+    )
+    SELECT node, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup clustering: LSH candidates → Jaccard verify → connected components (iterative min-label propagation vs DuckDB transitive-closure recursive CTE); cluster_id = canonical (min) doc of each group.",
+)
+def q50_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_verify(
+        docs, dedup.minhash_lsh_candidates(docs), threshold=0.2
+    )
+    return dedup.connected_components(pairs)

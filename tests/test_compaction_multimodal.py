@@ -103,3 +103,27 @@ class TestStreamingOps:
         df = spark.createDataFrame(rows, "p_timestamp timestamp_ntz, k string")
         out = streaming_dedup(df, ["k"])
         assert out.count() == 2
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from parseable_spark.llm.dedup import connected_components
+
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "id_a bigint, id_b bigint",
+        )
+        out = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from parseable_spark.llm.dedup import connected_components
+
+        n = 12  # diameter > a couple of rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+        )
+        out = connected_components(pairs, max_iterations=20).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+        assert len(out) == n + 1
