@@ -186,10 +186,20 @@ class EventProcessor:
         for name, patterns in _BUILTIN.items():
             for pat, fields in patterns:
                 self.add_format(name, pat, fields)
+        # the full 53-name reference surface (resources/formats.json names)
+        from parseable_spark.ingest.format_library import register_all
 
-    def add_format(self, name: str, pattern: str | None, fields: set[str]) -> None:
+        register_all(self)
+
+    def add_format(
+        self, name: str, pattern: str | None, fields: set[str], prepend: bool = False
+    ) -> None:
         sd = self.schema_definitions.setdefault(name, SchemaDefinition(name))
-        sd.patterns.append(Pattern(re.compile(pattern) if pattern else None, set(fields)))
+        p = Pattern(re.compile(pattern) if pattern else None, set(fields))
+        if prepend:
+            sd.patterns.insert(0, p)
+        else:
+            sd.patterns.append(p)
 
     def extract_from_inline_log(
         self, record: dict, log_source: str, extract_log: str | None = "body"
@@ -204,15 +214,22 @@ class EventProcessor:
         return record
 
     def detect(self, record: dict, extract_log: str | None = "body") -> str | None:
-        """Try every format; first match wins (sorted for determinism)."""
+        """Try every format; the match extracting the most fields wins
+        (generic timestamp+body formats lose to specific ones; name
+        sort breaks ties for determinism)."""
+        best: tuple[int, str, dict] | None = None
         for name in sorted(self.schema_definitions):
             probe = dict(record)
-            if self.schema_definitions[name].check_or_extract(probe, extract_log):
-                record.update(probe)
-                record["p_format"] = name
-                record["p_format_verified"] = True
-                return name
-        return None
+            got = self.schema_definitions[name].check_or_extract(probe, extract_log)
+            if got and (best is None or len(got) > best[0]):
+                best = (len(got), name, probe)
+        if best is None:
+            return None
+        _, name, probe = best
+        record.update(probe)
+        record["p_format"] = name
+        record["p_format_verified"] = True
+        return name
 
 
 def load_formats_json(
