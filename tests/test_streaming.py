@@ -232,3 +232,63 @@ def test_otel_metrics_write_profile(spark, tmp_path):
     # each metric), matching the reference's (metric_name, time) order
     vals = pq.ParquetFile(files[0]).read(columns=["metric_name"])["metric_name"].to_pylist()
     assert vals == sorted(vals)
+
+
+def test_kafka_envelope_streaming_end_to_end(spark, tmp_path):
+    """Kafka-shaped stream -> parse_kafka_envelope -> foreachBatch sink.
+
+    No broker locally, so the wire schema (key/value + topic/partition/
+    offset/timestamp metadata) comes from a JSON drop dir; the envelope
+    transform is the same DataFrame code that runs over the real kafka
+    source, and this proves it analyzes and executes under streaming
+    (from_json + coalesce + metadata projection), end to end into the
+    same batch sink as HTTP ingest.
+    """
+    from pyspark.sql.types import IntegerType, LongType, TimestampType
+
+    from parseable_spark.streaming.kafka import parse_kafka_envelope
+
+    wire_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+        ]
+    )
+    drop = tmp_path / "kafka_drop"
+    drop.mkdir()
+    kafka_ts = "2026-08-13T12:00:00.000Z"
+    with open(drop / "batch0.json", "w") as f:
+        for off in range(20):
+            payload = {"status": "ok" if off % 2 == 0 else "error",
+                       "latency_ms": float(off)}
+            if off % 4 == 0:  # some events carry their own time
+                payload["p_timestamp"] = "2026-08-13T11:59:00"
+            f.write(json.dumps({
+                "key": None, "value": json.dumps(payload), "topic": "logs",
+                "partition": off % 2, "offset": off, "timestamp": kafka_ts,
+            }) + "\n")
+
+    stream = json_file_stream(spark, str(drop), wire_schema)
+    events = parse_kafka_envelope(stream, SCHEMA)
+    assert events.isStreaming
+
+    batches = []
+    q = foreach_batch_sink(
+        events,
+        lambda df, _id: batches.append(df.collect()),
+        checkpoint=str(tmp_path / "kafka_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = [r for b in batches for r in b]
+    assert len(rows) == 20
+    byoff = {r["p_kafka_offset"]: r for r in rows}
+    # payload-carried timestamp wins; kafka ingest time is the fallback
+    assert byoff[0]["p_timestamp"] == datetime(2026, 8, 13, 11, 59, 0)
+    assert byoff[1]["p_timestamp"] == datetime(2026, 8, 13, 12, 0, 0)
+    assert byoff[1]["p_kafka_topic"] == "logs"
+    assert {r["p_kafka_partition"] for r in rows} == {0, 1}
