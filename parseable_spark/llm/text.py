@@ -85,6 +85,70 @@ def language_id(
     )
 
 
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_chars: int = 64,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """End-to-end training-data curation: quality gate → language ID →
+    exact dedup, composed as ONE pipeline.
+
+    Everything before dedup is a single projection pass (one parquet
+    scan — quality features and language scores share the materialized
+    word array instead of joining `quality_features` to `language_id`,
+    which would scan twice). The only shuffle is the dedup window on
+    the content digest; digest groups are tiny so there is no skew.
+    Survivors are the canonical (min-id) copy of each quality-passing
+    document."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    langs = list(LANG_MARKERS)
+    stage1 = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        normalized_words(t).alias("_w"),
+        t.rlike(r"[一-鿿]").alias("_has_cjk"),
+    )
+    stage2 = stage1.select(
+        F.col(id_col),
+        F.length("_t").cast("bigint").alias("n_chars"),
+        F.size("_w").cast("bigint").alias("n_words"),
+        _count_in(F.col("_w"), STOPWORDS).alias("_stop_hits"),
+        F.md5("_t").alias("_digest"),
+        F.col("_has_cjk"),
+        *[
+            _count_in(F.col("_w"), LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
+    gated = stage2.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("_stop_hits") / F.col("n_words") >= min_stopword_ratio)
+        & (F.col("n_chars") >= min_chars)
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
+    for lang in langs:  # first max wins — same CASE order as the oracle
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    with_lang = gated.select(
+        F.col(id_col),
+        "n_chars",
+        "n_words",
+        "_digest",
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+    )
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        with_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+
+
 def token_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

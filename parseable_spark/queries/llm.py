@@ -420,3 +420,61 @@ def q50_dedup_clusters(spark, sf_dir):
         docs, dedup.minhash_lsh_candidates(docs), threshold=0.2
     )
     return dedup.connected_components(pairs)
+
+
+def _curation_oracle() -> str:
+    stop = ",".join(f"'{s}'" for s in text.STOPWORDS)
+    scores = {
+        lang: "len(list_filter(w, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + "], x)))"
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+    case = (
+        "CASE WHEN has_cjk THEN 'zh' "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
+        )
+        + " ELSE 'und' END"
+    )
+    score_cols = ", ".join(f"{sql} AS score_{lang}" for lang, sql in scores.items())
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(w) AS BIGINT) AS n_words,
+               len(list_filter(w, x -> list_contains([{stop}], x))) AS stop_hits,
+               md5(text) AS digest,
+               regexp_matches(text, '[一-鿿]') AS has_cjk,
+               {score_cols}
+        FROM base
+    ),
+    gated AS (
+        SELECT * FROM feat
+        WHERE n_words >= 5 AND stop_hits / n_words >= 0.05 AND n_chars >= 64
+    ),
+    lang AS (
+        SELECT doc_id, n_chars, n_words, digest, {case} AS pred_lang FROM gated
+    )
+    SELECT doc_id, n_chars, n_words, pred_lang
+    FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+          FROM lang)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "q51_curation_pipeline",
+    _curation_oracle(),
+    doc=(
+        "End-to-end training-data curation: quality gate + language ID in one "
+        "projection pass (single scan), then exact dedup via a digest window — "
+        "the composed form of q31/q32/q24."
+    ),
+)
+def q51_curation_pipeline(spark, sf_dir):
+    return text.curate(load_table(spark, sf_dir, "documents"))
