@@ -15,11 +15,13 @@ from .ingest import (
     windowed_counts,
 )
 from .livetail import LIVETAIL, LiveTail, Message
+from .stateful import alert_state_machine
 
 __all__ = [
     "LIVETAIL",
     "LiveTail",
     "Message",
+    "alert_state_machine",
     "foreach_batch_sink",
     "json_file_stream",
     "late_data_filter",

@@ -9,6 +9,7 @@ temp drop directory.
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timedelta
 
 import pytest
@@ -292,3 +293,67 @@ def test_kafka_envelope_streaming_end_to_end(spark, tmp_path):
     assert byoff[1]["p_timestamp"] == datetime(2026, 8, 13, 12, 0, 0)
     assert byoff[1]["p_kafka_topic"] == "logs"
     assert {r["p_kafka_partition"] for r in rows} == {0, 1}
+
+
+def test_alert_state_machine_stateful_stream(spark, tmp_path):
+    """Per-key alert state machine via applyInPandasWithState: three
+    micro-batches (one file each) drive NotTriggered -> Triggered ->
+    NotTriggered for the breaching key; the healthy key never emits."""
+    from parseable_spark.streaming import alert_state_machine
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    base = datetime(2026, 8, 13, 12, 0, 0)
+    # batch 0: hot breaches, batch 1: hot breaches again (streak hits 2
+    # -> Triggered), batch 2: hot recovers (-> NotTriggered). 'cool'
+    # stays under threshold throughout.
+    plans = [
+        {"hot": [90.0, 95.0], "cool": [10.0]},
+        {"hot": [99.0], "cool": [12.0]},
+        {"hot": [5.0, 7.0], "cool": [11.0]},
+    ]
+    for i, plan in enumerate(plans):
+        lines = []
+        for key, vals in plan.items():
+            for j, v in enumerate(vals):
+                lines.append(
+                    json.dumps(
+                        {
+                            "p_timestamp": (base + timedelta(minutes=i, seconds=j)).isoformat(),
+                            "status": key,
+                            "latency_ms": v,
+                        }
+                    )
+                )
+        f = drop / f"batch_{i}.json"
+        f.write_text("\n".join(lines))
+        # distinct mtimes: the file source orders/limits batches by
+        # modification time, same-mtime files coalesce into one trigger
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    transitions = alert_state_machine(
+        json_file_stream(spark, str(drop), SCHEMA, max_files_per_trigger=1),
+        key_col="status",
+        value_col="latency_ms",
+        threshold=50.0,
+        min_streak=2,
+    )
+    q = (
+        transitions.writeStream.format("memory")
+        .queryName("alert_transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_alert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM alert_transitions").collect(),
+        key=lambda r: (r["alert_key"], r["new_state"]),
+    )
+    assert [(r["alert_key"], r["old_state"], r["new_state"]) for r in rows] == [
+        ("hot", "Triggered", "NotTriggered"),
+        ("hot", "NotTriggered", "Triggered"),
+    ]
+    trig = next(r for r in rows if r["new_state"] == "Triggered")
+    assert trig["n_breaches"] == 1 and trig["n_events"] == 1
