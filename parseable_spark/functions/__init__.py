@@ -106,3 +106,6 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return s.join(o, on=keys + ["_salt"], how=how).drop("_salt")
+
+
+from .asof import asof_join  # noqa: E402,F401

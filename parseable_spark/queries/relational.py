@@ -640,3 +640,51 @@ def q48_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q52_asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           p.value AS purchase_value,
+           c.value AS click_value, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ) c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc=(
+        "As-of (point-in-time) join: latest click at-or-before each purchase "
+        "per user. Spark lacks ASOF JOIN; implemented as union+window "
+        "(one key shuffle, no range-join blowup) in functions/asof.py. "
+        "Oracle is DuckDB's native ASOF LEFT JOIN with a deterministic "
+        "tie-break dedupe."
+    ),
+)
+def q52_asof_join(spark, sf_dir):
+    from ..functions import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_value", "click_id"],
+        right_order=["click_id"],
+        matched_ts_col="click_ts",
+    )
