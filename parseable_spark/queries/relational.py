@@ -688,3 +688,46 @@ def q52_asof_join(spark, sf_dir):
         right_order=["click_id"],
         matched_ts_col="click_ts",
     )
+
+
+@register(
+    "q53_range_join",
+    """
+    SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_nearby_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.click_ts BETWEEN e.ts - INTERVAL 300 SECOND
+                        AND e.ts + INTERVAL 300 SECOND
+    GROUP BY e.event_id, e.user_id
+    """,
+    doc=(
+        "Time-range (interval) join: clicks within ±5 min of each error, "
+        "same user. Bucketed equi-join + residual filter "
+        "(functions/rangejoin.py) — hash shuffle on (user_id, bucket), "
+        "never a nested-loop cartesian. Oracle is the plain inequality "
+        "join DuckDB can afford at this scale."
+    ),
+)
+def q53_range_join(spark, sf_dir):
+    from ..functions.rangejoin import time_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = time_range_join(
+        errors,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        lower_seconds=-300,
+        upper_seconds=300,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks")
+    )

@@ -1,0 +1,89 @@
+"""Interval/range-join operator tests: boundary inclusivity, bucket
+spanning, outer semantics, plan shape (no nested-loop join)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from parseable_spark.functions.rangejoin import time_range_join
+
+
+def _ts(s):
+    return datetime(2026, 8, 13, 12, 0, 0) + timedelta(seconds=s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1000), "L1"), (2, _ts(50), "L2")],
+        "k bigint, ts timestamp_ntz, ltag string",
+    )
+    right = spark.createDataFrame(
+        # 700: exactly at lower bound (1000-300); 1300: exactly upper;
+        # 699/1301: just outside; 1100: inside but crosses bucket border
+        [(1, _ts(700), "in_lo"), (1, _ts(1300), "in_hi"),
+         (1, _ts(699), "out_lo"), (1, _ts(1301), "out_hi"),
+         (1, _ts(1100), "mid"), (2, _ts(500), "far")],
+        "k bigint, rts timestamp_ntz, rtag string",
+    )
+    return left, right
+
+
+def test_range_join_inclusive_bounds_and_buckets(spark):
+    left, right = _frames(spark)
+    got = {
+        r["rtag"]
+        for r in time_range_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            lower_seconds=-300, upper_seconds=300,
+        ).collect()
+    }
+    assert got == {"in_lo", "in_hi", "mid"}
+
+
+def test_range_join_left_outer_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    rows = time_range_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=-300, upper_seconds=300, how="left_outer",
+    ).collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["ltag"], []).append(r["rtag"])
+    assert sorted(by_tag["L1"]) == ["in_hi", "in_lo", "mid"]
+    assert by_tag["L2"] == [None]  # kept with null right payload
+
+
+def test_range_join_asymmetric_window(spark):
+    left, right = _frames(spark)
+    got = {
+        r["rtag"]
+        for r in time_range_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            lower_seconds=0, upper_seconds=300,
+        ).collect()
+    }
+    assert got == {"in_hi", "mid"}  # only right rows at/after left ts
+
+
+def test_range_join_no_nested_loop_in_plan(spark):
+    left, right = _frames(spark)
+    out = time_range_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=-300, upper_seconds=300,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_bad_args(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="upper_seconds"):
+        time_range_join(left, right, keys=["k"], lower_seconds=10, upper_seconds=0)
+    with pytest.raises(ValueError, match="collision"):
+        time_range_join(
+            left, left.withColumnRenamed("k", "k2"), keys=[],
+            left_ts="ts", right_ts="ts",
+        )
