@@ -281,3 +281,33 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
+
+
+def contamination(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per training doc, how many
+    distinct n-gram shingles it shares with the benchmark corpus.
+
+    Scale shape: the benchmark side (eval sets) is tiny next to 100 TB
+    of training data, so its distinct shingle set is broadcast — the
+    training scan stays shuffle-free up to the final per-doc distinct
+    count (one hash aggregate on (id, shingle), map-side partials).
+    Emits only contaminated docs; join with left_anti to get the clean
+    set.
+    """
+    bench_sh = (
+        shingle_rows(bench_docs, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = shingle_rows(train_docs, id_col, text_col, n).join(
+        F.broadcast(bench_sh), "shingle"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("n_contaminated")
+    )

@@ -1,0 +1,69 @@
+"""Deterministic (hash-bucket) sampling for training-data pipelines.
+
+Random `df.sample()` is non-reproducible across runs/partitionings and
+can't be oracle-checked. Hash sampling keys the keep/drop decision on a
+content-stable id digest instead: a row is kept iff the first byte of
+md5(id) falls under a rate-derived threshold. Properties that matter at
+100 TB:
+
+- pure narrow map — no shuffle, no RNG state, pushdown-friendly;
+- reproducible across engines (md5 is bit-identical everywhere, which
+  is also what makes the DuckDB oracle exact);
+- stable under re-partitioning, retries, and incremental reruns: a doc
+  is in or out of the sample forever, so downstream caches stay valid;
+- stratified variant = per-stratum thresholds via one CASE expression,
+  still scan-local (no per-group windows or count passes).
+
+Rates are quantized to 1/256 (one hex byte). That is deliberate: a
+documented, engine-portable quantum beats a float comparison that
+depends on hex→float conversion semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(rate: float) -> str:
+    """Rate → 2-char lowercase hex bound; row kept iff prefix < bound."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(round(rate * 256), "02x") if rate < 1.0 else "zz"  # > any hex
+
+
+def _bucket(id_col: str) -> Column:
+    # first md5 byte of the stringified id; lowercase hex in every engine
+    return F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float | None = None,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    strata_rates: Mapping[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic ~`rate` fraction of rows (quantized /256).
+
+    Uniform: pass `rate`. Stratified: pass `strata_col` +
+    `strata_rates` ({stratum value: rate}); strata not listed fall back
+    to `default_rate`. The filter compiles to a single scan-local
+    predicate — lexicographic compare of a 2-char hex prefix, which
+    equals numeric compare for lowercase hex.
+    """
+    if (rate is None) == (strata_rates is None):
+        raise ValueError("pass exactly one of rate= or strata_rates=")
+    if rate is not None:
+        return df.filter(_bucket(id_col) < F.lit(_threshold_hex(rate)))
+    if strata_col is None:
+        raise ValueError("strata_rates requires strata_col")
+    bound = F.lit(_threshold_hex(default_rate))
+    for value, r in strata_rates.items():
+        bound = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(r))).otherwise(
+            bound
+        )
+    return df.filter(_bucket(id_col) < bound)

@@ -149,6 +149,67 @@ def curate(
     )
 
 
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ndigits: int = 6,
+    max_top_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens taken by the
+    most frequent word, duplicate-word fraction, and fraction of
+    bigrams taken by the most frequent bigram, plus a pass/fail gate.
+
+    Single corpus pass: one posexplode, one lead() window (shuffle on
+    doc id), then unigram AND bigram tokens are emitted from the same
+    rows (a per-row 1-or-2 element explode, no second scan / no union
+    of two branches re-reading the source). Counting is two codegen'd
+    hash aggregates with map-side partials — no per-doc O(n^2) array
+    lambdas, linear at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    toks = words.select(F.col(id_col), "w", F.lead("w", 1).over(win).alias("w2"))
+    uni = F.struct(F.lit("u").alias("kind"), F.col("w").alias("tok"))
+    bi = F.struct(
+        F.lit("b").alias("kind"), F.concat_ws(" ", "w", "w2").alias("tok")
+    )
+    kinds = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.col("w2").isNull(), F.array(uni)).otherwise(F.array(uni, bi))
+        ).alias("t"),
+    ).select(F.col(id_col), F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok"))
+    counts = kinds.groupBy(id_col, "kind", "tok").agg(F.count(F.lit(1)).alias("c"))
+    is_u = F.col("kind") == "u"
+    stats = counts.groupBy(id_col).agg(
+        F.max(F.when(is_u, F.col("c"))).alias("_top_wc"),
+        F.sum(F.when(is_u, F.col("c"))).alias("_n_words"),
+        F.count(F.when(is_u, F.lit(1))).alias("_n_distinct"),
+        F.max(F.when(~is_u, F.col("c"))).alias("_top_bc"),
+        F.sum(F.when(~is_u, F.col("c"))).alias("_n_bigrams"),
+    )
+    top_w = F.round(F.col("_top_wc") / F.col("_n_words"), ndigits)
+    dup_w = F.round(F.lit(1) - F.col("_n_distinct") / F.col("_n_words"), ndigits)
+    top_b = F.round(F.col("_top_bc") / F.col("_n_bigrams"), ndigits)
+    return stats.select(
+        F.col(id_col),
+        F.col("_n_words").cast("bigint").alias("n_words"),
+        top_w.alias("top_word_frac"),
+        dup_w.alias("dup_word_frac"),
+        top_b.alias("top_bigram_frac"),
+        (
+            (top_w <= max_top_word_frac)
+            & (dup_w <= max_dup_word_frac)
+            & F.coalesce(top_b <= max_top_bigram_frac, F.lit(True))
+        ).alias("repetition_ok"),
+    )
+
+
 def token_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -7,7 +7,9 @@ exact-oracle-checked (no RNG anywhere).
 
 from __future__ import annotations
 
-from ..llm import dedup, multimodal, similarity, text
+from pyspark.sql import functions as F
+
+from ..llm import dedup, multimodal, sampling, similarity, text
 from ..tables import load_table
 from . import register
 
@@ -478,3 +480,121 @@ def _curation_oracle() -> str:
 )
 def q51_curation_pipeline(spark, sf_dir):
     return text.curate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q54_repetition_filters",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, 'u' AS kind, unnest(w) AS tok FROM w
+        UNION ALL
+        SELECT doc_id, 'b' AS kind,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS tok
+        FROM w
+    ),
+    c AS (
+        SELECT doc_id, kind, tok, count(*) AS c
+        FROM toks GROUP BY doc_id, kind, tok
+    ),
+    s AS (
+        SELECT doc_id,
+               max(CASE WHEN kind = 'u' THEN c END) AS top_wc,
+               sum(CASE WHEN kind = 'u' THEN c END) AS nw,
+               count(CASE WHEN kind = 'u' THEN 1 END) AS n_distinct,
+               max(CASE WHEN kind = 'b' THEN c END) AS top_bc,
+               sum(CASE WHEN kind = 'b' THEN c END) AS nb
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           round(top_wc / nw, 6) AS top_word_frac,
+           round(1 - n_distinct / nw, 6) AS dup_word_frac,
+           round(top_bc / nb, 6) AS top_bigram_frac,
+           (round(top_wc / nw, 6) <= 0.2
+            AND round(1 - n_distinct / nw, 6) <= 0.6
+            AND coalesce(round(top_bc / nb, 6) <= 0.18, TRUE)) AS repetition_ok
+    FROM s
+    """,
+    doc=(
+        "Gopher-style repetition quality filters (top-word / dup-word / "
+        "top-bigram fractions + gate). One corpus pass: unigram and bigram "
+        "tokens emitted from the same exploded rows, two codegen'd hash "
+        "aggregates — no O(n^2) per-doc lambdas."
+    ),
+)
+def q54_repetition_filters(spark, sf_dir):
+    return text.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q55_stratified_sample",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+               THEN '80' ELSE '20' END
+    GROUP BY source
+    """,
+    doc=(
+        "Deterministic stratified hash sampling: keep iff first md5(id) byte "
+        "falls under a per-stratum threshold (0.5 for src0-3, 0.125 rest; "
+        "rates quantized /256). Scan-local predicate, no shuffle, no RNG — "
+        "reproducible across engines/retries, hence exactly oracle-checked."
+    ),
+)
+def q55_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.hash_sample(
+        docs,
+        strata_col="source",
+        strata_rates={f"src{i}": 0.5 for i in range(4)},
+        default_rate=0.125,
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+@register(
+    "q56_contamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM w WHERE len(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated
+    FROM sh t JOIN bench b ON t.shingle = b.shingle
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Benchmark-contamination check: training docs sharing 3-gram "
+        "shingles with the benchmark corpus (source=src0), per-doc distinct "
+        "overlap count. Benchmark shingle set is broadcast — the 100 TB "
+        "training scan never shuffles until the per-doc count."
+    ),
+)
+def q56_contamination(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )

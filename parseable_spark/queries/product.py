@@ -272,3 +272,35 @@ def q46_latency_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.99)"), 3).alias("p99"),
         F.round(F.max("value"), 3).alias("p100"),
     )
+
+
+@register(
+    "q57_hll_sketch_rollup",
+    None,
+    doc=(
+        "Mergeable HLL distinct-count rollup (datasketches): per-day "
+        "hll_sketch_agg(user_id) partial sketches, hll_union_agg at query "
+        "time — the pre-aggregated-cube pattern that answers COUNT(DISTINCT) "
+        "over any day range at 100 TB without rescanning raw data. "
+        "Approximate by construction → rows-only driver check; the ±5%% "
+        "error bound vs the exact count is asserted in tests/test_sampling_"
+        "sketches.py. Reference parity: distinct-count stat panels "
+        "(src/storage/field_stats.rs distinct_stats)."
+    ),
+)
+def q57_hll_sketch_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users")
+        )
+        .orderBy("event_type")
+    )

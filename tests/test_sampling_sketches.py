@@ -1,0 +1,127 @@
+"""Tests for the training-pipeline additions: repetition filters,
+deterministic hash sampling, contamination check, HLL sketch rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parseable_spark.llm.dedup import contamination
+from parseable_spark.llm.sampling import _threshold_hex, hash_sample
+from parseable_spark.llm.text import repetition_features
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_features_values(spark):
+    df = _docs(
+        spark,
+        [
+            # 4 tokens: "a a a b" -> top word 3/4, distinct 2/4, bigram
+            # "a a" appears 2/3 times
+            (1, "a a a b"),
+            (2, "one two three four five six seven eight nine ten"),  # unique
+            (3, "solo"),  # single word: no bigrams -> null frac, gate passes
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 4
+    assert r1["top_word_frac"] == 0.75
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert not r1["repetition_ok"]
+    r2 = got[2]
+    assert r2["top_word_frac"] == 0.1 and r2["dup_word_frac"] == 0.0
+    assert r2["repetition_ok"]
+    r3 = got[3]
+    assert r3["top_bigram_frac"] is None and not r3["repetition_ok"]  # top_word=1
+
+
+def test_threshold_hex_quantization():
+    assert _threshold_hex(0.0) == "00"  # keeps nothing (no prefix < "00")
+    assert _threshold_hex(0.5) == "80"
+    assert _threshold_hex(0.125) == "20"
+    assert _threshold_hex(1.0) == "zz"  # sorts above any hex prefix
+    with pytest.raises(ValueError):
+        _threshold_hex(1.5)
+
+
+def test_hash_sample_uniform_rate_and_determinism(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kept = hash_sample(df, rate=0.25, id_col="doc_id")
+    n = kept.count()
+    assert abs(n / 2000 - 0.25) < 0.05  # hash-uniformity, not RNG
+    # deterministic: same rows every run, and nested sampling is monotone
+    assert kept.exceptAll(hash_sample(df, rate=0.25, id_col="doc_id")).count() == 0
+    wider = hash_sample(df, rate=0.5, id_col="doc_id")
+    assert kept.join(wider, "doc_id", "left_anti").count() == 0
+    assert hash_sample(df, rate=0.0, id_col="doc_id").count() == 0
+    assert hash_sample(df, rate=1.0, id_col="doc_id").count() == 2000
+
+
+def test_hash_sample_stratified(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("grp"),
+    )
+    got = hash_sample(
+        df,
+        strata_col="grp",
+        strata_rates={"keep": 1.0},
+        default_rate=0.0,
+        id_col="doc_id",
+    )
+    assert got.filter("grp = 'drop'").count() == 0
+    assert got.filter("grp = 'keep'").count() == 500
+
+
+def test_hash_sample_arg_validation(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        hash_sample(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        hash_sample(df, rate=0.5, strata_rates={"a": 0.1})
+    with pytest.raises(ValueError, match="strata_col"):
+        hash_sample(df, strata_rates={"a": 0.1})
+
+
+def test_contamination_counts_and_broadcast_plan(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(
+        spark,
+        [
+            (1, "saw the quick brown fox yesterday"),  # 2 shared 3-grams
+            (2, "completely different words here now"),  # clean
+            (3, "quick brown fox jumps high"),  # 2 shared
+        ],
+    )
+    out = contamination(train, bench)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == {1: 2, 3: 2}  # clean doc 2 absent
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_rollup_error_bound(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in entry.queries()["q57_hll_sketch_rollup"](spark, sf_dir).collect()
+    }
+    from parseable_spark.tables import load_table
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
