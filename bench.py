@@ -36,6 +36,9 @@ HEADLINE = [
     "q28_knn_bruteforce",
     "q31_text_quality",
     "q33_token_counts",
+    "q52_asof_join",
+    "q54_repetition_filters",
+    "q56_contamination",
 ]
 
 
