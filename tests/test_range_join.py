@@ -87,3 +87,59 @@ def test_range_join_rejects_bad_args(spark):
             left, left.withColumnRenamed("k", "k2"), keys=[],
             left_ts="ts", right_ts="ts",
         )
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_range_join_matches_bruteforce_random(spark, seed):
+    """Randomized equivalence vs an O(n*m) pandas brute force."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    lrows = [(rng.randrange(4), _ts(rng.randrange(0, 5000)), f"L{i}")
+             for i in range(120)]
+    rrows = [(rng.randrange(4), _ts(rng.randrange(0, 5000)), f"R{i}")
+             for i in range(200)]
+    lo, hi = -97, 211  # asymmetric, not bucket-aligned
+    left = spark.createDataFrame(lrows, "k bigint, ts timestamp_ntz, ltag string")
+    right = spark.createDataFrame(rrows, "k bigint, rts timestamp_ntz, rtag string")
+    got = {
+        (r["ltag"], r["rtag"])
+        for r in time_range_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            lower_seconds=lo, upper_seconds=hi,
+        ).collect()
+    }
+    want = {
+        (lt, rt)
+        for lk, lts, lt in lrows
+        for rk, rts, rt in rrows
+        if lk == rk and lts + pd.Timedelta(seconds=lo) <= rts <= lts + pd.Timedelta(seconds=hi)
+    }
+    assert got == want
+
+
+def test_bucket_coverage_property():
+    """Pure-math completeness invariant behind the operator: any
+    in-range (left, right) pair meets in the right row's bucket —
+    i.e. floor(r/w) always falls inside the left row's replicated
+    bucket span [floor((l+lo)/w), floor((l+hi)/w)], including negative
+    epochs and windows far larger/smaller than the bucket width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        l=st.integers(-10**9, 10**9),
+        off=st.integers(0, 10**6),
+        lo=st.integers(-10**6, 10**6),
+        span=st.integers(0, 2 * 10**6),
+        w=st.integers(1, 10**6),
+    )
+    def check(l, off, lo, span, w):
+        hi = lo + span
+        r = l + lo + (off % (span + 1))  # guaranteed in [l+lo, l+hi]
+        assert (l + lo) // w <= r // w <= (l + hi) // w
+
+    check()
