@@ -12,10 +12,15 @@ physical effect the reference achieves with manifest pruning.
 from __future__ import annotations
 
 import re
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .timerange import TimeRange
+
+# reference: P_SQL_TIMEOUT, 300 s default (src/cli.rs:212-219)
+DEFAULT_SQL_TIMEOUT_SECONDS = 300.0
 
 # A query "already constrains time" only if the time column appears in a
 # comparison/BETWEEN — a bare mention (e.g. inside DATE_BIN) doesn't count.
@@ -92,6 +97,48 @@ class QueryEngine:
             # restore unfiltered views for subsequent queries
             for name, (df, _) in self._streams.items():
                 df.createOrReplaceTempView(name)
+
+    def execute(
+        self,
+        sql: str,
+        start: str | None = None,
+        end: str | None = None,
+        now=None,
+        timeout_seconds: float = DEFAULT_SQL_TIMEOUT_SECONDS,
+    ) -> list:
+        """Run and materialize a query under the reference's SQL timeout
+        (P_SQL_TIMEOUT, src/cli.rs:212-219; dedicated query runtime with
+        per-query deadline src/query/mod.rs:91-93,150-165).
+
+        The collect runs in a worker thread inside a Spark job group;
+        on deadline the group is cancelled (interruptOnCancel kills the
+        running tasks) and TimeoutError raises. Job groups are
+        thread-local on the driver, so concurrent queries don't cancel
+        each other."""
+        df = self.query(sql, start, end, now=now)
+        sc = self.spark.sparkContext
+        group = f"psq-{uuid.uuid4().hex[:12]}"
+        out: dict = {}
+
+        def run() -> None:
+            sc.setJobGroup(group, sql[:120], interruptOnCancel=True)
+            try:
+                out["rows"] = df.collect()
+            except Exception as ex:  # surfaced to the caller below
+                out["err"] = ex
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout_seconds)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(10)
+            raise TimeoutError(
+                f"query exceeded {timeout_seconds}s and was cancelled"
+            )
+        if "err" in out:
+            raise out["err"]
+        return out["rows"]
 
     def detect_bare_count(self, sql: str) -> tuple[str, str] | None:
         """Plan-shape detection of `SELECT COUNT(*) FROM stream` with no

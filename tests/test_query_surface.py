@@ -167,3 +167,38 @@ class TestSaltedJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "_salt" in plan  # the salt is part of the join keys
         assert out.count() == 100
+
+
+class TestSqlTimeout:
+    def test_execute_fast_query_returns_rows(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        rows = eng.execute("SELECT count(*) AS n FROM events", timeout_seconds=120)
+        assert rows[0]["n"] > 0
+
+    def test_execute_cancels_on_deadline(self, spark):
+        import time as _time
+
+        from pyspark.sql.types import LongType
+
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+
+        def crawl(x):
+            _time.sleep(30)
+            return x
+
+        spark.udf.register("crawl_udf", crawl, LongType())
+        t0 = _time.perf_counter()
+        with pytest.raises(TimeoutError, match="cancelled"):
+            eng.execute(
+                "SELECT crawl_udf(event_id) AS e FROM events", timeout_seconds=1.5
+            )
+        # deadline enforced promptly, not after the 30 s sleep finishes
+        assert _time.perf_counter() - t0 < 20
+
+    def test_execute_surfaces_query_errors(self, spark):
+        eng = QueryEngine(spark, time_col="ts")
+        eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
+        with pytest.raises(Exception, match="no_such_col|UNRESOLVED"):
+            eng.execute("SELECT no_such_col FROM events", timeout_seconds=60)
