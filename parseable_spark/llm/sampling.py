@@ -67,3 +67,37 @@ def hash_sample(
             bound
         )
     return df.filter(_bucket(id_col) < bound)
+
+
+def per_group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group sample ("hash reservoir"): rank rows in
+    each group by md5(id) and keep the k smallest. Uniform over the
+    group (the digest is unordered w.r.t. any data attribute), fully
+    reproducible, and incremental-friendly: a new row displaces the
+    current max-digest member iff its digest is smaller — no RNG state
+    to carry between runs.
+
+    One shuffle (window partition on the group). For pathologically
+    hot groups at 100 TB, pre-thin with hash_sample(rate≈10k·k/|group|)
+    first so the window sorts thousands of rows, not billions — the
+    composition stays deterministic because both stages key on the
+    same digest.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(_bucket_full(id_col), id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def _bucket_full(id_col: str) -> Column:
+    return F.md5(F.col(id_col).cast("string").cast("binary"))

@@ -598,3 +598,31 @@ def q56_contamination(spark, sf_dir):
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+@register(
+    "q58_per_group_sample",
+    """
+    SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 3
+    """,
+    doc=(
+        "Deterministic k-per-group sample (hash reservoir): keep the 3 "
+        "docs with smallest md5(id) per source. One window shuffle; "
+        "reproducible across engines/runs — no RNG. Hot groups pre-thin "
+        "with hash_sample before the window at scale."
+    ),
+)
+def q58_per_group_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.per_group_sample(docs, k=3, group_col="source").select(
+        "source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank")
+    )

@@ -125,3 +125,22 @@ def test_hll_rollup_error_bound(spark, tmp_path):
     assert set(approx) == set(exact)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+
+
+def test_per_group_sample_deterministic_k(spark):
+    from parseable_spark.llm.sampling import per_group_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+    )
+    got = per_group_sample(df, k=5, group_col="grp")
+    assert got.count() == 15
+    assert got.groupBy("grp").count().filter("count != 5").count() == 0
+    # reproducible: identical member set on re-run
+    again = per_group_sample(df, k=5, group_col="grp").select("doc_id")
+    assert got.select("doc_id").exceptAll(again).count() == 0
+    # nested: k=2 sample is a prefix of the k=5 sample per group
+    two = per_group_sample(df, k=2, group_col="grp").select("doc_id")
+    assert two.join(got.select("doc_id"), "doc_id", "left_anti").count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        per_group_sample(df, k=0, group_col="grp")
