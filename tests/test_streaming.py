@@ -357,3 +357,73 @@ def test_alert_state_machine_stateful_stream(spark, tmp_path):
     ]
     trig = next(r for r in rows if r["new_state"] == "Triggered")
     assert trig["n_breaches"] == 1 and trig["n_events"] == 1
+
+
+def test_streaming_interval_join_e2e(spark, tmp_path):
+    """Stream-stream interval join: clicks within ±5 min of each error,
+    same user, across two file streams with watermarks."""
+    import json as _json
+
+    from parseable_spark.streaming.joins import streaming_interval_join
+
+    errs, clicks = tmp_path / "errs", tmp_path / "clicks"
+    errs.mkdir(), clicks.mkdir()
+    (errs / "e.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "ts": "2026-08-13T12:00:00", "ltag": "E1"},
+                {"k": 2, "ts": "2026-08-13T12:10:00", "ltag": "E2"},
+            ]
+        )
+    )
+    (clicks / "c.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "rts": "2026-08-13T11:58:00", "rtag": "C1"},  # in window
+                {"k": 1, "rts": "2026-08-13T12:06:00", "rtag": "C2"},  # outside
+                {"k": 2, "rts": "2026-08-13T12:09:00", "rtag": "C3"},  # in window
+                {"k": 3, "rts": "2026-08-13T12:00:00", "rtag": "C4"},  # no error
+            ]
+        )
+    )
+    left = json_file_stream(spark, str(errs), "k long, ts timestamp, ltag string")
+    right = json_file_stream(spark, str(clicks), "k long, rts timestamp, rtag string")
+    out = streaming_interval_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=-300, upper_seconds=300,
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssij")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ltag"], r["rtag"])
+        for r in spark.sql("SELECT * FROM ssij").collect()
+    }
+    assert got == {("E1", "C1"), ("E2", "C3")}
+
+
+def test_streaming_interval_join_validation(spark):
+    from parseable_spark.streaming.joins import streaming_interval_join
+
+    a = spark.createDataFrame([(1,)], "k long").withColumn(
+        "ts", F.current_timestamp()
+    )
+    b = spark.createDataFrame([(1,)], "k long").withColumn(
+        "rts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="upper_seconds"):
+        streaming_interval_join(a, b, ["k"], "ts", "rts", 10, 0)
+    with pytest.raises(ValueError, match="unsupported how"):
+        streaming_interval_join(a, b, ["k"], "ts", "rts", 0, 10, how="full")
+    with pytest.raises(ValueError, match="collision"):
+        streaming_interval_join(
+            a, a.withColumnRenamed("k", "k2"), [], "ts", "ts", 0, 10
+        )
