@@ -731,3 +731,90 @@ def q53_range_join(spark, sf_dir):
     return pairs.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_nearby_clicks")
     )
+
+
+@register(
+    "q59_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(CAST(date_trunc('day', ts) AS DATE)) AS INT) AS g_day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, CAST(date_trunc('day', ts) AS DATE)),
+        (event_type),
+        (CAST(date_trunc('day', ts) AS DATE)),
+        ()
+    )
+    """,
+    doc=(
+        "GROUPING SETS: per (type, day), per type, per day, and grand total "
+        "in one logical pass, with grouping() flags disambiguating real "
+        "NULLs from subtotal rows. Catalyst expands sets before the hash "
+        "aggregate, so partial (map-side) aggregation still applies to every "
+        "set — one shuffle, not four queries. Completes the multi-level "
+        "aggregation family next to q48's ROLLUP."
+    ),
+)
+def q59_grouping_sets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        ev.select("event_type", day.cast("string").alias("day"), "value")
+        .groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"], []],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "total")
+    )
+
+
+@register(
+    "q60_time_range_frame",
+    """
+    SELECT event_id, event_type, ts,
+           round(sum(value) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_sum_1h,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_events_1h
+    FROM events
+    """,
+    doc=(
+        "Time-based window frame (RANGE BETWEEN INTERVAL): per-type rolling "
+        "1 h sum and count over event time — the value-based frame "
+        "variant next to q47's ROWS BETWEEN. One shuffle on the partition "
+        "key; the frame is evaluated by a sliding aggregate over the sorted "
+        "run, not a self-join."
+    ),
+)
+def q60_time_range_frame(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_q60_events")
+    return spark.sql(
+        """
+        SELECT event_id, event_type, ts,
+               round(sum(value) OVER (
+                   PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_sum_1h,
+               CAST(count(*) OVER (
+                   PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_events_1h
+        FROM _q60_events
+        """
+    )
