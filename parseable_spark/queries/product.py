@@ -69,7 +69,7 @@ def q19_counts_topk(spark, sf_dir):
 @register(
     "q20_alert_eval",
     """
-    SELECT user_id, round(avg(value), 2) AS agg_value
+    SELECT user_id, round(avg(value), 6) AS agg_value
     FROM events
     WHERE (event_type = 'error' AND value > 50.0) OR (event_type = 'purchase' AND value > 150.0)
     GROUP BY user_id HAVING avg(value) > 120.0

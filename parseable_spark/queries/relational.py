@@ -64,7 +64,7 @@ def q01_pricing_summary(spark, sf_dir):
 @register(
     "q02_filter_project",
     """
-    SELECT event_id, user_id, round(value * 1.1, 2) AS adj_value
+    SELECT event_id, user_id, round(value * 1.1, 3) AS adj_value
     FROM events
     WHERE event_type = 'error' AND value > 100
     """,
@@ -77,7 +77,7 @@ def q02_filter_project(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.round(F.col("value") * 1.1, 2).alias("adj_value"),
+            F.round(F.col("value") * 1.1, 3).alias("adj_value"),
         )
     )
 
@@ -480,7 +480,7 @@ def q16_case_coalesce_cast(spark, sf_dir):
            count(*) AS cnt,
            round(min(value), 2) AS min_v,
            round(max(value), 2) AS max_v,
-           round(avg(value), 2) AS avg_v
+           round(avg(value), 6) AS avg_v
     FROM events
     GROUP BY 1, 2
     """,
@@ -494,7 +494,7 @@ def q17_multi_dim_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
-        F.round(F.avg("value"), 2).alias("avg_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
     )
 
 

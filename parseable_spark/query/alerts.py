@@ -137,7 +137,7 @@ def grouped_alert_sql(
     threshold_op: str,
     threshold: float,
     conditions: ConditionGroup | None = None,
-    ndigits: int = 2,
+    ndigits: int = 6,
 ) -> str:
     """Grouped alert evaluation (one threshold check per group)."""
     where = f" WHERE {conditions.to_sql()}" if conditions else ""
