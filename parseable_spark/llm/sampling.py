@@ -101,3 +101,77 @@ def per_group_sample(
 
 def _bucket_full(id_col: str) -> Column:
     return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: the md5(id) byte that drives
+    hash_sample also assigns each row to exactly one named split, with
+    fractions quantized to /256. Properties: disjoint + exhaustive,
+    stable under reruns/repartitioning (a doc never migrates between
+    train and test — the leak-safety property), scan-local (no shuffle).
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bounds.append((name, _threshold_hex(min(acc, 1.0))))
+    # CASE WHEN b < hi_1 THEN s_1 WHEN b < hi_2 THEN s_2 ... ELSE s_last:
+    # first matching cumulative bound wins, last split catches the tail
+    b = _bucket(id_col)
+    chain = None
+    for name, hi in bounds[:-1]:
+        cond = b < F.lit(hi)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    out = chain.otherwise(F.lit(bounds[-1][0])) if chain is not None else F.lit(bounds[-1][0])
+    return df.withColumn(split_col, out)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing for training batches: shard the
+    corpus by md5(id) (fixed fan-out, balanced), order each shard by
+    the same digest (deterministic pseudo-random order), then assign
+    batch ids by cumulative token count — batch = floor((cumsum -
+    tokens) / budget), so a batch holds consecutive docs until the
+    token budget spills into the next one.
+
+    One shuffle (window partition on shard). Shards are independent —
+    at 100 TB the parallelism knob is n_shards, and each shard's
+    running sum is a linear scan of its sorted run. Deterministic end
+    to end: same corpus → same batches, across engines (oracle) and
+    across reruns (cache-safe epochs).
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    digest = _bucket_full(id_col)
+    shard = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int") % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_digest", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("shard", shard)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .withColumn(
+            "batch_id",
+            F.floor((F.col("_cum") - F.col(tokens_col)) / F.lit(budget)).cast("bigint"),
+        )
+        .drop("_digest", "_cum")
+    )

@@ -626,3 +626,72 @@ def q58_per_group_sample(spark, sf_dir):
     return sampling.per_group_sample(docs, k=3, group_col="source").select(
         "source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank")
     )
+
+
+@register(
+    "q61_train_val_test_split",
+    """
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+    doc=(
+        "Deterministic 80/10/10 train/val/test split keyed on md5(doc_id) "
+        "(thresholds 0xcd, 0xe6 — fractions quantized /256). Disjoint, "
+        "exhaustive, stable under reruns and repartitioning: a doc can "
+        "never migrate from train to test (leak safety). Scan-local CASE, "
+        "no shuffle before the summary agg."
+    ),
+)
+def q61_train_val_test_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q62_sequence_packing",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS digest,
+               strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS shard
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(floor((sum(n_chars) OVER (
+                    PARTITION BY shard ORDER BY digest, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_chars) / 2000) AS BIGINT) AS batch_id
+    FROM t
+    """,
+    doc=(
+        "Deterministic sequence packing for training batches: shard by a "
+        "digest nibble (16-way), order each shard by the digest "
+        "(pseudo-random but reproducible), assign batch ids by cumulative "
+        "char budget (2000). One window shuffle on the shard key; shards "
+        "are independent, so n_shards is the parallelism knob at 100 TB. "
+        "Same corpus -> same batches across engines and reruns."
+    ),
+)
+def q62_sequence_packing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pack_sequences(
+        docs, tokens_col="n_chars", budget=2000, n_shards=16
+    ).select("doc_id", F.col("shard").cast("int").alias("shard"), "batch_id")

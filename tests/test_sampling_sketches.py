@@ -144,3 +144,49 @@ def test_per_group_sample_deterministic_k(spark):
     assert two.join(got.select("doc_id"), "doc_id", "left_anti").count() == 0
     with pytest.raises(ValueError, match="k must be"):
         per_group_sample(df, k=0, group_col="grp")
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from parseable_spark.llm.sampling import hash_split
+
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 3000  # exhaustive, one split per row
+    assert abs(counts["train"] / 3000 - 0.8) < 0.03
+    assert abs(counts["val"] / 3000 - 0.1) < 0.03
+    # stability: same assignment on recompute (leak safety)
+    a = out.select("doc_id", "split")
+    b = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "test": 0.1})
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from parseable_spark.llm.sampling import pack_sequences
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 700 + 100).alias("toks")
+    )
+    out = pack_sequences(df, tokens_col="toks", budget=1000, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 400  # no rows lost
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # every batch STARTS under budget: cum before adding the doc < budget
+    # equivalently, per (shard,batch): sum(toks) - last_doc_toks < budget
+    agg = (
+        out.groupBy("shard", "batch_id")
+        .agg(F.sum("toks").alias("s"), F.max("toks").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in agg:
+        # a batch only exceeds budget by (at most) its final document
+        assert r["s"] - r["m"] < 1000 or r["n"] == 1
+    # deterministic across recomputation
+    again = pack_sequences(df, tokens_col="toks", budget=1000, n_shards=8)
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, tokens_col="toks", budget=0)
