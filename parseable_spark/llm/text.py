@@ -239,3 +239,44 @@ def fingerprints(
         F.md5(F.substring(norm, 1, prefix_len)).alias("fp_prefix"),
         (F.length(norm) / 100).cast("bigint").alias("len_bucket"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (keyword
+    extraction — the classic search/curation signal).
+
+    tf = term count in doc; idf = ln(N / df) with df = number of docs
+    containing the term. Plan shape for 100 TB: one explode, one
+    (id, term) hash aggregate for tf, a term-level aggregate for df
+    (cardinality = vocabulary, small next to the corpus) joined back
+    BY TERM — the doc-frequency table behaves like a broadcast-able
+    dimension — then a per-doc top-k window. No driver-side vocab, no
+    collect; ties broken lexicographically for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = docs.select(id_col).distinct().count()
+    terms = docs.select(
+        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), ndigits
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -695,3 +695,43 @@ def q62_sequence_packing(spark, sf_dir):
     return sampling.pack_sequences(
         docs, tokens_col="n_chars", budget=2000, n_shards=16
     ).select("doc_id", F.col("shard").cast("int").alias("shard"), "batch_id")
+
+
+@register(
+    "q63_tfidf_keywords",
+    r"""
+    WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    doc=(
+        "TF-IDF keyword extraction: top-3 characteristic terms per doc. "
+        "tf from one (doc, term) hash aggregate; the doc-frequency table "
+        "is vocabulary-sized (small vs the corpus) and broadcast back; "
+        "per-doc top-k window with lexicographic tie-break. No driver-side "
+        "vocabulary, no collect."
+    ),
+)
+def q63_tfidf_keywords(spark, sf_dir):
+    return text.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=3, ndigits=4
+    )

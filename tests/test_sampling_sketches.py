@@ -190,3 +190,28 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert out.exceptAll(again).count() == 0
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, tokens_col="toks", budget=0)
+
+
+def test_tfidf_top_terms_values(spark):
+    import math
+
+    from parseable_spark.llm.text import tfidf_top_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),   # apple distinctive (tf=2, df=1)
+            (2, "banana cherry cherry"),
+            (3, "banana date"),          # banana in all 3 -> idf = ln(1) = 0
+        ],
+    )
+    out = tfidf_top_terms(df, k=2, ndigits=4)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    top1 = rows[(1, 1)]
+    assert top1["term"] == "apple"
+    assert top1["tfidf"] == pytest.approx(round(2 * math.log(3 / 1), 4))
+    # banana appears in every doc -> tfidf 0, ranks below real keywords
+    assert rows[(1, 2)]["term"] == "banana" and rows[(1, 2)]["tfidf"] == 0.0
+    assert rows[(2, 1)]["term"] == "cherry"
+    assert rows[(3, 1)]["term"] == "date"
+    assert all(r["rank"] <= 2 for r in rows.values())

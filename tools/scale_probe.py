@@ -71,9 +71,15 @@ def replicate(spark, out_dir: str, n: int) -> None:
                     "ts", F.timestamp_add("SECOND", F.lit(i * span), F.col("ts"))
                 )
             if t == "documents" and i > 0:
-                # perturb content so near-dup structure stays ~constant
-                # per replica instead of every doc gaining n exact copies
-                r = r.withColumn("text", F.concat("text", F.lit(f" r{i}")))
+                # rotate consonants per replica: changes ~every shingle,
+                # so replicas are NOT near-dups of each other and the
+                # corpus's near-dup density stays constant per replica
+                # (a trailing-suffix perturbation left replicas colliding
+                # in LSH buckets → quadratic candidate growth, an
+                # artifact, not a plan property)
+                src = "bcdfghklmnprstvw"
+                dst = src[i % len(src):] + src[: i % len(src)]
+                r = r.withColumn("text", F.translate("text", src, dst))
             parts.append(r)
         whole = parts[0]
         for p in parts[1:]:
