@@ -280,3 +280,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks (window W,
+    stride S) — the standard pre-embedding / RAG chunker. Chunk c
+    covers word positions [c*S, c*S+W-1]; every chunk start below the
+    doc length is emitted, the last chunks truncate at the end.
+
+    Distributed shape: posexplode words once, then each word emits the
+    ids of the chunks covering it (a ≤⌈W/S⌉-element sequence — constant
+    fan-out), and chunks reassemble in ONE hash aggregate via
+    sort_array(collect_list(struct(pos, w))). No chunk ever carries the
+    whole document array through the explode (the naive slice-of-array
+    approach ships O(doc²/S) bytes per doc), so chunking 100 TB is one
+    shuffle keyed on (doc, chunk) with bounded row width.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    first_chunk = F.floor(
+        (F.greatest(F.col("pos") - window + 1, F.lit(0)) + stride - 1) / stride
+    )
+    last_chunk = F.floor(F.col("pos") / stride)
+    covering = words.select(
+        F.col(id_col),
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        "pos",
+        "w",
+    )
+    return (
+        covering.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "n_tokens",
+            "chunk_text",
+        )
+    )

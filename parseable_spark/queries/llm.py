@@ -735,3 +735,35 @@ def q63_tfidf_keywords(spark, sf_dir):
     return text.tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), k=3, ndigits=4
     )
+
+
+@register(
+    "q64_document_chunking",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(w) / 24.0) AS BIGINT))) AS chunk_id,
+               w
+        FROM w
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_tokens,
+           array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text
+    FROM chunks
+    """,
+    doc=(
+        "Pre-embedding document chunking: overlapping word windows "
+        "(W=32, stride=24). Each word emits its covering chunk ids "
+        "(constant <=ceil(W/S) fan-out) and chunks reassemble in one "
+        "(doc, chunk) hash aggregate — no per-chunk full-array carry, "
+        "one bounded-width shuffle at 100 TB."
+    ),
+)
+def q64_document_chunking(spark, sf_dir):
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=32, stride=24
+    )

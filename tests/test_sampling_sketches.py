@@ -215,3 +215,23 @@ def test_tfidf_top_terms_values(spark):
     assert rows[(2, 1)]["term"] == "cherry"
     assert rows[(3, 1)]["term"] == "date"
     assert all(r["rank"] <= 2 for r in rows.values())
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from parseable_spark.llm.text import chunk_documents
+
+    df = _docs(spark, [(1, "w0 w1 w2 w3 w4 w5 w6"), (2, "a b")])
+    out = chunk_documents(df, window=4, stride=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,2,4,6 (every start < 7 words), truncated tails
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"  # overlap of 2
+    assert rows[(1, 2)]["chunk_text"] == "w4 w5 w6"
+    assert rows[(1, 3)]["chunk_text"] == "w6"
+    assert rows[(1, 2)]["n_tokens"] == 3
+    # doc 2 shorter than one window: single chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert len([k for k in rows if k[0] == 2]) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window and stride"):
+        chunk_documents(df, window=0, stride=2)
