@@ -99,18 +99,27 @@ def q20_alert_eval(spark, sf_dir):
     "q21_field_stats_topk",
     """
     WITH u AS (
-        SELECT 'event_type' AS field_name, CAST(event_type AS VARCHAR) AS field_value,
-               CAST(count(*) AS BIGINT) AS cnt,
-               ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(event_type AS VARCHAR) ASC) AS rn
-        FROM events GROUP BY CAST(event_type AS VARCHAR)
+        SELECT * FROM (
+            SELECT 'event_type' AS field_name, CAST(event_type AS VARCHAR) AS field_value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 2
+            ORDER BY cnt DESC, field_value ASC LIMIT 5
+        )
         UNION ALL
-        SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(count(*) AS BIGINT),
-               ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC)
-        FROM events GROUP BY CAST(user_id AS VARCHAR)
+        SELECT * FROM (
+            SELECT 'user_id' AS field_name, CAST(user_id AS VARCHAR) AS field_value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 2
+            ORDER BY cnt DESC, field_value ASC LIMIT 5
+        )
     )
-    SELECT field_name, field_value, cnt, rn FROM u WHERE rn <= 5
+    SELECT field_name, field_value, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY field_name
+               ORDER BY cnt DESC, field_value ASC) AS rn
+    FROM u
     """,
-    doc="Field-stats top-K per field w/ ROW_NUMBER (reference src/storage/field_stats.rs:991-1100).",
+    doc="Field-stats top-K per field: deterministic ORDER BY+LIMIT (TakeOrderedAndProject) then rank over the <=k survivors (reference src/storage/field_stats.rs:991-1100).",
 )
 def q21_field_stats_topk(spark, sf_dir):
     eng = _engine(spark, sf_dir)

@@ -18,20 +18,40 @@ def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
     on Spark SQL and any ANSI engine — values cast to string so
     heterogeneous field types union cleanly (reference stores them as
     distinct_value strings in the pstats stream).
+
+    Scale note: the top-K is taken with a deterministic ORDER BY + LIMIT
+    in the inner query — Spark compiles that to TakeOrderedAndProject
+    (parallel partial top-K per partition, merged on the driver), so no
+    stage ever sees more than k rows per field. The ROW_NUMBER window
+    runs over only the <=k survivors, PARTITION BY field_name, which
+    avoids the single-partition global window the naive rank-then-filter
+    formulation produces (reference build_stats_sql, field_stats.rs:991-
+    1100, is rank-then-filter — correct there because its engine sorts
+    locally; on Spark that plan moves every distinct value to one task).
     """
     parts = []
     for f in fields:
         parts.append(
             f"""
             SELECT '{f}' AS field_name, CAST({f} AS STRING) AS field_value,
-                   CAST(count(*) AS BIGINT) AS cnt,
-                   ROW_NUMBER() OVER (ORDER BY count(*) DESC, CAST({f} AS STRING) ASC) AS rn
+                   CAST(count(*) AS BIGINT) AS cnt
             FROM {stream}
             GROUP BY CAST({f} AS STRING)
+            ORDER BY cnt DESC, field_value ASC
+            LIMIT {k}
             """
         )
     union = " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
-    return f"SELECT field_name, field_value, cnt, rn FROM ({union}) WHERE rn <= {k}"
+    # The window runs AFTER the union so field_name is a genuinely varying
+    # column: a per-branch `PARTITION BY '<literal>'` would be constant-
+    # folded away by Catalyst, silently reverting to a global window.
+    return f"""
+        SELECT field_name, field_value, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY field_name
+                   ORDER BY cnt DESC, field_value ASC) AS rn
+        FROM ({union})
+    """
 
 
 def field_cardinality_sql(stream: str, fields: list[str]) -> str:

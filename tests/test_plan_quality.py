@@ -82,6 +82,28 @@ def test_column_pruning_projects_only_needed(spark):
     )
 
 
+# Queries allowed a global (unpartitioned) window: q36's is an unordered
+# count over ONE trace's spans (UI-bounded input, VERDICT r1 §wrong-4).
+GLOBAL_WINDOW_OK = {"q36_trace_hierarchy"}
+
+_SORTED_GLOBAL_WINDOW = __import__("re").compile(
+    r"windowspecdefinition\([^,()]*#\d+L? (?:ASC|DESC) NULLS"
+)
+
+
+@pytest.mark.parametrize("name", [n for n, _ in SPECS])
+def test_no_unpartitioned_sorted_window(name, spark):
+    """A sorted window with no PARTITION BY moves every row to a single
+    task (WindowExec 'No Partition Defined') — the r1 q21 defect. The
+    formatted plan shows it as windowspecdefinition(<order-key> ASC|DESC
+    ...) with no leading partition attribute."""
+    if name in GLOBAL_WINDOW_OK:
+        pytest.skip("bounded-input global window, explicitly allowed")
+    plan = _plan(spark, name)
+    hits = _SORTED_GLOBAL_WINDOW.findall(plan)
+    assert not hits, f"{name} has a single-partition sorted window: {hits}"
+
+
 def test_no_cartesian_over_large_inputs(spark):
     """Cross joins appear only against broadcast-sized sides (the IVF
     codebook, the ANN query vector) — never shuffle cartesians."""
