@@ -96,13 +96,30 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
-    One shuffle on band hash; no all-pairs join. Scale: band-hash key
-    cardinality grows with corpus size, so partitions stay balanced;
-    pathological bands (giant buckets) would be salted/capped in a
-    production tier.
+    One shuffle on band hash; no all-pairs join. Band-hash key
+    cardinality grows with corpus size, so partitions stay balanced —
+    EXCEPT when the corpus is duplicate-dense: a band bucket holding all
+    s copies of a flooded document emits s(s-1)/2 pairs from one task
+    (quadratic output AND single-task skew; SCALE.md's high-duplicate
+    probe measured ratio 8.66 at x16 from exactly this).
+
+    The guard: buckets with more than `bucket_cap` members switch from
+    the full pair join to a star topology — every member pairs with the
+    bucket's min-id representative only. That bounds a bucket's output
+    at s-1 pairs (linear), keeps the work a broadcast-join map pass, and
+    preserves what downstream needs: connectivity for
+    connected_components (the star spans the whole bucket, so the
+    cluster is identical), and verifiability for jaccard_verify (each
+    member is still checked against a true near-duplicate). Trade-off:
+    within a giant bucket, member↔member pairs other than via the rep
+    are not emitted — for dedup that is immaterial (giant buckets are
+    duplicate floods by construction; transitivity through the rep
+    recovers the cluster). Deterministic (min-id rep, no RNG), so the
+    output is stable run-to-run at any cap.
     """
     num_bands = num_hashes // rows_per_band
     sig = minhash_signatures(
@@ -120,22 +137,34 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select(id_col, "b.band_idx", "b.band_hash")
+    from pyspark.sql.window import Window
+
+    # Bucket size via an unordered partitioned window — same shuffle key
+    # as the self-join below, so AQE lines the exchanges up.
+    sized = melted.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    )
     # materialize the signature table: the self-join would otherwise
     # recompute the whole shingle→minhash DAG once per join branch (at
     # warehouse scale this is a persisted signatures table).
-    melted = melted.persist()
-    a = melted.alias("a")
-    b = melted.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    sized = sized.persist()
+    small = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    giant = sized.filter(F.col("bsz") > bucket_cap).drop("bsz")
+    reps = giant.groupBy("band_idx", "band_hash").agg(F.min(id_col).alias("rep"))
+    pairs_giant = (
+        giant.join(reps, ["band_idx", "band_hash"])
+        .filter(F.col(id_col) > F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
+    return pairs_small.union(pairs_giant).distinct()
 
 
 def jaccard_verify(

@@ -1,0 +1,74 @@
+"""LSH giant-bucket guard: duplicate floods must not emit quadratic pairs.
+
+A band bucket holding all s copies of a flooded document would emit
+s(s-1)/2 candidate pairs from one task. With the guard, buckets past
+`bucket_cap` switch to star pairs through the min-id representative:
+s-1 pairs, cluster connectivity preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parseable_spark.llm.dedup import connected_components, minhash_lsh_candidates
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+FLOOD = "the same spam document repeated over and over in the crawl"
+N_FLOOD = 1000
+
+
+def _flooded(spark):
+    rows = [(i, FLOOD) for i in range(N_FLOOD)]
+    rows += [
+        (10_000, "a completely different document about distributed joins"),
+        (10_001, "yet another unrelated text concerning window functions"),
+    ]
+    return _docs(spark, rows)
+
+
+def test_giant_bucket_emits_linear_not_quadratic(spark):
+    cands = minhash_lsh_candidates(_flooded(spark), bucket_cap=64)
+    n = cands.count()
+    # star topology: 999 pairs for the flood (identical docs share all
+    # band buckets, so every band yields the same star), not ~499 500.
+    assert n == N_FLOOD - 1, f"expected {N_FLOOD - 1} star pairs, got {n}"
+    # every flood member is reachable from the representative
+    rep = cands.agg(F.min("id_a")).collect()[0][0]
+    assert rep == 0
+    members = {r["id_b"] for r in cands.filter(F.col("id_a") == rep).collect()}
+    assert members == set(range(1, N_FLOOD))
+
+
+def test_guard_preserves_cluster_connectivity(spark):
+    cands = minhash_lsh_candidates(_flooded(spark), bucket_cap=64)
+    labels = connected_components(cands)
+    clusters = (
+        labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert {(r["cluster_id"], r["n"]) for r in clusters} == {(0, N_FLOOD)}
+
+
+def test_cap_is_inert_below_threshold(spark):
+    """On a corpus with no giant buckets, the guarded plan returns
+    exactly the uncapped candidate set (the oracle-checked semantics)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "totally disjoint words appear here instead"),
+        (5, "more disjoint vocabulary in this final document"),
+    ]
+    docs = _docs(spark, rows)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, bucket_cap=64).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, bucket_cap=10**9).collect()
+    }
+    assert capped == uncapped and capped
