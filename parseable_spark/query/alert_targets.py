@@ -1,0 +1,358 @@
+"""Alert notification targets — slack / webhook / alertmanager dispatch
+with the reference's timeout + repeat state machine.
+
+Reference: src/alerts/target.rs. Semantics reproduced:
+
+- ``Target.call`` (target.rs:275-314): on Triggered, send once and
+  enter a timeout window (``timed_out=True, awaiting_resolve=True``)
+  during which a repeat task re-sends every ``interval`` while the
+  alert stays Triggered; on NotTriggered (resolve), send immediately
+  unless inside the timeout window, where only the FIRST resolve is
+  delivered (``awaiting_resolve`` gate, target.rs:296-309); Disabled
+  sends nothing.
+- Repeat policy (target.rs:152-164, 354-395): finite ``times`` (the
+  first send consumes one, the repeat task runs ``times-1`` sleeps) or
+  infinite; alertmanager targets default to infinite
+  (target.rs:441-444), others to once.
+- Payload shapes (target.rs:495-656): slack ``{"text": ...}``; webhook
+  raw message body + configured headers; alertmanager a one-element
+  alert list with labels/annotations, ``endsAt`` stamped on resolve,
+  and optional basic auth.
+- ``mask()`` (target.rs:222-273): listing a target never reveals the
+  endpoint, header values, or password.
+- Registry (target.rs:57-150): update/list/get/delete, where delete
+  refuses while any alert references the target.
+
+Transport is pluggable: the default posts JSON over HTTP with stdlib
+urllib (delivery failures are logged, never raised — a dead webhook
+must not take down evaluation, target.rs:532), tests inject a recorder.
+Intervals are seconds (the reference uses minutes) so repeat behavior
+is testable; wire real configs with ``interval_s=minutes*60``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import threading
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable, Protocol
+
+from .alerts import Alert, AlertState
+
+log = logging.getLogger(__name__)
+
+INFINITE = None  # Retry::Infinite
+
+
+@dataclass
+class NotificationConfig:
+    """target.rs:658-675 — repeat interval + total send budget."""
+
+    interval_s: float = 60.0
+    times: int | None = 1  # None = Retry::Infinite
+
+
+@dataclass
+class TimeoutState:
+    """target.rs:677-682."""
+
+    alert_state: AlertState = AlertState.NOT_TRIGGERED
+    timed_out: bool = False
+    awaiting_resolve: bool = False
+
+
+class Transport(Protocol):
+    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None: ...
+
+
+class HttpTransport:
+    """POST over stdlib urllib; failures logged, never raised."""
+
+    def __init__(self, timeout_s: float = 10.0) -> None:
+        self.timeout_s = timeout_s
+
+    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=self.timeout_s).read()
+        except Exception as e:  # noqa: BLE001 — delivery must never raise
+            log.error("couldn't make call to %s: %s", url, e)
+
+
+class RecordingTransport:
+    """Test transport: records (url, decoded body, headers, monotonic time)."""
+
+    def __init__(self) -> None:
+        import time
+
+        self._clock = time.monotonic
+        self.calls: list[dict[str, Any]] = []
+        self._lock = threading.Lock()
+
+    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None:
+        with self._lock:
+            self.calls.append(
+                {
+                    "url": url,
+                    "body": body.decode("utf-8", "replace"),
+                    "headers": dict(headers),
+                    "at": self._clock(),
+                }
+            )
+
+
+@dataclass
+class Context:
+    """alert_structs.rs Context analog — what a notification carries."""
+
+    alert_id: str
+    alert_name: str
+    message: str
+    alert_state: AlertState
+
+    def resolved_string(self) -> str:
+        return f"{self.alert_name} is now resolved"
+
+    def disabled_string(self) -> str:
+        return f"{self.alert_name} is now disabled"
+
+
+class NotificationTarget:
+    """Base target: the call/timeout/repeat state machine; subclasses
+    provide the wire payload."""
+
+    kind = "webhook"
+
+    def __init__(
+        self,
+        name: str,
+        endpoint: str,
+        notification: NotificationConfig | None = None,
+        transport: Transport | None = None,
+        target_id: str | None = None,
+    ) -> None:
+        self.name = name
+        self.endpoint = endpoint
+        self.notification = notification or NotificationConfig()
+        self.transport = transport or HttpTransport()
+        self.id = target_id or uuid.uuid4().hex
+        self.state = TimeoutState()
+        self._lock = threading.Lock()
+        self._repeat_thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # -- wire format (subclass responsibility) ------------------------------
+    def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
+        raise NotImplementedError
+
+    def _send(self, ctx: Context) -> None:
+        body, headers = self.payload(ctx)
+        self.transport.post(self.endpoint, body, headers)
+
+    # -- state machine (target.rs:275-314) ----------------------------------
+    def call(self, ctx: Context, get_state: Callable[[], AlertState] | None = None) -> None:
+        """Dispatch honoring the timeout window. ``get_state`` is polled
+        by the repeat task to decide whether the alert is still firing
+        (the reference fetches live state from the alert manager,
+        target.rs:354-386); defaults to the context's state frozen at
+        call time."""
+        get_state = get_state or (lambda: ctx.alert_state)
+        with self._lock:
+            self.state.alert_state = ctx.alert_state
+            if ctx.alert_state is AlertState.TRIGGERED:
+                if not self.state.timed_out:
+                    self._send(ctx)
+                    self.state.timed_out = True
+                    self.state.awaiting_resolve = True
+                    self._spawn_repeat_task(ctx, get_state)
+            elif ctx.alert_state is AlertState.NOT_TRIGGERED:
+                if self.state.timed_out:
+                    if self.state.awaiting_resolve:
+                        self.state.awaiting_resolve = False
+                    else:
+                        return  # further resolves suppressed in-window
+                self._send(ctx)
+            # Disabled: no notification (an eval should not have run)
+
+    def _spawn_repeat_task(
+        self, ctx: Context, get_state: Callable[[], AlertState]
+    ) -> None:
+        times = self.notification.times
+        interval = self.notification.interval_s
+
+        def loop() -> None:
+            sends_left = None if times is INFINITE else max(times - 1, 0)
+            while sends_left is None or sends_left > 0:
+                if self._stop.wait(interval):
+                    break
+                with self._lock:
+                    if get_state() is AlertState.TRIGGERED:
+                        self.state.awaiting_resolve = True
+                        self._send(ctx)
+                        if sends_left is not None:
+                            sends_left -= 1
+                    else:
+                        self.state.timed_out = False
+                        break
+            with self._lock:
+                self.state = TimeoutState()
+
+        self._repeat_thread = threading.Thread(target=loop, daemon=True)
+        self._repeat_thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._repeat_thread:
+            self._repeat_thread.join(timeout=5)
+
+    # -- adapter for AlertScheduler (scheduler calls notify) ----------------
+    def notify(self, alert: Alert, state: AlertState, value: float) -> None:
+        ctx = Context(
+            alert_id=getattr(alert, "id", alert.stream),
+            alert_name=getattr(alert, "name", alert.stream),
+            message=(
+                f"alert on {alert.stream}: {alert.agg_sql()} "
+                f"{alert.threshold_op} {alert.threshold} (value={value})"
+            ),
+            alert_state=state,
+        )
+        self.call(ctx, get_state=lambda: alert.state)
+
+    def mask(self) -> dict[str, Any]:
+        scheme = self.endpoint.split("://", 1)[0]
+        return {
+            "name": self.name,
+            "type": self.kind,
+            "endpoint": f"{scheme}://********",
+            "id": self.id,
+        }
+
+
+class SlackTarget(NotificationTarget):
+    """target.rs:490-535 — ``{"text": ...}`` JSON body."""
+
+    kind = "slack"
+
+    def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
+        if ctx.alert_state is AlertState.TRIGGERED:
+            text = ctx.message
+        elif ctx.alert_state is AlertState.NOT_TRIGGERED:
+            text = ctx.resolved_string()
+        else:
+            text = ctx.disabled_string()
+        return (
+            json.dumps({"text": text}).encode(),
+            {"Content-Type": "application/json"},
+        )
+
+
+class WebhookTarget(NotificationTarget):
+    """target.rs:536-577 — raw message body + configured headers."""
+
+    kind = "webhook"
+
+    def __init__(self, *args, headers: dict[str, str] | None = None, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.headers = headers or {}
+
+    def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
+        if ctx.alert_state is AlertState.TRIGGERED:
+            body = ctx.message
+        elif ctx.alert_state is AlertState.NOT_TRIGGERED:
+            body = ctx.resolved_string()
+        else:
+            body = ctx.disabled_string()
+        return body.encode(), dict(self.headers)
+
+    def mask(self) -> dict[str, Any]:
+        out = super().mask()
+        out["headers"] = {k: "********" for k in self.headers}
+        return out
+
+
+class AlertManagerTarget(NotificationTarget):
+    """target.rs:579-656 — Alertmanager v2 alert list; infinite repeat
+    by default (target.rs:441-444); basic auth when configured."""
+
+    kind = "alertManager"
+
+    def __init__(
+        self,
+        *args,
+        auth: tuple[str, str] | None = None,
+        notification: NotificationConfig | None = None,
+        **kwargs,
+    ) -> None:
+        notification = notification or NotificationConfig(times=INFINITE)
+        super().__init__(*args, notification=notification, **kwargs)
+        self.auth = auth
+
+    def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
+        alert: dict[str, Any] = {
+            "labels": {"alertname": ctx.alert_name},
+            "annotations": {"message": ctx.message, "reason": ""},
+        }
+        if ctx.alert_state is AlertState.TRIGGERED:
+            alert["labels"]["status"] = "triggered"
+        elif ctx.alert_state is AlertState.NOT_TRIGGERED:
+            alert["labels"]["status"] = "not-triggered"
+            alert["annotations"]["reason"] = ctx.resolved_string()
+            alert["endsAt"] = (
+                datetime.now(timezone.utc).isoformat(timespec="milliseconds")
+            )
+        else:
+            alert["labels"]["status"] = "disabled"
+        headers = {"Content-Type": "application/json"}
+        if self.auth:
+            user, password = self.auth
+            headers["Authorization"] = "Basic " + base64.b64encode(
+                f"{user}:{password}".encode()
+            ).decode()
+        return json.dumps([alert]).encode(), headers
+
+    def mask(self) -> dict[str, Any]:
+        out = super().mask()
+        out["username"] = self.auth[0] if self.auth else None
+        out["password"] = "********" if self.auth else None
+        return out
+
+
+class TargetInUseError(Exception):
+    pass
+
+
+class TargetRegistry:
+    """target.rs:57-150 — CRUD with an in-use guard on delete."""
+
+    def __init__(self) -> None:
+        self._targets: dict[str, NotificationTarget] = {}
+        self._lock = threading.Lock()
+
+    def update(self, target: NotificationTarget) -> None:
+        with self._lock:
+            self._targets[target.id] = target
+
+    def get(self, target_id: str) -> NotificationTarget:
+        with self._lock:
+            if target_id not in self._targets:
+                raise KeyError(f"invalid target id {target_id}")
+            return self._targets[target_id]
+
+    def list(self) -> list[dict[str, Any]]:
+        with self._lock:
+            return [t.mask() for t in self._targets.values()]
+
+    def delete(self, target_id: str, alert_target_ids: Callable[[], list[str]] | None = None) -> NotificationTarget:
+        in_use = set(alert_target_ids()) if alert_target_ids else set()
+        with self._lock:
+            if target_id in in_use:
+                raise TargetInUseError(target_id)
+            if target_id not in self._targets:
+                raise KeyError(f"invalid target id {target_id}")
+            return self._targets.pop(target_id)
