@@ -117,6 +117,20 @@ def prepare_batch(
         ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
     ts = ts.replace(microsecond=ts.microsecond // 1000 * 1000)
     meta = p_custom_fields or {}
+    # Arbitrary custom fields become string columns on every record,
+    # never overwriting a field the stream already has (reference
+    # add_parseable_fields, src/utils/arrow/mod.rs:134-144); the fixed
+    # p_* meta fields are handled separately below.
+    extra = {
+        k: str(v)
+        for k, v in meta.items()
+        if k not in _META_FIELDS
+        and k != DEFAULT_TIMESTAMP_KEY
+        and k not in batch_schema  # data fields of THIS batch win
+        and registry.fields.get(k, sc.UTF8) == sc.UTF8  # never retype
+    }
+    if extra:
+        registry.merge({k: sc.UTF8 for k in extra})
 
     out_records = []
     for rec in records:
@@ -129,6 +143,7 @@ def prepare_batch(
         for mk in _META_FIELDS:
             if mk in meta:
                 typed[mk] = meta[mk]
+        typed.update(extra)
         out_records.append(typed)
     return PreparedBatch(records=out_records, schema=registry, is_first=is_first)
 

@@ -1,0 +1,301 @@
+"""HTTP API surface — POST /api/v1/ingest and POST /api/v1/query.
+
+Parity with the reference's primary entry points:
+
+- ``POST /api/v1/ingest`` (src/handlers/http/ingest.rs:69-110): stream
+  name from the ``x-p-stream`` header (missing → 400), body is a JSON
+  object or array of objects, stream auto-created on first event,
+  ``x-p-meta-*`` headers become custom fields on every record
+  (src/event/format/mod.rs p_custom_fields). OTel sources are rejected
+  on this endpoint (ingest.rs:100-110) — they have dedicated paths.
+- ``POST /api/v1/query`` (src/handlers/http/query.rs:63-77, 590-619):
+  body ``{"query", "startTime", "endTime", "sendNull", "streaming"}``
+  with ``fields``/``sendNull``/``streaming`` also accepted as query
+  params; humantime ranges ("10m", "now", RFC3339) parsed the same way
+  TimeRange does; empty query/startTime/endTime → 400
+  (query.rs:619-631). Response is a JSON row array, ``{"fields": [...],
+  "records": [...]}`` when fields=true, or chunked NDJSON when
+  streaming=true (one object per line, partitions streamed through the
+  driver — no full materialization). Wall time is returned in the
+  ``p-time-elapsed`` header (query.rs TIME_ELAPSED_HEADER).
+- ``GET /api/v1/liveness`` / ``readiness`` (src/handlers/http/health_check.rs).
+- Optional basic auth (reference defaults admin/admin; here pass
+  ``auth=("user", "pw")`` or None for open access).
+
+The server is stdlib ``http.server`` on purpose: the engine work —
+schema evolution, staging union, time-filter injection, NDJSON
+serialization — already lives in StreamStore/QueryEngine/response;
+this layer only routes. A single lock serializes query execution
+because QueryEngine.query swaps temp views while injecting time
+filters (ingest only appends to per-stream staging, also guarded).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Iterator
+from urllib.parse import parse_qs, urlparse
+
+from .ingest.events import DEFAULT_TIMESTAMP_KEY, StreamConfig
+from .query.engine import QueryEngine
+from .query.response import ndjson_lines, query_response
+from .storage.store import StreamStore
+
+TIME_ELAPSED_HEADER = "p-time-elapsed"  # query.rs:61
+STREAM_NAME_HEADER = "x-p-stream"  # handlers/mod.rs:29
+LOG_SOURCE_HEADER = "x-p-log-source"  # handlers/mod.rs:30
+EXTRACT_LOG_HEADER = "x-p-extract-log"
+# custom-field extraction rules (ingest_utils.rs:53-55, 408-445): any
+# x-p-* header except the control headers becomes a string column named
+# after the header minus the x-p- prefix; at most 10 custom fields,
+# values truncated to 100 chars
+CUSTOM_FIELD_PREFIX = "x-p-"
+IGNORE_HEADERS = {STREAM_NAME_HEADER, LOG_SOURCE_HEADER, EXTRACT_LOG_HEADER}
+MAX_CUSTOM_FIELDS = 10
+MAX_FIELD_VALUE_LENGTH = 100
+OTEL_LOG_SOURCES = {"otel-logs", "otel-metrics", "otel-traces"}
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str) -> None:
+        super().__init__(message)
+        self.status = status
+
+
+class ParseableAPI:
+    """Engine facade the HTTP handler routes into (also usable
+    directly, e.g. from tests or a WSGI adapter)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        time_col: str = DEFAULT_TIMESTAMP_KEY,
+        auth: tuple[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.time_col = time_col
+        self.auth = auth
+        self.engine = QueryEngine(spark, time_col=time_col)
+        self._stores: dict[str, StreamStore] = {}
+        self._lock = threading.Lock()
+
+    # -- streams ------------------------------------------------------------
+    def get_or_create_stream(self, name: str) -> StreamStore:
+        with self._lock:
+            if name not in self._stores:
+                self._stores[name] = StreamStore(
+                    self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+                )
+            return self._stores[name]
+
+    # -- ingest (ingest.rs:69-110) ------------------------------------------
+    def ingest(
+        self, stream_name: str, body: Any, custom_fields: dict[str, str] | None = None
+    ) -> int:
+        if not stream_name:
+            raise ApiError(400, "missing x-p-stream header")
+        if not isinstance(body, (dict, list)):
+            raise ApiError(400, "body must be a JSON object or array of objects")
+        store = self.get_or_create_stream(stream_name)
+        with self._lock:
+            return store.ingest(body, p_custom_fields=custom_fields or None)
+
+    # -- query (query.rs:63-77, 590-631) ------------------------------------
+    def _query_df(self, payload: dict[str, Any]):
+        sql = (payload.get("query") or "").strip()
+        start = payload.get("startTime") or ""
+        end = payload.get("endTime") or ""
+        if not sql:
+            raise ApiError(400, "empty query")
+        if not start:
+            raise ApiError(400, "empty startTime")
+        if not end:
+            raise ApiError(400, "empty endTime")
+        # register the current scan (staging ∪ parquet) of every stream
+        for name, store in self._stores.items():
+            self.engine.register_stream(name, store.scan(), time_col=store.time_col)
+        try:
+            return self.engine.query(sql, start, end)
+        except ValueError as e:  # bad time range / rejected SQL
+            raise ApiError(400, str(e)) from e
+
+    def query(self, payload: dict[str, Any]) -> dict | list:
+        """Batch response body (fields/sendNull honored)."""
+        with self._lock:
+            df = self._query_df(payload)
+            try:
+                return query_response(
+                    df,
+                    fields=bool(payload.get("fields")),
+                    send_null=bool(payload.get("sendNull")),
+                )
+            except Exception as e:  # Spark analysis errors → client error
+                raise ApiError(400, str(e).split("\n")[0]) from e
+
+    def query_ndjson(self, payload: dict[str, Any]) -> Iterator[str]:
+        """Streaming NDJSON lines. Validation and planning run eagerly
+        (so a 400 surfaces BEFORE the handler commits to a 200 chunked
+        response); the lock is held until the stream is drained — one
+        writer at a time over the shared temp views."""
+        self._lock.acquire()
+        try:
+            df = self._query_df(payload)
+        except BaseException:
+            self._lock.release()
+            raise
+
+        def gen() -> Iterator[str]:
+            try:
+                yield from ndjson_lines(df, send_null=bool(payload.get("sendNull")))
+            finally:
+                self._lock.release()
+
+        return gen()
+
+    # -- auth ----------------------------------------------------------------
+    def check_auth(self, header: str | None) -> bool:
+        if self.auth is None:
+            return True
+        if not header or not header.startswith("Basic "):
+            return False
+        try:
+            user, _, pw = (
+                base64.b64decode(header[6:]).decode("utf-8").partition(":")
+            )
+        except Exception:
+            return False
+        return (user, pw) == self.auth
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    api: ParseableAPI  # set by make_server
+
+    def log_message(self, *args) -> None:  # quiet test output
+        pass
+
+    # -- helpers -------------------------------------------------------------
+    def _json_body(self) -> Any:
+        length = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(length) if length else b""
+        if not raw:
+            return None
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise ApiError(400, f"invalid JSON body: {e}") from e
+
+    def _respond_json(self, status: int, obj: Any, extra: dict[str, str] | None = None) -> None:
+        body = json.dumps(obj, separators=(",", ":")).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _respond_chunked(self, lines: Iterator[str], extra: dict[str, str]) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        for k, v in extra.items():
+            self.send_header(k, v)
+        self.end_headers()
+        for line in lines:
+            chunk = line.encode()
+            self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
+    def _authorized(self) -> bool:
+        if self.api.check_auth(self.headers.get("Authorization")):
+            return True
+        self._respond_json(401, {"error": "unauthorized"})
+        return False
+
+    # -- routes --------------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        path = urlparse(self.path).path
+        if path in ("/api/v1/liveness", "/api/v1/readiness"):
+            self._respond_json(200, {"status": "ok"})
+        else:
+            self._respond_json(404, {"error": f"no route {path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        parsed = urlparse(self.path)
+        try:
+            if not self._authorized():
+                return
+            if parsed.path == "/api/v1/ingest":
+                self._handle_ingest()
+            elif parsed.path == "/api/v1/query":
+                self._handle_query(parse_qs(parsed.query))
+            else:
+                self._respond_json(404, {"error": f"no route {parsed.path}"})
+        except ApiError as e:
+            self._respond_json(e.status, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — last-resort 500
+            self._respond_json(500, {"error": str(e).split(chr(10))[0]})
+
+    def _handle_ingest(self) -> None:
+        stream = self.headers.get(STREAM_NAME_HEADER, "")
+        log_source = (self.headers.get(LOG_SOURCE_HEADER) or "").lower()
+        if log_source in OTEL_LOG_SOURCES:
+            raise ApiError(
+                400, "OTEL log sources are not supported on /api/v1/ingest"
+            )
+        custom: dict[str, str] = {
+            "p_user_agent": self.headers.get("User-Agent", ""),
+            "p_src_ip": self.client_address[0],
+        }
+        for k, v in self.headers.items():
+            if len(custom) >= MAX_CUSTOM_FIELDS:
+                break
+            lk = k.lower()
+            if lk.startswith(CUSTOM_FIELD_PREFIX) and lk not in IGNORE_HEADERS:
+                key = lk[len(CUSTOM_FIELD_PREFIX):]
+                if key:
+                    custom[key] = v[:MAX_FIELD_VALUE_LENGTH]
+        n = self.api.ingest(stream, self._json_body(), custom)
+        self._respond_json(200, {"status": "ok", "records": n})
+
+    def _handle_query(self, params: dict[str, list[str]]) -> None:
+        payload = self._json_body()
+        if not isinstance(payload, dict):
+            raise ApiError(400, "body must be a JSON object")
+        # query params override/augment body flags (query.rs:591-619)
+        for flag in ("fields", "sendNull", "streaming"):
+            if flag in params and not payload.get(flag):
+                payload[flag] = params[flag][0].lower() == "true"
+        t0 = time.perf_counter()
+        if payload.get("streaming"):
+            lines = self.api.query_ndjson(payload)
+            self._respond_chunked(
+                lines, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
+            )
+        else:
+            out = self.api.query(payload)
+            self._respond_json(
+                200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
+            )
+
+
+def make_server(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Bind a threaded HTTP server (port=0 → ephemeral). Call
+    ``serve_forever`` on a thread; ``shutdown()`` to stop."""
+    handler = type("Handler", (_Handler,), {"api": api})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0):
+    """Start the server on a daemon thread; returns (server, base_url)."""
+    srv = make_server(api, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"
