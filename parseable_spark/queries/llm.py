@@ -289,15 +289,35 @@ def q34_fingerprints(spark, sf_dir):
 
 @register(
     "q35_multimodal_features",
-    None,  # Python decode kernel — not SQL-expressible; rows-only check
-    doc="Multimodal plumbing: binary payload column → Arrow-batched mapInPandas feature extraction (decode kernel stubbed — no codecs in container).",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 31 + 1 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 23 + 1 END AS height,
+           CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(7 * doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_g,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(13 * doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_b,
+           CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN (doc_id % 50 + 1) * 80 END AS n_samples,
+           CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 100) * 300 + 100 AS DOUBLE) END AS rms,
+           CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 100) * 300 + 100 AS DOUBLE) END AS peak,
+           CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 + 2 END AS n_frames
+    FROM documents
+    """,
+    doc=(
+        "Multimodal feature extraction with REAL pure-Python decoders: "
+        "24bpp BMP (struct header + numpy pixel means), 16-bit PCM WAV "
+        "(RIFF chunk walk, RMS/peak), concatenated-BMP video (per-frame "
+        "parse). Payloads are synthesized so ground truth is analytic in "
+        "doc_id — the oracle verifies the decoded VALUES. Arrow-batched "
+        "mapInPandas; swap the kernel for PIL/ffmpeg for compressed formats."
+    ),
 )
 def q35_multimodal_features(spark, sf_dir):
-    media = multimodal.synthesize_media_from_documents(
-        load_table(spark, sf_dir, "documents")
-    )
-    feats = multimodal.extract_features(media)
-    return feats.select("media_id", "media_type", "n_bytes")
+    media = multimodal.synthesize_real_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_real_features(media)
 
 
 def _duck_cos(a: str, b: str, nd: int) -> str:
@@ -343,15 +363,28 @@ def q40_ann_ivf(spark, sf_dir):
 
 @register(
     "q42_multimodal_frames",
-    None,  # cardinality-changing Python kernel — rows-only check
-    doc="Multimodal resize + frame-sample plumbing: modality-pruned mapInPandas stages (decode stubbed — no codecs in container).",
+    """
+    WITH f AS (
+        SELECT doc_id, unnest(generate_series(0, doc_id % 5 + 1)) AS i
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id, i AS frame_idx, i * 1000 AS ts_ms,
+           CAST((doc_id + 17 * i) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id + 29 * i) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + 31 * i) % 256 AS DOUBLE) AS mean_b
+    FROM f
+    """,
+    doc=(
+        "Video frame sampling with REAL per-frame decode: the "
+        "concatenated-BMP stream is split by header file-size fields, the "
+        "frame covering each sample timestamp is BMP-parsed for its pixel "
+        "means. Modality pruning keeps images/audio out of the Python "
+        "stage; oracle verifies per-frame decoded values analytically."
+    ),
 )
 def q42_multimodal_frames(spark, sf_dir):
-    media = multimodal.synthesize_media_from_documents(
-        load_table(spark, sf_dir, "documents")
-    )
-    frames = multimodal.sample_frames(media, every_ms=1000)
-    return frames.select("media_id", "frame_idx", "ts_ms")
+    media = multimodal.synthesize_real_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames_real(media, every_ms=1000)
 
 
 @register(

@@ -1,0 +1,107 @@
+"""Real multimodal codecs: BMP/WAV round-trips, malformed input, and
+the Spark decode stages (VERDICT r1 next-6)."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from parseable_spark.llm import multimodal as mm
+
+
+def test_bmp_roundtrip_exact():
+    for w, h, rgb in [(1, 1, (0, 0, 0)), (5, 3, (10, 200, 77)), (31, 23, (255, 1, 128))]:
+        d = mm.decode_bmp(mm.encode_bmp(w, h, rgb))
+        assert d == {
+            "width": w,
+            "height": h,
+            "mean_r": float(rgb[0]),
+            "mean_g": float(rgb[1]),
+            "mean_b": float(rgb[2]),
+        }
+
+
+def test_bmp_row_padding_respected():
+    # w=5 → 15 data bytes per row, padded to 16; a naive parser that
+    # ignores padding would smear channels across rows
+    payload = mm.encode_bmp(5, 4, (9, 18, 27))
+    assert (len(payload) - 54) % 4 == 0
+    assert mm.decode_bmp(payload)["mean_g"] == 18.0
+
+
+def test_wav_roundtrip_and_stdlib_cross_parse():
+    amp, n = 1234, 400
+    samples = np.where(np.arange(n) % 2 == 0, amp, -amp)
+    payload = mm.encode_wav(samples, 8000)
+    d = mm.decode_wav(payload)
+    assert d == {"sample_rate": 8000, "n_samples": n, "rms": float(amp), "peak": float(amp)}
+    # python's own wave module agrees on the container layout
+    wf = wave.open(io.BytesIO(payload))
+    assert (wf.getframerate(), wf.getnframes(), wf.getsampwidth(), wf.getnchannels()) == (
+        8000, n, 2, 1,
+    )
+
+
+def test_wav_parser_skips_unknown_chunks():
+    import struct
+
+    amp = 100
+    payload = mm.encode_wav(np.array([amp, -amp]), 16000)
+    # splice a LIST chunk between fmt and data — parsers that assume
+    # data starts at byte 36 break here
+    fmt_end = 12 + 8 + 16
+    listed = (
+        payload[:fmt_end]
+        + struct.pack("<4sI", b"LIST", 4)
+        + b"INFO"
+        + payload[fmt_end:]
+    )
+    d = mm.decode_wav(listed)
+    assert d["sample_rate"] == 16000 and d["n_samples"] == 2 and d["peak"] == float(amp)
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFX" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        mm.split_bmp_stream(b"XX" + b"\x00" * 20)
+
+
+def test_bmp_stream_split_by_header_sizes():
+    frames_in = [mm.encode_bmp(8, 6, mm._video_frame_rgb(7, i)) for i in range(4)]
+    frames_out = mm.split_bmp_stream(b"".join(frames_in))
+    assert frames_out == frames_in
+
+
+def test_extract_real_features_spark(spark):
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id bigint")
+    media = mm.synthesize_real_media(docs)
+    feats = {r["media_id"]: r for r in mm.extract_real_features(media).collect()}
+    assert len(feats) == 9
+    # doc 0: image 1x1, rgb (0,0,0)
+    assert feats[0]["media_type"] == "image" and feats[0]["width"] == 1
+    # doc 4: audio, amp = 4*300+100, n = 5*80
+    a = feats[4]
+    assert a["media_type"] == "audio"
+    assert (a["sample_rate"], a["n_samples"], a["rms"], a["peak"]) == (8000, 400, 1300.0, 1300.0)
+    # doc 5: video, n_frames = 5%5+2 = 2, first-frame mean_r = 5
+    v = feats[5]
+    assert v["media_type"] == "video" and v["n_frames"] == 2 and v["mean_r"] == 5.0
+
+
+def test_sample_frames_real_spark(spark):
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id bigint")
+    media = mm.synthesize_real_media(docs)
+    rows = mm.sample_frames_real(media, every_ms=1000).collect()
+    # video docs: 2, 5, 8 with 4, 2, 5 frames
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["media_id"], []).append(r)
+    assert {k: len(v) for k, v in per_doc.items()} == {2: 4, 5: 2, 8: 5}
+    f3 = next(r for r in per_doc[2] if r["frame_idx"] == 3)
+    assert f3["ts_ms"] == 3000 and f3["mean_r"] == float((2 + 17 * 3) % 256)
