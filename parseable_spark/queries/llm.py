@@ -389,8 +389,21 @@ def q42_multimodal_frames(spark, sf_dir):
 
 @register(
     "q49_distributed_ingest",
-    None,  # executor-side normalization pipeline — rows-only check
-    doc="Distributed ingest: two-phase mapInPandas normalization (infer+commit, then typed rows) over raw JSON lines derived from documents.",
+    """
+    SELECT CAST(doc_id AS DOUBLE) AS id,
+           lang,
+           CAST(n_chars AS DOUBLE) AS size,
+           source AS origin_name
+    FROM documents
+    """,
+    doc=(
+        "Distributed ingest: two-phase mapInPandas normalization "
+        "(infer+commit, then typed rows) over raw JSON lines derived from "
+        "documents. Value-checked: the oracle predicts the normalized "
+        "output (JSON numbers → double, nested origin.name flattened to "
+        "origin_name); tests additionally assert hash-equality with the "
+        "single-node prepare_batch path on identical input."
+    ),
 )
 def q49_distributed_ingest(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -44,6 +44,12 @@ def test_matches_driver_path(spark):
 
     dist_df = normalize_distributed(spark, raw, reg, cfg, p_timestamp=ts)
     data_cols = sorted(reg.fields)
+    # identical Spark types on every shared column (schema check)
+    driver_types = dict(driver_df.dtypes)
+    dist_types = dict(dist_df.dtypes)
+    assert {c: dist_types[c] for c in data_cols} == {
+        c: driver_types[c] for c in data_cols
+    }
     a = sorted(
         tuple(r[c] for c in data_cols) for r in driver_df.collect()
     )
@@ -51,6 +57,13 @@ def test_matches_driver_path(spark):
         tuple(r[c] for c in data_cols) for r in dist_df.collect()
     )
     assert a == b
+    # order-insensitive content hash over canonical row strings
+    import hashlib
+
+    digest = lambda rows: hashlib.sha256(  # noqa: E731
+        "\n".join(repr(r) for r in rows).encode()
+    ).hexdigest()
+    assert digest(a) == digest(b)
 
 
 def test_conflict_renaming_distributed(spark):
