@@ -73,3 +73,85 @@ def fetch(port: int, query: str, start: str | None = None, end: str | None = Non
         ticket_body["endTime"] = end
     ticket = _flight.Ticket(json.dumps(ticket_body).encode("utf-8"))
     return client.do_get(ticket).read_all()
+
+
+# --- querier → ingestor fan-out (airplane.rs:155-184) -----------------------
+
+
+def send_to_ingester(
+    start, end, now=None, window_seconds: int = 300
+) -> bool:
+    """True when the query window [start, end) touches the fresh-staging
+    window — events that live only in ingestor memory and haven't been
+    synced to the object store yet (reference send_to_ingester,
+    src/utils/arrow/flight.rs:112-160; window = STAGING_WINDOW_SECONDS,
+    stream_schema_provider.rs:936-958)."""
+    from datetime import datetime, timedelta, timezone
+
+    now = now or datetime.now(timezone.utc)
+    # normalize awareness to the range's (TimeRange yields aware UTC;
+    # tests may pass naive datetimes)
+    if end.tzinfo is not None and now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
+    elif end.tzinfo is None and now.tzinfo is not None:
+        now = now.astimezone(timezone.utc).replace(tzinfo=None)
+    return end > now - timedelta(seconds=window_seconds) and start <= now
+
+
+def fetch_fresh_events(spark, ingestor_ports, stream_name: str, start: str, end: str, schema=None):
+    """Pull `select * from "<stream>"` for the window from every
+    ingestor over Flight and return one DataFrame (None when no
+    ingestor has fresh rows). Per-ingestor failures are skipped, like
+    the reference's `if let Ok(batches)` (airplane.rs:173-177)."""
+    import pyarrow as pa
+
+    tables = []
+    for port in ingestor_ports:
+        try:
+            t = fetch(port, f'select * from {stream_name}', start, end)
+        except Exception:  # noqa: BLE001 — a dead ingestor must not fail the query
+            continue
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return None
+    merged = pa.concat_tables(tables, promote_options="default")
+    pdf = merged.to_pandas()
+    return (
+        spark.createDataFrame(pdf, schema=schema)
+        if schema is not None
+        else spark.createDataFrame(pdf)
+    )
+
+
+def querier_query(
+    engine: QueryEngine,
+    stream_name: str,
+    local_df,
+    sql: str,
+    start: str,
+    end: str,
+    ingestor_ports=(),
+    now=None,
+):
+    """Distributed querier execution (airplane.rs:155-199): when the
+    window touches the staging-fresh period, fan out to the ingestors,
+    append their fresh events to the local view as temporary events
+    (append_temporary_events, utils/arrow/flight.rs:91-110), then run
+    the SQL once over the union. Outside the fresh window this is a
+    plain local query — no RPCs."""
+    from .query.engine import TimeRange
+
+    tr = TimeRange.parse(start, end, now=now)
+    df = local_df
+    if ingestor_ports and send_to_ingester(tr.start, tr.end, now=now):
+        fresh = fetch_fresh_events(
+            engine.spark, ingestor_ports, stream_name, start, end, schema=local_df.schema
+        )
+        if fresh is not None:
+            df = local_df.unionByName(fresh, allowMissingColumns=True)
+    engine.register_stream(stream_name, df, time_col=engine.time_col)
+    try:
+        return engine.query(sql, start, end, now=now)
+    finally:
+        engine.register_stream(stream_name, local_df, time_col=engine.time_col)

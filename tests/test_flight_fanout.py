@@ -1,0 +1,120 @@
+"""Querier → ingestor Flight fan-out (VERDICT r1 next-9, stretch):
+sub-minute events staged on a second simulated ingestor process appear
+in the querier's results, merged as temporary events before execution.
+
+Reference: src/handlers/airplane.rs:155-184 (fan out `select * from
+"<stream>"` over gRPC to every ingestor, append returned batches),
+src/utils/arrow/flight.rs:91-160 (append_temporary_events +
+send_to_ingester hot-window gate).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from parseable_spark.flight import querier_query, send_to_ingester, serve
+from parseable_spark.ingest.events import StreamConfig
+from parseable_spark.query.engine import QueryEngine
+from parseable_spark.storage.store import StreamStore
+
+pytest.importorskip("pyarrow.flight")
+
+NOW = datetime(2026, 8, 13, 12, 0, 30)
+
+
+def _utc(dt: datetime) -> datetime:
+    return dt.replace(tzinfo=timezone.utc)
+
+
+def test_send_to_ingester_gate():
+    now = _utc(NOW)
+    # window ending inside the staging-fresh period → fan out
+    assert send_to_ingester(now - timedelta(hours=1), now, now=now)
+    # window entirely in the past (beyond the 300 s staging window) → local only
+    assert not send_to_ingester(
+        now - timedelta(hours=2), now - timedelta(minutes=30), now=now
+    )
+    # naive/aware mixing is normalized
+    assert send_to_ingester(NOW - timedelta(minutes=5), NOW, now=now)
+
+
+def test_fresh_ingestor_events_appear_in_querier_results(spark, tmp_path):
+    # --- ingestor process B: staged-only (unflushed) sub-minute events
+    store_b = StreamStore(spark, str(tmp_path / "b"), StreamConfig(name="applogs"))
+    store_b.ingest(
+        [
+            {"level": "error", "msg": "fresh-on-B-1"},
+            {"level": "info", "msg": "fresh-on-B-2"},
+        ],
+        p_timestamp=NOW - timedelta(seconds=20),
+    )
+    engine_b = QueryEngine(spark, time_col="p_timestamp")
+    engine_b.register_stream("applogs", store_b.scan(now=NOW), time_col="p_timestamp")
+    server_b = serve(engine_b)
+
+    # --- querier process A: its own store with older, flushed data
+    store_a = StreamStore(spark, str(tmp_path / "a"), StreamConfig(name="applogs"))
+    store_a.ingest(
+        [{"level": "info", "msg": "old-on-A"}],
+        p_timestamp=NOW - timedelta(minutes=30),
+    )
+    store_a.flush()
+    engine_a = QueryEngine(spark, time_col="p_timestamp")
+    local = store_a.scan(now=NOW)
+
+    start = (NOW - timedelta(hours=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    end = (NOW + timedelta(minutes=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    try:
+        # without fan-out: only A's local rows
+        rows = querier_query(
+            engine_a, "applogs", local,
+            "SELECT msg FROM applogs ORDER BY msg", start, end, now=NOW,
+        ).collect()
+        assert [r["msg"] for r in rows] == ["old-on-A"]
+
+        # with fan-out: B's staged events merge in as temporary events
+        rows = querier_query(
+            engine_a, "applogs", local,
+            "SELECT msg FROM applogs ORDER BY msg", start, end,
+            ingestor_ports=[server_b.port], now=NOW,
+        ).collect()
+        assert [r["msg"] for r in rows] == ["fresh-on-B-1", "fresh-on-B-2", "old-on-A"]
+
+        # aggregates see the union too
+        agg = querier_query(
+            engine_a, "applogs", local,
+            "SELECT level, count(*) AS cnt FROM applogs GROUP BY level ORDER BY level",
+            start, end, ingestor_ports=[server_b.port], now=NOW,
+        ).collect()
+        assert [(r["level"], r["cnt"]) for r in agg] == [("error", 1), ("info", 2)]
+
+        # a dead ingestor in the pool is skipped, not fatal (airplane.rs:173-177)
+        rows = querier_query(
+            engine_a, "applogs", local,
+            "SELECT count(*) AS n FROM applogs", start, end,
+            ingestor_ports=[1, server_b.port], now=NOW,
+        ).collect()
+        assert rows[0]["n"] == 3
+    finally:
+        server_b.shutdown()
+
+
+def test_past_window_skips_rpc_entirely(spark, tmp_path):
+    """Outside the staging-fresh window the querier never contacts the
+    ingestors (ports list can even be bogus — no RPC is attempted)."""
+    store = StreamStore(spark, str(tmp_path / "q"), StreamConfig(name="s2"))
+    store.ingest([{"k": "v"}], p_timestamp=NOW - timedelta(hours=3))
+    store.flush()
+    engine = QueryEngine(spark, time_col="p_timestamp")
+    local = store.scan(now=NOW)
+    start = (NOW - timedelta(hours=4)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    end = (NOW - timedelta(hours=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    rows = querier_query(
+        engine, "s2", local, "SELECT count(*) AS n FROM s2", start, end,
+        ingestor_ports=[1],  # nothing listens here; must not matter
+        now=NOW,
+    ).collect()
+    assert rows[0]["n"] == 1
