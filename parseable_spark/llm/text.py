@@ -337,3 +337,104 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+# --- PII detection / redaction ---------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def plant_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministically plant a contact line on every 4th document
+    (email + IPv4 + phone derived from the id) — the analytic-oracle
+    pattern: the corpus is synthetic word-salad with no natural PII, so
+    detection/redaction is verified against planted ground truth and
+    zero false positives on the clean remainder."""
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col(id_col).cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col(id_col) % 256).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0"),
+    )
+    return docs.withColumn(
+        text_col,
+        F.when(F.col(id_col) % 4 == 0, F.concat(F.col(text_col), suffix)).otherwise(
+            F.col(text_col)
+        ),
+    )
+
+
+def pii_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII scan + redaction: counts per category, the
+    redacted text, and a residual count over the redacted text (must be
+    0 — redaction is verified, not assumed). Pure column expressions
+    (regexp_count / regexp_replace are codegen'd JVM ops — no Python in
+    the scan path at any scale)."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+    residual = (
+        F.regexp_count(F.col("redacted"), F.lit(EMAIL_RE))
+        + F.regexp_count(F.col("redacted"), F.lit(IPV4_RE))
+        + F.regexp_count(F.col("redacted"), F.lit(PHONE_RE))
+    )
+    return out.select(
+        id_col,
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        residual.cast("bigint").alias("n_pii_after_redact"),
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+    )
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style signal): average log
+    unigram frequency of a document's words under the corpus's own
+    distribution — low scores flag gibberish / OOV-heavy documents.
+
+    Scale shape: ONE word-count aggregate builds the LM (map-side
+    partial combine), the scoring join shuffles on the word key (AQE
+    broadcasts the vocab when it fits; at 100 TB a Zipf vocab does not
+    reliably fit, so no broadcast hint is forced), then one hash
+    aggregate per document. No windows, no Python.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    ).filter(F.length("w") > 0)
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), ndigits).alias(
+                "lm_score"
+            )
+        )
+    )

@@ -813,3 +813,55 @@ def q64_document_chunking(spark, sf_dir):
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), window=32, stride=24
     )
+
+
+@register(
+    "q65_pii_redaction",
+    r"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_emails,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_ips,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_phones,
+           0 AS n_pii_after_redact,
+           length(text) + CASE WHEN doc_id % 4 = 0
+               THEN length(' contact [EMAIL] from [IP] tel [PHONE]') ELSE 0 END
+               AS redacted_len
+    FROM documents
+    """,
+    doc=(
+        "PII detection + redaction (emails / IPv4 / phones) as pure column "
+        "expressions (regexp_count/regexp_replace, codegen'd). PII is "
+        "deterministically planted on every 4th doc so the oracle verifies "
+        "detection counts, redacted length, zero residual PII after "
+        "redaction, and zero false positives on the clean remainder."
+    ),
+)
+def q65_pii_redaction(spark, sf_dir):
+    docs = text.plant_pii(load_table(spark, sf_dir, "documents"))
+    return text.pii_features(docs)
+
+
+@register(
+    "q66_lm_quality",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+    f AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+    SELECT doc_id, round(avg(ln(cnt / total)), 4) AS lm_score
+    FROM w2 JOIN f USING (word), t
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Corpus-LM quality score (CCNet-style): avg log unigram frequency "
+        "of each document's words under the corpus distribution — one "
+        "word-count aggregate builds the LM, one word-keyed join scores "
+        "(no forced broadcast: a 100 TB Zipf vocab does not reliably fit), "
+        "one per-doc aggregate."
+    ),
+)
+def q66_lm_quality(spark, sf_dir):
+    return text.lm_quality_score(load_table(spark, sf_dir, "documents"))
