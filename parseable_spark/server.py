@@ -83,7 +83,8 @@ class ParseableAPI:
         self.auth = auth
         self.engine = QueryEngine(spark, time_col=time_col)
         self._stores: dict[str, StreamStore] = {}
-        self._lock = threading.Lock()
+        self._retention: dict[str, list[dict[str, Any]]] = {}
+        self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
     def get_or_create_stream(self, name: str) -> StreamStore:
@@ -158,6 +159,75 @@ class ParseableAPI:
 
         return gen()
 
+    # -- logstream management (logstream.rs:52-312) --------------------------
+    def list_streams(self) -> list[dict[str, str]]:
+        with self._lock:
+            return [{"name": n} for n in sorted(self._stores)]
+
+    def create_stream(self, name: str) -> None:
+        """PUT /api/v1/logstream/{name} (logstream.rs:201-214): create;
+        409-equivalent error when it already exists (the reference
+        rejects a bare create of an existing stream)."""
+        with self._lock:
+            if name in self._stores:
+                raise ApiError(400, f"logstream {name} already exists")
+            self._stores[name] = StreamStore(
+                self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+            )
+
+    def delete_stream(self, name: str) -> None:
+        """DELETE /api/v1/logstream/{name} (logstream.rs:52-94): drop
+        staging, data, and metadata."""
+        import shutil
+
+        with self._lock:
+            store = self._stores.pop(name, None)
+            if store is None:
+                raise ApiError(404, f"logstream {name} does not exist")
+            shutil.rmtree(store.stream_dir, ignore_errors=True)
+
+    def _store_or_404(self, name: str) -> StreamStore:
+        with self._lock:
+            if name not in self._stores:
+                raise ApiError(404, f"logstream {name} does not exist")
+            return self._stores[name]
+
+    def stream_schema(self, name: str) -> dict[str, Any]:
+        """GET .../schema (logstream.rs:174-199): committed fields in
+        arrow-schema-shaped JSON."""
+        store = self._store_or_404(name)
+        spark_schema = store.scan().schema
+        return {
+            "fields": [
+                {"name": f.name, "data_type": f.dataType.simpleString()}
+                for f in spark_schema.fields
+            ]
+        }
+
+    def stream_stats(self, name: str) -> dict[str, Any]:
+        """GET .../stats (logstream.rs:301-312): lifetime/current/deleted
+        event + byte ledgers."""
+        store = self._store_or_404(name)
+        return {"stream": name, **store.stats.to_dict()}
+
+    def get_retention(self, name: str) -> list[dict[str, Any]]:
+        self._store_or_404(name)
+        with self._lock:
+            return self._retention.get(name, [])
+
+    def put_retention(self, name: str, tasks: list[dict[str, Any]]) -> None:
+        """PUT .../retention (logstream.rs:239-270): validate and store
+        the task list; the daily scheduler applies it."""
+        from .storage.retention import RetentionConfigError, parse_retention_config
+
+        self._store_or_404(name)
+        try:
+            parse_retention_config(tasks)
+        except RetentionConfigError as e:
+            raise ApiError(400, str(e)) from e
+        with self._lock:
+            self._retention[name] = tasks
+
     # -- auth ----------------------------------------------------------------
     def check_auth(self, header: str | None) -> bool:
         if self.auth is None:
@@ -220,12 +290,86 @@ class _Handler(BaseHTTPRequestHandler):
         return False
 
     # -- routes --------------------------------------------------------------
+    @staticmethod
+    def _logstream_route(path: str) -> tuple[str, str] | None:
+        """/api/v1/logstream[/{name}[/{sub}]] → (name, sub) with empty
+        strings for missing segments; None when not a logstream path."""
+        parts = path.strip("/").split("/")
+        if parts[:3] != ["api", "v1", "logstream"]:
+            return None
+        if len(parts) > 5:
+            return None
+        return (
+            parts[3] if len(parts) > 3 else "",
+            parts[4] if len(parts) > 4 else "",
+        )
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
         path = urlparse(self.path).path
-        if path in ("/api/v1/liveness", "/api/v1/readiness"):
-            self._respond_json(200, {"status": "ok"})
-        else:
-            self._respond_json(404, {"error": f"no route {path}"})
+        try:
+            if path in ("/api/v1/liveness", "/api/v1/readiness"):
+                self._respond_json(200, {"status": "ok"})
+                return
+            route = self._logstream_route(path)
+            if route is None:
+                self._respond_json(404, {"error": f"no route {path}"})
+                return
+            if not self._authorized():
+                return
+            name, sub = route
+            if not name:
+                self._respond_json(200, self.api.list_streams())
+            elif sub == "schema":
+                self._respond_json(200, self.api.stream_schema(name))
+            elif sub == "stats":
+                self._respond_json(200, self.api.stream_stats(name))
+            elif sub == "retention":
+                self._respond_json(200, self.api.get_retention(name))
+            else:
+                self._respond_json(404, {"error": f"no route {path}"})
+        except ApiError as e:
+            self._respond_json(e.status, {"error": str(e)})
+
+    def do_PUT(self) -> None:  # noqa: N802
+        path = urlparse(self.path).path
+        try:
+            if not self._authorized():
+                return
+            route = self._logstream_route(path)
+            if route is None or not route[0]:
+                self._respond_json(404, {"error": f"no route {path}"})
+                return
+            name, sub = route
+            if not sub:
+                self.api.create_stream(name)
+                self._respond_json(200, {"status": f"created log stream {name}"})
+            elif sub == "retention":
+                body = self._json_body()
+                if not isinstance(body, list):
+                    raise ApiError(400, "retention body must be a task list")
+                self.api.put_retention(name, body)
+                self._respond_json(
+                    200,
+                    {"status": f"set retention configuration for log stream {name}"},
+                )
+            else:
+                self._respond_json(404, {"error": f"no route {path}"})
+        except ApiError as e:
+            self._respond_json(e.status, {"error": str(e)})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        path = urlparse(self.path).path
+        try:
+            if not self._authorized():
+                return
+            route = self._logstream_route(path)
+            if route is None or not route[0] or route[1]:
+                self._respond_json(404, {"error": f"no route {path}"})
+                return
+            self.api.delete_stream(route[0])
+            self._respond_json(200, {"status": f"deleted log stream {route[0]}"})
+        except ApiError as e:
+            self._respond_json(e.status, {"error": str(e)})
 
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)

@@ -187,3 +187,60 @@ def test_liveness_and_auth(spark, tmp_path):
         assert resp.status == 200 and out["records"] == 1
     finally:
         srv.shutdown()
+
+
+def _req(method: str, url: str, body=None):
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        url, data=data, method=method, headers={"Content-Type": "application/json"}
+    )
+    resp = urllib.request.urlopen(req, timeout=30)
+    return resp, json.loads(resp.read())
+
+
+def test_logstream_management(spark, tmp_path):
+    """Reference logstream surface (logstream.rs:52-312): create, list,
+    schema, stats, retention CRUD, delete."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        _, out = _req("PUT", base + "/api/v1/logstream/weblogs")
+        assert out["status"] == "created log stream weblogs"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("PUT", base + "/api/v1/logstream/weblogs")  # duplicate
+        assert ei.value.code == 400
+
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "weblogs"})
+        _, streams = _req("GET", base + "/api/v1/logstream")
+        assert streams == [{"name": "weblogs"}]
+
+        _, schema = _req("GET", base + "/api/v1/logstream/weblogs/schema")
+        fields = {f["name"]: f["data_type"] for f in schema["fields"]}
+        assert fields["level"] == "string" and fields["latency_ms"] == "double"
+        assert fields["p_timestamp"].startswith("timestamp")
+
+        _, stats = _req("GET", base + "/api/v1/logstream/weblogs/stats")
+        assert stats["stream"] == "weblogs" and "lifetime" in stats
+
+        # retention: invalid duration rejected, valid stored + echoed
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(
+                "PUT",
+                base + "/api/v1/logstream/weblogs/retention",
+                [{"description": "d", "action": "delete", "duration": "30"}],
+            )
+        assert ei.value.code == 400
+        tasks = [{"description": "d", "action": "delete", "duration": "30d"}]
+        _req("PUT", base + "/api/v1/logstream/weblogs/retention", tasks)
+        _, got = _req("GET", base + "/api/v1/logstream/weblogs/retention")
+        assert got == tasks
+
+        _, out = _req("DELETE", base + "/api/v1/logstream/weblogs")
+        assert out["status"] == "deleted log stream weblogs"
+        _, streams = _req("GET", base + "/api/v1/logstream")
+        assert streams == []
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("GET", base + "/api/v1/logstream/weblogs/schema")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
