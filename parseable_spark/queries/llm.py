@@ -865,3 +865,67 @@ def q65_pii_redaction(spark, sf_dir):
 )
 def q66_lm_quality(spark, sf_dir):
     return text.lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q67_ann_ivf_hierarchical",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    coarse AS (
+        SELECT vec_id AS gid, embedding AS gv FROM embeddings WHERE vec_id < 4
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cent_group AS (
+        SELECT cid, cv, gid FROM (
+            SELECT cid, cv, gid,
+                   row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY {_duck_cos('cv', 'gv', 6)} DESC, gid
+                   ) AS rn
+            FROM cents CROSS JOIN coarse
+        ) WHERE rn = 1
+    ),
+    vec_group AS (
+        SELECT vec_id, e, gid FROM (
+            SELECT vec_id, e, gid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_duck_cos('e', 'gv', 6)} DESC, gid
+                   ) AS rn
+            FROM (SELECT vec_id, embedding AS e FROM embeddings) CROSS JOIN coarse
+        ) WHERE rn = 1
+    ),
+    assign AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cos('v.e', 'c.cv', 6)} DESC, c.cid
+                   ) AS rn
+            FROM vec_group v JOIN cent_group c USING (gid)
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cid FROM cents, q
+        ORDER BY {_duck_cos('cv', 'qv', 6)} DESC, cid LIMIT 2
+    )
+    SELECT a.vec_id, a.cell, {_duck_cos('e', 'qv', 4)} AS cosine_sim
+    FROM assign a JOIN probe p ON a.cell = p.cid, q
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 5
+    """,
+    doc=(
+        "IVF with two-level hierarchical cell assignment — the "
+        "large-codebook scale path: each vector argmaxes over n_coarse "
+        "groups then only that group's fine centroids (~2*sqrt(C) cosines "
+        "per vector vs C flat; 512 vs 65536 at C=65k). Both assignment "
+        "stages are broadcast joins + map-side struct-argmax; cell id is "
+        "the partition key at scale."
+    ),
+)
+def q67_ann_ivf_hierarchical(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_hierarchical(
+        emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, n_coarse=4, nprobe=2
+    )
