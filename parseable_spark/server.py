@@ -159,6 +159,108 @@ class ParseableAPI:
 
         return gen()
 
+    # -- counts API (query.rs:409-583, query/mod.rs:516-560) -----------------
+    def counts(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/counts: {stream, startTime, endTime, numBins,
+        conditions?} → {fields, records} of per-bin counts. The time
+        range divides into numBins equal bins (reference
+        get_bin_density); optional conditions/groupBy/topK switch to the
+        filtered SQL path (CountConditions, query/mod.rs:503-511).
+        Ungrouped responses include empty bins (density semantics);
+        grouped responses carry only non-empty (group, bin) rows."""
+        from datetime import timedelta
+
+        from pyspark.sql import functions as F
+
+        from .query.alerts import Condition, ConditionGroup
+        from .query.engine import TimeRange
+
+        stream = body.get("stream") or ""
+        start, end = body.get("startTime") or "", body.get("endTime") or ""
+        if not stream:
+            raise ApiError(400, "empty stream")
+        if not start or not end:
+            raise ApiError(400, "empty startTime/endTime")
+        store = self._store_or_404(stream)
+        try:
+            tr = TimeRange.parse(start, end)
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
+        num_bins = int(body.get("numBins") or 10)
+        if not 1 <= num_bins <= 10000:
+            raise ApiError(400, "numBins must be between 1 and 10000")
+        lo = tr.start.replace(tzinfo=None)
+        hi = tr.end.replace(tzinfo=None)
+        total_s = max((hi - lo).total_seconds(), 1e-9)
+        width_s = total_s / num_bins
+
+        cond = body.get("conditions") or {}
+        group_by = list(cond.get("groupBy") or cond.get("group_by") or [])
+        top_k = cond.get("topK") or cond.get("top_k")
+        cfg = (cond.get("conditions") or {})
+        where = None
+        if cfg:
+            children = [
+                Condition(c["column"], c["operator"], c.get("value"))
+                for c in (
+                    cfg.get("conditionConfig") or cfg.get("condition_config") or []
+                )
+            ]
+            where = ConditionGroup(cfg.get("operator", "AND"), children).to_sql()
+
+        with self._lock:
+            tcol = store.time_col
+            df = store.scan().filter(
+                (F.col(tcol) >= F.lit(lo)) & (F.col(tcol) < F.lit(hi))
+            )
+            if where:
+                df = df.filter(where)
+            offset = F.expr(
+                f"timestampdiff(SECOND, TIMESTAMP_NTZ '{lo.isoformat(sep=' ')}', {tcol})"
+            )
+            idx = F.least(
+                F.floor(offset / F.lit(width_s)), F.lit(num_bins - 1)
+            ).cast("int")
+            keys = [idx.alias("bin_idx"), *group_by]
+            agg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+            rows = agg.collect()
+
+        def bin_times(i: int) -> tuple[str, str]:
+            s = lo + timedelta(seconds=i * width_s)
+            e = lo + timedelta(seconds=(i + 1) * width_s)
+            return f"{s.isoformat()}+00:00", f"{e.isoformat()}+00:00"
+
+        if group_by:
+            counts: dict = {}
+            for r in rows:
+                key = tuple(r[g] for g in group_by)
+                counts.setdefault(key, []).append(r)
+            if top_k:
+                totals = sorted(
+                    ((sum(x["count"] for x in v), k) for k, v in counts.items()),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                keep = {k for _, k in totals[: int(top_k)]}
+                counts = {k: v for k, v in counts.items() if k in keep}
+            records = []
+            for key in sorted(counts, key=lambda k: tuple(str(x) for x in k)):
+                for r in sorted(counts[key], key=lambda r: r["bin_idx"]):
+                    st, en = bin_times(r["bin_idx"])
+                    rec = {"start_time": st, "end_time": en, "count": r["count"]}
+                    rec.update(dict(zip(group_by, key)))
+                    records.append(rec)
+            fields = ["start_time", "end_time", "count", *group_by]
+        else:
+            by_idx = {r["bin_idx"]: r["count"] for r in rows}
+            records = []
+            for i in range(num_bins):
+                st, en = bin_times(i)
+                records.append(
+                    {"start_time": st, "end_time": en, "count": by_idx.get(i, 0)}
+                )
+            fields = ["start_time", "end_time", "count"]
+        return {"fields": fields, "records": records}
+
     # -- logstream management (logstream.rs:52-312) --------------------------
     def list_streams(self) -> list[dict[str, str]]:
         with self._lock:
@@ -380,6 +482,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self._handle_ingest()
             elif parsed.path == "/api/v1/query":
                 self._handle_query(parse_qs(parsed.query))
+            elif parsed.path == "/api/v1/counts":
+                body = self._json_body()
+                if not isinstance(body, dict):
+                    raise ApiError(400, "body must be a JSON object")
+                t0 = time.perf_counter()
+                out = self.api.counts(body)
+                self._respond_json(
+                    200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
+                )
             else:
                 self._respond_json(404, {"error": f"no route {parsed.path}"})
         except ApiError as e:

@@ -244,3 +244,59 @@ def test_logstream_management(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_counts_endpoint(spark, tmp_path):
+    """POST /api/v1/counts (query.rs:409-583): bin density over the
+    range, empty bins included; conditions + groupBy + topK switch to
+    the filtered path."""
+    from datetime import datetime
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        store = api.get_or_create_stream("clicks")
+        # plant a deterministic timeline: 6 events across 2024-01-01
+        for hour, level in [(0, "a"), (0, "a"), (6, "b"), (12, "a"), (12, "b"), (23, "b")]:
+            store.ingest(
+                [{"level": level}], p_timestamp=datetime(2024, 1, 1, hour, 30)
+            )
+        body = {
+            "stream": "clicks",
+            "startTime": "2024-01-01T00:00:00Z",
+            "endTime": "2024-01-02T00:00:00Z",
+            "numBins": 4,
+        }
+        _, out = _post(base + "/api/v1/counts", body)
+        assert out["fields"] == ["start_time", "end_time", "count"]
+        assert [r["count"] for r in out["records"]] == [2, 1, 2, 1]
+        assert out["records"][0]["start_time"] == "2024-01-01T00:00:00+00:00"
+        assert out["records"][0]["end_time"] == "2024-01-01T06:00:00+00:00"
+
+        # filtered + grouped + topK=1 → only the densest group survives
+        body["conditions"] = {
+            "conditions": {
+                "operator": "OR",
+                "conditionConfig": [
+                    {"column": "level", "operator": "=", "value": "a"},
+                    {"column": "level", "operator": "=", "value": "b"},
+                ],
+            },
+            "groupBy": ["level"],
+            "topK": 1,
+        }
+        _, out = _post(base + "/api/v1/counts", body)
+        assert out["fields"] == ["start_time", "end_time", "count", "level"]
+        # tie (3 a vs 3 b) broken lexicographically → 'a'... totals: a=3, b=3 → keep 'a'
+        assert {r["level"] for r in out["records"]} == {"a"}
+        assert sum(r["count"] for r in out["records"]) == 3
+
+        # validation
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/counts", {"stream": "clicks", "startTime": "x"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/counts", {**body, "stream": "nope"})
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
