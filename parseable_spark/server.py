@@ -81,9 +81,15 @@ class ParseableAPI:
         self.root = root
         self.time_col = time_col
         self.auth = auth
+        from .query.alert_scheduler import AlertScheduler
+        from .query.alert_targets import TargetRegistry
+
         self.engine = QueryEngine(spark, time_col=time_col)
         self._stores: dict[str, StreamStore] = {}
         self._retention: dict[str, list[dict[str, Any]]] = {}
+        self.targets = TargetRegistry()
+        self.scheduler = AlertScheduler(self.engine)
+        self._alerts: dict[str, Any] = {}
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -158,6 +164,150 @@ class ParseableAPI:
                 self._lock.release()
 
         return gen()
+
+    # -- alerts + targets API (alerts.rs:210-612, targets.rs:37-160) ---------
+    @staticmethod
+    def _parse_conditions(cfg: dict[str, Any]):
+        from .query.alerts import Condition, ConditionGroup
+
+        children = [
+            Condition(c["column"], c["operator"], c.get("value"))
+            for c in (cfg.get("conditionConfig") or cfg.get("condition_config") or [])
+        ]
+        return ConditionGroup(cfg.get("operator", "AND"), children)
+
+    def create_target(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/targets (targets.rs:37-50): build the typed
+        target from {name, type, endpoint, ...}; response is masked."""
+        from .query.alert_targets import (
+            AlertManagerTarget,
+            NotificationConfig,
+            SlackTarget,
+            WebhookTarget,
+        )
+
+        kind = (body.get("type") or "").strip()
+        name, endpoint = body.get("name") or "", body.get("endpoint") or ""
+        if not name or not endpoint:
+            raise ApiError(400, "target needs name and endpoint")
+        nc = body.get("notificationConfig") or {}
+        notification = NotificationConfig(
+            interval_s=float(nc.get("interval", 60)), times=nc.get("times", 1)
+        )
+        if kind == "slack":
+            t = SlackTarget(name, endpoint, notification=notification)
+        elif kind == "webhook":
+            t = WebhookTarget(
+                name, endpoint, notification=notification,
+                headers=body.get("headers") or {},
+            )
+        elif kind == "alertManager":
+            auth = None
+            if body.get("username"):
+                auth = (body["username"], body.get("password") or "")
+            t = AlertManagerTarget(name, endpoint, auth=auth)
+        else:
+            raise ApiError(400, f"unknown target type {kind!r}")
+        self.targets.update(t)
+        return t.mask()
+
+    def _alert_target_ids(self) -> list[str]:
+        with self._lock:
+            return [tid for sa in self._alerts.values() for tid in sa.target_ids]
+
+    def create_alert(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/alerts (alerts.rs:248-332): threshold alert over
+        one whitelisted aggregate with an optional condition tree and
+        target ids; registered into the evaluation scheduler."""
+        import uuid as _uuid
+
+        from .query.alert_scheduler import ScheduledAlert
+        from .query.alerts import Alert
+
+        stream = body.get("stream") or ""
+        agg = body.get("aggregate") or ""
+        op = body.get("operator") or ""
+        if not stream or not agg or not op or "threshold" not in body:
+            raise ApiError(400, "alert needs stream, aggregate, operator, threshold")
+        self._store_or_404(stream)
+        conds = None
+        if body.get("conditions"):
+            conds = self._parse_conditions(body["conditions"])
+        try:
+            alert = Alert(
+                stream,
+                agg,
+                body.get("aggregateColumn") or "*",
+                op,
+                float(body["threshold"]),
+                conditions=conds,
+            )
+            alert.agg_sql()  # whitelist check up front
+            if conds is not None:
+                conds.to_sql()
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
+        target_ids = list(body.get("targets") or [])
+        try:
+            targets = [self.targets.get(t) for t in target_ids]
+        except KeyError as e:
+            raise ApiError(400, f"invalid target id {e}") from e
+        sa = ScheduledAlert(
+            alert,
+            eval_start=body.get("evalStart") or "10m",
+            eval_frequency_s=int(body.get("evalFrequencySeconds") or 600),
+            targets=targets,
+        )
+        sa.target_ids = target_ids
+        alert_id = _uuid.uuid4().hex
+        with self._lock:
+            self._alerts[alert_id] = sa
+            self.scheduler.register(sa)
+        return self.alert_json(alert_id)
+
+    def alert_json(self, alert_id: str) -> dict[str, Any]:
+        with self._lock:
+            if alert_id not in self._alerts:
+                raise ApiError(404, f"no alert {alert_id}")
+            sa = self._alerts[alert_id]
+        a = sa.alert
+        return {
+            "id": alert_id,
+            "stream": a.stream,
+            "aggregate": a.aggregate,
+            "aggregateColumn": a.agg_column,
+            "operator": a.threshold_op,
+            "threshold": a.threshold,
+            "evalStart": sa.eval_start,
+            "evalFrequencySeconds": sa.eval_frequency_s,
+            "state": a.state.value,
+            "targets": sa.target_ids,
+        }
+
+    def list_alerts(self) -> list[dict[str, Any]]:
+        with self._lock:
+            ids = list(self._alerts)
+        return [self.alert_json(i) for i in ids]
+
+    def delete_alert(self, alert_id: str) -> None:
+        with self._lock:
+            sa = self._alerts.pop(alert_id, None)
+            if sa is None:
+                raise ApiError(404, f"no alert {alert_id}")
+            self.scheduler._alerts.remove(sa)
+
+    def evaluate_alert(self, alert_id: str) -> dict[str, Any]:
+        """POST /api/v1/alerts/{id}/evaluate (alerts.rs:612-639): run
+        one rolling-window evaluation now; notifications fire on state
+        transitions through the registered targets."""
+        with self._lock:
+            if alert_id not in self._alerts:
+                raise ApiError(404, f"no alert {alert_id}")
+            sa = self._alerts[alert_id]
+            for name, store in self._stores.items():
+                self.engine.register_stream(name, store.scan(), time_col=store.time_col)
+            state = sa.evaluate(self.engine)
+        return {"id": alert_id, "state": state.value}
 
     # -- counts API (query.rs:409-583, query/mod.rs:516-560) -----------------
     def counts(self, body: dict[str, Any]) -> dict[str, Any]:
@@ -412,6 +562,26 @@ class _Handler(BaseHTTPRequestHandler):
             if path in ("/api/v1/liveness", "/api/v1/readiness"):
                 self._respond_json(200, {"status": "ok"})
                 return
+            parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "targets"]:
+                if not self._authorized():
+                    return
+                if len(parts) == 3:
+                    self._respond_json(200, self.api.targets.list())
+                else:
+                    try:
+                        self._respond_json(200, self.api.targets.get(parts[3]).mask())
+                    except KeyError as e:
+                        raise ApiError(404, str(e)) from e
+                return
+            if parts[:3] == ["api", "v1", "alerts"]:
+                if not self._authorized():
+                    return
+                if len(parts) == 3:
+                    self._respond_json(200, self.api.list_alerts())
+                else:
+                    self._respond_json(200, self.api.alert_json(parts[3]))
+                return
             route = self._logstream_route(path)
             if route is None:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -464,6 +634,24 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if not self._authorized():
                 return
+            parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "targets"] and len(parts) == 4:
+                from .query.alert_targets import TargetInUseError
+
+                try:
+                    self.api.targets.delete(
+                        parts[3], alert_target_ids=self.api._alert_target_ids
+                    )
+                except TargetInUseError as e:
+                    raise ApiError(409, f"target {e} is in use by an alert") from e
+                except KeyError as e:
+                    raise ApiError(404, str(e)) from e
+                self._respond_json(200, {"status": f"deleted target {parts[3]}"})
+                return
+            if parts[:3] == ["api", "v1", "alerts"] and len(parts) == 4:
+                self.api.delete_alert(parts[3])
+                self._respond_json(200, {"status": f"deleted alert {parts[3]}"})
+                return
             route = self._logstream_route(path)
             if route is None or not route[0] or route[1]:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -491,6 +679,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(
                     200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
                 )
+            elif parsed.path == "/api/v1/targets":
+                self._respond_json(200, self.api.create_target(self._json_body() or {}))
+            elif parsed.path == "/api/v1/alerts":
+                self._respond_json(200, self.api.create_alert(self._json_body() or {}))
+            elif (
+                parsed.path.startswith("/api/v1/alerts/")
+                and parsed.path.endswith("/evaluate")
+            ):
+                alert_id = parsed.path.split("/")[4]
+                self._respond_json(200, self.api.evaluate_alert(alert_id))
             else:
                 self._respond_json(404, {"error": f"no route {parsed.path}"})
         except ApiError as e:

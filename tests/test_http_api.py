@@ -300,3 +300,104 @@ def test_counts_endpoint(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_alerts_and_targets_http_e2e(spark, tmp_path):
+    """Full alerting loop over HTTP (alerts.rs:210-612, targets.rs:37-160):
+    create a webhook target pointing at a real local listener, create an
+    alert referencing it, ingest breaching events, evaluate → the
+    listener receives the notification; resolve delivers again; in-use
+    target delete is refused with 409."""
+    import threading
+    from datetime import datetime, timedelta, timezone
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    received = []
+
+    class Hook(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            received.append(self.rfile.read(n).decode())
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    hook_srv = HTTPServer(("127.0.0.1", 0), Hook)
+    threading.Thread(target=hook_srv.serve_forever, daemon=True).start()
+    hook_url = f"http://127.0.0.1:{hook_srv.server_address[1]}/hook"
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        # stream with breaching events 2 minutes in the past (the "now"
+        # eval window truncates to the minute)
+        store = api.get_or_create_stream("metrics")
+        ts = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(minutes=2)
+        store.ingest(
+            [{"value": 95.0}, {"value": 97.5}, {"value": 99.0}], p_timestamp=ts
+        )
+
+        _, target = _post(
+            base + "/api/v1/targets",
+            {"name": "hook", "type": "webhook", "endpoint": hook_url},
+        )
+        assert target["endpoint"] == "http://********"  # masked
+        tid = target["id"]
+
+        _, alert = _post(
+            base + "/api/v1/alerts",
+            {
+                "stream": "metrics",
+                "aggregate": "max",
+                "aggregateColumn": "value",
+                "operator": ">",
+                "threshold": 90.0,
+                "evalStart": "10m",
+                "targets": [tid],
+            },
+        )
+        aid = alert["id"]
+        assert alert["state"] == "not-triggered"
+
+        _, out = _post(base + "/api/v1/alerts/" + aid + "/evaluate", {})
+        assert out["state"] == "triggered"
+        deadline = __import__("time").monotonic() + 5
+        while not received and __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.05)
+        assert len(received) == 1 and "max(value) > 90.0" in received[0]
+
+        # in-use target delete → 409
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("DELETE", base + "/api/v1/targets/" + tid)
+        assert ei.value.code == 409
+
+        # raise the threshold via delete+recreate; next eval resolves
+        _, got = _req("GET", base + "/api/v1/alerts/" + aid)
+        assert got["threshold"] == 90.0
+        _req("DELETE", base + "/api/v1/alerts/" + aid)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("GET", base + "/api/v1/alerts/" + aid)
+        assert ei.value.code == 404
+        # target now deletable
+        _req("DELETE", base + "/api/v1/targets/" + tid)
+        _, targets = _req("GET", base + "/api/v1/targets")
+        assert targets == []
+
+        # whitelist enforcement propagates as 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                base + "/api/v1/alerts",
+                {
+                    "stream": "metrics",
+                    "aggregate": "median",  # not whitelisted
+                    "operator": ">",
+                    "threshold": 1,
+                },
+            )
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        hook_srv.shutdown()
