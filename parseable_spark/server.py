@@ -444,6 +444,26 @@ class ParseableAPI:
                 raise ApiError(404, f"logstream {name} does not exist")
             return self._stores[name]
 
+    def detect_schema(self, body: Any) -> dict[str, Any]:
+        """POST /api/v1/logstream/schema/detect (logstream.rs:117-172):
+        flatten the posted JSON the same way ingest would and return the
+        inferred field types without creating a stream."""
+        from .ingest import flatten as fl
+        from .ingest import schema as sc
+
+        if not isinstance(body, (dict, list)):
+            raise ApiError(400, "body must be a JSON object or array of objects")
+        try:
+            records = fl.flatten_json_body(body)
+            inferred = sc.infer_batch_schema(sc.rename_json_keys(records))
+        except (ValueError, TypeError) as e:
+            raise ApiError(400, str(e)) from e
+        return {
+            "fields": [
+                {"name": k, "data_type": t} for k, t in sorted(inferred.items())
+            ]
+        }
+
     def stream_schema(self, name: str) -> dict[str, Any]:
         """GET .../schema (logstream.rs:174-199): committed fields in
         arrow-schema-shaped JSON."""
@@ -679,6 +699,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(
                     200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
                 )
+            elif parsed.path == "/api/v1/logstream/schema/detect":
+                self._respond_json(200, self.api.detect_schema(self._json_body()))
             elif parsed.path == "/api/v1/targets":
                 self._respond_json(200, self.api.create_target(self._json_body() or {}))
             elif parsed.path == "/api/v1/alerts":

@@ -401,3 +401,25 @@ def test_alerts_and_targets_http_e2e(spark, tmp_path):
     finally:
         srv.shutdown()
         hook_srv.shutdown()
+
+
+def test_detect_schema_endpoint(spark, tmp_path):
+    """POST /api/v1/logstream/schema/detect (logstream.rs:117-172):
+    flatten + infer without creating a stream."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        _, out = _post(
+            base + "/api/v1/logstream/schema/detect",
+            {"status": "ok", "latency": 12.5, "meta": {"region": "us", "n": 3}},
+        )
+        fields = {f["name"]: f["data_type"] for f in out["fields"]}
+        assert fields["status"] == "utf8"
+        assert fields["latency"] == "float64"
+        assert fields["meta_region"] == "utf8"  # nested keys flatten with _
+        assert api.list_streams() == []  # nothing created
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/logstream/schema/detect", b'"just a string"')
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

@@ -110,3 +110,13 @@ def test_no_cartesian_over_large_inputs(spark):
     for name, _ in SPECS:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
+
+
+def test_field_stats_topk_uses_parallel_partial_topk(spark):
+    """Regression for the r1 q21 defect: the per-field top-K must
+    compile to TakeOrderedAndProject (parallel partial top-K), and the
+    only window must be partitioned (over the <=k survivors)."""
+    plan = _plan(spark, "q21_field_stats_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "per-field ORDER BY+LIMIT did not compile to TakeOrderedAndProject"
+    )
