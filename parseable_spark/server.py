@@ -500,6 +500,57 @@ class ParseableAPI:
         with self._lock:
             self._retention[name] = tasks
 
+    # -- hot tier (logstream.rs:421-560) -------------------------------------
+    @staticmethod
+    def _parse_size(v: Any) -> int:
+        """Accept raw bytes or human sizes ('10 GiB', '500 MiB') like
+        the reference's human_size-typed StreamHotTier.size."""
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return int(v)
+        units = {"b": 1, "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4}
+        try:
+            num, unit = str(v).strip().split()
+            return int(float(num) * units[unit.lower()])
+        except (ValueError, KeyError) as e:
+            raise ApiError(400, f"unparseable hot-tier size {v!r}") from e
+
+    def put_hot_tier(self, name: str, body: dict[str, Any]) -> None:
+        import os
+
+        from .storage.hottier import HotTier
+
+        store = self._store_or_404(name)
+        if "size" not in (body or {}):
+            raise ApiError(400, "hot-tier body needs a size")
+        size = self._parse_size(body["size"])
+        with self._lock:
+            if store.hot_tier is None:
+                store.hot_tier = HotTier(
+                    cache_dir=os.path.join(store.stream_dir, "hottier"),
+                    size_limit=size,
+                )
+            else:
+                store.hot_tier.size_limit = size
+
+    def get_hot_tier(self, name: str) -> dict[str, Any]:
+        store = self._store_or_404(name)
+        if store.hot_tier is None:
+            raise ApiError(404, f"hot tier not enabled for stream {name}")
+        return {
+            "size": store.hot_tier.size_limit,
+            "usedSize": store.hot_tier.used_bytes(),
+        }
+
+    def delete_hot_tier(self, name: str) -> None:
+        import shutil
+
+        store = self._store_or_404(name)
+        if store.hot_tier is None:
+            raise ApiError(404, f"hot tier not enabled for stream {name}")
+        with self._lock:
+            shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
+            store.hot_tier = None
+
     # -- auth ----------------------------------------------------------------
     def check_auth(self, header: str | None) -> bool:
         if self.auth is None:
@@ -617,6 +668,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, self.api.stream_stats(name))
             elif sub == "retention":
                 self._respond_json(200, self.api.get_retention(name))
+            elif sub == "hottier":
+                self._respond_json(200, self.api.get_hot_tier(name))
             else:
                 self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:
@@ -643,6 +696,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(
                     200,
                     {"status": f"set retention configuration for log stream {name}"},
+                )
+            elif sub == "hottier":
+                self.api.put_hot_tier(name, self._json_body() or {})
+                self._respond_json(
+                    200, {"status": f"hot tier set for log stream {name}"}
                 )
             else:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -673,7 +731,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, {"status": f"deleted alert {parts[3]}"})
                 return
             route = self._logstream_route(path)
-            if route is None or not route[0] or route[1]:
+            if route is None or not route[0]:
+                self._respond_json(404, {"error": f"no route {path}"})
+                return
+            if route[1] == "hottier":
+                self.api.delete_hot_tier(route[0])
+                self._respond_json(
+                    200, {"status": f"hot tier deleted for log stream {route[0]}"}
+                )
+                return
+            if route[1]:
                 self._respond_json(404, {"error": f"no route {path}"})
                 return
             self.api.delete_stream(route[0])

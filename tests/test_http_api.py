@@ -423,3 +423,35 @@ def test_detect_schema_endpoint(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_hot_tier_endpoints(spark, tmp_path):
+    """Hot-tier CRUD (logstream.rs:421-560): human or byte sizes,
+    GET shows quota + usage, DELETE disables."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        _req("PUT", base + "/api/v1/logstream/hotlogs")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("GET", base + "/api/v1/logstream/hotlogs/hottier")
+        assert ei.value.code == 404  # not enabled yet
+
+        _req("PUT", base + "/api/v1/logstream/hotlogs/hottier", {"size": "1 GiB"})
+        _, got = _req("GET", base + "/api/v1/logstream/hotlogs/hottier")
+        assert got == {"size": 1024**3, "usedSize": 0}
+
+        # resize with raw bytes
+        _req("PUT", base + "/api/v1/logstream/hotlogs/hottier", {"size": 4096})
+        _, got = _req("GET", base + "/api/v1/logstream/hotlogs/hottier")
+        assert got["size"] == 4096
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("PUT", base + "/api/v1/logstream/hotlogs/hottier", {"size": "10 parsecs"})
+        assert ei.value.code == 400
+
+        _req("DELETE", base + "/api/v1/logstream/hotlogs/hottier")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("GET", base + "/api/v1/logstream/hotlogs/hottier")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
