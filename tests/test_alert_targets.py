@@ -52,7 +52,11 @@ def test_trigger_then_resolve_delivers_both():
 
 
 def test_second_trigger_suppressed_inside_timeout_window():
-    t, rec = _slack(times=1, interval=60.0)
+    # times=2 keeps the repeat task sleeping, so the window stays open;
+    # with times=1 the task has zero sleeps and resets the window
+    # immediately (reference semantics: the Finite(1) loop body runs
+    # times-1 = 0 iterations then restores TimeoutState, target.rs:374-396)
+    t, rec = _slack(times=2, interval=60.0)
     t.call(_ctx(AlertState.TRIGGERED))
     t.call(_ctx(AlertState.TRIGGERED))  # still in window → no second send
     t.close()
