@@ -113,6 +113,40 @@ class ParseableAPI:
         with self._lock:
             return store.ingest(body, p_custom_fields=custom_fields or None)
 
+    # -- OTel ingest (ingest.rs:305-388) -------------------------------------
+    def ingest_otel(
+        self,
+        kind: str,
+        stream_name: str,
+        payload: Any,
+        custom_fields: dict[str, str] | None = None,
+    ) -> int:
+        """POST /v1/{logs,metrics,traces}: OTLP JSON flattened to the
+        reference's known-field rows, then through the normal ingest
+        pipeline (stream auto-created)."""
+        from .ingest.otel import (
+            flatten_otel_logs,
+            flatten_otel_metrics,
+            flatten_otel_traces,
+        )
+
+        if not stream_name:
+            raise ApiError(400, "missing x-p-stream header")
+        if not isinstance(payload, dict):
+            raise ApiError(400, "body must be an OTLP JSON object")
+        flattener = {
+            "logs": flatten_otel_logs,
+            "metrics": flatten_otel_metrics,
+            "traces": flatten_otel_traces,
+        }[kind]
+        try:
+            records = flattener(payload)
+        except (KeyError, TypeError, ValueError) as e:
+            raise ApiError(400, f"malformed OTLP payload: {e}") from e
+        store = self.get_or_create_stream(stream_name)
+        with self._lock:
+            return store.ingest(records, p_custom_fields=custom_fields or None)
+
     # -- query (query.rs:63-77, 590-631) ------------------------------------
     def _query_df(self, payload: dict[str, Any]):
         sql = (payload.get("query") or "").strip()
@@ -753,7 +787,21 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if not self._authorized():
                 return
-            if parsed.path == "/api/v1/ingest":
+            if parsed.path in ("/v1/logs", "/v1/metrics", "/v1/traces"):
+                kind = parsed.path.rsplit("/", 1)[1]
+                src = (self.headers.get(LOG_SOURCE_HEADER) or "").lower()
+                if src and src != f"otel-{kind}":
+                    raise ApiError(
+                        400, f"x-p-log-source {src!r} does not match /v1/{kind}"
+                    )
+                n = self.api.ingest_otel(
+                    kind,
+                    self.headers.get(STREAM_NAME_HEADER, ""),
+                    self._json_body(),
+                    self._custom_fields(),
+                )
+                self._respond_json(200, {"status": "ok", "records": n})
+            elif parsed.path == "/api/v1/ingest":
                 self._handle_ingest()
             elif parsed.path == "/api/v1/query":
                 self._handle_query(parse_qs(parsed.query))
@@ -785,13 +833,7 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — last-resort 500
             self._respond_json(500, {"error": str(e).split(chr(10))[0]})
 
-    def _handle_ingest(self) -> None:
-        stream = self.headers.get(STREAM_NAME_HEADER, "")
-        log_source = (self.headers.get(LOG_SOURCE_HEADER) or "").lower()
-        if log_source in OTEL_LOG_SOURCES:
-            raise ApiError(
-                400, "OTEL log sources are not supported on /api/v1/ingest"
-            )
+    def _custom_fields(self) -> dict[str, str]:
         custom: dict[str, str] = {
             "p_user_agent": self.headers.get("User-Agent", ""),
             "p_src_ip": self.client_address[0],
@@ -804,7 +846,16 @@ class _Handler(BaseHTTPRequestHandler):
                 key = lk[len(CUSTOM_FIELD_PREFIX):]
                 if key:
                     custom[key] = v[:MAX_FIELD_VALUE_LENGTH]
-        n = self.api.ingest(stream, self._json_body(), custom)
+        return custom
+
+    def _handle_ingest(self) -> None:
+        stream = self.headers.get(STREAM_NAME_HEADER, "")
+        log_source = (self.headers.get(LOG_SOURCE_HEADER) or "").lower()
+        if log_source in OTEL_LOG_SOURCES:
+            raise ApiError(
+                400, "OTEL log sources are not supported on /api/v1/ingest"
+            )
+        n = self.api.ingest(stream, self._json_body(), self._custom_fields())
         self._respond_json(200, {"status": "ok", "records": n})
 
     def _handle_query(self, params: dict[str, list[str]]) -> None:

@@ -179,7 +179,11 @@ class StreamStore:
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         fresh = end is None or end >= now - timedelta(seconds=STAGING_WINDOW_SECONDS)
         if fresh and (sdf := self.staging_df()) is not None:
-            sdf = sdf.select(*[f.name for f in self._full_schema().fields])
+            # backticks: dotted field names (OTel `http.method`) must not
+            # be parsed as struct access
+            sdf = sdf.select(
+                *[F.col(f"`{f.name}`") for f in self._full_schema().fields]
+            )
             df = sdf if df is None else df.unionByName(sdf)
         if df is None:
             return self.spark.createDataFrame([], self._full_schema())

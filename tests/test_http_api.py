@@ -455,3 +455,43 @@ def test_hot_tier_endpoints(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_otel_ingest_endpoints(spark, tmp_path):
+    """POST /v1/logs (ingest.rs:305-330): OTLP JSON → known-field rows
+    through the normal pipeline; mismatched x-p-log-source rejected."""
+    from tests.test_otel_formats import OTLP_LOGS
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        resp, out = _post(
+            base + "/v1/logs",
+            OTLP_LOGS,
+            headers={"x-p-stream": "otellogs", "x-p-log-source": "otel-logs"},
+        )
+        assert resp.status == 200 and out["records"] == 1
+        _, rows = _post(
+            base + "/api/v1/query",
+            {
+                "query": (
+                    "SELECT severity_text, `service.name` AS svc, "
+                    "`http.status_code` AS code FROM otellogs"
+                ),
+                **_range(),
+            },
+        )
+        assert rows == [{"severity_text": "ERROR", "svc": "checkout", "code": 500}]
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                base + "/v1/logs",
+                OTLP_LOGS,
+                headers={"x-p-stream": "x", "x-p-log-source": "otel-metrics"},
+            )
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/logs", OTLP_LOGS)  # missing stream header
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
