@@ -90,6 +90,10 @@ class ParseableAPI:
         self.targets = TargetRegistry()
         self.scheduler = AlertScheduler(self.engine)
         self._alerts: dict[str, Any] = {}
+        from .rbac import Rbac
+
+        self.rbac = Rbac()
+        self._passwords: dict[str, str] = {}
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -585,19 +589,87 @@ class ParseableAPI:
             shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
             store.hot_tier = None
 
+    # -- users + RBAC (rbac.rs, role.rs:195-330) -----------------------------
+    def create_user(self, name: str, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/user/{name} (reference returns a generated
+        password on create). Grants: [{privilege, stream?, tenant?}]."""
+        import secrets
+
+        from .rbac import Grant, _PRIVILEGES
+
+        if not name:
+            raise ApiError(400, "empty username")
+        with self._lock:
+            if name in self._passwords:
+                raise ApiError(400, f"user {name} already exists")
+            grants = []
+            for g in body.get("grants") or []:
+                priv = (g.get("privilege") or "").lower()
+                if priv not in _PRIVILEGES:
+                    raise ApiError(400, f"unknown privilege {priv!r}")
+                grants.append(
+                    Grant(priv, g.get("stream", "*"), g.get("tenant", "default"))
+                )
+            password = body.get("password") or secrets.token_urlsafe(16)
+            self.rbac.add_user(name, grants)
+            self._passwords[name] = password
+        return {"name": name, "password": password}
+
+    def delete_user(self, name: str) -> None:
+        with self._lock:
+            if name not in self._passwords:
+                raise ApiError(404, f"no user {name}")
+            del self._passwords[name]
+            self.rbac._users.pop(name, None)
+
+    def list_users(self) -> list[dict[str, Any]]:
+        with self._lock:
+            return [
+                {
+                    "name": n,
+                    "grants": [
+                        {"privilege": g.privilege, "stream": g.stream, "tenant": g.tenant}
+                        for g in self.rbac._users[n].grants
+                    ],
+                }
+                for n in sorted(self._passwords)
+            ]
+
     # -- auth ----------------------------------------------------------------
-    def check_auth(self, header: str | None) -> bool:
-        if self.auth is None:
-            return True
+    def check_auth(self, header: str | None) -> str | None:
+        """Resolve the authenticated principal. Returns the username,
+        '*' when the server is open (no auth configured), or None when
+        credentials are required and invalid. The static `auth` tuple
+        acts as a built-in admin alongside RBAC users."""
+        if self.auth is None and not self._passwords:
+            return "*"
         if not header or not header.startswith("Basic "):
-            return False
+            return None
         try:
             user, _, pw = (
                 base64.b64decode(header[6:]).decode("utf-8").partition(":")
             )
         except Exception:
-            return False
-        return (user, pw) == self.auth
+            return None
+        if self.auth is not None and (user, pw) == self.auth:
+            return "*"  # built-in admin bypasses grant checks
+        if self._passwords.get(user) == pw:
+            return user
+        return None
+
+    def authorize(self, principal: str | None, action, stream: str = "*") -> None:
+        """Per-action grant check (reference user_auth_for_datasets);
+        '*' principals (open server / built-in admin) skip it."""
+        from .rbac import AccessDenied
+
+        if principal == "*":
+            return
+        if principal is None:
+            raise ApiError(401, "unauthorized")
+        try:
+            self.rbac.authorize(principal, action, stream)
+        except AccessDenied as e:
+            raise ApiError(403, str(e)) from e
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -640,11 +712,17 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
         self.wfile.write(b"0\r\n\r\n")
 
+    principal: str | None = None
+
     def _authorized(self) -> bool:
-        if self.api.check_auth(self.headers.get("Authorization")):
-            return True
-        self._respond_json(401, {"error": "unauthorized"})
-        return False
+        self.principal = self.api.check_auth(self.headers.get("Authorization"))
+        if self.principal is None:
+            self._respond_json(401, {"error": "unauthorized"})
+            return False
+        return True
+
+    def _allow(self, action, stream: str = "*") -> None:
+        self.api.authorize(self.principal, action, stream)
 
     # -- routes --------------------------------------------------------------
     @staticmethod
@@ -668,6 +746,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, {"status": "ok"})
                 return
             parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "user"]:
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)
+                self._respond_json(200, self.api.list_users())
+                return
             if parts[:3] == ["api", "v1", "targets"]:
                 if not self._authorized():
                     return
@@ -720,6 +806,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             name, sub = route
             if not sub:
+                from .rbac import Action
+
+                self._allow(Action.CREATE_STREAM, name)
                 self.api.create_stream(name)
                 self._respond_json(200, {"status": f"created log stream {name}"})
             elif sub == "retention":
@@ -747,6 +836,13 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "user"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                self.api.delete_user(parts[3])
+                self._respond_json(200, {"status": f"deleted user {parts[3]}"})
+                return
             if parts[:3] == ["api", "v1", "targets"] and len(parts) == 4:
                 from .query.alert_targets import TargetInUseError
 
@@ -777,6 +873,9 @@ class _Handler(BaseHTTPRequestHandler):
             if route[1]:
                 self._respond_json(404, {"error": f"no route {path}"})
                 return
+            from .rbac import Action
+
+            self._allow(Action.DELETE_STREAM, route[0])
             self.api.delete_stream(route[0])
             self._respond_json(200, {"status": f"deleted log stream {route[0]}"})
         except ApiError as e:
@@ -794,9 +893,14 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ApiError(
                         400, f"x-p-log-source {src!r} does not match /v1/{kind}"
                     )
+                from .rbac import Action
+
+                otel_stream = self.headers.get(STREAM_NAME_HEADER, "")
+                if otel_stream:
+                    self._allow(Action.INGEST, otel_stream)
                 n = self.api.ingest_otel(
                     kind,
-                    self.headers.get(STREAM_NAME_HEADER, ""),
+                    otel_stream,
                     self._json_body(),
                     self._custom_fields(),
                 )
@@ -816,7 +920,16 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif parsed.path == "/api/v1/logstream/schema/detect":
                 self._respond_json(200, self.api.detect_schema(self._json_body()))
+            elif parsed.path.startswith("/api/v1/user/"):
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                name = parsed.path.rsplit("/", 1)[1]
+                self._respond_json(200, self.api.create_user(name, self._json_body() or {}))
             elif parsed.path == "/api/v1/targets":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self._respond_json(200, self.api.create_target(self._json_body() or {}))
             elif parsed.path == "/api/v1/alerts":
                 self._respond_json(200, self.api.create_alert(self._json_body() or {}))
@@ -849,19 +962,29 @@ class _Handler(BaseHTTPRequestHandler):
         return custom
 
     def _handle_ingest(self) -> None:
+        from .rbac import Action
+
         stream = self.headers.get(STREAM_NAME_HEADER, "")
         log_source = (self.headers.get(LOG_SOURCE_HEADER) or "").lower()
         if log_source in OTEL_LOG_SOURCES:
             raise ApiError(
                 400, "OTEL log sources are not supported on /api/v1/ingest"
             )
+        if stream:
+            self._allow(Action.INGEST, stream)
         n = self.api.ingest(stream, self._json_body(), self._custom_fields())
         self._respond_json(200, {"status": "ok", "records": n})
 
     def _handle_query(self, params: dict[str, list[str]]) -> None:
+        from .query.engine import extract_table_names
+        from .rbac import Action
+
         payload = self._json_body()
         if not isinstance(payload, dict):
             raise ApiError(400, "body must be a JSON object")
+        for t in extract_table_names(str(payload.get("query") or "")):
+            if t in self.api._stores:
+                self._allow(Action.QUERY, t)
         # query params override/augment body flags (query.rs:591-619)
         for flag in ("fields", "sendNull", "streaming"):
             if flag in params and not payload.get(flag):

@@ -495,3 +495,82 @@ def test_otel_ingest_endpoints(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_rbac_users_and_enforcement(spark, tmp_path):
+    """User CRUD + per-action grant enforcement (reference rbac.rs /
+    role.rs:195-330): a reader may query but not ingest; an ingestor
+    may ingest but not query; admin manages users."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def hdr(user, pw):
+        return {"Authorization": "Basic " + b64.b64encode(f"{user}:{pw}".encode()).decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        # seed a stream as admin
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+
+        out = req("POST", "/api/v1/user/reader1",
+                  {"grants": [{"privilege": "reader", "stream": "s1"}]}, admin)
+        rpw = out["password"]  # generated
+        out = req("POST", "/api/v1/user/ing1",
+                  {"password": "ipw", "grants": [{"privilege": "ingestor", "stream": "s1"}]},
+                  admin)
+        assert out["password"] == "ipw"
+        users = req("GET", "/api/v1/user", None, admin)
+        assert [u["name"] for u in users] == ["ing1", "reader1"]
+
+        q = {"query": "SELECT count(*) AS n FROM s1", **_range()}
+        # reader: query ok, ingest forbidden
+        rows = req("POST", "/api/v1/query", q, hdr("reader1", rpw))
+        assert rows == [{"n": len(EVENTS)}]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/ingest", EVENTS,
+                  headers={"x-p-stream": "s1", **hdr("reader1", rpw)})
+        assert ei.value.code == 403
+        # reader scoped to s1 only: another stream is forbidden
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s2", **admin})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/query",
+                {"query": "SELECT count(*) FROM s2", **_range()}, hdr("reader1", rpw))
+        assert ei.value.code == 403
+
+        # ingestor: ingest ok, query forbidden
+        resp, out = _post(base + "/api/v1/ingest", EVENTS[:1],
+                          headers={"x-p-stream": "s1", **hdr("ing1", "ipw")})
+        assert out["records"] == 1
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/query", q, hdr("ing1", "ipw"))
+        assert ei.value.code == 403
+        # non-admins cannot manage users
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/user/x", {}, hdr("ing1", "ipw"))
+        assert ei.value.code == 403
+        # bad password → 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/query", q, hdr("reader1", "wrong"))
+        assert ei.value.code == 401
+
+        req("DELETE", "/api/v1/user/ing1", None, admin)
+        assert [u["name"] for u in req("GET", "/api/v1/user", None, admin)] == ["reader1"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/ingest", EVENTS[:1],
+                  headers={"x-p-stream": "s1", **hdr("ing1", "ipw")})
+        assert ei.value.code == 401  # credentials gone
+    finally:
+        srv.shutdown()
