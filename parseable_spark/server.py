@@ -76,11 +76,15 @@ class ParseableAPI:
         root: str,
         time_col: str = DEFAULT_TIMESTAMP_KEY,
         auth: tuple[str, str] | None = None,
+        ingestor_ports: list[int] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.time_col = time_col
         self.auth = auth
+        # querier mode: Flight ports of ingestor peers whose staging-
+        # fresh events merge into queries touching the hot window
+        self.ingestor_ports = list(ingestor_ports or [])
         from .query.alert_scheduler import AlertScheduler
         from .query.alert_targets import TargetRegistry
 
@@ -166,6 +170,27 @@ class ParseableAPI:
         for name, store in self._stores.items():
             self.engine.register_stream(name, store.scan(), time_col=store.time_col)
         try:
+            if self.ingestor_ports:
+                # querier mode (airplane.rs:155-184): merge fresh staging
+                # events from ingestor peers for single-stream queries
+                # whose window touches the hot period
+                from .query.engine import extract_table_names
+                from .flight import querier_query
+
+                streams = [
+                    t for t in extract_table_names(sql) if t in self._stores
+                ]
+                if len(streams) == 1:
+                    name = streams[0]
+                    return querier_query(
+                        self.engine,
+                        name,
+                        self._stores[name].scan(),
+                        sql,
+                        start,
+                        end,
+                        ingestor_ports=self.ingestor_ports,
+                    )
             return self.engine.query(sql, start, end)
         except ValueError as e:  # bad time range / rejected SQL
             raise ApiError(400, str(e)) from e
@@ -744,6 +769,17 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if path in ("/api/v1/liveness", "/api/v1/readiness"):
                 self._respond_json(200, {"status": "ok"})
+                return
+            if path == "/api/v1/about":
+                self._respond_json(
+                    200,
+                    {
+                        "version": "v1",
+                        "engine": "parseable-spark",
+                        "mode": "querier" if self.api.ingestor_ports else "standalone",
+                        "streams": len(self.api._stores),
+                    },
+                )
                 return
             parts = path.strip("/").split("/")
             if parts[:3] == ["api", "v1", "user"]:

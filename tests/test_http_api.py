@@ -574,3 +574,42 @@ def test_rbac_users_and_enforcement(spark, tmp_path):
         assert ei.value.code == 401  # credentials gone
     finally:
         srv.shutdown()
+
+
+def test_querier_mode_merges_ingestor_over_http(spark, tmp_path):
+    """Distributed querier over HTTP: a server configured with ingestor
+    Flight ports merges their staging-fresh events into /api/v1/query
+    results (airplane.rs:155-184 end-to-end through the HTTP surface)."""
+    pytest.importorskip("pyarrow.flight")
+    from datetime import datetime, timedelta, timezone
+
+    from parseable_spark.flight import serve as flight_serve
+    from parseable_spark.ingest.events import StreamConfig
+    from parseable_spark.query.engine import QueryEngine
+    from parseable_spark.storage.store import StreamStore
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    # ingestor process B with staged-only events
+    store_b = StreamStore(spark, str(tmp_path / "b"), StreamConfig(name="apihot"))
+    store_b.ingest([{"msg": "fresh-on-B"}], p_timestamp=now - timedelta(minutes=2))
+    engine_b = QueryEngine(spark, time_col="p_timestamp")
+    engine_b.register_stream("apihot", store_b.scan(), time_col="p_timestamp")
+    flight_b = flight_serve(engine_b)
+
+    api = ParseableAPI(
+        spark, str(tmp_path / "a"), ingestor_ports=[flight_b.port]
+    )
+    srv, base = serve_background(api)
+    try:
+        _post(base + "/api/v1/ingest", [{"msg": "local-on-A"}],
+              headers={"x-p-stream": "apihot"})
+        _, about = _req("GET", base + "/api/v1/about")
+        assert about["mode"] == "querier"
+        _, rows = _post(
+            base + "/api/v1/query",
+            {"query": "SELECT msg FROM apihot ORDER BY msg", **_range()},
+        )
+        assert [r["msg"] for r in rows] == ["fresh-on-B", "local-on-A"]
+    finally:
+        srv.shutdown()
+        flight_b.shutdown()
