@@ -818,3 +818,70 @@ def q60_time_range_frame(spark, sf_dir):
         FROM _q60_events
         """
     )
+
+
+@register(
+    "q68_sessionization",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Gap-based sessionization (30 min inactivity): lag → new-session "
+        "flag → running sum per user → one hash aggregate. Every window "
+        "PARTITIONed by user_id — per-user work in one task, users "
+        "parallelize; one shuffle at 100 TB."
+    ),
+)
+def q68_sessionization(spark, sf_dir):
+    from ..functions.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "q69_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS step_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS step_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS step_purchase
+    """,
+    doc=(
+        "Ordered-funnel conversion (view → click → purchase): step k "
+        "counts users whose first step-k event is strictly after their "
+        "first qualifying step-(k-1) event. Per-step per-user aggregates "
+        "chained with left joins on the entity key, ONE final aggregate "
+        "job — no per-step driver actions, no cross-user windows."
+    ),
+)
+def q69_funnel(spark, sf_dir):
+    from ..functions.sessions import funnel
+
+    return funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
