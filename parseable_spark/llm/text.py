@@ -438,3 +438,47 @@ def lm_quality_score(
             )
         )
     )
+
+
+def log_templates(
+    events: DataFrame,
+    msg_col: Column | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Drain-lite log-template mining: mask variable tokens (numbers,
+    hex ids, quoted strings) out of each message, then group by the
+    resulting template — the standard first pass of log clustering at
+    warehouse scale (one regexp projection + one hash aggregate; no
+    pairwise comparison, no Python).
+
+    ``msg_col`` defaults to a deterministic message synthesized from the
+    events row (the corpus has no free-text log lines), which makes the
+    mined templates analytic — the oracle predicts them exactly.
+    """
+    if msg_col is None:
+        msg_col = F.concat(
+            F.lit("user "),
+            F.col("user_id").cast("string"),
+            F.lit(" completed "),
+            F.col("event_type"),
+            F.lit(" in "),
+            F.col("value").cast("string"),
+            F.lit(" ms"),
+        )
+    template = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(msg_col, r"0x[0-9a-fA-F]+", "<HEX>"),
+            r"\d+(\.\d+)?",
+            "<NUM>",
+        ),
+        r"'[^']*'",
+        "<STR>",
+    )
+    return (
+        events.select(template.alias("template"), "user_id", *group_cols)
+        .groupBy("template", *group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

@@ -929,3 +929,24 @@ def q67_ann_ivf_hierarchical(spark, sf_dir):
     return similarity.ivf_ann_hierarchical(
         emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, n_coarse=4, nprobe=2
     )
+
+
+@register(
+    "q70_log_templates",
+    """
+    SELECT 'user <NUM> completed ' || event_type || ' in <NUM> ms' AS template,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Drain-lite log-template mining: mask numbers/hex/quoted strings "
+        "out of each message, group by template — one regexp projection + "
+        "one hash aggregate, no pairwise work. Messages are synthesized "
+        "deterministically from events rows, so the oracle predicts the "
+        "mined templates exactly (the masking regexes are genuinely "
+        "exercised on the Spark side)."
+    ),
+)
+def q70_log_templates(spark, sf_dir):
+    return text.log_templates(load_table(spark, sf_dir, "events"))

@@ -80,3 +80,22 @@ def test_funnel_same_timestamp_does_not_convert(spark):
     )
     row = funnel(df, ["view", "click"]).collect()[0]
     assert (row["step_view"], row["step_click"]) == (1, 0)
+
+
+def test_log_templates_masking(spark):
+    from parseable_spark.llm.text import log_templates
+
+    df = spark.createDataFrame(
+        [
+            (1, "conn 0xDEAD42 from 'alice' took 12.5 ms"),
+            (2, "conn 0xBEEF from 'bob' took 3 ms"),
+            (3, "disk full on /dev/sda1"),
+        ],
+        "user_id bigint, msg string",
+    )
+    out = {
+        r["template"]: (r["n_events"], r["n_users"])
+        for r in log_templates(df, msg_col=__import__("pyspark").sql.functions.col("msg")).collect()
+    }
+    assert out["conn <HEX> from <STR> took <NUM> ms"] == (2, 2)
+    assert out["disk full on /dev/sda<NUM>"] == (1, 1)
