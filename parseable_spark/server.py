@@ -527,6 +527,24 @@ class ParseableAPI:
             ]
         }
 
+    def stream_info(self, name: str) -> dict[str, Any]:
+        """GET .../info (logstream.rs:366-420): first/latest event
+        timestamps from committed manifest metadata plus basic config —
+        an O(files) metadata read, never a data scan."""
+        store = self._store_or_404(name)
+        bounds = [
+            tb
+            for f in store.manifest.files
+            if (tb := f.time_bounds(store.time_col)) is not None
+        ]
+        return {
+            "stream": name,
+            "timePartition": store.time_col,
+            "firstEventAt": min((b[0] for b in bounds), default=None),
+            "latestEventAt": max((b[1] for b in bounds), default=None),
+            "numFiles": len(store.manifest.files),
+        }
+
     def stream_schema(self, name: str) -> dict[str, Any]:
         """GET .../schema (logstream.rs:174-199): committed fields in
         arrow-schema-shaped JSON."""
@@ -826,6 +844,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, self.api.get_retention(name))
             elif sub == "hottier":
                 self._respond_json(200, self.api.get_hot_tier(name))
+            elif sub == "info":
+                self._respond_json(200, self.api.stream_info(name))
             else:
                 self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:

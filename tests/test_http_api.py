@@ -613,3 +613,23 @@ def test_querier_mode_merges_ingestor_over_http(spark, tmp_path):
     finally:
         srv.shutdown()
         flight_b.shutdown()
+
+
+def test_stream_info_endpoint(spark, tmp_path):
+    """GET .../info (logstream.rs:366-420): event-time bounds from
+    manifest metadata, no data scan."""
+    from datetime import datetime
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        store = api.get_or_create_stream("infologs")
+        store.ingest([{"a": 1}], p_timestamp=datetime(2024, 2, 1, 8))
+        store.ingest([{"a": 2}], p_timestamp=datetime(2024, 2, 3, 20))
+        store.flush()
+        _, info = _req("GET", base + "/api/v1/logstream/infologs/info")
+        assert info["stream"] == "infologs" and info["numFiles"] >= 1
+        assert info["firstEventAt"].startswith("2024-02-01")
+        assert info["latestEventAt"].startswith("2024-02-03")
+    finally:
+        srv.shutdown()
