@@ -98,6 +98,8 @@ class ParseableAPI:
 
         self.rbac = Rbac()
         self._passwords: dict[str, str] = {}
+        self._filters: dict[str, dict[str, Any]] = {}
+        self._correlations: dict[str, dict[str, Any]] = {}
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -371,6 +373,120 @@ class ParseableAPI:
                 self.engine.register_stream(name, store.scan(), time_col=store.time_col)
             state = sa.evaluate(self.engine)
         return {"id": alert_id, "state": state.value}
+
+    # -- saved filters (users/filters.rs:38-116, handlers users/filters.rs) --
+    def save_filter(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/filters: store a named filter for a stream.
+        Required: filterName, streamName, query.{filterType}; the id is
+        generated on create (filters.rs Filter/FilterQuery shapes)."""
+        import uuid as _uuid
+
+        name = body.get("filterName") or body.get("filter_name")
+        stream = body.get("streamName") or body.get("stream_name")
+        query = body.get("query") or {}
+        ftype = (query.get("filterType") or query.get("filter_type") or "").lower()
+        if not name or not stream:
+            raise ApiError(400, "filter needs filterName and streamName")
+        if ftype not in ("filter", "sql", "search"):
+            raise ApiError(400, f"unknown filterType {ftype!r}")
+        fid = body.get("filterId") or _uuid.uuid4().hex
+        stored = {**body, "filterId": fid}
+        with self._lock:
+            self._filters[fid] = stored
+        return stored
+
+    def get_filter(self, fid: str) -> dict[str, Any]:
+        with self._lock:
+            if fid not in self._filters:
+                raise ApiError(404, f"no filter {fid}")
+            return self._filters[fid]
+
+    def list_filters(self) -> list[dict[str, Any]]:
+        with self._lock:
+            return sorted(self._filters.values(), key=lambda f: f["filterId"])
+
+    def delete_filter(self, fid: str) -> None:
+        with self._lock:
+            if fid not in self._filters:
+                raise ApiError(404, f"no filter {fid}")
+            del self._filters[fid]
+
+    # -- correlations (correlation.rs:235-418) --------------------------------
+    def _validate_correlation(self, body: dict[str, Any]) -> None:
+        tcs = body.get("tableConfigs") or []
+        jcs = (body.get("joinConfig") or {}).get("joinConditions") or []
+        if len(tcs) != 2:
+            raise ApiError(400, "correlation needs exactly two tableConfigs")
+        if len(jcs) != 2:
+            raise ApiError(400, "joinConfig needs exactly two joinConditions")
+        for tc in tcs:
+            tname = tc.get("tableName") or ""
+            if tname not in self._stores:
+                raise ApiError(400, f"unknown stream {tname!r} in correlation")
+            if not tc.get("selectedFields"):
+                raise ApiError(400, f"no selectedFields for {tname!r}")
+
+    def save_correlation(self, body: dict[str, Any]) -> dict[str, Any]:
+        import uuid as _uuid
+
+        if not body.get("title"):
+            raise ApiError(400, "correlation needs a title")
+        self._validate_correlation(body)
+        cid = body.get("id") or _uuid.uuid4().hex
+        stored = {**body, "id": cid}
+        with self._lock:
+            self._correlations[cid] = stored
+        return stored
+
+    def get_correlation(self, cid: str) -> dict[str, Any]:
+        with self._lock:
+            if cid not in self._correlations:
+                raise ApiError(404, f"no correlation {cid}")
+            return self._correlations[cid]
+
+    def list_correlations(self) -> list[dict[str, Any]]:
+        with self._lock:
+            return sorted(self._correlations.values(), key=lambda c: c["id"])
+
+    def delete_correlation(self, cid: str) -> None:
+        with self._lock:
+            if cid not in self._correlations:
+                raise ApiError(404, f"no correlation {cid}")
+            del self._correlations[cid]
+
+    def run_correlation(self, cid: str, start: str, end: str) -> list[dict[str, Any]]:
+        """Execute a saved correlation over the window: the stored
+        tableConfigs/joinConfig map 1:1 onto query/correlation.py's
+        correlate() (reference evaluates the same config through its
+        query path, correlation.rs:300-360)."""
+        from .query.correlation import JoinCondition, TableConfig, correlate
+        from .query.engine import TimeRange
+        from .query.response import row_to_json
+
+        cfg = self.get_correlation(cid)
+        try:
+            tr = TimeRange.parse(start or "", end or "")
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
+        lo, hi = tr.start.replace(tzinfo=None), tr.end.replace(tzinfo=None)
+        with self._lock:
+            from pyspark.sql import functions as F
+
+            dfs, tcs = [], []
+            for tc in cfg["tableConfigs"]:
+                store = self._stores[tc["tableName"]]
+                df = store.scan().filter(
+                    (F.col(store.time_col) >= F.lit(lo))
+                    & (F.col(store.time_col) < F.lit(hi))
+                )
+                dfs.append(df)
+                tcs.append(TableConfig(tc["tableName"], tuple(tc["selectedFields"])))
+            jcs = tuple(
+                JoinCondition(j["tableName"], j["field"])
+                for j in cfg["joinConfig"]["joinConditions"]
+            )
+            out = correlate(dfs[0], dfs[1], tcs[0], tcs[1], jcs)
+            return [row_to_json(r) for r in out.collect()]
 
     # -- counts API (query.rs:409-583, query/mod.rs:516-560) -----------------
     def counts(self, body: dict[str, Any]) -> dict[str, Any]:
@@ -808,6 +924,22 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 self._respond_json(200, self.api.list_users())
                 return
+            if parts[:3] == ["api", "v1", "filters"]:
+                if not self._authorized():
+                    return
+                if len(parts) == 3:
+                    self._respond_json(200, self.api.list_filters())
+                else:
+                    self._respond_json(200, self.api.get_filter(parts[3]))
+                return
+            if parts[:3] == ["api", "v1", "correlation"]:
+                if not self._authorized():
+                    return
+                if len(parts) == 3:
+                    self._respond_json(200, self.api.list_correlations())
+                else:
+                    self._respond_json(200, self.api.get_correlation(parts[3]))
+                return
             if parts[:3] == ["api", "v1", "targets"]:
                 if not self._authorized():
                     return
@@ -899,6 +1031,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.api.delete_user(parts[3])
                 self._respond_json(200, {"status": f"deleted user {parts[3]}"})
                 return
+            if parts[:3] == ["api", "v1", "filters"] and len(parts) == 4:
+                self.api.delete_filter(parts[3])
+                self._respond_json(200, {"status": f"deleted filter {parts[3]}"})
+                return
+            if parts[:3] == ["api", "v1", "correlation"] and len(parts) == 4:
+                self.api.delete_correlation(parts[3])
+                self._respond_json(200, {"status": f"deleted correlation {parts[3]}"})
+                return
             if parts[:3] == ["api", "v1", "targets"] and len(parts) == 4:
                 from .query.alert_targets import TargetInUseError
 
@@ -982,6 +1122,22 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 name = parsed.path.rsplit("/", 1)[1]
                 self._respond_json(200, self.api.create_user(name, self._json_body() or {}))
+            elif parsed.path == "/api/v1/filters":
+                self._respond_json(200, self.api.save_filter(self._json_body() or {}))
+            elif parsed.path == "/api/v1/correlation":
+                self._respond_json(200, self.api.save_correlation(self._json_body() or {}))
+            elif (
+                parsed.path.startswith("/api/v1/correlation/")
+                and parsed.path.endswith("/run")
+            ):
+                cid = parsed.path.split("/")[4]
+                params = parse_qs(parsed.query)
+                rows = self.api.run_correlation(
+                    cid,
+                    (params.get("startTime") or [""])[0],
+                    (params.get("endTime") or [""])[0],
+                )
+                self._respond_json(200, rows)
             elif parsed.path == "/api/v1/targets":
                 from .rbac import Action
 

@@ -633,3 +633,85 @@ def test_stream_info_endpoint(spark, tmp_path):
         assert info["latestEventAt"].startswith("2024-02-03")
     finally:
         srv.shutdown()
+
+
+def test_filters_crud(spark, tmp_path):
+    """Saved filters (users/filters.rs:38-116): create with generated
+    id, list, get, delete; filterType whitelist enforced."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        body = {
+            "filterName": "errors only",
+            "streamName": "applogs",
+            "query": {"filterType": "sql", "filterQuery": "SELECT * FROM applogs WHERE level = 'error'"},
+        }
+        _, saved = _post(base + "/api/v1/filters", body)
+        fid = saved["filterId"]
+        _, got = _req("GET", base + "/api/v1/filters/" + fid)
+        assert got["filterName"] == "errors only"
+        _, all_f = _req("GET", base + "/api/v1/filters")
+        assert [f["filterId"] for f in all_f] == [fid]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/filters", {**body, "query": {"filterType": "bogus"}})
+        assert ei.value.code == 400
+        _req("DELETE", base + "/api/v1/filters/" + fid)
+        _, all_f = _req("GET", base + "/api/v1/filters")
+        assert all_f == []
+    finally:
+        srv.shutdown()
+
+
+def test_correlation_crud_and_run(spark, tmp_path):
+    """Correlations (correlation.rs:235-418): config validation against
+    registered streams, then execution over a window via the stored
+    tableConfigs/joinConfig."""
+    from datetime import datetime, timedelta, timezone
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        ts = now - timedelta(minutes=2)
+        api.get_or_create_stream("reqs").ingest(
+            [{"req_id": 1, "path": "/a"}, {"req_id": 2, "path": "/b"}], p_timestamp=ts
+        )
+        api.get_or_create_stream("errs").ingest(
+            [{"req_id": 2, "code": 500}], p_timestamp=ts
+        )
+        cfg = {
+            "title": "reqs x errs",
+            "tableConfigs": [
+                {"tableName": "reqs", "selectedFields": ["req_id", "path"]},
+                {"tableName": "errs", "selectedFields": ["code"]},
+            ],
+            "joinConfig": {
+                "joinConditions": [
+                    {"tableName": "reqs", "field": "req_id"},
+                    {"tableName": "errs", "field": "req_id"},
+                ]
+            },
+        }
+        _, saved = _post(base + "/api/v1/correlation", cfg)
+        cid = saved["id"]
+        rng = _range()
+        resp, rows = _post(
+            base + f"/api/v1/correlation/{cid}/run?startTime={rng['startTime']}&endTime={rng['endTime']}",
+            {},
+        )
+        assert len(rows) == 1
+        assert rows[0]["reqs_path"] == "/b" and rows[0]["errs_code"] == 500.0
+
+        # unknown stream rejected at create
+        bad = {**cfg, "tableConfigs": [
+            {"tableName": "nope", "selectedFields": ["x"]},
+            {"tableName": "errs", "selectedFields": ["code"]},
+        ]}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/correlation", bad)
+        assert ei.value.code == 400
+        _req("DELETE", base + "/api/v1/correlation/" + cid)
+        _, all_c = _req("GET", base + "/api/v1/correlation")
+        assert all_c == []
+    finally:
+        srv.shutdown()
