@@ -62,6 +62,7 @@ class Grant:
 class User:
     name: str
     grants: list[Grant] = field(default_factory=list)
+    roles: list[str] = field(default_factory=list)  # named role refs
 
 
 class AccessDenied(PermissionError):
@@ -71,11 +72,38 @@ class AccessDenied(PermissionError):
 class Rbac:
     def __init__(self) -> None:
         self._users: dict[str, User] = {}
+        self._roles: dict[str, list[Grant]] = {}
 
-    def add_user(self, name: str, grants: list[Grant]) -> User:
-        u = User(name, list(grants))
+    def add_user(
+        self, name: str, grants: list[Grant], roles: list[str] | None = None
+    ) -> User:
+        u = User(name, list(grants), list(roles or []))
         self._users[name] = u
         return u
+
+    # --- named roles (reference role.rs PUT/GET /role/{name}: a role is
+    # a reusable grant set; users reference roles, edits propagate
+    # because grants resolve at authorization time) --------------------
+    def put_role(self, name: str, grants: list[Grant]) -> None:
+        self._roles[name] = list(grants)
+
+    def get_role(self, name: str) -> list[Grant]:
+        return list(self._roles[name])
+
+    def list_roles(self) -> list[str]:
+        return sorted(self._roles)
+
+    def delete_role(self, name: str) -> None:
+        users = [u.name for u in self._users.values() if name in u.roles]
+        if users:
+            raise ValueError(f"role {name} in use by {users}")
+        del self._roles[name]
+
+    def effective_grants(self, user: User) -> list[Grant]:
+        out = list(user.grants)
+        for r in user.roles:
+            out.extend(self._roles.get(r, []))
+        return out
 
     def authorize(
         self,
@@ -87,7 +115,9 @@ class Rbac:
         """Raise AccessDenied unless some grant covers (action, stream,
         tenant) — the reference's user_auth_for_datasets gate."""
         u = self._users.get(user)
-        if u is None or not any(g.allows(action, stream, tenant) for g in u.grants):
+        if u is None or not any(
+            g.allows(action, stream, tenant) for g in self.effective_grants(u)
+        ):
             raise AccessDenied(f"{user} may not {action.value} on {tenant}/{stream}")
 
     def authorized_streams(
@@ -96,10 +126,11 @@ class Rbac:
         u = self._users.get(user)
         if u is None:
             return []
+        grants = self.effective_grants(u)
         return [
             s
             for s in streams
-            if any(g.allows(Action.QUERY, s, tenant) for g in u.grants)
+            if any(g.allows(Action.QUERY, s, tenant) for g in grants)
         ]
 
 

@@ -749,28 +749,68 @@ class ParseableAPI:
             store.hot_tier = None
 
     # -- users + RBAC (rbac.rs, role.rs:195-330) -----------------------------
+    @staticmethod
+    def _parse_grants(items: list[dict[str, Any]]):
+        from .rbac import Grant, _PRIVILEGES
+
+        grants = []
+        for g in items or []:
+            priv = (g.get("privilege") or "").lower()
+            if priv not in _PRIVILEGES:
+                raise ApiError(400, f"unknown privilege {priv!r}")
+            grants.append(
+                Grant(priv, g.get("stream", "*"), g.get("tenant", "default"))
+            )
+        return grants
+
+    def put_role(self, name: str, body: list[dict[str, Any]]) -> None:
+        """PUT /api/v1/role/{name} (role.rs): body is the grant list;
+        users referencing the role pick up edits immediately (grants
+        resolve at authorization time)."""
+        if not name:
+            raise ApiError(400, "empty role name")
+        if not isinstance(body, list):
+            raise ApiError(400, "role body must be a grant list")
+        with self._lock:
+            self.rbac.put_role(name, self._parse_grants(body))
+
+    def get_role(self, name: str) -> list[dict[str, Any]]:
+        with self._lock:
+            try:
+                grants = self.rbac.get_role(name)
+            except KeyError as e:
+                raise ApiError(404, f"no role {name}") from e
+        return [
+            {"privilege": g.privilege, "stream": g.stream, "tenant": g.tenant}
+            for g in grants
+        ]
+
+    def delete_role(self, name: str) -> None:
+        with self._lock:
+            try:
+                self.rbac.delete_role(name)
+            except KeyError as e:
+                raise ApiError(404, f"no role {name}") from e
+            except ValueError as e:
+                raise ApiError(409, str(e)) from e
+
     def create_user(self, name: str, body: dict[str, Any]) -> dict[str, Any]:
         """POST /api/v1/user/{name} (reference returns a generated
         password on create). Grants: [{privilege, stream?, tenant?}]."""
         import secrets
-
-        from .rbac import Grant, _PRIVILEGES
 
         if not name:
             raise ApiError(400, "empty username")
         with self._lock:
             if name in self._passwords:
                 raise ApiError(400, f"user {name} already exists")
-            grants = []
-            for g in body.get("grants") or []:
-                priv = (g.get("privilege") or "").lower()
-                if priv not in _PRIVILEGES:
-                    raise ApiError(400, f"unknown privilege {priv!r}")
-                grants.append(
-                    Grant(priv, g.get("stream", "*"), g.get("tenant", "default"))
-                )
+            grants = self._parse_grants(body.get("grants") or [])
+            roles = list(body.get("roles") or [])
+            for r in roles:
+                if r not in self.rbac._roles:
+                    raise ApiError(400, f"unknown role {r!r}")
             password = body.get("password") or secrets.token_urlsafe(16)
-            self.rbac.add_user(name, grants)
+            self.rbac.add_user(name, grants, roles=roles)
             self._passwords[name] = password
         return {"name": name, "password": password}
 
@@ -790,6 +830,7 @@ class ParseableAPI:
                         {"privilege": g.privilege, "stream": g.stream, "tenant": g.tenant}
                         for g in self.rbac._users[n].grants
                     ],
+                    "roles": list(self.rbac._users[n].roles),
                 }
                 for n in sorted(self._passwords)
             ]
@@ -924,6 +965,17 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 self._respond_json(200, self.api.list_users())
                 return
+            if parts[:3] == ["api", "v1", "role"]:
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)
+                if len(parts) == 3:
+                    self._respond_json(200, self.api.rbac.list_roles())
+                else:
+                    self._respond_json(200, self.api.get_role(parts[3]))
+                return
             if parts[:3] == ["api", "v1", "filters"]:
                 if not self._authorized():
                     return
@@ -988,6 +1040,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if not self._authorized():
                 return
+            parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "role"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                self.api.put_role(parts[3], self._json_body())
+                self._respond_json(200, {"status": f"set role {parts[3]}"})
+                return
             route = self._logstream_route(path)
             if route is None or not route[0]:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -1030,6 +1090,13 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 self.api.delete_user(parts[3])
                 self._respond_json(200, {"status": f"deleted user {parts[3]}"})
+                return
+            if parts[:3] == ["api", "v1", "role"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                self.api.delete_role(parts[3])
+                self._respond_json(200, {"status": f"deleted role {parts[3]}"})
                 return
             if parts[:3] == ["api", "v1", "filters"] and len(parts) == 4:
                 self.api.delete_filter(parts[3])

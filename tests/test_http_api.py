@@ -715,3 +715,64 @@ def test_correlation_crud_and_run(spark, tmp_path):
         assert all_c == []
     finally:
         srv.shutdown()
+
+
+def test_named_roles(spark, tmp_path):
+    """Named roles (role.rs): a role is a reusable grant set; users
+    referencing it pick up edits immediately; delete refuses while in
+    use."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:pw").decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    def hdr(u, p):
+        return {"Authorization": "Basic " + b64.b64encode(f"{u}:{p}".encode()).decode()}
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        req("PUT", "/api/v1/role/analyst",
+            [{"privilege": "reader", "stream": "s1"}], admin)
+        assert req("GET", "/api/v1/role", None, admin) == ["analyst"]
+        req("POST", "/api/v1/user/carol",
+            {"password": "cpw", "roles": ["analyst"]}, admin)
+
+        q = {"query": "SELECT count(*) AS n FROM s1", **_range()}
+        assert req("POST", "/api/v1/query", q, hdr("carol", "cpw")) == [{"n": len(EVENTS)}]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/ingest", EVENTS,
+                  headers={"x-p-stream": "s1", **hdr("carol", "cpw")})
+        assert ei.value.code == 403
+
+        # widen the role → carol can ingest without any user edit
+        req("PUT", "/api/v1/role/analyst",
+            [{"privilege": "writer", "stream": "s1"}], admin)
+        _, out = _post(base + "/api/v1/ingest", EVENTS[:1],
+                       headers={"x-p-stream": "s1", **hdr("carol", "cpw")})
+        assert out["records"] == 1
+
+        # in-use delete refused; free after user removal
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("DELETE", "/api/v1/role/analyst", None, admin)
+        assert ei.value.code == 409
+        req("DELETE", "/api/v1/user/carol", None, admin)
+        req("DELETE", "/api/v1/role/analyst", None, admin)
+        assert req("GET", "/api/v1/role", None, admin) == []
+        # unknown role on user create
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/user/dave", {"roles": ["ghost"]}, admin)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
