@@ -697,6 +697,23 @@ class ParseableAPI:
         with self._lock:
             self._retention[name] = tasks
 
+    def run_retention(self, now=None) -> dict[str, int]:
+        """Apply every stored retention config (the reference's daily
+        00:00 scheduler slot, retention.rs:58-91 — point any cron at
+        this). Returns per-stream removed-partition counts."""
+        from .storage.retention import apply_retention_tasks, parse_retention_config
+
+        with self._lock:
+            configs = {
+                n: parse_retention_config(tasks)
+                for n, tasks in self._retention.items()
+                if n in self._stores
+            }
+            return {
+                n: apply_retention_tasks(self._stores[n], tasks, now=now)
+                for n, tasks in configs.items()
+            }
+
     # -- hot tier (logstream.rs:421-560) -------------------------------------
     @staticmethod
     def _parse_size(v: Any) -> int:

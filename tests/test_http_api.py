@@ -776,3 +776,23 @@ def test_named_roles(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_run_retention_applies_stored_configs(spark, tmp_path):
+    """run_retention applies every stored task list — the daily
+    scheduler slot (retention.rs:58-91): partitions older than the
+    configured horizon are dropped and manifests updated."""
+    from datetime import datetime
+
+    api = ParseableAPI(spark, str(tmp_path))
+    store = api.get_or_create_stream("rlogs")
+    store.ingest([{"a": 1}], p_timestamp=datetime(2024, 1, 1, 10))   # old
+    store.ingest([{"a": 2}], p_timestamp=datetime(2024, 3, 1, 10))   # recent
+    store.flush()
+    assert len(store.manifest.files) == 2
+    api.put_retention("rlogs", [{"description": "d", "action": "delete", "duration": "30d"}])
+
+    removed = api.run_retention(now=datetime(2024, 3, 10))
+    assert removed == {"rlogs": 1}
+    assert len(store.manifest.files) == 1
+    assert store.scan().count() == 1  # only the recent event survives
