@@ -4,7 +4,9 @@ entry(spark)   — flagship query at sf0.001 (smoke check).
 queries()      — every implemented operator from SURVEY.md §2 plus the
                  LLM-pipeline operators; callables take (spark, sf_dir).
 oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for
-                 non-SQL-expressible ops, e.g. the Python decode kernel).
+                 approximate-by-construction sketch rollups: the HLL
+                 distinct rollup and the KLL quantile rollup, whose
+                 error bounds are asserted in tests instead).
 
 Implementations live in parseable_spark/queries/ (relational.py,
 product.py, llm.py); this module just exposes the registry.

@@ -313,3 +313,48 @@ def q57_hll_sketch_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q71_kll_quantile_rollup",
+    None,
+    doc=(
+        "Mergeable KLL quantile rollup (datasketches): per-day "
+        "kll_sketch_agg_double(value) partial sketches, "
+        "kll_sketch_merge_double at query time, quantiles read off the "
+        "merged sketch — the pre-aggregated-cube pattern that answers "
+        "percentile panels over any day range at 100 TB without "
+        "rescanning raw data (the percentile analog of q57's HLL "
+        "rollup). Approximate by construction → rows-only driver check; "
+        "the rank-error bound vs exact percentiles is asserted in "
+        "tests/test_sampling_sketches.py."
+    ),
+)
+def q71_kll_quantile_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar; fold the per-day
+    # partials (bounded: one per day per group) into one sketch
+    merged = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "event_type",
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+    )
+    return merged.select(
+        "event_type",
+        *[
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 3
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+    ).orderBy("event_type")

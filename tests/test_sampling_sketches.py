@@ -235,3 +235,27 @@ def test_chunk_documents_windows_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window and stride"):
         chunk_documents(df, window=0, stride=2)
+
+
+def test_kll_rollup_within_rank_error(spark):
+    """Merged per-day KLL quantiles must land within a generous rank
+    window of the exact distribution (KLL default k=200 ≈ 1.65% rank
+    error; we assert ±5% rank like q57's HLL bound)."""
+    from parseable_spark.queries.product import q71_kll_quantile_rollup
+    from parseable_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    approx = {
+        r["event_type"]: r for r in q71_kll_quantile_rollup(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    for etype, row in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        for q in (0.50, 0.95, 0.99):
+            got = row[f"p{int(q * 100)}"]
+            lo = vals[max(int((q - 0.05) * n), 0)]
+            hi = vals[min(int((q + 0.05) * n), n - 1)]
+            assert lo <= got <= hi, (etype, q, got, lo, hi)
