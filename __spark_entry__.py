@@ -3,10 +3,15 @@
 entry(spark)   — flagship query at sf0.001 (smoke check).
 queries()      — every implemented operator from SURVEY.md §2 plus the
                  LLM-pipeline operators; callables take (spark, sf_dir).
+                 Exactly 50 entries (q01..q50): the driver's correctness
+                 gate enumerates at most 50 sorted names, so operators
+                 sharing a scan are combined (COVERAGE.md has the
+                 r2→r3 name mapping) and every family is hash-checked.
 oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for
-                 approximate-by-construction sketch rollups: the HLL
-                 distinct rollup and the KLL quantile rollup, whose
-                 error bounds are asserted in tests instead).
+                 q19_sketch_rollups, approximate by construction; its
+                 error bounds are asserted in tests and its EXACT
+                 companions q06/q46 are hash-checked on the same
+                 groupings).
 
 Implementations live in parseable_spark/queries/ (relational.py,
 product.py, llm.py); this module just exposes the registry.

@@ -23,22 +23,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # headline set: scan-agg, shuffle join, window, LSH dedup pipeline,
 # vector search, text analysis — the engine's load-bearing shapes.
+# r3 registry renumbering (see COVERAGE.md): q04_group_topk_nullsafe →
+# q04_counts_topk_nullsafe, q07_window_rownum → q07_window_rank_distinct,
+# q26_dedup_jaccard_verified → q25_dedup_minhash_verified,
+# q31_text_quality+q33_token_counts → q31_text_features (merged; does the
+# work of five r2 queries), q52 → q08, q54 → q14, q56 → q17; the freed
+# 15th slot goes to q34_sessionization.
 HEADLINE = [
     "q01_pricing_summary",
-    "q04_group_topk_nullsafe",
+    "q04_counts_topk_nullsafe",
     "q05_date_bin_histogram",
-    "q07_window_rownum",
+    "q07_window_rank_distinct",
+    "q08_asof_join",
     "q11_shipping_priority",
     "q12_local_supplier_volume",
+    "q14_repetition_filters",
+    "q17_contamination",
     "q18_counts_histogram",
     "q21_field_stats_topk",
-    "q26_dedup_jaccard_verified",
+    "q25_dedup_minhash_verified",
     "q28_knn_bruteforce",
-    "q31_text_quality",
-    "q33_token_counts",
-    "q52_asof_join",
-    "q54_repetition_filters",
-    "q56_contamination",
+    "q31_text_features",
+    "q34_sessionization",
 ]
 
 

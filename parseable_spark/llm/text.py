@@ -241,6 +241,82 @@ def fingerprints(
     )
 
 
+def doc_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 4,
+    prefix_len: int = 64,
+) -> DataFrame:
+    """Every per-document scalar text feature in ONE projection pass:
+    quality (length/word/stopword/punctuation + gate), language-ID
+    marker scores + prediction, BPE-ish token count, and the
+    fingerprint columns. The word array, normalized text, and CJK flag
+    materialize once in a staging projection and all features derive
+    from them — a join of the individual feature functions would scan
+    the corpus four times; this is one scan, zero shuffles.
+
+    (n_words doubles as the whitespace token count — the two are the
+    same expression, so only one column is emitted.)
+    """
+    langs = list(LANG_MARKERS)
+    t = F.col(text_col)
+    stage1 = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        normalized_words(t).alias("_w"),
+        t.rlike(r"[一-鿿]").alias("_has_cjk"),
+        F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ").alias("_norm"),
+    )
+    stage2 = stage1.select(
+        F.col(id_col),
+        "_norm",
+        "_has_cjk",
+        F.length("_t").cast("bigint").alias("n_chars"),
+        F.size("_w").cast("bigint").alias("n_words"),
+        _count_in(F.col("_w"), STOPWORDS).alias("_stop_hits"),
+        (
+            F.length("_t") - F.length(F.regexp_replace("_t", _PUNCT_CLASS, ""))
+        ).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace("_t", r"\s", "")).alias("_nonspace"),
+        F.regexp_count(F.lower("_t"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        *[
+            _count_in(F.col("_w"), LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
+    for lang in langs:  # first max wins — same CASE order in the oracle
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return stage2.select(
+        F.col(id_col),
+        "n_chars",
+        "n_words",
+        F.round(F.col("_nonspace") / F.col("n_words"), ndigits).alias("avg_word_len"),
+        F.round(F.col("_stop_hits") / F.col("n_words"), ndigits).alias(
+            "stopword_ratio"
+        ),
+        "n_punct",
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("_stop_hits") / F.col("n_words") >= 0.05)
+            & (F.col("n_chars") >= 64)
+        ).alias("quality_ok"),
+        *[
+            F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
+            for lang in langs
+        ],
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+        "bpe_ish_tokens",
+        F.md5("_norm").alias("fp_full"),
+        F.md5(F.substring("_norm", 1, prefix_len)).alias("fp_prefix"),
+        (F.length("_norm") / 100).cast("bigint").alias("len_bucket"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3,6 +3,12 @@
 Hash function md5 makes MinHash/SimHash/fingerprints bit-identical
 across Spark and DuckDB, so even the locality-sensitive pipelines are
 exact-oracle-checked (no RNG anywhere).
+
+Registry layout note (round 3): per-document features that share one
+scan are combined (q31 = quality + language-ID + tokens + fingerprints
++ TF-IDF keywords; q24 = exact-dedup groups + SimHash; q25 = LSH
+candidates + Jaccard verification) so every operator family fits the
+driver's 50-entry correctness window. r2→r3 mapping in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -41,55 +47,12 @@ _DUCK_SIG = f"""
     )
 """
 
-
-@register(
-    "q24_dedup_exact",
-    """
-    SELECT md5(text) AS digest, min(doc_id) AS keep_id,
-           CAST(count(*) AS BIGINT) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-    doc="Exact dedup: content-digest hash-groupBy, one shuffle on digest.",
-)
-def q24_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+_DUCK_JACCARD = """round(len(list_intersect(a.sset, b.sset))
+                 / len(list_distinct(list_concat(a.sset, b.sset))), 6)"""
 
 
-@register(
-    "q25_dedup_minhash_lsh",
-    f"WITH {_DUCK_SIG} SELECT id_a, id_b FROM candidates",
-    doc="MinHash(8) + LSH(4 bands x 2) candidate pairs — shuffle on band hash, no all-pairs join.",
-)
-def q25_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q26_dedup_jaccard_verified",
-    f"""
-    WITH {_DUCK_SIG},
-    sets AS (
-        SELECT doc_id AS sid, list_distinct({_DUCK_SHINGLES}) AS sset
-        FROM docs_w WHERE len(w) >= 3
-    )
-    SELECT c.id_a, c.id_b,
-           round(len(list_intersect(a.sset, b.sset))
-                 / len(list_distinct(list_concat(a.sset, b.sset))), 6) AS jaccard
-    FROM candidates c
-    JOIN sets a ON c.id_a = a.sid
-    JOIN sets b ON c.id_b = b.sid
-    WHERE round(len(list_intersect(a.sset, b.sset))
-                / len(list_distinct(list_concat(a.sset, b.sset))), 6) >= 0.2
-    """,
-    doc="Full near-dup pipeline: LSH candidates → exact n-gram Jaccard verification on candidates only.",
-)
-def q26_dedup_jaccard_verified(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs)
-    return dedup.jaccard_verify(docs, cands, threshold=0.2)
-
-
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTE block `words, hashed, votes, sim` — sim = (doc_id, simhash)."""
     nib = lambda k: f"(strpos('0123456789abcdef', substring(md5(w), {k}, 1)) - 1)"  # noqa: E731
     h = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
     votes = ", ".join(
@@ -98,7 +61,7 @@ def _simhash_oracle() -> str:
     )
     bits = " + ".join(f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
     return f"""
-        WITH words AS (
+        words AS (
             SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
         ),
         hashed AS (
@@ -106,18 +69,288 @@ def _simhash_oracle() -> str:
         ),
         votes AS (
             SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
         )
-        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
     """
 
 
 @register(
-    "q27_dedup_simhash",
-    _simhash_oracle(),
-    doc="16-bit SimHash fingerprint per doc: per-word hash → per-bit majority vote; dups collide on the fingerprint (groupBy, no pairwise work).",
+    "q14_repetition_filters",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, 'u' AS kind, unnest(w) AS tok FROM w
+        UNION ALL
+        SELECT doc_id, 'b' AS kind,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS tok
+        FROM w
+    ),
+    c AS (
+        SELECT doc_id, kind, tok, count(*) AS c
+        FROM toks GROUP BY doc_id, kind, tok
+    ),
+    s AS (
+        SELECT doc_id,
+               max(CASE WHEN kind = 'u' THEN c END) AS top_wc,
+               sum(CASE WHEN kind = 'u' THEN c END) AS nw,
+               count(CASE WHEN kind = 'u' THEN 1 END) AS n_distinct,
+               max(CASE WHEN kind = 'b' THEN c END) AS top_bc,
+               sum(CASE WHEN kind = 'b' THEN c END) AS nb
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           round(top_wc / nw, 6) AS top_word_frac,
+           round(1 - n_distinct / nw, 6) AS dup_word_frac,
+           round(top_bc / nb, 6) AS top_bigram_frac,
+           (round(top_wc / nw, 6) <= 0.2
+            AND round(1 - n_distinct / nw, 6) <= 0.6
+            AND coalesce(round(top_bc / nb, 6) <= 0.18, TRUE)) AS repetition_ok
+    FROM s
+    """,
+    doc=(
+        "Gopher-style repetition quality filters (top-word / dup-word / "
+        "top-bigram fractions + gate). One corpus pass: unigram and bigram "
+        "tokens emitted from the same exploded rows, two codegen'd hash "
+        "aggregates — no O(n^2) per-doc lambdas. (r2 name: q54.)"
+    ),
 )
-def q27_dedup_simhash(spark, sf_dir):
-    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+def q14_repetition_filters(spark, sf_dir):
+    return text.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q16_sampling_suite",
+    """
+    WITH flags AS (
+        SELECT source, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                              THEN '80' ELSE '20' END
+                    THEN 1 END AS kept,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+                    THEN 1 END AS top3
+        FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(kept) AS BIGINT) AS n_kept,
+           CAST(count(top3) AS BIGINT) AS n_top3
+    FROM flags GROUP BY source, split
+    """,
+    doc=(
+        "Deterministic sampling suite, all keyed on md5(doc_id) — no RNG, "
+        "reproducible across engines/retries/repartitioning: (1) "
+        "stratified hash sampling (rate 0.5 for src0-3, 0.125 rest, "
+        "quantized /256; scan-local predicate), (2) k-per-group hash "
+        "reservoir (3 smallest digests per source; one window shuffle), "
+        "(3) disjoint+exhaustive 80/10/10 train/val/test split "
+        "(leak-safe: a doc can never migrate between splits). Summarized "
+        "per (source, split) cell. (r2 names: q55 + q58 + q61.)"
+    ),
+)
+def q16_sampling_suite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    kept = sampling.hash_sample(
+        docs,
+        strata_col="source",
+        strata_rates={f"src{i}": 0.5 for i in range(4)},
+        default_rate=0.125,
+    ).select("doc_id", F.lit(1).alias("_kept"))
+    top = sampling.per_group_sample(docs, k=3, group_col="source").select(
+        "doc_id", F.lit(1).alias("_top3")
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count("_kept").alias("n_kept"),
+            F.count("_top3").alias("n_top3"),
+        )
+    )
+
+
+@register(
+    "q17_contamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM w WHERE len(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated
+    FROM sh t JOIN bench b ON t.shingle = b.shingle
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Benchmark-contamination check: training docs sharing 3-gram "
+        "shingles with the benchmark corpus (source=src0), per-doc distinct "
+        "overlap count. Benchmark shingle set is broadcast — the 100 TB "
+        "training scan never shuffles until the per-doc count. "
+        "(r2 name: q56.)"
+    ),
+)
+def q17_contamination(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+@register(
+    "q24_dedup_exact_simhash",
+    f"""
+    WITH {_simhash_ctes()},
+    g AS (
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, md5(d.text) AS digest, g.keep_id, g.n_copies, s.simhash
+    FROM documents d
+    JOIN g ON md5(d.text) = g.digest
+    JOIN sim s ON s.doc_id = d.doc_id
+    """,
+    doc=(
+        "Hash-based dedup fingerprints, both kinds, per doc: exact "
+        "content-digest groups (keep-min-id + copy count; one shuffle on "
+        "digest) and the 16-bit SimHash (per-word hash → per-bit majority "
+        "vote; near-dups collide on the fingerprint, no pairwise work). "
+        "(r2 names: q24 + q27.)"
+    ),
+)
+def q24_dedup_exact_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("doc_id", F.md5("text").alias("digest"))
+    groups = dedup.exact_dedup(docs)
+    sims = dedup.simhash16(docs)
+    return (
+        per_doc.join(groups, "digest")
+        .join(sims, "doc_id")
+        .select("doc_id", "digest", "keep_id", "n_copies", "simhash")
+    )
+
+
+@register(
+    "q25_dedup_minhash_verified",
+    f"""
+    WITH {_DUCK_SIG},
+    sets AS (
+        SELECT doc_id AS sid, list_distinct({_DUCK_SHINGLES}) AS sset
+        FROM docs_w WHERE len(w) >= 3
+    )
+    SELECT c.id_a, c.id_b,
+           {_DUCK_JACCARD} AS jaccard,
+           {_DUCK_JACCARD} >= 0.2 AS is_dup
+    FROM candidates c
+    JOIN sets a ON c.id_a = a.sid
+    JOIN sets b ON c.id_b = b.sid
+    """,
+    doc=(
+        "Full near-dup pipeline in one result: MinHash(8) + LSH(4 bands "
+        "x 2) candidate pairs — shuffle on band hash, no all-pairs join, "
+        "giant-bucket star guard (bucket_cap=64) — then exact n-gram "
+        "Jaccard on the candidates only, with the >=0.2 verification "
+        "verdict as a flag so both the candidate set and the verified "
+        "set are hash-checked. (r2 names: q25 + q26.)"
+    ),
+)
+def q25_dedup_minhash_verified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    scored = dedup.jaccard_verify(docs, cands, threshold=0.0)
+    return scored.withColumn("is_dup", F.col("jaccard") >= 0.2)
+
+
+@register(
+    "q26_sequence_packing",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS digest,
+               strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS shard
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(floor((sum(n_chars) OVER (
+                    PARTITION BY shard ORDER BY digest, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_chars) / 2000) AS BIGINT) AS batch_id
+    FROM t
+    """,
+    doc=(
+        "Deterministic sequence packing for training batches: shard by a "
+        "digest nibble (16-way), order each shard by the digest "
+        "(pseudo-random but reproducible), assign batch ids by cumulative "
+        "char budget (2000). One window shuffle on the shard key; shards "
+        "are independent, so n_shards is the parallelism knob at 100 TB. "
+        "Same corpus -> same batches across engines and reruns. "
+        "(r2 name: q62.)"
+    ),
+)
+def q26_sequence_packing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pack_sequences(
+        docs, tokens_col="n_chars", budget=2000, n_shards=16
+    ).select("doc_id", F.col("shard").cast("int").alias("shard"), "batch_id")
+
+
+@register(
+    "q27_document_chunking",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(w) / 24.0) AS BIGINT))) AS chunk_id,
+               w
+        FROM w
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_tokens,
+           array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text
+    FROM chunks
+    """,
+    doc=(
+        "Pre-embedding document chunking: overlapping word windows "
+        "(W=32, stride=24). Each word emits its covering chunk ids "
+        "(constant <=ceil(W/S) fan-out) and chunks reassemble in one "
+        "(doc, chunk) hash aggregate — no per-chunk full-array carry, "
+        "one bounded-width shuffle at 100 TB. (r2 name: q64.)"
+    ),
+)
+def q27_document_chunking(spark, sf_dir):
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=32, stride=24
+    )
 
 
 _DUCK_COSINE = """
@@ -203,88 +436,199 @@ def q30_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.3)
 
 
-@register(
-    "q31_text_quality",
-    r"""
-    WITH base AS (
-        SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(w) AS BIGINT) AS n_words,
-           round(length(regexp_replace(text, '\s', '', 'g')) / len(w), 4) AS avg_word_len,
-           round(len(list_filter(w, x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) / len(w), 4) AS stopword_ratio,
-           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-           (len(w) >= 5
-            AND len(list_filter(w, x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) / len(w) >= 0.05
-            AND length(text) >= 64) AS quality_ok
-    FROM base
-    """,
-    doc="Text quality scoring: length/word/stopword/punctuation features.",
-)
-def q31_text_quality(spark, sf_dir):
-    return text.quality_features(load_table(spark, sf_dir, "documents"))
-
-
-def _lang_oracle() -> str:
-    score = lambda m: (  # noqa: E731
-        "len(list_filter(w, x -> list_contains(["
-        + ",".join(f"'{s}'" for s in m)
+def _text_features_oracle() -> str:
+    stop = ",".join(f"'{s}'" for s in text.STOPWORDS)
+    scores = {
+        lang: "len(list_filter(w, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
         + "], x)))"
-    )
-    scores = {lang: score(m) for lang, m in text.LANG_MARKERS.items()}
+        for lang, markers in text.LANG_MARKERS.items()
+    }
     best = "greatest(" + ", ".join(scores.values()) + ")"
     case = "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' " + " ".join(
         f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
     ) + " ELSE 'und' END"
-    cols = ", ".join(f"CAST({scores[lang]} AS BIGINT) AS score_{lang}" for lang in text.LANG_MARKERS)
-    return f"""
-        WITH base AS (
-            SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents
-        )
-        SELECT doc_id, {cols}, {case} AS pred_lang FROM base
+    score_cols = ", ".join(
+        f"CAST({scores[lang]} AS BIGINT) AS score_{lang}" for lang in text.LANG_MARKERS
+    )
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, text, {_DUCK_WORDS} AS w,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round(length(regexp_replace(text, '\s', '', 'g')) / len(w), 4) AS avg_word_len,
+               round(len(list_filter(w, x -> list_contains([{stop}], x))) / len(w), 4) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               (len(w) >= 5
+                AND len(list_filter(w, x -> list_contains([{stop}], x))) / len(w) >= 0.05
+                AND length(text) >= 64) AS quality_ok,
+               {score_cols},
+               {case} AS pred_lang,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+               md5(norm) AS fp_full,
+               md5(substring(norm, 1, 64)) AS fp_prefix,
+               CAST(length(norm) // 100 AS BIGINT) AS len_bucket
+        FROM base
+    ),
+    terms AS (
+        SELECT doc_id, unnest(w) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(nn.n_docs / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term), nn
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    ),
+    kw AS (
+        SELECT doc_id,
+               max(CASE WHEN rank = 1 THEN term END) AS kw1,
+               max(CASE WHEN rank = 2 THEN term END) AS kw2,
+               max(CASE WHEN rank = 3 THEN term END) AS kw3
+        FROM ranked WHERE rank <= 3 GROUP BY doc_id
+    )
+    SELECT f.*, kw.kw1, kw.kw2, kw.kw3
+    FROM feat f LEFT JOIN kw USING (doc_id)
     """
 
 
 @register(
-    "q32_language_id",
-    _lang_oracle(),
-    doc="Language ID via marker-word scoring (n-gram heuristic), deterministic tie-break.",
+    "q31_text_features",
+    _text_features_oracle(),
+    doc=(
+        "Per-document text analysis, one scan: quality scoring "
+        "(length/word/stopword/punctuation + gate), marker-word "
+        "language-ID with deterministic tie-break, BPE-ish token count, "
+        "document fingerprints (normalized digest + prefix + length "
+        "bucket) — all column expressions sharing one materialized word "
+        "array (text.doc_features) — plus top-3 TF-IDF keywords pivoted "
+        "to columns (tf/df hash aggregates, broadcast df table, per-doc "
+        "top-k window). (r2 names: q31 + q32 + q33 + q34 + q63.)"
+    ),
 )
-def q32_language_id(spark, sf_dir):
-    return text.language_id(load_table(spark, sf_dir, "documents"))
+def q31_text_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.doc_features(docs)
+    tf3 = text.tfidf_top_terms(docs, k=3, ndigits=4)
+    kw = tf3.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("term"))).alias("kw1"),
+        F.max(F.when(F.col("rank") == 2, F.col("term"))).alias("kw2"),
+        F.max(F.when(F.col("rank") == 3, F.col("term"))).alias("kw3"),
+    )
+    return feats.join(kw, "doc_id", "left")
 
 
 @register(
-    "q33_token_counts",
+    "q32_pii_redaction",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_emails,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_ips,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_phones,
+           0 AS n_pii_after_redact,
+           length(text) + CASE WHEN doc_id % 4 = 0
+               THEN length(' contact [EMAIL] from [IP] tel [PHONE]') ELSE 0 END
+               AS redacted_len
     FROM documents
     """,
-    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
+    doc=(
+        "PII detection + redaction (emails / IPv4 / phones) as pure column "
+        "expressions (regexp_count/regexp_replace, codegen'd). PII is "
+        "deterministically planted on every 4th doc so the oracle verifies "
+        "detection counts, redacted length, zero residual PII after "
+        "redaction, and zero false positives on the clean remainder. "
+        "(r2 name: q65.)"
+    ),
 )
-def q33_token_counts(spark, sf_dir):
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
+def q32_pii_redaction(spark, sf_dir):
+    docs = text.plant_pii(load_table(spark, sf_dir, "documents"))
+    return text.pii_features(docs)
+
+
+def _duck_cos(a: str, b: str, nd: int) -> str:
+    return f"""round(
+        list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
+    {nd})"""
 
 
 @register(
-    "q34_fingerprints",
-    r"""
-    WITH n AS (
-        SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-        FROM documents
+    "q33_ann_ivf_hierarchical",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    coarse AS (
+        SELECT vec_id AS gid, embedding AS gv FROM embeddings WHERE vec_id < 4
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cent_group AS (
+        SELECT cid, cv, gid FROM (
+            SELECT cid, cv, gid,
+                   row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY {_duck_cos('cv', 'gv', 6)} DESC, gid
+                   ) AS rn
+            FROM cents CROSS JOIN coarse
+        ) WHERE rn = 1
+    ),
+    vec_group AS (
+        SELECT vec_id, e, gid FROM (
+            SELECT vec_id, e, gid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_duck_cos('e', 'gv', 6)} DESC, gid
+                   ) AS rn
+            FROM (SELECT vec_id, embedding AS e FROM embeddings) CROSS JOIN coarse
+        ) WHERE rn = 1
+    ),
+    assign AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cos('v.e', 'c.cv', 6)} DESC, c.cid
+                   ) AS rn
+            FROM vec_group v JOIN cent_group c USING (gid)
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cid FROM cents, q
+        ORDER BY {_duck_cos('cv', 'qv', 6)} DESC, cid LIMIT 2
     )
-    SELECT doc_id, md5(norm) AS fp_full, md5(substring(norm, 1, 64)) AS fp_prefix,
-           CAST(length(norm) // 100 AS BIGINT) AS len_bucket
-    FROM n
+    SELECT a.vec_id, a.cell, {_duck_cos('e', 'qv', 4)} AS cosine_sim
+    FROM assign a JOIN probe p ON a.cell = p.cid, q
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 5
     """,
-    doc="Document fingerprinting: digest over whitespace-normalized text + length bucket.",
+    doc=(
+        "IVF with two-level hierarchical cell assignment — the "
+        "large-codebook scale path: each vector argmaxes over n_coarse "
+        "groups then only that group's fine centroids (~2*sqrt(C) cosines "
+        "per vector vs C flat; 512 vs 65536 at C=65k). Both assignment "
+        "stages are broadcast joins + map-side struct-argmax; cell id is "
+        "the partition key at scale. (r2 name: q67.)"
+    ),
 )
-def q34_fingerprints(spark, sf_dir):
-    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+def q33_ann_ivf_hierarchical(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_hierarchical(
+        emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, n_coarse=4, nprobe=2
+    )
 
 
 @register(
@@ -318,14 +662,6 @@ def q34_fingerprints(spark, sf_dir):
 def q35_multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_real_media(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_real_features(media)
-
-
-def _duck_cos(a: str, b: str, nd: int) -> str:
-    return f"""round(
-        list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
-        / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
-           * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
-    {nd})"""
 
 
 @register(
@@ -385,6 +721,107 @@ def q40_ann_ivf(spark, sf_dir):
 def q42_multimodal_frames(spark, sf_dir):
     media = multimodal.synthesize_real_media(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames_real(media, every_ms=1000)
+
+
+@register(
+    "q44_log_templates",
+    """
+    SELECT 'user <NUM> completed ' || event_type || ' in <NUM> ms' AS template,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Drain-lite log-template mining: mask numbers/hex/quoted strings "
+        "out of each message, group by template — one regexp projection + "
+        "one hash aggregate, no pairwise work. Messages are synthesized "
+        "deterministically from events rows, so the oracle predicts the "
+        "mined templates exactly (the masking regexes are genuinely "
+        "exercised on the Spark side). (r2 name: q70.)"
+    ),
+)
+def q44_log_templates(spark, sf_dir):
+    return text.log_templates(load_table(spark, sf_dir, "events"))
+
+
+def _curation_quality_oracle() -> str:
+    stop = ",".join(f"'{s}'" for s in text.STOPWORDS)
+    scores = {
+        lang: "len(list_filter(w, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + "], x)))"
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+    case = (
+        "CASE WHEN has_cjk THEN 'zh' "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
+        )
+        + " ELSE 'und' END"
+    )
+    score_cols = ", ".join(f"{sql} AS score_{lang}" for lang, sql in scores.items())
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(w) AS BIGINT) AS n_words,
+               len(list_filter(w, x -> list_contains([{stop}], x))) AS stop_hits,
+               md5(text) AS digest,
+               regexp_matches(text, '[一-鿿]') AS has_cjk,
+               {score_cols}
+        FROM base
+    ),
+    gated AS (
+        SELECT * FROM feat
+        WHERE n_words >= 5 AND stop_hits / n_words >= 0.05 AND n_chars >= 64
+    ),
+    lang AS (
+        SELECT doc_id, n_chars, n_words, digest, {case} AS pred_lang FROM gated
+    ),
+    cur AS (
+        SELECT doc_id, n_chars, n_words, pred_lang
+        FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+              FROM lang)
+        WHERE rn = 1
+    ),
+    lmw AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    lmw2 AS (SELECT doc_id, word FROM lmw WHERE length(word) > 0),
+    lmf AS (SELECT word, count(*) AS cnt FROM lmw2 GROUP BY word),
+    lmt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lmf),
+    lm AS (
+        SELECT doc_id, round(avg(ln(cnt / total)), 4) AS lm_score
+        FROM lmw2 JOIN lmf USING (word), lmt
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_chars, c.n_words, c.pred_lang, lm.lm_score
+    FROM cur c JOIN lm USING (doc_id)
+    """
+
+
+@register(
+    "q48_curation_quality",
+    _curation_quality_oracle(),
+    doc=(
+        "End-to-end training-data curation: quality gate + language ID in "
+        "one projection pass (single scan), exact dedup via a digest "
+        "window, then the corpus-LM quality score (CCNet-style avg log "
+        "unigram frequency; one word-count aggregate builds the LM, one "
+        "word-keyed join scores — no forced broadcast, a 100 TB Zipf "
+        "vocab does not reliably fit) joined onto the survivors. "
+        "(r2 names: q51 + q66.)"
+    ),
+)
+def q48_curation_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cur = text.curate(docs)
+    lm = text.lm_quality_score(docs)
+    return cur.join(lm, "doc_id")
 
 
 @register(
@@ -468,485 +905,3 @@ def q50_dedup_clusters(spark, sf_dir):
         docs, dedup.minhash_lsh_candidates(docs), threshold=0.2
     )
     return dedup.connected_components(pairs)
-
-
-def _curation_oracle() -> str:
-    stop = ",".join(f"'{s}'" for s in text.STOPWORDS)
-    scores = {
-        lang: "len(list_filter(w, x -> list_contains(["
-        + ",".join(f"'{m}'" for m in markers)
-        + "], x)))"
-        for lang, markers in text.LANG_MARKERS.items()
-    }
-    best = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
-    case = (
-        "CASE WHEN has_cjk THEN 'zh' "
-        + " ".join(
-            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
-        )
-        + " ELSE 'und' END"
-    )
-    score_cols = ", ".join(f"{sql} AS score_{lang}" for lang, sql in scores.items())
-    return f"""
-    WITH base AS (
-        SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents
-    ),
-    feat AS (
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(w) AS BIGINT) AS n_words,
-               len(list_filter(w, x -> list_contains([{stop}], x))) AS stop_hits,
-               md5(text) AS digest,
-               regexp_matches(text, '[一-鿿]') AS has_cjk,
-               {score_cols}
-        FROM base
-    ),
-    gated AS (
-        SELECT * FROM feat
-        WHERE n_words >= 5 AND stop_hits / n_words >= 0.05 AND n_chars >= 64
-    ),
-    lang AS (
-        SELECT doc_id, n_chars, n_words, digest, {case} AS pred_lang FROM gated
-    )
-    SELECT doc_id, n_chars, n_words, pred_lang
-    FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
-          FROM lang)
-    WHERE rn = 1
-    """
-
-
-@register(
-    "q51_curation_pipeline",
-    _curation_oracle(),
-    doc=(
-        "End-to-end training-data curation: quality gate + language ID in one "
-        "projection pass (single scan), then exact dedup via a digest window — "
-        "the composed form of q31/q32/q24."
-    ),
-)
-def q51_curation_pipeline(spark, sf_dir):
-    return text.curate(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q54_repetition_filters",
-    r"""
-    WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        FROM documents
-    ),
-    toks AS (
-        SELECT doc_id, 'u' AS kind, unnest(w) AS tok FROM w
-        UNION ALL
-        SELECT doc_id, 'b' AS kind,
-               unnest(list_transform(range(1, len(w)),
-                                     i -> w[i] || ' ' || w[i+1])) AS tok
-        FROM w
-    ),
-    c AS (
-        SELECT doc_id, kind, tok, count(*) AS c
-        FROM toks GROUP BY doc_id, kind, tok
-    ),
-    s AS (
-        SELECT doc_id,
-               max(CASE WHEN kind = 'u' THEN c END) AS top_wc,
-               sum(CASE WHEN kind = 'u' THEN c END) AS nw,
-               count(CASE WHEN kind = 'u' THEN 1 END) AS n_distinct,
-               max(CASE WHEN kind = 'b' THEN c END) AS top_bc,
-               sum(CASE WHEN kind = 'b' THEN c END) AS nb
-        FROM c GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST(nw AS BIGINT) AS n_words,
-           round(top_wc / nw, 6) AS top_word_frac,
-           round(1 - n_distinct / nw, 6) AS dup_word_frac,
-           round(top_bc / nb, 6) AS top_bigram_frac,
-           (round(top_wc / nw, 6) <= 0.2
-            AND round(1 - n_distinct / nw, 6) <= 0.6
-            AND coalesce(round(top_bc / nb, 6) <= 0.18, TRUE)) AS repetition_ok
-    FROM s
-    """,
-    doc=(
-        "Gopher-style repetition quality filters (top-word / dup-word / "
-        "top-bigram fractions + gate). One corpus pass: unigram and bigram "
-        "tokens emitted from the same exploded rows, two codegen'd hash "
-        "aggregates — no O(n^2) per-doc lambdas."
-    ),
-)
-def q54_repetition_filters(spark, sf_dir):
-    return text.repetition_features(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q55_stratified_sample",
-    """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(sum(n_chars) AS BIGINT) AS chars_kept
-    FROM documents
-    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-          CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
-               THEN '80' ELSE '20' END
-    GROUP BY source
-    """,
-    doc=(
-        "Deterministic stratified hash sampling: keep iff first md5(id) byte "
-        "falls under a per-stratum threshold (0.5 for src0-3, 0.125 rest; "
-        "rates quantized /256). Scan-local predicate, no shuffle, no RNG — "
-        "reproducible across engines/retries, hence exactly oracle-checked."
-    ),
-)
-def q55_stratified_sample(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    sampled = sampling.hash_sample(
-        docs,
-        strata_col="source",
-        strata_rates={f"src{i}": 0.5 for i in range(4)},
-        default_rate=0.125,
-    )
-    return sampled.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").cast("bigint").alias("chars_kept"),
-    )
-
-
-@register(
-    "q56_contamination",
-    r"""
-    WITH w AS (
-        SELECT doc_id, source,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, source,
-               unnest(list_transform(range(1, len(w) - 1),
-                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
-        FROM w WHERE len(w) >= 3
-    ),
-    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
-    SELECT t.doc_id,
-           CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated
-    FROM sh t JOIN bench b ON t.shingle = b.shingle
-    WHERE t.source <> 'src0'
-    GROUP BY t.doc_id
-    """,
-    doc=(
-        "Benchmark-contamination check: training docs sharing 3-gram "
-        "shingles with the benchmark corpus (source=src0), per-doc distinct "
-        "overlap count. Benchmark shingle set is broadcast — the 100 TB "
-        "training scan never shuffles until the per-doc count."
-    ),
-)
-def q56_contamination(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.contamination(
-        docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
-    )
-
-
-@register(
-    "q58_per_group_sample",
-    """
-    SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank
-    FROM (
-        SELECT source, doc_id,
-               row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ) AS sample_rank
-        FROM documents
-    )
-    WHERE sample_rank <= 3
-    """,
-    doc=(
-        "Deterministic k-per-group sample (hash reservoir): keep the 3 "
-        "docs with smallest md5(id) per source. One window shuffle; "
-        "reproducible across engines/runs — no RNG. Hot groups pre-thin "
-        "with hash_sample before the window at scale."
-    ),
-)
-def q58_per_group_sample(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling.per_group_sample(docs, k=3, group_col="source").select(
-        "source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank")
-    )
-
-
-@register(
-    "q61_train_val_test_split",
-    """
-    SELECT split,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM (
-        SELECT CASE
-                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                 ELSE 'test'
-               END AS split,
-               n_chars
-        FROM documents
-    )
-    GROUP BY split
-    """,
-    doc=(
-        "Deterministic 80/10/10 train/val/test split keyed on md5(doc_id) "
-        "(thresholds 0xcd, 0xe6 — fractions quantized /256). Disjoint, "
-        "exhaustive, stable under reruns and repartitioning: a doc can "
-        "never migrate from train to test (leak safety). Scan-local CASE, "
-        "no shuffle before the summary agg."
-    ),
-)
-def q61_train_val_test_split(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-        )
-    )
-
-
-@register(
-    "q62_sequence_packing",
-    """
-    WITH t AS (
-        SELECT doc_id, n_chars,
-               md5(CAST(doc_id AS VARCHAR)) AS digest,
-               strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS shard
-        FROM documents
-    )
-    SELECT doc_id, CAST(shard AS INT) AS shard,
-           CAST(floor((sum(n_chars) OVER (
-                    PARTITION BY shard ORDER BY digest, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                ) - n_chars) / 2000) AS BIGINT) AS batch_id
-    FROM t
-    """,
-    doc=(
-        "Deterministic sequence packing for training batches: shard by a "
-        "digest nibble (16-way), order each shard by the digest "
-        "(pseudo-random but reproducible), assign batch ids by cumulative "
-        "char budget (2000). One window shuffle on the shard key; shards "
-        "are independent, so n_shards is the parallelism knob at 100 TB. "
-        "Same corpus -> same batches across engines and reruns."
-    ),
-)
-def q62_sequence_packing(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return sampling.pack_sequences(
-        docs, tokens_col="n_chars", budget=2000, n_shards=16
-    ).select("doc_id", F.col("shard").cast("int").alias("shard"), "batch_id")
-
-
-@register(
-    "q63_tfidf_keywords",
-    r"""
-    WITH terms AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, term, count(*) AS tf
-        FROM terms WHERE length(term) > 0 GROUP BY doc_id, term
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
-        FROM tf JOIN dfreq USING (term), n
-    )
-    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
-        FROM scored
-    )
-    WHERE rank <= 3
-    """,
-    doc=(
-        "TF-IDF keyword extraction: top-3 characteristic terms per doc. "
-        "tf from one (doc, term) hash aggregate; the doc-frequency table "
-        "is vocabulary-sized (small vs the corpus) and broadcast back; "
-        "per-doc top-k window with lexicographic tie-break. No driver-side "
-        "vocabulary, no collect."
-    ),
-)
-def q63_tfidf_keywords(spark, sf_dir):
-    return text.tfidf_top_terms(
-        load_table(spark, sf_dir, "documents"), k=3, ndigits=4
-    )
-
-
-@register(
-    "q64_document_chunking",
-    r"""
-    WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        FROM documents
-    ),
-    chunks AS (
-        SELECT doc_id,
-               unnest(range(0, CAST(ceil(len(w) / 24.0) AS BIGINT))) AS chunk_id,
-               w
-        FROM w
-    )
-    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-           CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_tokens,
-           array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text
-    FROM chunks
-    """,
-    doc=(
-        "Pre-embedding document chunking: overlapping word windows "
-        "(W=32, stride=24). Each word emits its covering chunk ids "
-        "(constant <=ceil(W/S) fan-out) and chunks reassemble in one "
-        "(doc, chunk) hash aggregate — no per-chunk full-array carry, "
-        "one bounded-width shuffle at 100 TB."
-    ),
-)
-def q64_document_chunking(spark, sf_dir):
-    return text.chunk_documents(
-        load_table(spark, sf_dir, "documents"), window=32, stride=24
-    )
-
-
-@register(
-    "q65_pii_redaction",
-    r"""
-    SELECT doc_id,
-           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_emails,
-           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_ips,
-           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_phones,
-           0 AS n_pii_after_redact,
-           length(text) + CASE WHEN doc_id % 4 = 0
-               THEN length(' contact [EMAIL] from [IP] tel [PHONE]') ELSE 0 END
-               AS redacted_len
-    FROM documents
-    """,
-    doc=(
-        "PII detection + redaction (emails / IPv4 / phones) as pure column "
-        "expressions (regexp_count/regexp_replace, codegen'd). PII is "
-        "deterministically planted on every 4th doc so the oracle verifies "
-        "detection counts, redacted length, zero residual PII after "
-        "redaction, and zero false positives on the clean remainder."
-    ),
-)
-def q65_pii_redaction(spark, sf_dir):
-    docs = text.plant_pii(load_table(spark, sf_dir, "documents"))
-    return text.pii_features(docs)
-
-
-@register(
-    "q66_lm_quality",
-    r"""
-    WITH w AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-        FROM documents
-    ),
-    w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
-    f AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word),
-    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
-    SELECT doc_id, round(avg(ln(cnt / total)), 4) AS lm_score
-    FROM w2 JOIN f USING (word), t
-    GROUP BY doc_id
-    """,
-    doc=(
-        "Corpus-LM quality score (CCNet-style): avg log unigram frequency "
-        "of each document's words under the corpus distribution — one "
-        "word-count aggregate builds the LM, one word-keyed join scores "
-        "(no forced broadcast: a 100 TB Zipf vocab does not reliably fit), "
-        "one per-doc aggregate."
-    ),
-)
-def q66_lm_quality(spark, sf_dir):
-    return text.lm_quality_score(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q67_ann_ivf_hierarchical",
-    f"""
-    WITH cents AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
-    ),
-    coarse AS (
-        SELECT vec_id AS gid, embedding AS gv FROM embeddings WHERE vec_id < 4
-    ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    cent_group AS (
-        SELECT cid, cv, gid FROM (
-            SELECT cid, cv, gid,
-                   row_number() OVER (
-                       PARTITION BY cid
-                       ORDER BY {_duck_cos('cv', 'gv', 6)} DESC, gid
-                   ) AS rn
-            FROM cents CROSS JOIN coarse
-        ) WHERE rn = 1
-    ),
-    vec_group AS (
-        SELECT vec_id, e, gid FROM (
-            SELECT vec_id, e, gid,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY {_duck_cos('e', 'gv', 6)} DESC, gid
-                   ) AS rn
-            FROM (SELECT vec_id, embedding AS e FROM embeddings) CROSS JOIN coarse
-        ) WHERE rn = 1
-    ),
-    assign AS (
-        SELECT vec_id, e, cell FROM (
-            SELECT v.vec_id, v.e, c.cid AS cell,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY {_duck_cos('v.e', 'c.cv', 6)} DESC, c.cid
-                   ) AS rn
-            FROM vec_group v JOIN cent_group c USING (gid)
-        ) WHERE rn = 1
-    ),
-    probe AS (
-        SELECT cid FROM cents, q
-        ORDER BY {_duck_cos('cv', 'qv', 6)} DESC, cid LIMIT 2
-    )
-    SELECT a.vec_id, a.cell, {_duck_cos('e', 'qv', 4)} AS cosine_sim
-    FROM assign a JOIN probe p ON a.cell = p.cid, q
-    ORDER BY cosine_sim DESC, a.vec_id LIMIT 5
-    """,
-    doc=(
-        "IVF with two-level hierarchical cell assignment — the "
-        "large-codebook scale path: each vector argmaxes over n_coarse "
-        "groups then only that group's fine centroids (~2*sqrt(C) cosines "
-        "per vector vs C flat; 512 vs 65536 at C=65k). Both assignment "
-        "stages are broadcast joins + map-side struct-argmax; cell id is "
-        "the partition key at scale."
-    ),
-)
-def q67_ann_ivf_hierarchical(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_hierarchical(
-        emb, _query_vec(spark, sf_dir), k=5, n_centroids=16, n_coarse=4, nprobe=2
-    )
-
-
-@register(
-    "q70_log_templates",
-    """
-    SELECT 'user <NUM> completed ' || event_type || ' in <NUM> ms' AS template,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1
-    """,
-    doc=(
-        "Drain-lite log-template mining: mask numbers/hex/quoted strings "
-        "out of each message, group by template — one regexp projection + "
-        "one hash aggregate, no pairwise work. Messages are synthesized "
-        "deterministically from events rows, so the oracle predicts the "
-        "mined templates exactly (the masking regexes are genuinely "
-        "exercised on the Spark side)."
-    ),
-)
-def q70_log_templates(spark, sf_dir):
-    return text.log_templates(load_table(spark, sf_dir, "events"))

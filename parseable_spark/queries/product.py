@@ -25,6 +25,36 @@ def _engine(spark, sf_dir) -> QueryEngine:
 
 
 @register(
+    "q04_counts_topk_nullsafe",
+    f"""
+    WITH grouped_counts AS (
+        SELECT event_type AS grp, {duckdb_date_bin_sql('ts', 21600)} AS bin_epoch,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        GROUP BY grp, bin_epoch
+    ), top_groups AS (
+        SELECT grp FROM grouped_counts
+        GROUP BY grp ORDER BY sum(cnt) DESC, grp LIMIT 2
+    )
+    SELECT g.grp AS event_type, g.bin_epoch, g.cnt
+    FROM grouped_counts g
+    INNER JOIN top_groups t ON g.grp IS NOT DISTINCT FROM t.grp
+    """,
+    doc=(
+        "Counts API with group_by: 3-CTE GROUP BY + top-K + null-safe "
+        "(<=>) inner join back, generated SQL through the engine with "
+        "time-filter injection (reference src/query/mod.rs:716-732). "
+        "The k-row top_groups side broadcasts. (r2 names: q04 + q19.)"
+    ),
+)
+def q04_counts_topk_nullsafe(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    sql = top_k_counts_sql("events", "ts", "event_type", 21600, 2)
+    return eng.query(sql, "2024-01-08T00:00:00Z", "2024-01-22T00:00:00Z")
+
+
+@register(
     "q18_counts_histogram",
     f"""
     SELECT {duckdb_date_bin_sql('ts', 86400)} AS bin_epoch,
@@ -42,28 +72,61 @@ def q18_counts_histogram(spark, sf_dir):
 
 
 @register(
-    "q19_counts_topk",
-    f"""
-    WITH grouped_counts AS (
-        SELECT event_type AS grp, {duckdb_date_bin_sql('ts', 21600)} AS bin_epoch,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events
-        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
-        GROUP BY grp, bin_epoch
-    ), top_groups AS (
-        SELECT grp FROM grouped_counts
-        GROUP BY grp ORDER BY sum(cnt) DESC, grp LIMIT 2
-    )
-    SELECT g.grp AS event_type, g.bin_epoch, g.cnt
-    FROM grouped_counts g
-    INNER JOIN top_groups t ON g.grp IS NOT DISTINCT FROM t.grp
-    """,
-    doc="Counts API with group_by: 3-CTE top-K + null-safe join (reference src/query/mod.rs:716-732).",
+    "q19_sketch_rollups",
+    None,
+    doc=(
+        "Mergeable sketch rollups (datasketches), HLL + KLL in one "
+        "pre-aggregated cube: per-day hll_sketch_agg(user_id) and "
+        "kll_sketch_agg_double(value) partials per event_type, merged at "
+        "query time (hll_union_agg; kll_sketch_merge_double fold over the "
+        "bounded per-day list) — answers COUNT(DISTINCT) and percentile "
+        "panels over any day range at 100 TB without rescanning raw "
+        "data. Approximate by construction → rows-only driver check; "
+        "the ±5%% / rank-error bounds are asserted in "
+        "tests/test_sampling_sketches.py, and the EXACT companions are "
+        "driver-hash-checked on the same grouping and columns: q06 "
+        "(COUNT(DISTINCT user_id) per event_type) and q46 (exact "
+        "percentiles of value per event_type). (r2 names: q57 + q71.)"
+    ),
 )
-def q19_counts_topk(spark, sf_dir):
-    eng = _engine(spark, sf_dir)
-    sql = top_k_counts_sql("events", "ts", "event_type", 21600, 2)
-    return eng.query(sql, "2024-01-08T00:00:00Z", "2024-01-22T00:00:00Z")
+def q19_sketch_rollups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("hll"),
+        F.kll_sketch_agg_double("value").alias("kll"),
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.collect_list("kll").alias("sks"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            # kll_sketch_merge_double is a binary scalar; fold the
+            # per-day partials (bounded: one per day per group)
+            F.aggregate(
+                F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+                F.element_at(F.col("sks"), 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "approx_users",
+        *[
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 3
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+    ).orderBy("event_type")
 
 
 @register(
@@ -112,37 +175,46 @@ def q20_alert_eval(spark, sf_dir):
             FROM events GROUP BY 2
             ORDER BY cnt DESC, field_value ASC LIMIT 5
         )
+    ), card AS (
+        SELECT 'event_type' AS field_name,
+               CAST(count(event_type) AS BIGINT) AS total_count,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_count
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events
     )
-    SELECT field_name, field_value, cnt,
+    SELECT u.field_name, u.field_value, u.cnt,
            ROW_NUMBER() OVER (
-               PARTITION BY field_name
-               ORDER BY cnt DESC, field_value ASC) AS rn
-    FROM u
+               PARTITION BY u.field_name
+               ORDER BY u.cnt DESC, u.field_value ASC) AS rn,
+           c.total_count, c.distinct_count
+    FROM u JOIN card c ON u.field_name = c.field_name
     """,
-    doc="Field-stats top-K per field: deterministic ORDER BY+LIMIT (TakeOrderedAndProject) then rank over the <=k survivors (reference src/storage/field_stats.rs:991-1100).",
+    doc=(
+        "Field-stats read side, complete: per-field top-K values "
+        "(deterministic ORDER BY+LIMIT → TakeOrderedAndProject, rank over "
+        "the <=k survivors) joined with per-field cardinality "
+        "(total/distinct; Spark additionally computes approx_count_distinct "
+        "— HLL++, replacing the reference's hand-rolled HLL, "
+        "field_stats.rs:595+ — dropped from the oracle-checked columns). "
+        "Reference src/storage/field_stats.rs:991-1100. "
+        "Merges r2's q21 + q22; the per-field cardinality side is 2 rows "
+        "→ broadcast join."
+    ),
 )
 def q21_field_stats_topk(spark, sf_dir):
-    eng = _engine(spark, sf_dir)
-    sql = field_top_k_sql("events", ["event_type", "user_id"], 5)
-    return eng.query(sql)
+    from pyspark.sql import functions as F
 
-
-@register(
-    "q22_field_cardinality",
-    """
-    SELECT 'event_type' AS field_name, CAST(count(event_type) AS BIGINT) AS total_count,
-           CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_count
-    FROM events
-    UNION ALL
-    SELECT 'user_id', CAST(count(user_id) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT)
-    FROM events
-    """,
-    doc="Field cardinality; Spark adds approx_count_distinct (HLL++) replacing the reference's hand-rolled HLL (field_stats.rs:595+) — exact columns oracle-checked, sketch checked in unit tests.",
-)
-def q22_field_cardinality(spark, sf_dir):
     eng = _engine(spark, sf_dir)
-    sql = field_cardinality_sql("events", ["event_type", "user_id"])
-    return eng.query(sql).select("field_name", "total_count", "distinct_count")
+    topk = eng.query(field_top_k_sql("events", ["event_type", "user_id"], 5))
+    card = eng.query(field_cardinality_sql("events", ["event_type", "user_id"])).select(
+        "field_name", "total_count", "distinct_count"
+    )
+    return topk.join(F.broadcast(card), "field_name").select(
+        "field_name", "field_value", "cnt", "rn", "total_count", "distinct_count"
+    )
 
 
 @register(
@@ -269,7 +341,13 @@ def q41_field_stats_pipeline(spark, sf_dir):
     FROM events
     GROUP BY event_type
     """,
-    doc="Latency percentiles per group (APM stat panel): exact interpolated percentile; at scale swap percentile() for approx_percentile — same plan shape, sketch-based.",
+    doc=(
+        "Latency percentiles per group (APM stat panel): exact "
+        "interpolated percentile; at scale swap percentile() for "
+        "approx_percentile — same plan shape, sketch-based. Doubles as "
+        "the driver-checked EXACT companion for q19's KLL quantile "
+        "rollup (same grouping, same value column)."
+    ),
 )
 def q46_latency_percentiles(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -281,80 +359,3 @@ def q46_latency_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.99)"), 3).alias("p99"),
         F.round(F.max("value"), 3).alias("p100"),
     )
-
-
-@register(
-    "q57_hll_sketch_rollup",
-    None,
-    doc=(
-        "Mergeable HLL distinct-count rollup (datasketches): per-day "
-        "hll_sketch_agg(user_id) partial sketches, hll_union_agg at query "
-        "time — the pre-aggregated-cube pattern that answers COUNT(DISTINCT) "
-        "over any day range at 100 TB without rescanning raw data. "
-        "Approximate by construction → rows-only driver check; the ±5%% "
-        "error bound vs the exact count is asserted in tests/test_sampling_"
-        "sketches.py. Reference parity: distinct-count stat panels "
-        "(src/storage/field_stats.rs distinct_stats)."
-    ),
-)
-def q57_hll_sketch_rollup(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("bigint")
-            .alias("approx_users")
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "q71_kll_quantile_rollup",
-    None,
-    doc=(
-        "Mergeable KLL quantile rollup (datasketches): per-day "
-        "kll_sketch_agg_double(value) partial sketches, "
-        "kll_sketch_merge_double at query time, quantiles read off the "
-        "merged sketch — the pre-aggregated-cube pattern that answers "
-        "percentile panels over any day range at 100 TB without "
-        "rescanning raw data (the percentile analog of q57's HLL "
-        "rollup). Approximate by construction → rows-only driver check; "
-        "the rank-error bound vs exact percentiles is asserted in "
-        "tests/test_sampling_sketches.py."
-    ),
-)
-def q71_kll_quantile_rollup(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.kll_sketch_agg_double("value").alias("sk")
-    )
-    # kll_sketch_merge_double is a binary scalar; fold the per-day
-    # partials (bounded: one per day per group) into one sketch
-    merged = daily.groupBy("event_type").agg(
-        F.collect_list("sk").alias("sks")
-    ).select(
-        "event_type",
-        F.aggregate(
-            F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
-            F.element_at(F.col("sks"), 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("sk"),
-    )
-    return merged.select(
-        "event_type",
-        *[
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 3
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.50, 0.95, 0.99)
-        ],
-    ).orderBy("event_type")

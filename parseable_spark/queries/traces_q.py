@@ -86,7 +86,7 @@ def q36_trace_hierarchy(spark, sf_dir):
 
 
 @register(
-    "q37_trace_list",
+    "q37_trace_list_bounds",
     f"""
     WITH spans AS (
         SELECT CAST(event_id AS VARCHAR) AS span_span_id,
@@ -106,16 +106,32 @@ def q36_trace_hierarchy(spark, sf_dir):
                COUNT(DISTINCT CASE WHEN span_status_code = 2 THEN span_span_id END)
                    OVER (PARTITION BY span_trace_id) AS error_count
         FROM spans
+    ),
+    bounds AS (
+        SELECT CAST(count(DISTINCT CASE WHEN span_status_code = 2 THEN span_span_id END) AS BIGINT) AS error_spans,
+               CAST(count(DISTINCT span_span_id) AS BIGINT) AS total_spans,
+               min(span_start_time_unix_nano_epoch) AS start_epoch,
+               max(span_start_time_unix_nano_epoch) AS end_epoch
+        FROM spans
     )
-    SELECT DISTINCT service_name, span_name, span_duration_ns, span_trace_id,
-           span_span_id, span_start_time_unix_nano_epoch, total_span_count, error_count
-    FROM trace_stats
-    ORDER BY span_start_time_unix_nano_epoch DESC, span_span_id ASC
-    OFFSET 5 LIMIT 20
+    SELECT * FROM (
+        SELECT DISTINCT service_name, span_name, span_duration_ns, span_trace_id,
+               span_span_id, span_start_time_unix_nano_epoch, total_span_count, error_count
+        FROM trace_stats
+        ORDER BY span_start_time_unix_nano_epoch DESC, span_span_id ASC
+        OFFSET 5 LIMIT 20
+    ) CROSS JOIN bounds
     """,
-    doc="Trace list w/ COUNT(DISTINCT) OVER rewritten as grouped distinct counts + broadcast join-back (traces.rs:464-514).",
+    doc=(
+        "Trace list w/ COUNT(DISTINCT) OVER rewritten as grouped distinct "
+        "counts + broadcast join-back (traces.rs:464-514), plus the trace "
+        "count/bounds aggregates (traces.rs:517-544) cross-joined on as "
+        "constant columns — the one-call trace-console payload. The "
+        "bounds side is a 1-row aggregate → broadcast. "
+        "(r2 names: q37 + q38.)"
+    ),
 )
-def q37_trace_list(spark, sf_dir):
+def q37_trace_list_bounds(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     spans = ev.select(
         F.col("event_id").cast("string").alias("span_span_id"),
@@ -131,26 +147,13 @@ def q37_trace_list(spark, sf_dir):
         ),
         F.when(F.col("value") > 180, 2).otherwise(0).alias("span_status_code"),
     )
-    return traces.trace_list(spans, offset=5, limit=20)
-
-
-@register(
-    "q38_trace_count_bounds",
-    """
-    SELECT CAST(count(DISTINCT CASE WHEN value > 180 THEN event_id END) AS BIGINT) AS error_spans,
-           CAST(count(DISTINCT event_id) AS BIGINT) AS total_spans,
-           min(ts) AS start_time, max(ts) AS end_time
-    FROM events
-    """,
-    doc="Trace count + bounds aggregates (traces.rs:517-544).",
-)
-def q38_trace_count_bounds(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    listed = traces.trace_list(spans, offset=5, limit=20)
+    bounds = spans.agg(
         F.countDistinct(
-            F.when(F.col("value") > 180, F.col("event_id"))
+            F.when(F.col("span_status_code") == 2, F.col("span_span_id"))
         ).alias("error_spans"),
-        F.countDistinct("event_id").alias("total_spans"),
-        F.min("ts").alias("start_time"),
-        F.max("ts").alias("end_time"),
+        F.countDistinct("span_span_id").alias("total_spans"),
+        F.min("span_start_time_unix_nano_epoch").alias("start_epoch"),
+        F.max("span_start_time_unix_nano_epoch").alias("end_epoch"),
     )
+    return listed.crossJoin(F.broadcast(bounds))

@@ -64,7 +64,7 @@ def test_filters_reach_scan(name, expected_pushed, spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q11_shipping_priority", "q12_local_supplier_volume", "q37_trace_list", "q39_correlation"],
+    ["q11_shipping_priority", "q12_local_supplier_volume", "q37_trace_list_bounds", "q39_correlation"],
 )
 def test_joins_broadcast_the_small_side(name, spark):
     plan = _plan(spark, name)

@@ -111,7 +111,7 @@ def test_hll_rollup_error_bound(spark, tmp_path):
     sf_dir = "/root/testdata/sf0.01"
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in entry.queries()["q57_hll_sketch_rollup"](spark, sf_dir).collect()
+        for r in entry.queries()["q19_sketch_rollups"](spark, sf_dir).collect()
     }
     from parseable_spark.tables import load_table
 
@@ -240,13 +240,13 @@ def test_chunk_documents_windows_and_overlap(spark):
 def test_kll_rollup_within_rank_error(spark):
     """Merged per-day KLL quantiles must land within a generous rank
     window of the exact distribution (KLL default k=200 ≈ 1.65% rank
-    error; we assert ±5% rank like q57's HLL bound)."""
-    from parseable_spark.queries.product import q71_kll_quantile_rollup
+    error; we assert ±5% rank like the HLL bound)."""
+    from parseable_spark.queries.product import q19_sketch_rollups
     from parseable_spark.tables import load_table
     from tests.conftest import SF_SMALL
 
     approx = {
-        r["event_type"]: r for r in q71_kll_quantile_rollup(spark, SF_SMALL).collect()
+        r["event_type"]: r for r in q19_sketch_rollups(spark, SF_SMALL).collect()
     }
     ev = load_table(spark, SF_SMALL, "events")
     for etype, row in approx.items():

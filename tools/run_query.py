@@ -6,7 +6,7 @@ Usage:
 
 Examples:
   python tools/run_query.py q01_pricing_summary
-  python tools/run_query.py q54_repetition_filters /root/testdata/sf0.01 --limit 5
+  python tools/run_query.py q14_repetition_filters /root/testdata/sf0.01 --limit 5
   python tools/run_query.py q12_local_supplier_volume --explain
 """
 

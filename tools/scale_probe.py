@@ -105,10 +105,10 @@ def main() -> None:
         "q01_pricing_summary",  # fact scan + hash agg
         "q05_date_bin_histogram",  # time-binned agg over events
         "q12_local_supplier_volume",  # 5-way join, broadcast dims
-        "q26_dedup_jaccard_verified",  # LSH shuffle + verify join
+        "q25_dedup_minhash_verified",  # LSH shuffle + verify join
         "q28_knn_bruteforce",  # vector fold + top-k
-        "q54_repetition_filters",  # explode-heavy text pipeline
-        "q52_asof_join",  # union + window point-in-time join
+        "q14_repetition_filters",  # explode-heavy text pipeline
+        "q08_asof_join",  # union + window point-in-time join
     ]
     t0 = time.perf_counter()
     replicate(spark, out_dir, n)
