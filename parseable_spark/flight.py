@@ -99,17 +99,27 @@ def send_to_ingester(
 
 
 def fetch_fresh_events(spark, ingestor_ports, stream_name: str, start: str, end: str, schema=None):
-    """Pull `select * from "<stream>"` for the window from every
+    """Pull ``select * from `<stream>``` for the window from every
     ingestor over Flight and return one DataFrame (None when no
-    ingestor has fresh rows). Per-ingestor failures are skipped, like
-    the reference's `if let Ok(batches)` (airplane.rs:173-177)."""
+    ingestor has fresh rows). The stream identifier is backtick-quoted
+    (the reference quotes it too, airplane.rs:158) so names that are
+    not bare SQL identifiers still resolve. Per-ingestor failures are
+    skipped but LOGGED — a silently-dropped fan-out would return stale
+    results with no signal (reference `if let Ok(batches)`,
+    airplane.rs:173-177)."""
+    import logging
+
     import pyarrow as pa
 
+    log = logging.getLogger(__name__)
     tables = []
     for port in ingestor_ports:
         try:
-            t = fetch(port, f'select * from {stream_name}', start, end)
-        except Exception:  # noqa: BLE001 — a dead ingestor must not fail the query
+            t = fetch(port, f"select * from `{stream_name}`", start, end)
+        except Exception as e:  # noqa: BLE001 — a dead ingestor must not fail the query
+            log.warning(
+                "ingestor :%s fetch failed for stream %r: %s", port, stream_name, e
+            )
             continue
         if t.num_rows:
             tables.append(t)

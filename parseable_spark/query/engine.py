@@ -35,11 +35,20 @@ def references_time_col(sql: str, time_col: str) -> bool:
 
 
 def extract_table_names(sql: str) -> list[str]:
-    """Table identifiers following FROM/JOIN (simple, CTE-aware)."""
+    """Table identifiers following FROM/JOIN (simple, CTE-aware).
+
+    Backtick- and double-quote-quoted identifiers are unwrapped so a
+    query like ``SELECT * FROM `s1``` resolves to the same stream name
+    Spark SQL resolves — otherwise per-stream authorization and
+    time-filter injection would silently skip quoted references."""
     cte_names = {m.group(1).lower() for m in re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I)}
     names = []
-    for m in re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, re.I):
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+(`[^`]+`|\"[^\"]+\"|[A-Za-z_][\w.]*)", sql, re.I
+    ):
         n = m.group(1)
+        if n[0] in ("`", '"'):
+            n = n[1:-1]
         if n.lower() not in cte_names and n not in names:
             names.append(n)
     return names

@@ -544,11 +544,13 @@ class ParseableAPI:
             )
             if where:
                 df = df.filter(where)
-            offset = F.expr(
-                f"timestampdiff(SECOND, TIMESTAMP_NTZ '{lo.isoformat(sep=' ')}', {tcol})"
+            # microsecond offsets: SECOND-granularity truncation misbins
+            # events near bin edges when width is fractional/sub-second
+            offset_us = F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{lo.isoformat(sep=' ')}', {tcol})"
             )
             idx = F.least(
-                F.floor(offset / F.lit(width_s)), F.lit(num_bins - 1)
+                F.floor(offset_us / F.lit(width_s * 1e6)), F.lit(num_bins - 1)
             ).cast("int")
             keys = [idx.alias("bin_idx"), *group_by]
             agg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
@@ -1077,6 +1079,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self.api.create_stream(name)
                 self._respond_json(200, {"status": f"created log stream {name}"})
             elif sub == "retention":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 body = self._json_body()
                 if not isinstance(body, list):
                     raise ApiError(400, "retention body must be a task list")
@@ -1086,6 +1091,9 @@ class _Handler(BaseHTTPRequestHandler):
                     {"status": f"set retention configuration for log stream {name}"},
                 )
             elif sub == "hottier":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self.api.put_hot_tier(name, self._json_body() or {})
                 self._respond_json(
                     200, {"status": f"hot tier set for log stream {name}"}
@@ -1116,16 +1124,24 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, {"status": f"deleted role {parts[3]}"})
                 return
             if parts[:3] == ["api", "v1", "filters"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self.api.delete_filter(parts[3])
                 self._respond_json(200, {"status": f"deleted filter {parts[3]}"})
                 return
             if parts[:3] == ["api", "v1", "correlation"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self.api.delete_correlation(parts[3])
                 self._respond_json(200, {"status": f"deleted correlation {parts[3]}"})
                 return
             if parts[:3] == ["api", "v1", "targets"] and len(parts) == 4:
                 from .query.alert_targets import TargetInUseError
+                from .rbac import Action
 
+                self._allow(Action.MANAGE)
                 try:
                     self.api.targets.delete(
                         parts[3], alert_target_ids=self.api._alert_target_ids
@@ -1137,6 +1153,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, {"status": f"deleted target {parts[3]}"})
                 return
             if parts[:3] == ["api", "v1", "alerts"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self.api.delete_alert(parts[3])
                 self._respond_json(200, {"status": f"deleted alert {parts[3]}"})
                 return
@@ -1145,6 +1164,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(404, {"error": f"no route {path}"})
                 return
             if route[1] == "hottier":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self.api.delete_hot_tier(route[0])
                 self._respond_json(
                     200, {"status": f"hot tier deleted for log stream {route[0]}"}
@@ -1190,9 +1212,15 @@ class _Handler(BaseHTTPRequestHandler):
             elif parsed.path == "/api/v1/query":
                 self._handle_query(parse_qs(parsed.query))
             elif parsed.path == "/api/v1/counts":
+                from .rbac import Action
+
                 body = self._json_body()
                 if not isinstance(body, dict):
                     raise ApiError(400, "body must be a JSON object")
+                # counts reads stream data — gate with the Query grant,
+                # mirroring the reference's Action::Query on /counts
+                # (modal/server.rs:343-512)
+                self._allow(Action.QUERY, str(body.get("stream") or ""))
                 t0 = time.perf_counter()
                 out = self.api.counts(body)
                 self._respond_json(
@@ -1207,14 +1235,31 @@ class _Handler(BaseHTTPRequestHandler):
                 name = parsed.path.rsplit("/", 1)[1]
                 self._respond_json(200, self.api.create_user(name, self._json_body() or {}))
             elif parsed.path == "/api/v1/filters":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 self._respond_json(200, self.api.save_filter(self._json_body() or {}))
             elif parsed.path == "/api/v1/correlation":
-                self._respond_json(200, self.api.save_correlation(self._json_body() or {}))
+                from .rbac import Action
+
+                body = self._json_body() or {}
+                # saving a correlation pre-authorizes running it — require
+                # the Query grant on both referenced streams up front
+                for tc in body.get("tableConfigs") or []:
+                    self._allow(Action.QUERY, str(tc.get("tableName") or ""))
+                self._respond_json(200, self.api.save_correlation(body))
             elif (
                 parsed.path.startswith("/api/v1/correlation/")
                 and parsed.path.endswith("/run")
             ):
+                from .rbac import Action
+
                 cid = parsed.path.split("/")[4]
+                # running returns raw rows from both streams — Query grant
+                # on each (reference runs correlations through its query
+                # path with per-dataset auth, correlation.rs:300-360)
+                for tc in self.api.get_correlation(cid).get("tableConfigs") or []:
+                    self._allow(Action.QUERY, str(tc.get("tableName") or ""))
                 params = parse_qs(parsed.query)
                 rows = self.api.run_correlation(
                     cid,
@@ -1228,11 +1273,17 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 self._respond_json(200, self.api.create_target(self._json_body() or {}))
             elif parsed.path == "/api/v1/alerts":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # PutAlert-analog (server.rs:343-512)
                 self._respond_json(200, self.api.create_alert(self._json_body() or {}))
             elif (
                 parsed.path.startswith("/api/v1/alerts/")
                 and parsed.path.endswith("/evaluate")
             ):
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
                 alert_id = parsed.path.split("/")[4]
                 self._respond_json(200, self.api.evaluate_alert(alert_id))
             else:
@@ -1247,14 +1298,19 @@ class _Handler(BaseHTTPRequestHandler):
             "p_user_agent": self.headers.get("User-Agent", ""),
             "p_src_ip": self.client_address[0],
         }
+        # the 10-field cap applies to extracted x-p-* headers only — the
+        # two fixed meta fields do not consume cap slots
+        # (ingest_utils.rs:408-445)
+        extracted = 0
         for k, v in self.headers.items():
-            if len(custom) >= MAX_CUSTOM_FIELDS:
+            if extracted >= MAX_CUSTOM_FIELDS:
                 break
             lk = k.lower()
             if lk.startswith(CUSTOM_FIELD_PREFIX) and lk not in IGNORE_HEADERS:
                 key = lk[len(CUSTOM_FIELD_PREFIX):]
-                if key:
+                if key and key not in custom:
                     custom[key] = v[:MAX_FIELD_VALUE_LENGTH]
+                    extracted += 1
         return custom
 
     def _handle_ingest(self) -> None:

@@ -796,3 +796,123 @@ def test_run_retention_applies_stored_configs(spark, tmp_path):
     assert removed == {"rlogs": 1}
     assert len(store.manifest.files) == 1
     assert store.scan().count() == 1  # only the recent event survives
+
+
+def test_rbac_data_routes_require_grants(spark, tmp_path):
+    """ADVICE r2 (high): data-reading endpoints must enforce per-stream
+    authorization, not just authentication — counts needs Query on the
+    target stream, correlations need Query on BOTH streams (save and
+    run), and alerts/filters/retention/hottier mutation needs the
+    MANAGE (PutAlert-analog) grant. A backtick-quoted table reference
+    must hit the same Query gate as a bare one."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def hdr(user, pw):
+        return {"Authorization": "Basic " + b64.b64encode(f"{user}:{pw}".encode()).decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    def denied(method, path, body, headers, code=403):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req(method, path, body, headers)
+        assert ei.value.code == code, path
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s2", **admin})
+        req("POST", "/api/v1/user/reader1",
+            {"password": "rpw", "grants": [{"privilege": "reader", "stream": "s1"}]},
+            admin)
+        req("POST", "/api/v1/user/ing1",
+            {"password": "ipw", "grants": [{"privilege": "ingestor", "stream": "s1"}]},
+            admin)
+        reader, ing = hdr("reader1", "rpw"), hdr("ing1", "ipw")
+
+        counts = {"stream": "s1", "numBins": 2, **_range()}
+        assert req("POST", "/api/v1/counts", counts, reader)["records"]
+        denied("POST", "/api/v1/counts", counts, ing)  # ingest-only: no read
+        denied("POST", "/api/v1/counts", {**counts, "stream": "s2"}, reader)
+
+        # backtick-quoted table must hit the same Query gate (and still
+        # execute for an authorized principal)
+        rows = req("POST", "/api/v1/query",
+                   {"query": "SELECT count(*) AS n FROM `s1`", **_range()}, reader)
+        assert rows == [{"n": len(EVENTS)}]
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT count(*) AS n FROM `s2`", **_range()}, reader)
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT count(*) AS n FROM `s1`", **_range()}, ing)
+
+        corr = {
+            "title": "c",
+            "tableConfigs": [
+                {"tableName": "s1", "selectedFields": ["level"]},
+                {"tableName": "s2", "selectedFields": ["level"]},
+            ],
+            "joinConfig": {"joinConditions": [
+                {"tableName": "s1", "field": "level"},
+                {"tableName": "s2", "field": "level"},
+            ]},
+        }
+        denied("POST", "/api/v1/correlation", corr, reader)  # no s2 grant
+        denied("POST", "/api/v1/correlation", corr, ing)
+        cid = req("POST", "/api/v1/correlation", corr, admin)["id"]
+        rng = _range()
+        denied("POST", f"/api/v1/correlation/{cid}/run?startTime={rng['startTime']}&endTime={rng['endTime']}",
+               {}, reader)
+        assert isinstance(
+            req("POST", f"/api/v1/correlation/{cid}/run?startTime={rng['startTime']}&endTime={rng['endTime']}",
+                {}, admin),
+            list,
+        )
+
+        alert = {"stream": "s1", "aggregate": "count", "operator": ">", "threshold": 1}
+        denied("POST", "/api/v1/alerts", alert, ing)
+        denied("POST", "/api/v1/alerts", alert, reader)
+        aid = req("POST", "/api/v1/alerts", alert, admin)["id"]
+        denied("POST", f"/api/v1/alerts/{aid}/evaluate", {}, reader)
+        denied("DELETE", f"/api/v1/alerts/{aid}", None, reader)
+        denied("POST", "/api/v1/filters",
+               {"filterName": "f", "streamName": "s1", "query": {"filterType": "sql"}},
+               ing)
+        denied("PUT", "/api/v1/logstream/s1/retention",
+               [{"description": "d", "action": "delete", "duration": "30d"}], reader)
+        denied("PUT", "/api/v1/logstream/s1/hottier", {"size": "1GiB"}, reader)
+    finally:
+        srv.shutdown()
+
+
+def test_custom_field_cap_excludes_fixed_meta(spark, tmp_path):
+    """ADVICE r2 (low): the 10-field cap applies to extracted x-p-*
+    headers only; p_user_agent/p_src_ip do not consume cap slots
+    (ingest_utils.rs:408-445)."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        headers = {"x-p-stream": "capped"}
+        for i in range(12):  # 12 candidates, cap 10
+            headers[f"x-p-f{i:02d}"] = f"v{i}"
+        _post(base + "/api/v1/ingest", EVENTS[:1], headers=headers)
+        rows = _post(
+            base + "/api/v1/query",
+            {"query": "SELECT * FROM capped", **_range()},
+        )[1]
+        cols = set(rows[0])
+        extracted = {c for c in cols if c.startswith("f") and c[1:].isdigit()}
+        assert len(extracted) == 10  # full cap available to x-p-* fields
+        assert {"p_user_agent", "p_src_ip"} <= cols  # fixed fields intact
+    finally:
+        srv.shutdown()

@@ -47,6 +47,19 @@ class TestInjection:
         sql = "WITH a AS (SELECT 1) SELECT * FROM a JOIN events e ON 1=1 JOIN orders ON 1=1"
         assert extract_table_names(sql) == ["events", "orders"]
 
+    def test_extract_tables_quoted_identifiers(self):
+        """Backtick/double-quoted refs resolve to the bare stream name —
+        otherwise per-stream authorization and time-filter injection
+        silently skip quoted references (ADVICE r2 medium)."""
+        assert extract_table_names("SELECT * FROM `s1`") == ["s1"]
+        assert extract_table_names('SELECT * FROM "s-2" JOIN `s 3` ON 1=1') == [
+            "s-2",
+            "s 3",
+        ]
+        assert extract_table_names("SELECT * FROM `events` JOIN events ON 1=1") == [
+            "events"
+        ]
+
     def test_injection_filters_rows(self, spark):
         eng = QueryEngine(spark, time_col="ts")
         eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
