@@ -72,3 +72,20 @@ def test_cap_is_inert_below_threshold(spark):
         for r in minhash_lsh_candidates(docs, bucket_cap=10**9).collect()
     }
     assert capped == uncapped and capped
+
+
+def test_no_cache_manager_entries_after_dedup_queries(spark):
+    """VERDICT r2 wrong-3: the dedup pipeline must not leave pinned
+    CacheManager entries behind (a long-lived service would accumulate
+    cached lineage). The signature/shingle-set tables use eager
+    localCheckpoint — reference-counted, freed with the result — so
+    after a full run the cache manager holds nothing."""
+    from parseable_spark.llm import dedup
+    from parseable_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.jaccard_verify(docs, cands, threshold=0.2)
+    assert dedup.connected_components(verified).count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
