@@ -100,6 +100,7 @@ class ParseableAPI:
         self._passwords: dict[str, str] = {}
         self._filters: dict[str, dict[str, Any]] = {}
         self._correlations: dict[str, dict[str, Any]] = {}
+        self._dashboards: dict[str, dict[str, Any]] = {}
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -487,6 +488,299 @@ class ParseableAPI:
             )
             out = correlate(dfs[0], dfs[1], tcs[0], tcs[1], jcs)
             return [row_to_json(r) for r in out.collect()]
+
+    # -- Prism UI aggregation (src/prism/home, src/prism/logstream,
+    #    handlers/http/prism_home.rs + prism_logstream.rs) ------------------
+    def _streams_for(self, principal: str | None) -> list[str]:
+        """Streams the principal may query ('*' = all) — the ListStream
+        filter of generate_home_response (prism/home/mod.rs:114-121)."""
+        with self._lock:
+            names = sorted(self._stores)
+        if principal == "*" or principal is None:
+            return names
+        return self.rbac.authorized_streams(principal, names)
+
+    def _stream_ingested(self, name: str) -> bool:
+        store = self._stores[name]
+        return (
+            store.stats.lifetime.events > 0
+            or any(len(b.records) for b in store._staging)
+            or store.manifest.total_rows() > 0
+        )
+
+    def prism_home(
+        self, principal: str | None, include_internal: bool = False
+    ) -> dict[str, Any]:
+        """GET /api/prism/v1/home: the one-call console home payload —
+        authorized datasets + onboarding checklist + triggered-alert
+        count, all from in-memory ledgers/manifests (metadata-only, no
+        scan) — prism/home/mod.rs:107-206."""
+        datasets = []
+        with self._lock:
+            for name in self._streams_for(principal):
+                store = self._stores[name]
+                cfg = store.config
+                if not include_internal and name.startswith("pstats"):
+                    continue  # internal stream (field_stats.rs:84)
+                datasets.append(
+                    {
+                        "title": name,
+                        "datasetType": "logs",
+                        "datasetFormat": cfg.log_source,
+                        "timePartition": store.time_col,
+                        "ingestion": self._stream_ingested(name),
+                    }
+                )
+            alerts = [self.alert_json(a) for a in self._alerts]
+        triggered = sum(1 for a in alerts if a["state"] == "triggered")
+        return {
+            "datasets": datasets,
+            "checklist": {
+                "dataIngested": any(d["ingestion"] for d in datasets),
+                "keystoneCreated": False,
+                "alertCreated": bool(alerts),
+                "userAdded": bool(self._passwords),
+            },
+            "triggeredAlertsCount": triggered,
+        }
+
+    def prism_home_search(self, principal: str | None, key: str) -> dict[str, Any]:
+        """GET /api/prism/v1/home/search?key=: one search box over
+        alerts, correlations, dashboards, filters, and datasets
+        (prism/home/mod.rs:270-307)."""
+        key = key.lower()
+        resources: list[dict[str, Any]] = []
+        with self._lock:
+            for aid in self._alerts:
+                a = self.alert_json(aid)
+                title = f"{a['aggregate']}({a['aggregateColumn']}) on {a['stream']}"
+                if key in title.lower() or key in aid.lower():
+                    resources.append(
+                        {"id": aid, "name": title, "resource_type": "Alert"}
+                    )
+            for cid, c in self._correlations.items():
+                if key in (c.get("title") or "").lower() or key in cid.lower():
+                    resources.append(
+                        {"id": cid, "name": c["title"], "resource_type": "Correlation"}
+                    )
+            for did, d in self._dashboards.items():
+                if key in d["title"].lower() or key in did.lower():
+                    resources.append(
+                        {"id": did, "name": d["title"], "resource_type": "Dashboard"}
+                    )
+            for fid, f in self._filters.items():
+                fname = f.get("filterName") or ""
+                if key in fname.lower() or key in fid.lower():
+                    resources.append(
+                        {"id": fid, "name": fname, "resource_type": "Filter"}
+                    )
+        for name in self._streams_for(principal):
+            if key in name.lower():
+                resources.append(
+                    {"id": name, "name": name, "resource_type": "DataSet"}
+                )
+        return {"resources": resources}
+
+    def prism_logstream_info(self, name: str) -> dict[str, Any]:
+        """GET /api/prism/v1/logstream/{name}/info: info + schema +
+        stats + retention in one call (prism/logstream/mod.rs:54-80) —
+        the values are exactly the individual endpoints' payloads."""
+        return {
+            "info": self.stream_info(name),
+            "schema": self.stream_schema(name),
+            "stats": self.stream_stats(name),
+            "retention": self.get_retention(name),
+        }
+
+    def prism_datasets(
+        self, principal: str | None, streams: list[str]
+    ) -> list[dict[str, Any]]:
+        """POST /api/prism/v1/datasets: per-stream info + schema + stats
+        + retention + last-1h/10-bin counts; empty request = all
+        authorized streams; unknown/unauthorized streams are skipped,
+        not errors (prism/logstream/mod.rs:211-355)."""
+        authorized = set(self._streams_for(principal))
+        names = streams or sorted(authorized)
+        out = []
+        for name in names:
+            if name not in authorized or name not in self._stores:
+                continue
+            if name.startswith("pstats"):
+                continue  # internal streams excluded (mod.rs:292-300)
+            counts = self.counts(
+                {"stream": name, "startTime": "1h", "endTime": "now", "numBins": 10}
+            )
+            out.append({"stream": name, **self.prism_logstream_info(name), "counts": counts})
+        return out
+
+    # -- dashboards (users/dashboards.rs:59-534, handlers users/dashboards.rs)
+    DASHBOARD_VERSION = "v1"  # dashboards.rs:37 CURRENT_DASHBOARD_VERSION
+
+    @staticmethod
+    def _now_iso() -> str:
+        from datetime import datetime, timezone
+
+        return datetime.now(timezone.utc).isoformat()
+
+    def _dashboard_or_404(self, did: str) -> dict[str, Any]:
+        if not did or not all(c in "0123456789abcdef" for c in did.lower()):
+            raise ApiError(400, "Invalid dashboard ID format")
+        d = self._dashboards.get(did)
+        if d is None:
+            raise ApiError(404, f"Dashboard {did} does not exist")
+        return d
+
+    def _dashboard_owned(self, did: str, user_id: str, is_admin: bool) -> dict[str, Any]:
+        """Ownership gate (get_dashboard_by_user, dashboards.rs:389-420):
+        author-or-admin; others get 403."""
+        d = self._dashboard_or_404(did)
+        if not is_admin and d.get("author") != user_id:
+            raise ApiError(403, "Unauthorized: not the dashboard author")
+        return d
+
+    @staticmethod
+    def _validate_tiles(dashboard: dict[str, Any]) -> None:
+        tiles = dashboard.get("tiles")
+        if tiles is None:
+            return
+        ids = [t.get("tile_id") or t.get("tileId") for t in tiles]
+        if any(not i for i in ids):
+            raise ApiError(400, "Tile ID must be provided")
+        if len(set(ids)) != len(ids):
+            raise ApiError(400, "Tile IDs must be unique")
+
+    def _check_duplicate_title(self, title: str, did: str | None) -> None:
+        for other_id, other in self._dashboards.items():
+            if other["title"] == title and other_id != did:
+                raise ApiError(400, "Dashboard title must be unique")
+
+    @staticmethod
+    def _dashboard_summary(d: dict[str, Any]) -> dict[str, Any]:
+        out = {
+            k: d[k]
+            for k in ("title", "author", "created", "modified", "tags")
+            if d.get(k) is not None
+        }
+        out["dashboardId"] = d["dashboardId"]
+        out["isFavorite"] = bool(d.get("isFavorite"))
+        return out
+
+    def create_dashboard(self, user_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        import uuid as _uuid
+
+        if not body.get("title"):
+            raise ApiError(400, "Title must be provided")
+        self._validate_tiles(body)
+        now = self._now_iso()
+        with self._lock:
+            self._check_duplicate_title(body["title"], None)
+            did = _uuid.uuid4().hex
+            d = {
+                **body,
+                "version": self.DASHBOARD_VERSION,
+                "author": user_id,
+                "dashboardId": did,
+                "created": now,
+                "modified": now,
+                "dashboardType": body.get("dashboardType") or "Dashboard",
+                "tiles": body.get("tiles") or [],
+                "isFavorite": bool(body.get("isFavorite") or False),
+            }
+            self._dashboards[did] = d
+            return d
+
+    def list_dashboards(
+        self, limit: int = 0, tags: list[str] | None = None
+    ) -> list[dict[str, Any]]:
+        with self._lock:
+            ds = sorted(
+                self._dashboards.values(), key=lambda d: d["modified"], reverse=True
+            )
+        if tags:
+            ds = [d for d in ds if set(tags) & set(d.get("tags") or [])]
+        if limit:
+            ds = ds[:limit]
+        return [self._dashboard_summary(d) for d in ds]
+
+    def get_dashboard(self, did: str) -> dict[str, Any]:
+        with self._lock:
+            return dict(self._dashboard_or_404(did))
+
+    def update_dashboard(
+        self,
+        user_id: str,
+        did: str,
+        body: dict[str, Any] | None,
+        params: dict[str, str],
+        is_admin: bool = False,
+    ) -> dict[str, Any]:
+        """PUT /api/v1/dashboards/{id}: full-body replace OR query-param
+        partial update (isFavorite/tags/renameTo) — exactly one of the
+        two (handlers users/dashboards.rs:109-193)."""
+        with self._lock:
+            existing = self._dashboard_owned(did, user_id, is_admin)
+            if params and body:
+                raise ApiError(
+                    400, "Cannot use both query parameters and request body for updates"
+                )
+            if params:
+                d = dict(existing)
+                if "isFavorite" in params:
+                    d["isFavorite"] = params["isFavorite"] == "true"
+                if "tags" in params:
+                    parsed = [t.strip() for t in params["tags"].split(",") if t.strip()]
+                    d["tags"] = parsed or None
+                if "renameTo" in params:
+                    new_title = params["renameTo"].strip()
+                    if not new_title:
+                        raise ApiError(400, "Rename to cannot be empty")
+                    d["title"] = new_title
+            else:
+                if body is None:
+                    raise ApiError(400, "Request body is required")
+                if not body.get("title"):
+                    raise ApiError(400, "Title must be provided")
+                self._validate_tiles(body)
+                d = {
+                    **body,
+                    "version": self.DASHBOARD_VERSION,
+                    "author": existing["author"],
+                    "dashboardId": did,
+                    "created": existing["created"],  # preserved on update
+                    "tiles": body.get("tiles") or [],
+                    "isFavorite": bool(body.get("isFavorite") or False),
+                }
+            self._check_duplicate_title(d["title"], did)
+            d["modified"] = self._now_iso()
+            self._dashboards[did] = d
+            return d
+
+    def delete_dashboard(self, user_id: str, did: str, is_admin: bool = False) -> None:
+        with self._lock:
+            self._dashboard_owned(did, user_id, is_admin)
+            del self._dashboards[did]
+
+    def add_dashboard_tile(
+        self, user_id: str, did: str, tile: dict[str, Any], is_admin: bool = False
+    ) -> dict[str, Any]:
+        tid = tile.get("tile_id") or tile.get("tileId")
+        if not tid:
+            raise ApiError(400, "Tile ID must be provided")
+        with self._lock:
+            d = dict(self._dashboard_owned(did, user_id, is_admin))
+            tiles = list(d.get("tiles") or [])
+            if any((t.get("tile_id") or t.get("tileId")) == tid for t in tiles):
+                raise ApiError(400, "Tile already exists")
+            tiles.append(tile)
+            d["tiles"] = tiles
+            d["modified"] = self._now_iso()
+            self._dashboards[did] = d
+            return d
+
+    def list_dashboard_tags(self) -> list[str]:
+        with self._lock:
+            tags = {t for d in self._dashboards.values() for t in (d.get("tags") or [])}
+        return sorted(tags)
 
     # -- counts API (query.rs:409-583, query/mod.rs:516-560) -----------------
     def counts(self, body: dict[str, Any]) -> dict[str, Any]:
@@ -943,6 +1237,20 @@ class _Handler(BaseHTTPRequestHandler):
     def _allow(self, action, stream: str = "*") -> None:
         self.api.authorize(self.principal, action, stream)
 
+    def _is_admin(self) -> bool:
+        """Admin = open-server/built-in principal or a MANAGE grant —
+        may act on other users' per-user resources (dashboards.rs
+        is_admin semantics)."""
+        from .rbac import Action
+
+        if self.principal == "*":
+            return True
+        try:
+            self.api.authorize(self.principal, Action.MANAGE)
+            return True
+        except ApiError:
+            return False
+
     # -- routes --------------------------------------------------------------
     @staticmethod
     def _logstream_route(path: str) -> tuple[str, str] | None:
@@ -959,8 +1267,71 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
-        path = urlparse(self.path).path
+        parsed_url = urlparse(self.path)
+        path = parsed_url.path
         try:
+            parts_d = path.strip("/").split("/")
+            if parts_d[:3] == ["api", "prism", "v1"]:
+                if not self._authorized():
+                    return
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                if parts_d[3:] == ["home"]:
+                    self._respond_json(
+                        200,
+                        self.api.prism_home(
+                            self.principal,
+                            include_internal=qp.get("includeInternal") == "true",
+                        ),
+                    )
+                elif parts_d[3:] == ["home", "search"]:
+                    if not qp:
+                        self._respond_json(200, {})
+                        return
+                    if "key" not in qp:
+                        raise ApiError(400, "invalid query parameter, expected key")
+                    self._respond_json(
+                        200, self.api.prism_home_search(self.principal, qp["key"])
+                    )
+                elif (
+                    len(parts_d) == 6
+                    and parts_d[3] == "logstream"
+                    and parts_d[5] == "info"
+                ):
+                    from .rbac import Action
+
+                    self._allow(Action.QUERY, parts_d[4])
+                    self._respond_json(
+                        200, self.api.prism_logstream_info(parts_d[4])
+                    )
+                else:
+                    self._respond_json(404, {"error": f"no route {path}"})
+                return
+            if parts_d[:3] == ["api", "v1", "dashboards"]:
+                if not self._authorized():
+                    return
+                if len(parts_d) == 3:
+                    params = {
+                        k: v[0] for k, v in parse_qs(parsed_url.query).items()
+                    }
+                    limit = 0
+                    if "limit" in params:
+                        try:
+                            limit = int(params["limit"])
+                        except ValueError as e:
+                            raise ApiError(400, "Invalid limit value") from e
+                    tags = None
+                    if "tags" in params:
+                        tags = [
+                            t.strip() for t in params["tags"].split(",") if t.strip()
+                        ]
+                        if not tags:
+                            raise ApiError(400, "Tags cannot be empty")
+                    self._respond_json(200, self.api.list_dashboards(limit, tags))
+                elif parts_d[3] == "list_tags":
+                    self._respond_json(200, self.api.list_dashboard_tags())
+                else:
+                    self._respond_json(200, self.api.get_dashboard(parts_d[3]))
+                return
             if path in ("/api/v1/liveness", "/api/v1/readiness"):
                 self._respond_json(200, {"status": "ok"})
                 return
@@ -1055,11 +1426,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond_json(e.status, {"error": str(e)})
 
     def do_PUT(self) -> None:  # noqa: N802
-        path = urlparse(self.path).path
+        parsed_url = urlparse(self.path)
+        path = parsed_url.path
         try:
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "dashboards"] and len(parts) >= 4:
+                if len(parts) == 5 and parts[4] == "add_tile":
+                    self._respond_json(
+                        200,
+                        self.api.add_dashboard_tile(
+                            self.principal,
+                            parts[3],
+                            self._json_body() or {},
+                            is_admin=self._is_admin(),
+                        ),
+                    )
+                    return
+                params = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                self._respond_json(
+                    200,
+                    self.api.update_dashboard(
+                        self.principal,
+                        parts[3],
+                        self._json_body(),
+                        params,
+                        is_admin=self._is_admin(),
+                    ),
+                )
+                return
             if parts[:3] == ["api", "v1", "role"] and len(parts) == 4:
                 from .rbac import Action
 
@@ -1109,6 +1505,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "dashboards"] and len(parts) == 4:
+                self.api.delete_dashboard(
+                    self.principal, parts[3], is_admin=self._is_admin()
+                )
+                self._respond_json(200, {"status": f"deleted dashboard {parts[3]}"})
+                return
             if parts[:3] == ["api", "v1", "user"] and len(parts) == 4:
                 from .rbac import Action
 
@@ -1225,6 +1627,23 @@ class _Handler(BaseHTTPRequestHandler):
                 out = self.api.counts(body)
                 self._respond_json(
                     200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
+                )
+            elif parsed.path == "/api/prism/v1/datasets":
+                body = self._json_body() or {}
+                if not isinstance(body, dict):
+                    raise ApiError(400, "body must be a JSON object")
+                self._respond_json(
+                    200,
+                    self.api.prism_datasets(
+                        self.principal, list(body.get("streams") or [])
+                    ),
+                )
+            elif parsed.path == "/api/v1/dashboards":
+                body = self._json_body()
+                if not isinstance(body, dict):
+                    raise ApiError(400, "body must be a JSON object")
+                self._respond_json(
+                    200, self.api.create_dashboard(self.principal, body)
                 )
             elif parsed.path == "/api/v1/logstream/schema/detect":
                 self._respond_json(200, self.api.detect_schema(self._json_body()))

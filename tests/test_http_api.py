@@ -916,3 +916,219 @@ def test_custom_field_cap_excludes_fixed_meta(spark, tmp_path):
         assert {"p_user_agent", "p_src_ip"} <= cols  # fixed fields intact
     finally:
         srv.shutdown()
+
+
+def test_dashboards_crud_e2e(spark, tmp_path):
+    """Dashboards CRUD per reference src/users/dashboards.rs:59-534 +
+    handlers/http/users/dashboards.rs: create (metadata stamping,
+    unique title), get, full-body update (created preserved, tile-id
+    validation), query-param partial update (isFavorite/tags/renameTo,
+    XOR with body), per-user ownership (403 for non-author, admin
+    override), add_tile, tag listing/filtering, summary listing,
+    delete, 404/400 semantics."""
+    import base64 as b64
+    import time as _time
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def hdr(user, pw):
+        return {"Authorization": "Basic " + b64.b64encode(f"{user}:{pw}".encode()).decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    def denied(method, path, body, headers, code):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req(method, path, body, headers)
+        assert ei.value.code == code, path
+
+    try:
+        req("POST", "/api/v1/user/alice",
+            {"password": "apw", "grants": [{"privilege": "reader", "stream": "*"}]},
+            admin)
+        req("POST", "/api/v1/user/bob",
+            {"password": "bpw", "grants": [{"privilege": "reader", "stream": "*"}]},
+            admin)
+        alice, bob = hdr("alice", "apw"), hdr("bob", "bpw")
+
+        # create: metadata stamped; title required; duplicate title 400
+        d = req("POST", "/api/v1/dashboards",
+                {"title": "svc health", "tags": ["prod", "svc"],
+                 "tiles": [{"tile_id": "t1", "chart": "line"}]},
+                alice)
+        did = d["dashboardId"]
+        assert d["author"] == "alice" and d["version"] == "v1"
+        assert d["created"] == d["modified"] and d["isFavorite"] is False
+        denied("POST", "/api/v1/dashboards", {"tiles": []}, alice, 400)  # no title
+        denied("POST", "/api/v1/dashboards", {"title": "svc health"}, bob, 400)  # dup title
+        denied("POST", "/api/v1/dashboards",
+               {"title": "x", "tiles": [{"tile_id": "a"}, {"tile_id": "a"}]},
+               alice, 400)  # duplicate tile ids
+        denied("POST", "/api/v1/dashboards",
+               {"title": "x", "tiles": [{"chart": "bar"}]}, alice, 400)  # missing tile id
+
+        # get: any authenticated user; 404 unknown; 400 bad id
+        got = req("GET", f"/api/v1/dashboards/{did}", None, bob)
+        assert got["title"] == "svc health" and got["tiles"][0]["chart"] == "line"
+        denied("GET", "/api/v1/dashboards/" + "0" * 32, None, bob, 404)
+        denied("GET", "/api/v1/dashboards/not-hex!", None, bob, 400)
+
+        # ownership: bob cannot update/delete alice's dashboard; admin can
+        denied("PUT", f"/api/v1/dashboards/{did}", {"title": "hijack"}, bob, 403)
+        denied("DELETE", f"/api/v1/dashboards/{did}", None, bob, 403)
+
+        # full-body update: created preserved, modified stamped
+        _time.sleep(0.01)
+        up = req("PUT", f"/api/v1/dashboards/{did}",
+                 {"title": "svc health v2", "tiles": [{"tile_id": "t1"}, {"tile_id": "t2"}]},
+                 alice)
+        assert up["created"] == d["created"] and up["modified"] > d["modified"]
+        assert up["title"] == "svc health v2" and len(up["tiles"]) == 2
+
+        # query-param partial update; XOR with body
+        up = req("PUT", f"/api/v1/dashboards/{did}?isFavorite=true&tags=prod,obs", None, alice)
+        assert up["isFavorite"] is True and up["tags"] == ["prod", "obs"]
+        assert up["title"] == "svc health v2"  # untouched by partial update
+        denied("PUT", f"/api/v1/dashboards/{did}?renameTo=x", {"title": "y"}, alice, 400)
+        denied("PUT", f"/api/v1/dashboards/{did}?renameTo=%20", None, alice, 400)
+
+        # add_tile: appends; duplicate tile 400
+        up = req("PUT", f"/api/v1/dashboards/{did}/add_tile", {"tile_id": "t3"}, alice)
+        assert [t["tile_id"] for t in up["tiles"]] == ["t1", "t2", "t3"]
+        denied("PUT", f"/api/v1/dashboards/{did}/add_tile", {"tile_id": "t3"}, alice, 400)
+
+        # listing: summaries only (no tiles), tag filter, limit, list_tags
+        d2 = req("POST", "/api/v1/dashboards", {"title": "bob board", "tags": ["dev"]}, bob)
+        lst = req("GET", "/api/v1/dashboards", None, alice)
+        assert len(lst) == 2 and all("tiles" not in s for s in lst)
+        assert [s["title"] for s in lst] == ["bob board", "svc health v2"]  # modified desc
+        assert [s["title"] for s in req("GET", "/api/v1/dashboards?tags=dev", None, alice)] == ["bob board"]
+        assert len(req("GET", "/api/v1/dashboards?limit=1", None, alice)) == 1
+        denied("GET", "/api/v1/dashboards?limit=zz", None, alice, 400)
+        denied("GET", "/api/v1/dashboards?tags=%20", None, alice, 400)
+        assert req("GET", "/api/v1/dashboards/list_tags", None, alice) == ["dev", "obs", "prod"]
+
+        # admin override + delete; 404 after
+        req("PUT", f"/api/v1/dashboards/{d2['dashboardId']}?renameTo=renamed", None, admin)
+        req("DELETE", f"/api/v1/dashboards/{did}", None, alice)
+        denied("GET", f"/api/v1/dashboards/{did}", None, alice, 404)
+        req("DELETE", f"/api/v1/dashboards/{d2['dashboardId']}", None, admin)
+        assert req("GET", "/api/v1/dashboards", None, alice) == []
+    finally:
+        srv.shutdown()
+
+
+def test_prism_home_and_datasets_e2e(spark, tmp_path):
+    """Prism UI aggregation endpoints (src/prism/home/mod.rs:107-206,
+    src/prism/logstream/mod.rs:54-80,211-355, handlers prism_home.rs):
+    /home returns the authorized dataset list + onboarding checklist +
+    triggered-alert count from ledgers only; /home/search fans one key
+    across alerts/correlations/dashboards/filters/datasets;
+    /logstream/{s}/info and /datasets aggregate exactly the individual
+    endpoints' payloads."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def hdr(user, pw):
+        return {"Authorization": "Basic " + b64.b64encode(f"{user}:{pw}".encode()).decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "svc_a", **admin})
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "svc_b", **admin})
+        req("PUT", "/api/v1/logstream/empty_c", None, admin)  # no data
+        req("POST", "/api/v1/user/reader1",
+            {"password": "rpw", "grants": [{"privilege": "reader", "stream": "svc_a"}]},
+            admin)
+
+        # home: all streams for admin; checklist reflects ledger state
+        home = req("GET", "/api/prism/v1/home", None, admin)
+        assert [d["title"] for d in home["datasets"]] == ["empty_c", "svc_a", "svc_b"]
+        by_name = {d["title"]: d for d in home["datasets"]}
+        assert by_name["svc_a"]["ingestion"] and not by_name["empty_c"]["ingestion"]
+        assert home["checklist"] == {
+            "dataIngested": True, "keystoneCreated": False,
+            "alertCreated": False, "userAdded": True,
+        }
+        assert home["triggeredAlertsCount"] == 0
+
+        # an alert that fires flips alertCreated + the triggered count
+        req("POST", "/api/v1/alerts",
+            {"stream": "svc_a", "aggregate": "count", "operator": ">", "threshold": 0},
+            admin)
+        aid = req("GET", "/api/v1/alerts", None, admin)[0]["id"]
+        # the eval window's end truncates to the minute (reference
+        # utils/time.rs parity), so whether this evaluation fires depends
+        # on where in the minute the just-ingested events landed — assert
+        # home mirrors whatever state evaluation produced
+        state = req("POST", f"/api/v1/alerts/{aid}/evaluate", {}, admin)["state"]
+        home = req("GET", "/api/prism/v1/home", None, admin)
+        assert home["checklist"]["alertCreated"]
+        assert home["triggeredAlertsCount"] == (1 if state == "triggered" else 0)
+
+        # home is principal-scoped: reader1 sees only the granted stream
+        home_r = req("GET", "/api/prism/v1/home", None, hdr("reader1", "rpw"))
+        assert [d["title"] for d in home_r["datasets"]] == ["svc_a"]
+
+        # search: one key across resource kinds
+        req("POST", "/api/v1/dashboards", {"title": "svc overview"}, admin)
+        res = req("GET", "/api/prism/v1/home/search?key=svc", None, admin)["resources"]
+        kinds = {r["resource_type"] for r in res}
+        assert {"Alert", "Dashboard", "DataSet"} <= kinds
+        assert {r["name"] for r in res if r["resource_type"] == "DataSet"} == {"svc_a", "svc_b"}
+        assert req("GET", "/api/prism/v1/home/search", None, admin) == {}
+
+        # logstream info aggregates exactly the individual endpoints
+        info = req("GET", "/api/prism/v1/logstream/svc_a/info", None, admin)
+        assert info["info"] == req("GET", "/api/v1/logstream/svc_a/info", None, admin)
+        assert info["schema"] == req("GET", "/api/v1/logstream/svc_a/schema", None, admin)
+        assert info["stats"] == req("GET", "/api/v1/logstream/svc_a/stats", None, admin)
+        assert info["retention"] == req("GET", "/api/v1/logstream/svc_a/retention", None, admin)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("GET", "/api/prism/v1/logstream/svc_b/info", None, hdr("reader1", "rpw"))
+        assert ei.value.code == 403
+
+        # datasets: empty request = all authorized; unknown skipped
+        ds = req("POST", "/api/prism/v1/datasets", {}, admin)
+        assert [d["stream"] for d in ds] == ["empty_c", "svc_a", "svc_b"]
+        one = next(d for d in ds if d["stream"] == "svc_a")
+        assert one["counts"]["fields"] == ["start_time", "end_time", "count"]
+        assert len(one["counts"]["records"]) == 10  # fixed 10-bin density
+        # same "1h".."now" window as the counts endpoint → same totals
+        # (endTime "now" truncates to the minute, so compare endpoints
+        # rather than the raw ingest count)
+        direct = req("POST", "/api/v1/counts",
+                     {"stream": "svc_a", "startTime": "1h", "endTime": "now",
+                      "numBins": 10}, admin)
+        assert (
+            sum(r["count"] for r in one["counts"]["records"])
+            == sum(r["count"] for r in direct["records"])
+        )
+        ds_r = req("POST", "/api/prism/v1/datasets",
+                   {"streams": ["svc_a", "svc_b", "ghost"]}, hdr("reader1", "rpw"))
+        assert [d["stream"] for d in ds_r] == ["svc_a"]  # others skipped, not errors
+    finally:
+        srv.shutdown()
