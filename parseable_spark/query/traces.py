@@ -40,6 +40,7 @@ def trace_list(
     errors_only: bool = False,
     offset: int = 0,
     limit: int = 50,
+    roots_only: bool = False,
 ) -> DataFrame:
     """Trace list with per-trace span/error counts (traces.rs:464-514).
 
@@ -57,6 +58,11 @@ def trace_list(
             F.when(F.col("span_status_code") == 2, F.col("span_span_id"))
         ).alias("error_count"),
     )
+    # roots_only (TraceListOption::Traces) keeps one row per trace —
+    # the root span — but the per-trace counts above still cover ALL
+    # spans: the result filter applies after the count join, exactly
+    # like the reference's post-window result_filter (traces.rs:108-114)
+    extra = ["span_parent_span_id"] if roots_only else []
     out = (
         spans.select(
             "service_name",
@@ -65,6 +71,7 @@ def trace_list(
             "span_trace_id",
             "span_span_id",
             "span_start_time_unix_nano_epoch",
+            *extra,
         )
         .distinct()
         .join(F.broadcast(counts), "span_trace_id")
@@ -77,10 +84,15 @@ def trace_list(
             "span_start_time_unix_nano_epoch",
             "total_span_count",
             "error_count",
+            *extra,
         )
     )
     if errors_only:
         out = out.filter(F.col("error_count") > 0)
+    if roots_only:
+        out = out.filter(
+            F.coalesce(F.col("span_parent_span_id"), F.lit("")) == ""
+        ).drop("span_parent_span_id")
     return (
         out.orderBy(
             F.desc("span_start_time_unix_nano_epoch"), F.asc("span_span_id")

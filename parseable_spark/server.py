@@ -101,6 +101,9 @@ class ParseableAPI:
         self._filters: dict[str, dict[str, Any]] = {}
         self._correlations: dict[str, dict[str, Any]] = {}
         self._dashboards: dict[str, dict[str, Any]] = {}
+        self._api_keys: dict[str, dict[str, Any]] = {}
+        self._query_count = 0
+        self._query_seconds = 0.0
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -488,6 +491,337 @@ class ParseableAPI:
             )
             out = correlate(dfs[0], dfs[1], tcs[0], tcs[1], jcs)
             return [row_to_json(r) for r in out.collect()]
+
+    # -- API keys (handlers/http/apikeys.rs:1-334) ---------------------------
+    def create_api_key(self, created_by: str, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/prism/v1/apikeys (admin-only): mint an opaque key
+        backed by a synthetic RBAC user carrying the named roles —
+        requests presenting the key authenticate as that user, so every
+        per-action/per-stream grant check applies unchanged."""
+        import uuid as _uuid
+
+        key_name = body.get("keyName") or body.get("key_name") or ""
+        if not key_name:
+            raise ApiError(400, "keyName must be provided")
+        roles = list(body.get("roles") or [])
+        with self._lock:
+            missing = [r for r in roles if r not in self.rbac._roles]
+            if missing:
+                raise ApiError(400, f"roles do not exist: {missing}")
+            if any(k["keyName"] == key_name for k in self._api_keys.values()):
+                raise ApiError(400, f"duplicate key name {key_name!r}")
+            key_id = _uuid.uuid4().hex
+            now = self._now_iso()
+            rec = {
+                "keyId": key_id,
+                "apiKey": str(_uuid.uuid4()),
+                "keyName": key_name,
+                "roles": roles,
+                "createdBy": created_by,
+                "createdAt": now,
+                "modifiedAt": now,
+            }
+            self._api_keys[key_id] = rec
+            self.rbac.add_user(f"apikey:{key_id}", [], roles=roles)
+            return dict(rec)
+
+    def list_api_keys(self) -> list[dict[str, Any]]:
+        """GET /api/prism/v1/apikeys: key values masked to ****last4."""
+        with self._lock:
+            out = []
+            for rec in sorted(self._api_keys.values(), key=lambda r: r["createdAt"]):
+                masked = dict(rec)
+                masked["apiKey"] = "****" + rec["apiKey"][-4:]
+                out.append(masked)
+            return out
+
+    def get_api_key(self, key_id: str) -> dict[str, Any]:
+        with self._lock:
+            if key_id not in self._api_keys:
+                raise ApiError(404, f"API key not found: {key_id}")
+            return dict(self._api_keys[key_id])
+
+    def delete_api_key(self, key_id: str) -> dict[str, Any]:
+        """DELETE /api/prism/v1/apikeys/{id}: revoke — the backing RBAC
+        user is removed, so the key stops authenticating immediately."""
+        with self._lock:
+            rec = self._api_keys.pop(key_id, None)
+            if rec is None:
+                raise ApiError(404, f"API key not found: {key_id}")
+            self.rbac._users.pop(f"apikey:{key_id}", None)
+            return {
+                "keyId": key_id,
+                "keyName": rec["keyName"],
+                "message": "API key deleted successfully",
+            }
+
+    def validate_api_key(self, value: str) -> dict[str, bool]:
+        with self._lock:
+            return {
+                "valid": any(k["apiKey"] == value for k in self._api_keys.values())
+            }
+
+    def check_api_key(self, value: str) -> str | None:
+        """Resolve an x-api-key header to its synthetic principal
+        (middleware.rs find_api_key_user); None = invalid/revoked."""
+        with self._lock:
+            for rec in self._api_keys.values():
+                if rec["apiKey"] == value:
+                    return f"apikey:{rec['keyId']}"
+        return None
+
+    # -- Prometheus metrics (src/metrics/mod.rs, GET /api/v1/metrics) --------
+    def record_query(self, seconds: float) -> None:
+        with self._lock:
+            self._query_count += 1
+            self._query_seconds += seconds
+
+    def prometheus_metrics(self) -> str:
+        """Prometheus text exposition from the in-memory ledgers — the
+        reference exports the same families from its stats counters
+        (metrics/mod.rs: parseable_events_ingested/_size, storage_size,
+        events_deleted, staging_files, query_execute_time)."""
+        lines: list[str] = []
+
+        def emit(name: str, mtype: str, help_: str, samples: list[tuple[str, float]]):
+            lines.append(f"# HELP parseable_{name} {help_}")
+            lines.append(f"# TYPE parseable_{name} {mtype}")
+            for labels, v in samples:
+                lines.append(f"parseable_{name}{labels} {int(v) if float(v).is_integer() else v}")
+
+        with self._lock:
+            streams = sorted(self._stores)
+            lbl = lambda s: f'{{stream="{s}",format="json"}}'  # noqa: E731
+            emit(
+                "events_ingested", "gauge", "Events ingested for a stream",
+                [(lbl(s), self._stores[s].stats.current.events) for s in streams],
+            )
+            emit(
+                "events_ingested_size", "gauge",
+                "Events ingested size bytes for a stream",
+                [(lbl(s), self._stores[s].stats.current.ingestion) for s in streams],
+            )
+            emit(
+                "storage_size", "gauge", "Storage size bytes for a stream",
+                [
+                    (f'{{type="data",stream="{s}",format="json"}}', self._stores[s].stats.current.storage)
+                    for s in streams
+                ],
+            )
+            emit(
+                "events_deleted", "gauge", "Events deleted for a stream",
+                [(lbl(s), self._stores[s].stats.deleted.events) for s in streams],
+            )
+            emit(
+                "lifetime_events_ingested", "gauge",
+                "Lifetime events ingested for a stream",
+                [(lbl(s), self._stores[s].stats.lifetime.events) for s in streams],
+            )
+            emit(
+                "staging_events", "gauge", "Events in the staging memtable",
+                [
+                    (lbl(s), sum(len(b.records) for b in self._stores[s]._staging))
+                    for s in streams
+                ],
+            )
+            emit(
+                "query_calls_total", "counter", "Total query calls",
+                [("", self._query_count)],
+            )
+            emit(
+                "query_execute_time_seconds_total", "counter",
+                "Total query execution wall seconds",
+                [("", round(self._query_seconds, 6))],
+            )
+        return "\n".join(lines) + "\n"
+
+    # -- traces APM (handlers/http/traces.rs:60-330, 440-640) ----------------
+    MAX_TRACE_LIMIT = 1000
+    DEFAULT_TRACE_LIMIT = 50
+    _TRACE_REQUIRED = (
+        "span_trace_id",
+        "span_span_id",
+        "span_parent_span_id",
+        "span_status_code",
+        "span_start_time_unix_nano_epoch",
+        "span_name",
+        "span_duration_ns",
+    )
+
+    def _trace_spans(self, body: dict[str, Any]):
+        """Shared request plumbing for the trace routes: resolve the
+        dataset, validate it carries span columns, apply the time
+        window and optional serviceName filter. The span source is the
+        same store.scan() every query uses (staging ∪ parquet)."""
+        from pyspark.sql import functions as F
+
+        from .query.engine import TimeRange
+
+        dataset = body.get("dataset") or ""
+        if not dataset:
+            raise ApiError(400, "dataset must be provided")
+        store = self._store_or_404(dataset)
+        try:
+            tr = TimeRange.parse(
+                body.get("startTime") or "", body.get("endTime") or ""
+            )
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
+        df = store.scan()
+        cols = set(df.columns)
+        # OTel flattening names the resource attribute `service.name`
+        # (otel.py separator '.'); the span helpers use service_name
+        if "service_name" not in cols and "service.name" in cols:
+            df = df.withColumn("service_name", F.col("`service.name`"))
+            cols.add("service_name")
+        missing = [c for c in (*self._TRACE_REQUIRED, "service_name") if c not in cols]
+        if missing:
+            raise ApiError(
+                400, f"dataset {dataset} is not a trace dataset (missing {missing})"
+            )
+        lo, hi = tr.start.replace(tzinfo=None), tr.end.replace(tzinfo=None)
+        df = df.filter(
+            (F.col(store.time_col) >= F.lit(lo)) & (F.col(store.time_col) < F.lit(hi))
+        ).filter(F.col("service_name").isNotNull())
+        service = (body.get("serviceName") or "").strip()
+        if body.get("serviceName") is not None and not service:
+            raise ApiError(400, "serviceName must not be empty when provided")
+        if service:
+            df = df.filter(F.col("service_name") == service)
+        return df, tr
+
+    def traces_list(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/services/traces/list (traces.rs:182-254):
+        paginated span/trace list with per-trace span+error counts, and
+        the matching distinct-span count — both through the engine's
+        broadcast-join rewrite of COUNT(DISTINCT) OVER."""
+        from .query import traces as tr_mod
+        from .query.response import row_to_json
+
+        raw_limit = body.get("limit")
+        limit = self.DEFAULT_TRACE_LIMIT if raw_limit is None else int(raw_limit)
+        if not 1 <= limit <= self.MAX_TRACE_LIMIT:
+            raise ApiError(
+                400, f"limit must be between 1 and {self.MAX_TRACE_LIMIT}, got {limit}"
+            )
+        offset = int(body.get("offset") or 0)
+        option = body.get("options") or body.get("option") or "spans"
+        if option not in ("spans", "errorSpans", "traces"):
+            raise ApiError(400, f"unknown options value {option!r}")
+        with self._lock:
+            from pyspark.sql import functions as F
+
+            spans, _ = self._trace_spans(body)
+            errors_only = option == "errorSpans"
+            roots_only = option == "traces"
+            listed = tr_mod.trace_list(
+                spans,
+                errors_only=errors_only,
+                offset=offset,
+                limit=limit,
+                roots_only=roots_only,
+            )
+            # count side: Traces counts distinct ROOT spans
+            # (count_filter, traces.rs:117-122)
+            count_src = (
+                spans.filter(
+                    F.coalesce(F.col("span_parent_span_id"), F.lit("")) == ""
+                )
+                if roots_only
+                else spans
+            )
+            count = tr_mod.trace_count(count_src, errors_only=errors_only).collect()[
+                0
+            ]["count"]
+            records = [row_to_json(r) for r in listed.collect()]
+        return {"count": count, "offset": offset, "limit": limit, "records": records}
+
+    def trace_detail_api(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/services/traces/detail (traces.rs:256-330): the
+        span hierarchy of one trace (levels via the bounded-BFS
+        replacement of WITH RECURSIVE) + the trace's time bounds."""
+        from .query import traces as tr_mod
+        from .query.response import row_to_json
+
+        trace_id = (body.get("traceId") or "").strip()
+        if not trace_id:
+            raise ApiError(400, "traceId must be provided")
+        with self._lock:
+            spans, _ = self._trace_spans(body)
+            store = self._stores[body["dataset"]]
+            records = [
+                row_to_json(r)
+                for r in tr_mod.trace_detail(spans, trace_id).collect()
+            ]
+            if not records:
+                raise ApiError(404, f"Trace not found: {trace_id}")
+            bounds = tr_mod.trace_bounds(
+                spans, trace_id, time_col=store.time_col
+            ).collect()[0]
+        return {
+            "startTime": str(bounds["start_time"]),
+            "endTime": str(bounds["end_time"]),
+            "records": records,
+        }
+
+    def query_context(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/query/context (query_context.rs:118-286): a page
+        of logs around an anchor timestamp — n/2 before + n/2 after via
+        the engine's two-limit union (query/context.py), returned in
+        ascending time order with the anchor index."""
+        from pyspark.sql import functions as F
+
+        from .query.context import log_context_sql
+        from .query.response import row_to_json
+        from .query.timerange import parse_human_time
+
+        dataset = body.get("dataset") or ""
+        if not dataset:
+            raise ApiError(400, "dataset must be provided")
+        store = self._store_or_404(dataset)
+        anchor = body.get("pTimestamp") or body.get("p_timestamp") or ""
+        if not anchor:
+            raise ApiError(400, "pTimestamp must be provided")
+        try:
+            # exact instant — the anchor row's timestamp, NOT truncated
+            anchor_dt = parse_human_time(anchor)
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
+        page_size = int(body.get("pageSize") or 500)
+        if not 1 <= page_size <= 10000:
+            raise ApiError(400, "pageSize must be between 1 and 10000")
+        half = max(page_size // 2, 1)
+        anchor_lit = f"TIMESTAMP_NTZ '{anchor_dt.replace(tzinfo=None).isoformat(sep=' ')}'"
+        with self._lock:
+            df = store.scan()
+            view = f"_ctx_{dataset}"
+            df.createOrReplaceTempView(view)
+            sql = log_context_sql(
+                view, store.time_col, store.time_col, anchor_lit, half, half
+            )
+            rows = self.spark.sql(sql).collect()
+        before = sorted(
+            (r for r in rows if r["direction"] == "before"),
+            key=lambda r: r[store.time_col],
+        )
+        after = sorted(
+            (r for r in rows if r["direction"] == "after"),
+            key=lambda r: r[store.time_col],
+        )
+        records = [row_to_json(r) for r in [*before, *after]]
+        for r in records:
+            r.pop("direction", None)
+        times = [r[store.time_col] for r in [*before, *after]]
+        return {
+            "scope": "contextWindow",
+            "contextStartTime": str(min(times)) if times else str(anchor_dt),
+            "contextEndTime": str(max(times)) if times else str(anchor_dt),
+            "limit": page_size,
+            "anchorIndex": len(before),
+            "duplicateAnchorCount": 0,
+            "anchoredDuplicate": "first",
+            "records": records,
+        }
 
     # -- Prism UI aggregation (src/prism/home, src/prism/logstream,
     #    handlers/http/prism_home.rs + prism_logstream.rs) ------------------
@@ -1228,7 +1562,13 @@ class _Handler(BaseHTTPRequestHandler):
     principal: str | None = None
 
     def _authorized(self) -> bool:
-        self.principal = self.api.check_auth(self.headers.get("Authorization"))
+        api_key = self.headers.get("x-api-key")
+        if api_key is not None:
+            # API-key auth path (middleware.rs:302-330): the key resolves
+            # to its synthetic principal; RBAC then applies as usual
+            self.principal = self.api.check_api_key(api_key)
+        else:
+            self.principal = self.api.check_auth(self.headers.get("Authorization"))
         if self.principal is None:
             self._respond_json(401, {"error": "unauthorized"})
             return False
@@ -1275,7 +1615,15 @@ class _Handler(BaseHTTPRequestHandler):
                 if not self._authorized():
                     return
                 qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
-                if parts_d[3:] == ["home"]:
+                if parts_d[3] == "apikeys":
+                    from .rbac import Action
+
+                    self._allow(Action.MANAGE)
+                    if len(parts_d) == 4:
+                        self._respond_json(200, self.api.list_api_keys())
+                    else:
+                        self._respond_json(200, self.api.get_api_key(parts_d[4]))
+                elif parts_d[3:] == ["home"]:
                     self._respond_json(
                         200,
                         self.api.prism_home(
@@ -1334,6 +1682,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if path in ("/api/v1/liveness", "/api/v1/readiness"):
                 self._respond_json(200, {"status": "ok"})
+                return
+            if path == "/api/v1/metrics":
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)  # reference Action::Metrics
+                body = self.api.prometheus_metrics().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             if path == "/api/v1/about":
                 self._respond_json(
@@ -1505,6 +1868,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if parts[:4] == ["api", "prism", "v1", "apikeys"] and len(parts) == 5:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                self._respond_json(200, self.api.delete_api_key(parts[4]))
+                return
             if parts[:3] == ["api", "v1", "dashboards"] and len(parts) == 4:
                 self.api.delete_dashboard(
                     self.principal, parts[3], is_admin=self._is_admin()
@@ -1628,6 +1997,37 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(
                     200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
                 )
+            elif parsed.path == "/api/prism/v1/apikeys":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                self._respond_json(
+                    200,
+                    self.api.create_api_key(self.principal, self._json_body() or {}),
+                )
+            elif parsed.path == "/api/prism/v1/apikeys/validate":
+                body = self._json_body() or {}
+                self._respond_json(
+                    200, self.api.validate_api_key(str(body.get("apiKey") or ""))
+                )
+            elif parsed.path == "/api/v1/services/traces/list":
+                from .rbac import Action
+
+                body = self._json_body() or {}
+                self._allow(Action.QUERY, str(body.get("dataset") or ""))
+                self._respond_json(200, self.api.traces_list(body))
+            elif parsed.path == "/api/v1/services/traces/detail":
+                from .rbac import Action
+
+                body = self._json_body() or {}
+                self._allow(Action.QUERY, str(body.get("dataset") or ""))
+                self._respond_json(200, self.api.trace_detail_api(body))
+            elif parsed.path == "/api/v1/query/context":
+                from .rbac import Action
+
+                body = self._json_body() or {}
+                self._allow(Action.QUERY, str(body.get("dataset") or ""))
+                self._respond_json(200, self.api.query_context(body))
             elif parsed.path == "/api/prism/v1/datasets":
                 body = self._json_body() or {}
                 if not isinstance(body, dict):
@@ -1771,6 +2171,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond_json(
                 200, out, {TIME_ELAPSED_HEADER: f"{time.perf_counter() - t0:.3f}s"}
             )
+        self.api.record_query(time.perf_counter() - t0)
 
 
 def make_server(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:

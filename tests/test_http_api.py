@@ -1132,3 +1132,254 @@ def test_prism_home_and_datasets_e2e(spark, tmp_path):
         assert [d["stream"] for d in ds_r] == ["svc_a"]  # others skipped, not errors
     finally:
         srv.shutdown()
+
+
+def _otel_trace_payload(spans):
+    """Minimal OTLP traces payload; spans = [(trace, span, parent, name,
+    start_ns, end_ns, error)]."""
+    return {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "checkout"}}
+            ]},
+            "scopeSpans": [{
+                "scope": {"name": "t"},
+                "spans": [
+                    {
+                        "traceId": t, "spanId": s, "parentSpanId": p, "name": n,
+                        "startTimeUnixNano": str(st), "endTimeUnixNano": str(en),
+                        "status": {"code": "STATUS_CODE_ERROR" if err else "STATUS_CODE_OK"},
+                    }
+                    for (t, s, p, n, st, en, err) in spans
+                ],
+            }],
+        }]
+    }
+
+
+def test_traces_apm_and_log_context_http(spark, tmp_path):
+    """Thin HTTP routes over the already-oracle-checked trace and
+    log-context engines (reference handlers/http/traces.rs:60-330 and
+    query_context.rs:118-286): /services/traces/list (options
+    spans/errorSpans/traces, pagination, count), /services/traces/detail
+    (hierarchy levels + bounds, 404 on unknown trace), /query/context
+    (page around an anchor). Each route must return the same rows as
+    the direct engine call."""
+    from datetime import datetime, timedelta, timezone
+
+    from parseable_spark.query import traces as tr_mod
+    from parseable_spark.query.response import row_to_json
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        # trace T1: root -> child(error) -> grandchild; trace T2: root
+        ns = 1_700_000_000 * 10**9
+        payload = _otel_trace_payload([
+            ("T1", "a", "", "root", ns, ns + 5000, False),
+            ("T1", "b", "a", "query-db", ns + 1000, ns + 3000, True),
+            ("T1", "c", "b", "render", ns + 2000, ns + 2500, False),
+            ("T2", "d", "", "healthz", ns + 10, ns + 20, False),
+        ])
+        resp, out = _post(base + "/v1/traces", payload,
+                          headers={"x-p-stream": "otel_tr",
+                                   "x-p-log-source": "otel-traces"})
+        assert out["records"] == 4
+
+        rng = _range()
+        body = {"dataset": "otel_tr", **rng}
+        # list: all spans, per-trace counts
+        lst = _post(base + "/api/v1/services/traces/list", body)[1]
+        assert lst["count"] == 4 and len(lst["records"]) == 4
+        t1 = [r for r in lst["records"] if r["span_trace_id"] == "T1"]
+        assert all(r["total_span_count"] == 3 and r["error_count"] == 1 for r in t1)
+
+        # same rows as the direct engine call
+        store = api._stores["otel_tr"]
+        spans = store.scan().withColumnRenamed("service.name", "service_name")
+        direct = [row_to_json(r) for r in tr_mod.trace_list(spans).collect()]
+        keyfn = lambda r: r["span_span_id"]  # noqa: E731
+        assert sorted(
+            [{k: r[k] for k in direct[0]} for r in lst["records"]], key=keyfn
+        ) == sorted(direct, key=keyfn)
+
+        # errorSpans option: only spans of traces with errors, status=2 rows
+        errs = _post(base + "/api/v1/services/traces/list",
+                     {**body, "options": "errorSpans"})[1]
+        assert errs["count"] == 1  # one distinct error span
+        # traces option: one root row per trace, counts still whole-trace
+        roots = _post(base + "/api/v1/services/traces/list",
+                      {**body, "options": "traces"})[1]
+        assert roots["count"] == 2 and len(roots["records"]) == 2
+        r1 = next(r for r in roots["records"] if r["span_trace_id"] == "T1")
+        assert r1["span_span_id"] == "a" and r1["total_span_count"] == 3
+        # pagination + validation
+        page = _post(base + "/api/v1/services/traces/list",
+                     {**body, "limit": 2, "offset": 2})[1]
+        assert len(page["records"]) == 2 and page["count"] == 4
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/services/traces/list", {**body, "limit": 0})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/services/traces/list",
+                  {**body, "serviceName": "  "})
+        assert ei.value.code == 400
+        # serviceName filter matches the resource attribute
+        named = _post(base + "/api/v1/services/traces/list",
+                      {**body, "serviceName": "checkout"})[1]
+        assert named["count"] == 4
+        ghost = _post(base + "/api/v1/services/traces/list",
+                      {**body, "serviceName": "nope"})[1]
+        assert ghost["count"] == 0
+
+        # detail: hierarchy levels match the direct engine call
+        det = _post(base + "/api/v1/services/traces/detail",
+                    {**body, "traceId": "T1"})[1]
+        assert [(r["span_span_id"], r["level"]) for r in det["records"]] == [
+            ("a", 0), ("b", 1), ("c", 2)
+        ]
+        assert all(r["total_span_count"] == 3 for r in det["records"])
+        direct_det = [row_to_json(r) for r in tr_mod.trace_detail(spans, "T1").collect()]
+        assert det["records"] == direct_det
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/services/traces/detail", {**body, "traceId": "ZZ"})
+        assert ei.value.code == 404
+
+        # log context: a page around an anchor, ascending, anchor index
+        _post(base + "/api/v1/ingest", EVENTS,
+              headers={"x-p-stream": "ctx_logs"})
+        anchor = (datetime.now(timezone.utc) + timedelta(seconds=1)).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        )  # strictly after the 4 ingested rows -> all land 'before'
+        ctx = _post(base + "/api/v1/query/context",
+                    {"dataset": "ctx_logs", "pTimestamp": anchor, "pageSize": 6})[1]
+        assert ctx["scope"] == "contextWindow" and ctx["limit"] == 6
+        assert len(ctx["records"]) == 3 and ctx["anchorIndex"] == 3  # pageSize//2 before
+        msgs = [r["msg"] for r in ctx["records"]]
+        assert set(msgs) <= {e["msg"] for e in EVENTS}
+        times = [r["p_timestamp"] for r in ctx["records"]]
+        assert times == sorted(times)  # ascending page
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query/context", {"dataset": "ctx_logs"})
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_api_keys_e2e(spark, tmp_path):
+    """API-key auth (reference handlers/http/apikeys.rs + middleware.rs
+    x-api-key): admin mints a key carrying named roles -> requests
+    presenting the key authenticate as the backing principal and hit
+    the normal RBAC gates -> revocation 401s immediately. List masks
+    key values; unknown roles and duplicate names are 400."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    def denied(method, path, body, headers, code):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req(method, path, body, headers)
+        assert ei.value.code == code, path
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        req("PUT", "/api/v1/role/s1-reader",
+            [{"privilege": "reader", "stream": "s1"}], admin)
+
+        denied("POST", "/api/prism/v1/apikeys",
+               {"keyName": "ci", "roles": ["ghost"]}, admin, 400)  # unknown role
+        key = req("POST", "/api/prism/v1/apikeys",
+                  {"keyName": "ci", "roles": ["s1-reader"]}, admin)
+        assert key["createdBy"] == "*" and key["roles"] == ["s1-reader"]
+        denied("POST", "/api/prism/v1/apikeys",
+               {"keyName": "ci", "roles": ["s1-reader"]}, admin, 400)  # dup name
+
+        # the key authenticates and is scoped by its roles
+        kh = {"x-api-key": key["apiKey"]}
+        rows = req("POST", "/api/v1/query",
+                   {"query": "SELECT count(*) AS n FROM s1", **_range()}, kh)
+        assert rows == [{"n": len(EVENTS)}]
+        denied("POST", "/api/v1/ingest", EVENTS, {"x-p-stream": "s1", **kh}, 403)
+        denied("GET", "/api/prism/v1/apikeys", None, kh, 403)  # not admin
+
+        # list masks; get returns full; validate
+        lst = req("GET", "/api/prism/v1/apikeys", None, admin)
+        assert len(lst) == 1 and lst[0]["apiKey"] == "****" + key["apiKey"][-4:]
+        assert req("GET", f"/api/prism/v1/apikeys/{key['keyId']}", None, admin)["apiKey"] == key["apiKey"]
+        assert req("POST", "/api/prism/v1/apikeys/validate",
+                   {"apiKey": key["apiKey"]}, admin) == {"valid": True}
+        assert req("POST", "/api/prism/v1/apikeys/validate",
+                   {"apiKey": "nope"}, admin) == {"valid": False}
+
+        # revoke -> immediate 401; bad key -> 401
+        out = req("DELETE", f"/api/prism/v1/apikeys/{key['keyId']}", None, admin)
+        assert out["keyName"] == "ci"
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT 1", **_range()}, kh, 401)
+        denied("GET", "/api/v1/logstream", None, {"x-api-key": "bogus"}, 401)
+        denied("DELETE", f"/api/prism/v1/apikeys/{key['keyId']}", None, admin, 404)
+    finally:
+        srv.shutdown()
+
+
+def test_prometheus_metrics_scrape(spark, tmp_path):
+    """GET /api/v1/metrics (reference src/metrics/mod.rs): Prometheus
+    text exposition from the stats ledgers; counters move across an
+    ingest + query cycle."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def scrape():
+        r = urllib.request.urlopen(
+            urllib.request.Request(base + "/api/v1/metrics", headers=admin),
+            timeout=30,
+        )
+        assert r.headers["Content-Type"].startswith("text/plain")
+        return r.read().decode()
+
+    def sample(text, name, labels=""):
+        for line in text.splitlines():
+            if line.startswith(f"parseable_{name}{labels} "):
+                return float(line.rsplit(" ", 1)[1])
+        raise AssertionError(f"metric parseable_{name}{labels} not found:\n{text}")
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "m1", **admin})
+        m0 = scrape()
+        assert "# TYPE parseable_events_ingested gauge" in m0
+        # events land in staging until flush; the staging gauge sees them
+        assert sample(m0, "staging_events", '{stream="m1",format="json"}') == len(EVENTS)
+        assert sample(m0, "query_calls_total") == 0
+
+        _post(base + "/api/v1/query",
+              {"query": "SELECT count(*) AS n FROM m1", **_range()},
+              headers=admin)
+        m1 = scrape()
+        assert sample(m1, "query_calls_total") == 1
+        assert sample(m1, "query_execute_time_seconds_total") > 0
+
+        # flush moves staging into the ingested/storage ledgers
+        api._stores["m1"].flush()
+        m2 = scrape()
+        assert sample(m2, "events_ingested", '{stream="m1",format="json"}') == len(EVENTS)
+        assert sample(m2, "staging_events", '{stream="m1",format="json"}') == 0
+        assert sample(m2, "storage_size", '{type="data",stream="m1",format="json"}') > 0
+        assert sample(m2, "lifetime_events_ingested", '{stream="m1",format="json"}') == len(EVENTS)
+    finally:
+        srv.shutdown()
