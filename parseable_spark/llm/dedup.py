@@ -169,7 +169,11 @@ def minhash_lsh_candidates(
         .filter(F.col(id_col) > F.col("rep"))
         .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return pairs_small.union(pairs_giant).distinct()
+    # materialize the (small) pair list: every consumer — verification's
+    # two set joins, clustering's edge expansion — re-reads pairs
+    # without replaying the banding DAG, and the snapshot is freed with
+    # the result (no CacheManager pin)
+    return pairs_small.union(pairs_giant).distinct().localCheckpoint()
 
 
 def jaccard_verify(
@@ -182,8 +186,18 @@ def jaccard_verify(
     ndigits: int = 6,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (id_a, id_b, jaccard)."""
+    # shingle sets are only needed for docs that appear in a candidate
+    # pair — at 100 TB the candidates are a tiny fraction of the corpus,
+    # so semi-joining the member ids first keeps the materialized set
+    # table candidate-sized instead of corpus-sized
+    members = (
+        candidates.select(F.col("id_a").alias("sid"))
+        .unionAll(candidates.select(F.col("id_b").alias("sid")))
+        .distinct()
+    )
     sets = (
         shingle_rows(docs, id_col, text_col, shingle_n)
+        .join(members, F.col(id_col) == F.col("sid"), "left_semi")
         .groupBy(F.col(id_col).alias("sid"))
         .agg(F.collect_set("shingle").alias("sset"))
         # joined twice (id_a side + id_b side); eager localCheckpoint —

@@ -337,18 +337,27 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    n_docs = docs.select(id_col).distinct().count()
+    # corpus size as a broadcast 1-row aggregate, not an eager .count():
+    # keeps the whole computation one lazy job (the driver-side count
+    # was a full extra scan per invocation)
+    n_docs = docs.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs")
+    )
     terms = docs.select(
         F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        F.col(id_col),
-        F.col("term"),
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), ndigits
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), ndigits
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
