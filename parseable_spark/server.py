@@ -77,6 +77,7 @@ class ParseableAPI:
         time_col: str = DEFAULT_TIMESTAMP_KEY,
         auth: tuple[str, str] | None = None,
         ingestor_ports: list[int] | None = None,
+        oidc=None,  # oidc.OpenidConfig | None — enables SSO login
     ) -> None:
         self.spark = spark
         self.root = root
@@ -104,6 +105,14 @@ class ParseableAPI:
         self._api_keys: dict[str, dict[str, Any]] = {}
         self._query_count = 0
         self._query_seconds = 0.0
+        if oidc is not None:
+            from .oidc import DiscoveredClient
+
+            self.oidc_client = DiscoveredClient(oidc)
+        else:
+            self.oidc_client = None
+        self._sessions: dict[str, str] = {}  # session id → username
+        self._oauth_users: set[str] = set()
         self._lock = threading.RLock()
 
     # -- streams ------------------------------------------------------------
@@ -491,6 +500,52 @@ class ParseableAPI:
             )
             out = correlate(dfs[0], dfs[1], tcs[0], tcs[1], jcs)
             return [row_to_json(r) for r in out.collect()]
+
+    # -- OIDC login (src/oidc.rs, handlers/http/oidc.rs) ---------------------
+    def oidc_callback(self, code: str) -> tuple[str, str]:
+        """Exchange the authorization code, resolve the identity, map
+        provider groups onto existing named roles, upsert the OAuth
+        user, and mint a session (reply_login,
+        handlers/http/oidc.rs:206-280). Returns (session_id, username).
+        """
+        import urllib.error
+        import uuid as _uuid
+
+        from .oidc import extract_identity
+
+        if self.oidc_client is None:
+            raise ApiError(401, "OIDC is not configured")
+        try:
+            tokens = self.oidc_client.exchange_code(code)
+            info = self.oidc_client.userinfo(tokens["access_token"])
+        except (urllib.error.URLError, KeyError, ValueError) as e:
+            raise ApiError(401, f"code exchange failed: {e}") from e
+        try:
+            username, _user_id = extract_identity(info)
+        except ValueError as e:
+            raise ApiError(401, str(e)) from e
+        groups = [str(g) for g in (info.get("groups") or [])]
+        with self._lock:
+            # only groups that exist as named roles become grants
+            # (resolve_roles, oidc.rs:330-390)
+            roles = [g for g in groups if g in self.rbac._roles]
+            existing = self.rbac._users.get(username)
+            if existing is not None:
+                existing.roles = roles  # update_user_if_changed
+            else:
+                self.rbac.add_user(username, [], roles=roles)
+            self._oauth_users.add(username)
+            sid = _uuid.uuid4().hex
+            self._sessions[sid] = username
+        return sid, username
+
+    def check_session(self, sid: str) -> str | None:
+        with self._lock:
+            return self._sessions.get(sid)
+
+    def drop_session(self, sid: str) -> str | None:
+        with self._lock:
+            return self._sessions.pop(sid, None)
 
     # -- API keys (handlers/http/apikeys.rs:1-334) ---------------------------
     def create_api_key(self, created_by: str, body: dict[str, Any]) -> dict[str, Any]:
@@ -1561,18 +1616,44 @@ class _Handler(BaseHTTPRequestHandler):
 
     principal: str | None = None
 
+    def _session_cookie(self) -> str | None:
+        raw = self.headers.get("Cookie") or ""
+        for part in raw.split(";"):
+            k, _, v = part.strip().partition("=")
+            if k == "session" and v:
+                return v
+        return None
+
     def _authorized(self) -> bool:
         api_key = self.headers.get("x-api-key")
+        sid = self._session_cookie()
         if api_key is not None:
             # API-key auth path (middleware.rs:302-330): the key resolves
             # to its synthetic principal; RBAC then applies as usual
             self.principal = self.api.check_api_key(api_key)
+        elif sid is not None and self.api.check_session(sid) is not None:
+            # OIDC session cookie (handlers/http/oidc.rs cookie_session)
+            self.principal = self.api.check_session(sid)
         else:
             self.principal = self.api.check_auth(self.headers.get("Authorization"))
         if self.principal is None:
             self._respond_json(401, {"error": "unauthorized"})
             return False
         return True
+
+    def _redirect(self, location: str, cookies: list[str] | None = None) -> None:
+        self.send_response(307)
+        self.send_header("Location", location)
+        for c in cookies or []:
+            self.send_header("Set-Cookie", c)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    @staticmethod
+    def _valid_redirect(target: str) -> bool:
+        """Only relative paths — an absolute target would be an open
+        redirect (is_valid_redirect_url, handlers/http/oidc.rs)."""
+        return target.startswith("/") and not target.startswith("//")
 
     def _allow(self, action, stream: str = "*") -> None:
         self.api.authorize(self.principal, action, stream)
@@ -1611,6 +1692,53 @@ class _Handler(BaseHTTPRequestHandler):
         path = parsed_url.path
         try:
             parts_d = path.strip("/").split("/")
+            if parts_d[:4] == ["api", "v1", "o", "login"]:
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                target = qp.get("redirect") or "/"
+                if not self._valid_redirect(target):
+                    raise ApiError(400, "Bad Request, Invalid Redirect URL!")
+                sid = self._session_cookie()
+                if sid and self.api.check_session(sid):
+                    self._redirect(target)  # active session: straight back
+                elif self.api.oidc_client is not None:
+                    self._redirect(self.api.oidc_client.auth_url(state=target))
+                else:
+                    self._redirect(target)  # no OIDC configured (dev mode)
+                return
+            if parts_d[:4] == ["api", "v1", "o", "code"]:
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                code = qp.get("code") or ""
+                if not code:
+                    raise ApiError(400, "missing code")
+                target = qp.get("state") or "/"
+                if not self._valid_redirect(target):
+                    target = "/"
+                sid, username = self.api.oidc_callback(code)
+                self._redirect(
+                    target,
+                    cookies=[
+                        f"session={sid}; Path=/; HttpOnly",
+                        f"username={username}; Path=/",
+                    ],
+                )
+                return
+            if parts_d[:4] == ["api", "v1", "o", "logout"]:
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                target = qp.get("redirect") or "/"
+                if not self._valid_redirect(target):
+                    raise ApiError(400, "Bad Request, Invalid Redirect URL!")
+                sid = self._session_cookie()
+                user = self.api.drop_session(sid) if sid else None
+                end = (
+                    self.api.oidc_client.logout_url()
+                    if self.api.oidc_client is not None and user is not None
+                    else None
+                )
+                self._redirect(
+                    end or target,
+                    cookies=["session=; Path=/; Max-Age=0"],
+                )
+                return
             if parts_d[:3] == ["api", "prism", "v1"]:
                 if not self._authorized():
                     return

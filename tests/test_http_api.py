@@ -1383,3 +1383,161 @@ def test_prometheus_metrics_scrape(spark, tmp_path):
         assert sample(m2, "lifetime_events_ingested", '{stream="m1",format="json"}') == len(EVENTS)
     finally:
         srv.shutdown()
+
+
+class _FakeOidcProvider:
+    """In-process OIDC provider: discovery + token + userinfo, enough
+    for the full authorization-code flow."""
+
+    def __init__(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        provider = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, obj, status=200):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/.well-known/openid-configuration":
+                    self._json({
+                        "issuer": provider.base,
+                        "authorization_endpoint": provider.base + "/authorize",
+                        "token_endpoint": provider.base + "/token",
+                        "userinfo_endpoint": provider.base + "/userinfo",
+                        "end_session_endpoint": provider.base + "/logout",
+                    })
+                elif self.path == "/userinfo":
+                    tok = (self.headers.get("Authorization") or "").removeprefix("Bearer ")
+                    if tok != "at-123":
+                        self._json({"error": "bad token"}, 401)
+                    else:
+                        self._json(provider.userinfo)
+                else:
+                    self._json({"error": "nf"}, 404)
+
+            def do_POST(self):
+                if self.path == "/token":
+                    import urllib.parse as up
+                    n = int(self.headers.get("Content-Length") or 0)
+                    form = dict(up.parse_qsl(self.rfile.read(n).decode()))
+                    if (form.get("code") == "good-code"
+                            and form.get("client_id") == "pclient"
+                            and form.get("client_secret") == "psecret"
+                            and form.get("grant_type") == "authorization_code"):
+                        self._json({"access_token": "at-123", "token_type": "Bearer"})
+                    else:
+                        self._json({"error": "invalid_grant"}, 400)
+                else:
+                    self._json({"error": "nf"}, 404)
+
+        import threading as th
+        self.srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.base = f"http://127.0.0.1:{self.srv.server_address[1]}"
+        self.userinfo = {
+            "sub": "u-42", "name": "carol@corp", "email": "carol@corp",
+            "groups": ["analyst", "not-a-role"],
+        }
+        th.Thread(target=self.srv.serve_forever, daemon=True).start()
+
+    def shutdown(self):
+        self.srv.shutdown()
+
+
+def test_oidc_login_flow_e2e(spark, tmp_path):
+    """OIDC SSO (reference src/oidc.rs + handlers/http/oidc.rs) against
+    a fake provider: /o/login redirects to the provider's authorize
+    URL; the code callback exchanges the code, maps provider groups to
+    EXISTING named roles, mints a session cookie; the session then
+    passes normal RBAC; logout kills it and points at the provider's
+    end-session endpoint. Bad codes 401; absolute redirect targets 400."""
+    import base64 as b64
+    import urllib.parse as up
+
+    provider = _FakeOidcProvider()
+    from parseable_spark.oidc import OpenidConfig
+
+    api = ParseableAPI(
+        spark, str(tmp_path), auth=("admin", "root-pw"),
+        oidc=OpenidConfig(
+            client_id="pclient", client_secret="psecret",
+            issuer=provider.base, origin="http://127.0.0.1:0",
+        ),
+    )
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+
+    def get(path, headers=None):
+        try:
+            r = opener.open(urllib.request.Request(base + path, headers=headers or {}), timeout=30)
+            return r.status, dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        # the provider group "analyst" maps onto this named role
+        _req = lambda m, p, b: urllib.request.urlopen(  # noqa: E731
+            urllib.request.Request(base + p, data=json.dumps(b).encode(), method=m,
+                                   headers={"Content-Type": "application/json", **admin}),
+            timeout=30)
+        _req("PUT", "/api/v1/role/analyst", [{"privilege": "reader", "stream": "s1"}])
+
+        # login: 307 to the provider's authorize URL with our params
+        code_, hdrs = get("/api/v1/o/login?redirect=/console")
+        assert code_ == 307
+        loc = up.urlparse(hdrs["Location"])
+        q = dict(up.parse_qsl(loc.query))
+        assert hdrs["Location"].startswith(provider.base + "/authorize")
+        assert q["client_id"] == "pclient" and q["state"] == "/console"
+        assert q["response_type"] == "code"
+        # absolute redirect target → 400 (open-redirect guard)
+        code_, _ = get("/api/v1/o/login?redirect=http://evil.example/")
+        assert code_ == 400
+
+        # provider redirects back with the code → session cookie
+        code_, hdrs = get("/api/v1/o/code?code=good-code&state=/console")
+        assert code_ == 307 and hdrs["Location"] == "/console"
+        cookie = hdrs["Set-Cookie"].split(";")[0]
+        assert cookie.startswith("session=")
+        # bad code → 401
+        assert get("/api/v1/o/code?code=bad&state=/")[0] == 401
+
+        # the session authenticates and carries the analyst role only
+        # (the unknown group "not-a-role" was dropped)
+        sess = {"Cookie": cookie}
+        rows = _post(base + "/api/v1/query",
+                     {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                     headers=sess)[1]
+        assert rows == [{"n": len(EVENTS)}]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **sess})
+        assert ei.value.code == 403  # reader role: no ingest
+        # an already-authenticated login bounces straight back
+        code_, hdrs = get("/api/v1/o/login?redirect=/console", headers=sess)
+        assert code_ == 307 and hdrs["Location"] == "/console"
+
+        # logout: session dropped, pointed at the provider's end-session
+        code_, hdrs = get("/api/v1/o/logout?redirect=/", headers=sess)
+        assert code_ == 307 and hdrs["Location"] == provider.base + "/logout"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query",
+                  {"query": "SELECT 1", **_range()}, headers=sess)
+        assert ei.value.code == 401
+    finally:
+        srv.shutdown()
+        provider.shutdown()
