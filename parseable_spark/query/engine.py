@@ -34,24 +34,68 @@ def references_time_col(sql: str, time_col: str) -> bool:
     return re.search(_TIME_PRED_TMPL.format(col=re.escape(time_col)), sql) is not None
 
 
-def extract_table_names(sql: str) -> list[str]:
-    """Table identifiers following FROM/JOIN (simple, CTE-aware).
-
-    Backtick- and double-quote-quoted identifiers are unwrapped so a
-    query like ``SELECT * FROM `s1``` resolves to the same stream name
-    Spark SQL resolves — otherwise per-stream authorization and
-    time-filter injection would silently skip quoted references."""
+def extract_table_names(sql: str, spark=None) -> list[str]:
+    """Every table reference the query resolves, derived from Spark's
+    OWN parsed plan when a session is available — the only way the set
+    is guaranteed to match what Spark will actually read. The regex
+    fallback (used when no session is passed, or the SQL does not
+    parse — in which case execution fails anyway) notoriously misses
+    valid variants: ``FROM`s2``` (no whitespace before a backtick),
+    ``FROM/**/s2`` (comment as separator), comma cross-joins — each a
+    per-stream-authorization and time-filter-injection bypass."""
+    if spark is not None:
+        try:
+            return _extract_tables_from_plan(spark, sql)
+        except Exception:  # noqa: BLE001 — unparseable SQL fails at spark.sql too
+            pass
     cte_names = {m.group(1).lower() for m in re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I)}
     names = []
     for m in re.finditer(
-        r"\b(?:FROM|JOIN)\s+(`[^`]+`|\"[^\"]+\"|[A-Za-z_][\w.]*)", sql, re.I
+        r"\b(?:FROM|JOIN)\s*(`[^`]+`|\"[^\"]+\")|\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)",
+        sql,
+        re.I,
     ):
-        n = m.group(1)
+        n = m.group(1) or m.group(2)
         if n[0] in ("`", '"'):
             n = n[1:-1]
         if n.lower() not in cte_names and n not in names:
             names.append(n)
     return names
+
+
+def _extract_tables_from_plan(spark, sql: str) -> list[str]:
+    """Walk the UNRESOLVED logical plan: UnresolvedRelation nodes are
+    the table references (including inside subquery expressions, via
+    QueryPlan.subqueries); UnresolvedWith carries the CTE names, which
+    shadow stream names exactly as the analyzer would resolve them."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    plan = parser.parsePlan(sql)
+    names: list[str] = []
+    ctes: set[str] = set()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedWith":
+            rels = node.cteRelations()
+            for i in range(rels.size()):
+                ctes.add(rels.apply(i)._1().lower())
+        elif cls == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            names.append(".".join(parts.apply(i) for i in range(parts.size())))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            stack.append(inner.apply(i))
+        try:  # IN (SELECT …) / EXISTS / scalar subqueries
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                stack.append(subs.apply(i))
+        except Exception:  # noqa: BLE001 — not a QueryPlan node
+            pass
+    return [n for n in dict.fromkeys(names) if n.lower() not in ctes]
 
 
 class QueryEngine:
@@ -93,7 +137,7 @@ class QueryEngine:
         if start is not None and end is not None:
             tr = TimeRange.parse(start, end, now=now)
             lo, hi = tr.sql_literals()
-            for name in extract_table_names(sql):
+            for name in extract_table_names(sql, spark=self.spark):
                 if name not in self._streams:
                     continue
                 df, tcol = self._streams[name]

@@ -38,7 +38,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Iterator
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, quote as _urlquote, urlparse
 
 from .ingest.events import DEFAULT_TIMESTAMP_KEY, StreamConfig
 from .query.engine import QueryEngine
@@ -111,9 +111,13 @@ class ParseableAPI:
             self.oidc_client = DiscoveredClient(oidc)
         else:
             self.oidc_client = None
-        self._sessions: dict[str, str] = {}  # session id → username
-        self._oauth_users: set[str] = set()
+        # session id → (principal, expiry epoch); reference sessions
+        # expire after EXPIRY_DURATION = 1 h (rbac/mod.rs:47)
+        self._sessions: dict[str, tuple[str, float]] = {}
+        self._oauth_users: set[str] = set()  # oidc: principals (is_oauth)
         self._lock = threading.RLock()
+
+    SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
 
     # -- streams ------------------------------------------------------------
     def get_or_create_stream(self, name: str) -> StreamStore:
@@ -521,31 +525,53 @@ class ParseableAPI:
         except (urllib.error.URLError, KeyError, ValueError) as e:
             raise ApiError(401, f"code exchange failed: {e}") from e
         try:
-            username, _user_id = extract_identity(info)
+            username, user_id = extract_identity(info)
         except ValueError as e:
             raise ApiError(401, str(e)) from e
         groups = [str(g) for g in (info.get("groups") or [])]
+        # OAuth identities live in their own principal namespace keyed
+        # on the provider's immutable `sub` — NOT the display name/email
+        # (user-editable at most IdPs). Keying on the name would let an
+        # IdP user impersonate a same-named native user and clobber
+        # that user's admin-assigned roles (the reference keeps
+        # UserType::OAuth separate for exactly this reason).
+        principal = f"oidc:{user_id}"
         with self._lock:
             # only groups that exist as named roles become grants
             # (resolve_roles, oidc.rs:330-390)
             roles = [g for g in groups if g in self.rbac._roles]
-            existing = self.rbac._users.get(username)
-            if existing is not None:
-                existing.roles = roles  # update_user_if_changed
+            existing = self.rbac._users.get(principal)
+            if existing is not None and principal in self._oauth_users:
+                existing.roles = roles  # update_user_if_changed — OAuth only
             else:
-                self.rbac.add_user(username, [], roles=roles)
-            self._oauth_users.add(username)
+                self.rbac.add_user(principal, [], roles=roles)
+            self._oauth_users.add(principal)
             sid = _uuid.uuid4().hex
-            self._sessions[sid] = username
+            self._sessions[sid] = (
+                principal,
+                time.time() + self.SESSION_EXPIRY_SECONDS,
+            )
         return sid, username
+
+    def is_oauth(self, principal: str | None) -> bool:
+        with self._lock:
+            return principal in self._oauth_users
 
     def check_session(self, sid: str) -> str | None:
         with self._lock:
-            return self._sessions.get(sid)
+            entry = self._sessions.get(sid)
+            if entry is None:
+                return None
+            principal, expires = entry
+            if time.time() >= expires:
+                del self._sessions[sid]  # lazy expiry purge
+                return None
+            return principal
 
     def drop_session(self, sid: str) -> str | None:
         with self._lock:
-            return self._sessions.pop(sid, None)
+            entry = self._sessions.pop(sid, None)
+            return entry[0] if entry else None
 
     # -- API keys (handlers/http/apikeys.rs:1-334) ---------------------------
     def create_api_key(self, created_by: str, body: dict[str, Any]) -> dict[str, Any]:
@@ -1503,6 +1529,10 @@ class ParseableAPI:
 
         if not name:
             raise ApiError(400, "empty username")
+        if ":" in name:
+            # ':' is the namespace separator for synthetic principals
+            # (oidc:<sub>, apikey:<id>) — a native user may not collide
+            raise ApiError(400, "username may not contain ':'")
         with self._lock:
             if name in self._passwords:
                 raise ApiError(400, f"user {name} already exists")
@@ -1652,8 +1682,14 @@ class _Handler(BaseHTTPRequestHandler):
     @staticmethod
     def _valid_redirect(target: str) -> bool:
         """Only relative paths — an absolute target would be an open
-        redirect (is_valid_redirect_url, handlers/http/oidc.rs)."""
-        return target.startswith("/") and not target.startswith("//")
+        redirect (is_valid_redirect_url, handlers/http/oidc.rs). "//x"
+        AND "/\\x" are both rejected: browsers normalize a leading
+        backslash to "//", re-opening the scheme-relative redirect."""
+        return (
+            target.startswith("/")
+            and len(target) >= 1
+            and (len(target) == 1 or target[1] not in ("/", "\\"))
+        )
 
     def _allow(self, action, stream: str = "*") -> None:
         self.api.authorize(self.principal, action, stream)
@@ -1714,11 +1750,16 @@ class _Handler(BaseHTTPRequestHandler):
                 if not self._valid_redirect(target):
                     target = "/"
                 sid, username = self.api.oidc_callback(code)
+                # cookie value URL-encoded: IdP display names are
+                # attacker-controlled — raw interpolation breaks on
+                # non-Latin-1 (send_header encodes latin-1) and allows
+                # ";"/CRLF cookie-attribute injection
+                safe_user = _urlquote(username, safe="")
                 self._redirect(
                     target,
                     cookies=[
                         f"session={sid}; Path=/; HttpOnly",
-                        f"username={username}; Path=/",
+                        f"username={safe_user}; Path=/",
                     ],
                 )
                 return
@@ -1729,9 +1770,11 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ApiError(400, "Bad Request, Invalid Redirect URL!")
                 sid = self._session_cookie()
                 user = self.api.drop_session(sid) if sid else None
+                # provider end-session only for OAuth principals
+                # (reference is_oauth check, handlers/http/oidc.rs:190-200)
                 end = (
                     self.api.oidc_client.logout_url()
-                    if self.api.oidc_client is not None and user is not None
+                    if self.api.oidc_client is not None and self.api.is_oauth(user)
                     else None
                 )
                 self._redirect(
@@ -1795,6 +1838,8 @@ class _Handler(BaseHTTPRequestHandler):
                             limit = int(params["limit"])
                         except ValueError as e:
                             raise ApiError(400, "Invalid limit value") from e
+                        if limit < 0:  # ds[:-n] would DROP dashboards
+                            raise ApiError(400, "Invalid limit value")
                     tags = None
                     if "tags" in params:
                         tags = [
@@ -1915,6 +1960,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:
             self._respond_json(e.status, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — e.g. OIDC discovery URLError;
+            # without this the socket closes with no status line at all
+            self._respond_json(500, {"error": str(e).split(chr(10))[0]})
 
     def do_PUT(self) -> None:  # noqa: N802
         parsed_url = urlparse(self.path)
@@ -1989,6 +2037,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:
             self._respond_json(e.status, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — last-resort 500
+            self._respond_json(500, {"error": str(e).split(chr(10))[0]})
 
     def do_DELETE(self) -> None:  # noqa: N802
         path = urlparse(self.path).path
@@ -2081,6 +2131,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond_json(200, {"status": f"deleted log stream {route[0]}"})
         except ApiError as e:
             self._respond_json(e.status, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — last-resort 500
+            self._respond_json(500, {"error": str(e).split(chr(10))[0]})
 
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)
@@ -2281,7 +2333,11 @@ class _Handler(BaseHTTPRequestHandler):
         payload = self._json_body()
         if not isinstance(payload, dict):
             raise ApiError(400, "body must be a JSON object")
-        for t in extract_table_names(str(payload.get("query") or "")):
+        # parser-derived table set: matches exactly what Spark resolves,
+        # closing the regex bypasses (FROM`s2`, FROM/**/s2, comma joins)
+        for t in extract_table_names(
+            str(payload.get("query") or ""), spark=self.api.spark
+        ):
             if t in self.api._stores:
                 self._allow(Action.QUERY, t)
         # query params override/augment body flags (query.rs:591-619)

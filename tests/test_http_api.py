@@ -855,6 +855,14 @@ def test_rbac_data_routes_require_grants(spark, tmp_path):
                {"query": "SELECT count(*) AS n FROM `s2`", **_range()}, reader)
         denied("POST", "/api/v1/query",
                {"query": "SELECT count(*) AS n FROM `s1`", **_range()}, ing)
+        # parser-level bypass variants the old regex missed: no space
+        # before the backtick, comment as separator, comma join
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT count(*) AS n FROM`s2`", **_range()}, reader)
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT count(*) AS n FROM/**/s2", **_range()}, reader)
+        denied("POST", "/api/v1/query",
+               {"query": "SELECT count(*) FROM s1, s2", **_range()}, reader)
 
         corr = {
             "title": "c",
@@ -1538,6 +1546,116 @@ def test_oidc_login_flow_e2e(spark, tmp_path):
             _post(base + "/api/v1/query",
                   {"query": "SELECT 1", **_range()}, headers=sess)
         assert ei.value.code == 401
+    finally:
+        srv.shutdown()
+        provider.shutdown()
+
+
+def test_oidc_hardening(spark, tmp_path):
+    """Review follow-ups: OAuth identities are namespaced on the
+    provider's immutable sub (an IdP display name equal to a native
+    username must NOT impersonate it or clobber its roles), sessions
+    expire after SESSION_EXPIRY_SECONDS, non-Latin-1 display names
+    survive the cookie path, and backslash redirects are rejected."""
+    import base64 as b64
+    import urllib.parse as up
+
+    provider = _FakeOidcProvider()
+    from parseable_spark.oidc import OpenidConfig
+
+    api = ParseableAPI(
+        spark, str(tmp_path), auth=("admin", "root-pw"),
+        oidc=OpenidConfig(
+            client_id="pclient", client_secret="psecret",
+            issuer=provider.base, origin="http://127.0.0.1:0",
+        ),
+    )
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+
+    def get(path, headers=None):
+        try:
+            r = opener.open(urllib.request.Request(base + path, headers=headers or {}), timeout=30)
+            return r.status, dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        # a privileged native user the IdP name will try to shadow
+        req("POST", "/api/v1/user/victim",
+            {"password": "vpw", "grants": [{"privilege": "editor", "stream": "*"}]},
+            admin)
+        # native usernames cannot squat the synthetic namespaces
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("POST", "/api/v1/user/oidc:u-42", {}, admin)
+        assert ei.value.code == 400
+
+        # IdP user renames themselves to "victim", with NO groups
+        provider.userinfo = {"sub": "u-42", "name": "victim", "groups": []}
+        code_, hdrs = get("/api/v1/o/code?code=good-code&state=/")
+        assert code_ == 307
+        cookie = hdrs["Set-Cookie"].split(";")[0]
+        # the session is the namespaced OAuth principal: it has no
+        # grants, so it cannot read the victim's streams...
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query",
+                  {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                  headers={"Cookie": cookie})
+        assert ei.value.code == 403
+        # ...and the native user's grants are untouched
+        vrows = _post(base + "/api/v1/query",
+                      {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                      headers={"Authorization": "Basic " + b64.b64encode(b"victim:vpw").decode()})[1]
+        assert vrows == [{"n": len(EVENTS)}]
+
+        # non-Latin-1 display name: login still works, cookie is encoded
+        provider.userinfo = {"sub": "u-43", "name": "张伟;x", "groups": []}
+        try:
+            r = opener.open(
+                urllib.request.Request(base + "/api/v1/o/code?code=good-code&state=/"),
+                timeout=30,
+            )
+            status, rhdrs = r.status, r.headers
+        except urllib.error.HTTPError as e:  # non-followed 307 raises here
+            status, rhdrs = e.code, e.headers
+        assert status == 307
+        set_cookies = rhdrs.get_all("Set-Cookie")
+        ucookie = next(c for c in set_cookies if c.startswith("username="))
+        uval = ucookie.split(";")[0].removeprefix("username=")
+        assert "张" not in uval and ";" not in uval  # encoded, no injection
+        assert up.unquote(uval) == "张伟;x"
+
+        # backslash redirect rejected (browser-normalized open redirect)
+        assert get("/api/v1/o/login?redirect=/\\evil.com")[0] == 400
+
+        # session expiry: an expired sid stops authenticating
+        sid = cookie.removeprefix("session=")
+        with api._lock:
+            principal, _ = api._sessions[sid]
+            api._sessions[sid] = (principal, 0.0)  # force-expire
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query", {"query": "SELECT 1", **_range()},
+                  headers={"Cookie": cookie})
+        assert ei.value.code == 401
+        assert sid not in api._sessions  # lazily purged
     finally:
         srv.shutdown()
         provider.shutdown()

@@ -60,6 +60,23 @@ class TestInjection:
             "events"
         ]
 
+    def test_extract_tables_from_parsed_plan(self, spark):
+        """With a session, the table set comes from Spark's OWN parser —
+        the regex bypass variants (no whitespace before a backtick,
+        comment separators, comma joins, CTE shadowing, subquery
+        expressions) all resolve exactly as execution would."""
+        ext = lambda sql: sorted(extract_table_names(sql, spark=spark))  # noqa: E731
+        assert ext("SELECT * FROM`s2`") == ["s2"]
+        assert ext("SELECT * FROM/**/s2") == ["s2"]
+        assert ext("SELECT * FROM events, s2") == ["events", "s2"]
+        assert ext("WITH s2 AS (SELECT 1) SELECT * FROM s2") == []
+        assert ext(
+            "SELECT * FROM x WHERE id IN (SELECT id FROM y) AND v > (SELECT avg(v) FROM z)"
+        ) == ["x", "y", "z"]
+        # unparseable SQL falls back to the regex without raising
+        # (whatever it returns, execution of such SQL fails anyway)
+        assert isinstance(ext("FROM FROM FROM"), list)
+
     def test_injection_filters_rows(self, spark):
         eng = QueryEngine(spark, time_col="ts")
         eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
