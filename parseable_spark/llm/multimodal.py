@@ -253,6 +253,92 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(payload: bytes):
+    """Full pixel decode of a 24bpp BMP → (H, W, 3) RGB uint8 array in
+    top-down image orientation (BMP stores bottom-up unless height is
+    negative; row padding stripped, BGR→RGB)."""
+    import numpy as np
+
+    magic, _file_size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsize, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    px = np.frombuffer(payload, dtype=np.uint8, count=height * row_size, offset=offset)
+    px = px.reshape(height, row_size)[:, : 3 * width].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[..., ::-1].copy()  # BGR→RGB
+
+
+def encode_bmp_pixels(rgb) -> bytes:
+    """(H, W, 3) RGB uint8 array → 24bpp bottom-up BMP bytes (the
+    inverse of decode_bmp_pixels; rows padded to 4-byte boundaries)."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    bgr = rgb[..., ::-1][::-1]  # RGB→BGR, top-down → bottom-up
+    pad = (-3 * w) % 4
+    rows = np.zeros((h, 3 * w + pad), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    pixels = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
+    """REAL aspect-preserving BMP downscale: pixel decode →
+    nearest-neighbor resample (pure numpy index math — out[i, j] =
+    in[floor(i·H/H'), floor(j·W/W')]) → re-encode. Images already
+    inside the box pass through unchanged (scale clamped at 1)."""
+    import numpy as np
+
+    px = decode_bmp_pixels(payload)
+    h, w = px.shape[:2]
+    scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
+    if scale >= 1.0:
+        return payload
+    out_w, out_h = max(int(w * scale), 1), max(int(h * scale), 1)
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return encode_bmp_pixels(px[rows][:, cols])
+
+
+def resize_images_real(
+    media: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Resize with the REAL BMP codec: decode → nearest-neighbor →
+    re-encode inside an Arrow-batched mapInPandas, payload and
+    width/height metadata both updated. Modality pruning keeps
+    audio/video out of the Python stage. Swap resize_bmp for
+    PIL.thumbnail to cover compressed formats (resize_images remains
+    the documented stub for those)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = pdf["payload"].map(
+                lambda p: resize_bmp(p, max_w, max_h) if p else p
+            )
+            dims = resized.map(
+                lambda p: struct.unpack_from("<ii", p, 18) if p else (0, 0)
+            )
+            out["payload"] = resized
+            out["width"] = dims.map(lambda d: d[0]).astype("int64")
+            out["height"] = dims.map(lambda d: abs(d[1])).astype("int64")
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def split_bmp_stream(payload: bytes) -> list[bytes]:
     """Split a concatenated-BMP video stream into frames by reading each
     BMP's file-size field (header offset 2) — no frame index needed."""

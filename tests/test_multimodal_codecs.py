@@ -105,3 +105,75 @@ def test_sample_frames_real_spark(spark):
     assert {k: len(v) for k, v in per_doc.items()} == {2: 4, 5: 2, 8: 5}
     f3 = next(r for r in per_doc[2] if r["frame_idx"] == 3)
     assert f3["ts_ms"] == 3000 and f3["mean_r"] == float((2 + 17 * 3) % 256)
+
+
+class TestRealResize:
+    def test_pixel_roundtrip(self):
+        """encode_bmp_pixels is the exact inverse of decode_bmp_pixels,
+        including non-multiple-of-4 row widths (padding path)."""
+        import numpy as np
+
+        from parseable_spark.llm.multimodal import (
+            decode_bmp_pixels,
+            encode_bmp_pixels,
+        )
+
+        rng = np.random.default_rng(7)
+        for w, h in [(5, 3), (4, 4), (1, 1), (7, 2)]:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_bmp_pixels(encode_bmp_pixels(px)) == px).all()
+
+    def test_nearest_neighbor_values_exact(self):
+        """Downscale of a gradient image produces exactly the
+        nearest-neighbor-sampled pixels, and the aspect clamp matches
+        the documented dim math."""
+        import numpy as np
+
+        from parseable_spark.llm.multimodal import (
+            decode_bmp_pixels,
+            encode_bmp_pixels,
+            resize_bmp,
+        )
+
+        h, w = 10, 20
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[..., 0] = np.arange(w)[None, :] * 12  # R encodes column
+        px[..., 1] = np.arange(h)[:, None] * 25  # G encodes row
+        out = decode_bmp_pixels(resize_bmp(encode_bmp_pixels(px), 8, 8))
+        oh, ow = out.shape[:2]
+        assert (ow, oh) == (8, 4)  # scale = min(8/20, 8/10, 1) = 0.4
+        rows = np.arange(oh) * h // oh
+        cols = np.arange(ow) * w // ow
+        assert (out == px[rows][:, cols]).all()
+        # already-small image passes through byte-identical
+        small = encode_bmp_pixels(px[:4, :4])
+        assert resize_bmp(small, 8, 8) == small
+
+    def test_resize_images_real_spark(self, spark):
+        """The Spark path: synthesized analytic BMPs resized through
+        Arrow-batched mapInPandas; re-decoded dims and means match the
+        analytic prediction (solid color ⇒ means invariant under NN)."""
+        from pyspark.sql import functions as F
+
+        from parseable_spark.llm import multimodal
+        from parseable_spark.tables import load_table
+        from tests.conftest import SF_SMALL
+
+        docs = load_table(spark, SF_SMALL, "documents").filter("doc_id < 90")
+        media = multimodal.synthesize_real_media(docs)
+        out = multimodal.resize_images_real(media, max_w=8, max_h=8)
+        rows = out.collect()
+        assert rows  # images exist in doc_id < 90
+        for r in rows:
+            w, h, rgb = multimodal._image_params(r["media_id"])
+            scale = min(8 / w, 8 / h, 1.0)
+            assert r["width"] == max(int(w * scale), 1)
+            assert r["height"] == max(int(h * scale), 1)
+            dec = multimodal.decode_bmp(bytes(r["payload"]))
+            assert (dec["width"], dec["height"]) == (r["width"], r["height"])
+            # solid color: channel means survive any resampling exactly
+            assert (dec["mean_r"], dec["mean_g"], dec["mean_b"]) == tuple(
+                float(c) for c in rgb
+            )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # Arrow-batched, not row Python
