@@ -15,6 +15,11 @@ from .ingest import (
     windowed_counts,
 )
 from .livetail import LIVETAIL, LiveTail, Message
+from .sketches import (
+    compact_sketch_cube,
+    query_sketch_cube,
+    sketch_cube_batch_writer,
+)
 from .stateful import alert_state_machine
 
 __all__ = [
@@ -22,9 +27,12 @@ __all__ = [
     "LiveTail",
     "Message",
     "alert_state_machine",
+    "compact_sketch_cube",
     "foreach_batch_sink",
     "json_file_stream",
     "late_data_filter",
     "parquet_sink",
+    "query_sketch_cube",
+    "sketch_cube_batch_writer",
     "windowed_counts",
 ]

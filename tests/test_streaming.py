@@ -427,3 +427,99 @@ def test_streaming_interval_join_validation(spark):
         streaming_interval_join(
             a, a.withColumnRenamed("k", "k2"), [], "ts", "ts", 0, 10
         )
+
+
+def test_streaming_sketch_cube_end_to_end(spark, tmp_path):
+    """Streaming sketch cube (streaming/sketches.py): micro-batches
+    append per-(key, day) HLL+KLL partials; query-time union answers
+    distinct/percentile panels within sketch error without rescanning
+    the stream; compaction collapses per-batch rows to one per
+    (key, day) with identical merged answers."""
+    import math
+
+    from parseable_spark.streaming import (
+        compact_sketch_cube,
+        query_sketch_cube,
+        sketch_cube_batch_writer,
+    )
+
+    schema = StructType(
+        [
+            StructField("p_timestamp", TimestampNTZType()),
+            StructField("event_type", StringType()),
+            StructField("user_id", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    base = datetime(2026, 2, 1, 0, 0, 0)
+    rows = []
+    for i in range(900):
+        rows.append(
+            {
+                "p_timestamp": (base + timedelta(minutes=i)).isoformat(),
+                "event_type": "view" if i % 3 else "click",
+                "user_id": float(i % 157),
+                "value": float(i % 400),
+            }
+        )
+    # three drop files → multiple micro-batches (maxFilesPerTrigger=1)
+    for f in range(3):
+        (drop / f"b{f}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows[f::3])
+        )
+
+    cube = str(tmp_path / "cube")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(drop))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sketch_cube_batch_writer(cube, time_col="p_timestamp", key_col="event_type")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(cube)
+    assert raw.select("batch_id").distinct().count() >= 2  # several batches appended
+    assert raw.count() == raw.select("key", "day", "batch_id").distinct().count()
+
+    panel = {r["key"]: r for r in query_sketch_cube(spark, cube).collect()}
+    assert set(panel) == {"view", "click"}
+    # exact ground truth from the same rows
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows)
+    for key, grp in pdf.groupby("event_type"):
+        got = panel[key]
+        exact_users = grp["user_id"].nunique()
+        assert abs(got["approx_users"] - exact_users) / exact_users < 0.05
+        assert got["n_rows"] == len(grp)
+        vals = sorted(grp["value"])
+        for qq in (0.50, 0.95, 0.99):
+            lo = vals[max(int((qq - 0.05) * len(vals)), 0)]
+            hi = vals[min(int((qq + 0.05) * len(vals)), len(vals) - 1)]
+            assert lo <= got[f"p{int(qq*100)}"] <= hi, (key, qq)
+
+    # day-range pruning: an empty range yields no rows, full range all
+    assert query_sketch_cube(spark, cube, start_day="2027-01-01").count() == 0
+
+    # compaction: one row per (key, day), merged answers unchanged
+    compact = str(tmp_path / "cube_compact")
+    compact_sketch_cube(spark, cube, compact)
+    cdf = spark.read.parquet(compact)
+    assert cdf.count() == cdf.select("key", "day").distinct().count()
+    panel2 = {r["key"]: r for r in query_sketch_cube(spark, compact).collect()}
+    for key in panel:
+        assert panel2[key]["approx_users"] == panel[key]["approx_users"]
+        assert panel2[key]["n_rows"] == panel[key]["n_rows"]
+        for qq in (50, 95, 99):
+            assert math.isclose(
+                panel2[key][f"p{qq}"], panel[key][f"p{qq}"], rel_tol=0.02, abs_tol=0.5
+            )
