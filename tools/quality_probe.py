@@ -1,0 +1,158 @@
+"""Approximation-quality probe: ANN recall@k + LSH dedup candidate recall.
+
+Speed without recall is meaningless for approximate operators, so this
+measures both families against exact ground truth:
+
+1. ANN recall@k — for N query vectors, the fraction of brute-force
+   exact top-k neighbors each approximate method (sign-LSH bucket,
+   flat IVF, hierarchical IVF) recovers, plus the fraction of the
+   corpus each method actually scans (the speed story at 100 TB is the
+   pruning fraction — partition pruning on the bucket/cell key).
+2. LSH dedup recall — candidate pairs from banded MinHash vs the exact
+   set of pairs with n-gram Jaccard >= threshold (ground truth by
+   all-pairs join, affordable at probe scale only). Precision of the
+   post-verification output is 1.0 by construction (candidates are
+   exactly verified); what LSH can lose is recall, so that is what we
+   measure.
+
+Prints one JSON line per probe + a summary. Run:
+  python tools/quality_probe.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm import similarity
+    from parseable_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 97 == 3).limit(n_queries).collect()
+    }
+
+    methods = {
+        "lsh_bucket": lambda v: similarity.bucketed_ann(emb, v, k=k),
+        "ivf_flat_nprobe2": lambda v: similarity.ivf_ann(
+            emb, v, k=k, n_centroids=16, nprobe=2
+        ),
+        "ivf_flat_nprobe4": lambda v: similarity.ivf_ann(
+            emb, v, k=k, n_centroids=16, nprobe=4
+        ),
+        "ivf_hier_nprobe2": lambda v: similarity.ivf_ann_hierarchical(
+            emb, v, k=k, n_centroids=16, n_coarse=4, nprobe=2
+        ),
+    }
+    # scanned fraction per method (pruning factor at scale):
+    scanned = {
+        "lsh_bucket": 1 / 256,  # 8 sign planes
+        "ivf_flat_nprobe2": 2 / 16,
+        "ivf_flat_nprobe4": 4 / 16,
+        "ivf_hier_nprobe2": 2 / 16,
+    }
+    recalls: dict[str, list[float]] = {m: [] for m in methods}
+    for _qid, vec in qvecs.items():
+        exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, vec, k=k).collect()}
+        for m, fn in methods.items():
+            got = {r["vec_id"] for r in fn(vec).collect()}
+            recalls[m].append(len(exact & got) / len(exact))
+    out = {
+        "probe": "ann_recall_at_k",
+        "k": k,
+        "n_queries": len(qvecs),
+        "n_vectors": n_total,
+        "methods": {
+            m: {
+                "recall": round(sum(v) / len(v), 3),
+                "scan_fraction": round(scanned[m], 4),
+            }
+            for m, v in recalls.items()
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+def lsh_dedup_recall(spark, sf_dir: str, threshold: float = 0.2) -> dict:
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm import dedup
+    from parseable_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # exact ground truth: all-pairs n-gram jaccard (probe scale only!)
+    sets = (
+        dedup.shingle_rows(docs)
+        .groupBy(F.col("doc_id").alias("sid"))
+        .agg(F.collect_set("shingle").alias("sset"))
+        .localCheckpoint()
+    )
+    a = sets.select(F.col("sid").alias("id_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col("sid").alias("id_b"), F.col("sset").alias("set_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    truth_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+
+    cands = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.jaccard_verify(docs, cands, threshold=threshold)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+
+    recall = len(truth_pairs & got_pairs) / max(len(truth_pairs), 1)
+    # precision is 1.0 by construction: every emitted pair passed exact
+    # verification at the same threshold
+    assert got_pairs <= truth_pairs, "verified pair not in ground truth?!"
+    out = {
+        "probe": "lsh_dedup_recall",
+        "jaccard_threshold": threshold,
+        "true_pairs": len(truth_pairs),
+        "recovered_pairs": len(got_pairs),
+        "recall": round(recall, 3),
+        "precision": 1.0,
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    from parseable_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("quality-probe")
+    ann = ann_recall(spark, sf_dir, n_queries)
+    lsh = lsh_dedup_recall(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "quality_probe",
+                "sf_dir": sf_dir,
+                "ann": ann["methods"],
+                "lsh_dedup": {"recall": lsh["recall"], "precision": lsh["precision"]},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
