@@ -58,6 +58,7 @@ class ScheduledAlert:
     eval_frequency_s: int = 600  # reference default 10 min
     targets: list[Target] = field(default_factory=list)
     repeat_notifications: bool = False
+    enabled: bool = True  # disabled alerts skip scheduled evaluation
     _last_eval: float = 0.0
 
     def due(self, monotonic_now: float) -> bool:
@@ -98,7 +99,9 @@ class AlertScheduler:
         m = _time.monotonic()
         n = 0
         for sa in self._alerts:
-            if sa.due(m):
+            # disabled alerts are silenced, not removed (reference
+            # alerts disable/enable routes, modal/server.rs:367-380)
+            if sa.enabled and sa.due(m):
                 sa.evaluate(self.engine, now=now)
                 sa._last_eval = m
                 n += 1

@@ -363,8 +363,36 @@ class ParseableAPI:
             "evalStart": sa.eval_start,
             "evalFrequencySeconds": sa.eval_frequency_s,
             "state": a.state.value,
+            "enabled": sa.enabled,
             "targets": sa.target_ids,
         }
+
+    def modify_alert(self, alert_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        """PUT /api/v1/alerts/{id} (reference modify_alert,
+        modal/server.rs:353-366): replace the alert's configuration in
+        place — same id, state machine reset, enabled flag preserved."""
+        with self._lock:
+            if alert_id not in self._alerts:
+                raise ApiError(404, f"no alert {alert_id}")
+            old = self._alerts[alert_id]
+            created = self.create_alert(body)  # full validation path
+            new_id = created["id"]
+            sa = self._alerts.pop(new_id)
+            self.scheduler._alerts.remove(sa)
+            sa.enabled = old.enabled
+            self.scheduler._alerts.remove(old)
+            self._alerts[alert_id] = sa
+            self.scheduler.register(sa)
+        return self.alert_json(alert_id)
+
+    def set_alert_enabled(self, alert_id: str, enabled: bool) -> dict[str, Any]:
+        """PATCH /api/v1/alerts/{id}/enable|disable: silence or resume
+        scheduled evaluation without losing the alert definition."""
+        with self._lock:
+            if alert_id not in self._alerts:
+                raise ApiError(404, f"no alert {alert_id}")
+            self._alerts[alert_id].enabled = enabled
+        return self.alert_json(alert_id)
 
     def list_alerts(self) -> list[dict[str, Any]]:
         with self._lock:
@@ -2002,6 +2030,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.api.put_role(parts[3], self._json_body())
                 self._respond_json(200, {"status": f"set role {parts[3]}"})
                 return
+            if parts[:3] == ["api", "v1", "alerts"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # PutAlert-analog
+                self._respond_json(
+                    200, self.api.modify_alert(parts[3], self._json_body() or {})
+                )
+                return
             route = self._logstream_route(path)
             if route is None or not route[0]:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -2035,6 +2071,31 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 self._respond_json(404, {"error": f"no route {path}"})
+        except ApiError as e:
+            self._respond_json(e.status, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — last-resort 500
+            self._respond_json(500, {"error": str(e).split(chr(10))[0]})
+
+    def do_PATCH(self) -> None:  # noqa: N802
+        path = urlparse(self.path).path
+        try:
+            if not self._authorized():
+                return
+            parts = path.strip("/").split("/")
+            if (
+                parts[:3] == ["api", "v1", "alerts"]
+                and len(parts) == 5
+                and parts[4] in ("enable", "disable")
+            ):
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # PutAlert-analog
+                self._respond_json(
+                    200,
+                    self.api.set_alert_enabled(parts[3], parts[4] == "enable"),
+                )
+                return
+            self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:
             self._respond_json(e.status, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — last-resort 500

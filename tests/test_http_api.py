@@ -1659,3 +1659,68 @@ def test_oidc_hardening(spark, tmp_path):
     finally:
         srv.shutdown()
         provider.shutdown()
+
+
+def test_alert_modify_enable_disable(spark, tmp_path):
+    """Alert lifecycle routes (reference modal/server.rs:353-395):
+    PUT /alerts/{id} replaces the configuration in place (same id),
+    PATCH /alerts/{id}/disable silences scheduled evaluation without
+    deleting, /enable resumes it; MANAGE-gated."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        req("POST", "/api/v1/user/reader1",
+            {"password": "rpw", "grants": [{"privilege": "reader", "stream": "s1"}]},
+            admin)
+        a = req("POST", "/api/v1/alerts",
+                {"stream": "s1", "aggregate": "count", "operator": ">", "threshold": 5,
+                 "evalFrequencySeconds": 1},
+                admin)
+        aid = a["id"]
+        assert a["enabled"] is True
+
+        # modify in place: same id, new threshold/aggregate
+        m = req("PUT", f"/api/v1/alerts/{aid}",
+                {"stream": "s1", "aggregate": "max", "aggregateColumn": "latency_ms",
+                 "operator": ">", "threshold": 100, "evalFrequencySeconds": 1},
+                admin)
+        assert m["id"] == aid and m["aggregate"] == "max" and m["threshold"] == 100
+        assert [x["id"] for x in req("GET", "/api/v1/alerts", None, admin)] == [aid]
+
+        # disable: scheduler skips it entirely
+        d = req("PATCH", f"/api/v1/alerts/{aid}/disable", None, admin)
+        assert d["enabled"] is False
+        for name, store in api._stores.items():
+            api.engine.register_stream(name, store.scan(), time_col=store.time_col)
+        assert api.scheduler.run_pending() == 0
+        # enable: evaluated again on the next due tick
+        e = req("PATCH", f"/api/v1/alerts/{aid}/enable", None, admin)
+        assert e["enabled"] is True
+        assert api.scheduler.run_pending() == 1
+
+        # MANAGE-gated
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("PATCH", f"/api/v1/alerts/{aid}/disable", None,
+                {"Authorization": "Basic " + b64.b64encode(b"reader1:rpw").decode()})
+        assert ei.value.code == 403
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("PATCH", "/api/v1/alerts/ghost/disable", None, admin)
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
