@@ -1724,3 +1724,66 @@ def test_alert_modify_enable_disable(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_api_malformed_input_robustness(spark, tmp_path):
+    """Robustness sweep: every route answers malformed input with a
+    JSON-bodied 4xx/5xx — never an unhandled exception that drops the
+    connection without a status line."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def hit(method, path, raw_body=None):
+        req = urllib.request.Request(
+            base + path,
+            data=raw_body,
+            method=method,
+            headers={"Content-Type": "application/json", **admin},
+        )
+        try:
+            r = urllib.request.urlopen(req, timeout=30)
+            return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            assert body, f"{method} {path}: empty error body"
+            json.loads(body)  # always a JSON error payload
+            return e.code, body
+
+    _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+    bad_bodies = [b"", b"not json{", b"[1,2,", b'"just a string"', b"[]", b"{}",
+                  json.dumps({"unexpected": {"deep": [1, None]}}).encode()]
+    posts = [
+        "/api/v1/query", "/api/v1/counts", "/api/v1/ingest",
+        "/api/v1/alerts", "/api/v1/filters", "/api/v1/correlation",
+        "/api/v1/dashboards", "/api/prism/v1/apikeys",
+        "/api/prism/v1/apikeys/validate", "/api/prism/v1/datasets",
+        "/api/v1/services/traces/list", "/api/v1/services/traces/detail",
+        "/api/v1/query/context", "/api/v1/logstream/schema/detect",
+        "/v1/logs",
+    ]
+    try:
+        for path in posts:
+            for body in bad_bodies:
+                code, _ = hit("POST", path, body)
+                assert code < 600, (path, body)
+        for path in ["/api/v1/logstream/s1/retention", "/api/v1/logstream/s1/hottier",
+                     "/api/v1/dashboards/zz", "/api/v1/alerts/zz", "/api/v1/role/x"]:
+            for body in bad_bodies[:4]:
+                code, _ = hit("PUT", path, body)
+                assert code < 600, (path, body)
+        for path in ["/api/v1/dashboards/%00", "/api/prism/v1/apikeys/..%2f..",
+                     "/api/v1/logstream/ghost/stats", "/api/v1/o/code",
+                     "/api/v1/o/code?code=x", "/api/prism/v1/home/search?bogus=1",
+                     "/api/v1/dashboards?limit=99999999999999999999"]:
+            code, _ = hit("GET", path)
+            assert code < 600, path
+        # the server is still alive and correct after the sweep
+        rows = _post(base + "/api/v1/query",
+                     {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                     headers=admin)[1]
+        assert rows == [{"n": len(EVENTS)}]
+    finally:
+        srv.shutdown()
