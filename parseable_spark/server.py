@@ -116,6 +116,35 @@ class ParseableAPI:
         self._sessions: dict[str, tuple[str, float]] = {}
         self._oauth_users: set[str] = set()  # oidc: principals (is_oauth)
         self._lock = threading.RLock()
+        self._discover_streams()
+
+    def _discover_streams(self) -> None:
+        """Boot-time stream discovery: every stream directory under the
+        storage root (identified by its committed metadata files) is
+        re-registered, so a restarted server serves existing data
+        immediately — the reference loads stream metadata from the
+        object store on startup (parseable/streams.rs load). Stored
+        retention configs reload with each stream."""
+        import os
+
+        if not os.path.isdir(self.root):
+            return
+        for name in sorted(os.listdir(self.root)):
+            sdir = os.path.join(self.root, name)
+            if not os.path.isdir(sdir):
+                continue
+            if not any(
+                os.path.exists(os.path.join(sdir, f))
+                for f in ("manifest.json", "stream.json", "snapshot.json")
+            ):
+                continue
+            self._stores[name] = StreamStore(
+                self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+            )
+            rpath = os.path.join(sdir, "retention.json")
+            if os.path.exists(rpath):
+                with open(rpath) as f:
+                    self._retention[name] = json.load(f)
 
     SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
 
@@ -1424,17 +1453,23 @@ class ParseableAPI:
             return self._retention.get(name, [])
 
     def put_retention(self, name: str, tasks: list[dict[str, Any]]) -> None:
-        """PUT .../retention (logstream.rs:239-270): validate and store
-        the task list; the daily scheduler applies it."""
+        """PUT .../retention (logstream.rs:239-270): validate, store,
+        and PERSIST the task list next to the stream's metadata so a
+        restarted server keeps applying it (the reference keeps
+        retention inside stream.json, storage/mod.rs:335-384)."""
+        import os
+
         from .storage.retention import RetentionConfigError, parse_retention_config
 
-        self._store_or_404(name)
+        store = self._store_or_404(name)
         try:
             parse_retention_config(tasks)
         except RetentionConfigError as e:
             raise ApiError(400, str(e)) from e
         with self._lock:
             self._retention[name] = tasks
+            with open(os.path.join(store.stream_dir, "retention.json"), "w") as f:
+                json.dump(tasks, f)
 
     def run_retention(self, now=None) -> dict[str, int]:
         """Apply every stored retention config (the reference's daily

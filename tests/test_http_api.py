@@ -1787,3 +1787,42 @@ def test_api_malformed_input_robustness(spark, tmp_path):
         assert rows == [{"n": len(EVENTS)}]
     finally:
         srv.shutdown()
+
+
+def test_server_restart_rediscovers_streams(spark, tmp_path):
+    """Durability across restarts: a new ParseableAPI over the same
+    storage root re-registers every committed stream (manifest +
+    schema + stats reload) and its persisted retention config — a
+    restarted server serves existing data immediately (reference
+    startup load of stream metadata from the object store)."""
+    root = str(tmp_path)
+    api1 = ParseableAPI(spark, root)
+    srv1, base1 = serve_background(api1)
+    try:
+        _post(base1 + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "dur1"})
+        _post(base1 + "/api/v1/ingest", EVENTS[:2], headers={"x-p-stream": "dur2"})
+        api1._stores["dur1"].flush()
+        api1._stores["dur2"].flush()
+        _req("PUT", base1 + "/api/v1/logstream/dur1/retention",
+             [{"description": "d", "action": "delete", "duration": "30d"}])
+    finally:
+        srv1.shutdown()
+
+    # fresh server instance over the same root — no prior state
+    api2 = ParseableAPI(spark, root)
+    srv2, base2 = serve_background(api2)
+    try:
+        names = [s["name"] for s in _req("GET", base2 + "/api/v1/logstream")[1]]
+        assert names == ["dur1", "dur2"]
+        rows = _post(base2 + "/api/v1/query",
+                     {"query": "SELECT count(*) AS n FROM dur1", **_range()})[1]
+        assert rows == [{"n": len(EVENTS)}]
+        stats = _req("GET", base2 + "/api/v1/logstream/dur1/stats")[1]
+        assert stats["lifetime"]["events"] == len(EVENTS)  # ledger reloaded
+        ret = _req("GET", base2 + "/api/v1/logstream/dur1/retention")[1]
+        assert ret == [{"description": "d", "action": "delete", "duration": "30d"}]
+        assert _req("GET", base2 + "/api/v1/logstream/dur2/retention")[1] == []
+        schema = _req("GET", base2 + "/api/v1/logstream/dur1/schema")[1]
+        assert {f["name"] for f in schema["fields"]} >= {"level", "msg", "latency_ms"}
+    finally:
+        srv2.shutdown()
