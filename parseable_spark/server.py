@@ -116,7 +116,10 @@ class ParseableAPI:
         self._sessions: dict[str, tuple[str, float]] = {}
         self._oauth_users: set[str] = set()  # oidc: principals (is_oauth)
         self._lock = threading.RLock()
+        self._target_bodies: dict[str, dict[str, Any]] = {}
+        self._alert_bodies: dict[str, dict[str, Any]] = {}
         self._discover_streams()
+        self._load_config()
 
     def _discover_streams(self) -> None:
         """Boot-time stream discovery: every stream directory under the
@@ -147,6 +150,122 @@ class ParseableAPI:
                     self._retention[name] = json.load(f)
 
     SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
+
+    # -- config persistence ---------------------------------------------------
+    # The reference persists every configuration object (users, roles,
+    # filters, correlations, dashboards, targets, alerts, API keys) in
+    # its metastore and reloads them on boot; we keep one snapshot file
+    # under the storage root, rewritten after each mutation and
+    # REPLAYED through the normal creation paths at startup (so all
+    # validation and object reconstruction is shared with the API).
+    @property
+    def _config_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_config.json")
+
+    @staticmethod
+    def _grants_json(grants) -> list[dict[str, Any]]:
+        return [
+            {"privilege": g.privilege, "stream": g.stream, "tenant": g.tenant}
+            for g in grants
+        ]
+
+    _loading_config = False
+
+    def _save_config(self) -> None:
+        import os
+
+        if self._loading_config:
+            return  # replay in progress; one save at the end of load
+        with self._lock:
+            cfg = {
+                "roles": {
+                    name: self._grants_json(grants)
+                    for name, grants in self.rbac._roles.items()
+                },
+                "users": {
+                    name: {
+                        "password": pw,
+                        "grants": self._grants_json(self.rbac._users[name].grants)
+                        if name in self.rbac._users
+                        else [],
+                        "roles": list(self.rbac._users[name].roles)
+                        if name in self.rbac._users
+                        else [],
+                    }
+                    for name, pw in self._passwords.items()
+                },
+                "oauth_users": {
+                    p: list(self.rbac._users[p].roles)
+                    for p in self._oauth_users
+                    if p in self.rbac._users
+                },
+                "filters": self._filters,
+                "correlations": self._correlations,
+                "dashboards": self._dashboards,
+                "api_keys": self._api_keys,
+                "targets": self._target_bodies,
+                "alerts": {
+                    aid: {**body, "enabled": self._alerts[aid].enabled}
+                    for aid, body in self._alert_bodies.items()
+                    if aid in self._alerts
+                },
+            }
+            os.makedirs(self.root, exist_ok=True)
+            tmp = self._config_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cfg, f)
+            os.replace(tmp, self._config_path)
+
+    def _load_config(self) -> None:
+        import os
+
+        if not os.path.exists(self._config_path):
+            return
+        with open(self._config_path) as f:
+            cfg = json.load(f)
+        self._loading_config = True
+        try:
+            self._replay_config(cfg)
+        finally:
+            self._loading_config = False
+        self._save_config()
+
+    def _replay_config(self, cfg: dict[str, Any]) -> None:
+        with self._lock:
+            for name, grants in (cfg.get("roles") or {}).items():
+                self.rbac.put_role(name, self._parse_grants(grants))
+            for name, u in (cfg.get("users") or {}).items():
+                self.rbac.add_user(
+                    name, self._parse_grants(u.get("grants") or []),
+                    roles=list(u.get("roles") or []),
+                )
+                self._passwords[name] = u["password"]
+            for principal, roles in (cfg.get("oauth_users") or {}).items():
+                self.rbac.add_user(principal, [], roles=list(roles))
+                self._oauth_users.add(principal)
+            self._filters.update(cfg.get("filters") or {})
+            self._correlations.update(cfg.get("correlations") or {})
+            self._dashboards.update(cfg.get("dashboards") or {})
+            for kid, rec in (cfg.get("api_keys") or {}).items():
+                self._api_keys[kid] = rec
+                self.rbac.add_user(
+                    f"apikey:{kid}", [], roles=list(rec.get("roles") or [])
+                )
+            for tid, body in (cfg.get("targets") or {}).items():
+                t = self._build_target(body)
+                t.id = tid  # preserve the original id across restarts
+                self.targets.update(t)
+                self._target_bodies[tid] = body
+            for aid, body in (cfg.get("alerts") or {}).items():
+                enabled = bool(body.pop("enabled", True))
+                created = self.create_alert(body)
+                sa = self._alerts.pop(created["id"])
+                self._alert_bodies.pop(created["id"], None)
+                sa.enabled = enabled
+                self._alerts[aid] = sa
+                self._alert_bodies[aid] = body
 
     # -- streams ------------------------------------------------------------
     def get_or_create_stream(self, name: str) -> StreamStore:
@@ -287,9 +406,9 @@ class ParseableAPI:
         ]
         return ConditionGroup(cfg.get("operator", "AND"), children)
 
-    def create_target(self, body: dict[str, Any]) -> dict[str, Any]:
-        """POST /api/v1/targets (targets.rs:37-50): build the typed
-        target from {name, type, endpoint, ...}; response is masked."""
+    def _build_target(self, body: dict[str, Any]):
+        """Typed target from {name, type, endpoint, ...} — shared by the
+        create route and config replay."""
         from .query.alert_targets import (
             AlertManagerTarget,
             NotificationConfig,
@@ -306,21 +425,34 @@ class ParseableAPI:
             interval_s=float(nc.get("interval", 60)), times=nc.get("times", 1)
         )
         if kind == "slack":
-            t = SlackTarget(name, endpoint, notification=notification)
-        elif kind == "webhook":
-            t = WebhookTarget(
+            return SlackTarget(name, endpoint, notification=notification)
+        if kind == "webhook":
+            return WebhookTarget(
                 name, endpoint, notification=notification,
                 headers=body.get("headers") or {},
             )
-        elif kind == "alertManager":
+        if kind == "alertManager":
             auth = None
             if body.get("username"):
                 auth = (body["username"], body.get("password") or "")
-            t = AlertManagerTarget(name, endpoint, auth=auth)
-        else:
-            raise ApiError(400, f"unknown target type {kind!r}")
-        self.targets.update(t)
+            return AlertManagerTarget(name, endpoint, auth=auth)
+        raise ApiError(400, f"unknown target type {kind!r}")
+
+    def create_target(self, body: dict[str, Any]) -> dict[str, Any]:
+        """POST /api/v1/targets (targets.rs:37-50): build the typed
+        target from {name, type, endpoint, ...}; response is masked."""
+        t = self._build_target(body)
+        with self._lock:
+            self.targets.update(t)
+            self._target_bodies[t.id] = body
+        self._save_config()
         return t.mask()
+
+    def delete_target(self, target_id: str) -> None:
+        self.targets.delete(target_id, alert_target_ids=self._alert_target_ids)
+        with self._lock:
+            self._target_bodies.pop(target_id, None)
+        self._save_config()
 
     def _alert_target_ids(self) -> list[str]:
         with self._lock:
@@ -373,7 +505,9 @@ class ParseableAPI:
         alert_id = _uuid.uuid4().hex
         with self._lock:
             self._alerts[alert_id] = sa
+            self._alert_bodies[alert_id] = dict(body)
             self.scheduler.register(sa)
+        self._save_config()
         return self.alert_json(alert_id)
 
     def alert_json(self, alert_id: str) -> dict[str, Any]:
@@ -407,11 +541,14 @@ class ParseableAPI:
             created = self.create_alert(body)  # full validation path
             new_id = created["id"]
             sa = self._alerts.pop(new_id)
+            self._alert_bodies.pop(new_id, None)
             self.scheduler._alerts.remove(sa)
             sa.enabled = old.enabled
             self.scheduler._alerts.remove(old)
             self._alerts[alert_id] = sa
+            self._alert_bodies[alert_id] = dict(body)
             self.scheduler.register(sa)
+        self._save_config()
         return self.alert_json(alert_id)
 
     def set_alert_enabled(self, alert_id: str, enabled: bool) -> dict[str, Any]:
@@ -421,6 +558,7 @@ class ParseableAPI:
             if alert_id not in self._alerts:
                 raise ApiError(404, f"no alert {alert_id}")
             self._alerts[alert_id].enabled = enabled
+        self._save_config()
         return self.alert_json(alert_id)
 
     def list_alerts(self) -> list[dict[str, Any]]:
@@ -433,7 +571,9 @@ class ParseableAPI:
             sa = self._alerts.pop(alert_id, None)
             if sa is None:
                 raise ApiError(404, f"no alert {alert_id}")
+            self._alert_bodies.pop(alert_id, None)
             self.scheduler._alerts.remove(sa)
+        self._save_config()
 
     def evaluate_alert(self, alert_id: str) -> dict[str, Any]:
         """POST /api/v1/alerts/{id}/evaluate (alerts.rs:612-639): run
@@ -467,6 +607,7 @@ class ParseableAPI:
         stored = {**body, "filterId": fid}
         with self._lock:
             self._filters[fid] = stored
+        self._save_config()
         return stored
 
     def get_filter(self, fid: str) -> dict[str, Any]:
@@ -484,6 +625,7 @@ class ParseableAPI:
             if fid not in self._filters:
                 raise ApiError(404, f"no filter {fid}")
             del self._filters[fid]
+        self._save_config()
 
     # -- correlations (correlation.rs:235-418) --------------------------------
     def _validate_correlation(self, body: dict[str, Any]) -> None:
@@ -510,6 +652,7 @@ class ParseableAPI:
         stored = {**body, "id": cid}
         with self._lock:
             self._correlations[cid] = stored
+        self._save_config()
         return stored
 
     def get_correlation(self, cid: str) -> dict[str, Any]:
@@ -527,6 +670,7 @@ class ParseableAPI:
             if cid not in self._correlations:
                 raise ApiError(404, f"no correlation {cid}")
             del self._correlations[cid]
+        self._save_config()
 
     def run_correlation(self, cid: str, start: str, end: str) -> list[dict[str, Any]]:
         """Execute a saved correlation over the window: the stored
@@ -604,6 +748,8 @@ class ParseableAPI:
                 self.rbac.add_user(principal, [], roles=roles)
             self._oauth_users.add(principal)
             sid = _uuid.uuid4().hex
+        self._save_config()
+        with self._lock:
             self._sessions[sid] = (
                 principal,
                 time.time() + self.SESSION_EXPIRY_SECONDS,
@@ -661,7 +807,8 @@ class ParseableAPI:
             }
             self._api_keys[key_id] = rec
             self.rbac.add_user(f"apikey:{key_id}", [], roles=roles)
-            return dict(rec)
+        self._save_config()
+        return dict(rec)
 
     def list_api_keys(self) -> list[dict[str, Any]]:
         """GET /api/prism/v1/apikeys: key values masked to ****last4."""
@@ -687,11 +834,12 @@ class ParseableAPI:
             if rec is None:
                 raise ApiError(404, f"API key not found: {key_id}")
             self.rbac._users.pop(f"apikey:{key_id}", None)
-            return {
-                "keyId": key_id,
-                "keyName": rec["keyName"],
-                "message": "API key deleted successfully",
-            }
+        self._save_config()
+        return {
+            "keyId": key_id,
+            "keyName": rec["keyName"],
+            "message": "API key deleted successfully",
+        }
 
     def validate_api_key(self, value: str) -> dict[str, bool]:
         with self._lock:
@@ -1159,7 +1307,8 @@ class ParseableAPI:
                 "isFavorite": bool(body.get("isFavorite") or False),
             }
             self._dashboards[did] = d
-            return d
+        self._save_config()
+        return d
 
     def list_dashboards(
         self, limit: int = 0, tags: list[str] | None = None
@@ -1225,12 +1374,14 @@ class ParseableAPI:
             self._check_duplicate_title(d["title"], did)
             d["modified"] = self._now_iso()
             self._dashboards[did] = d
-            return d
+        self._save_config()
+        return d
 
     def delete_dashboard(self, user_id: str, did: str, is_admin: bool = False) -> None:
         with self._lock:
             self._dashboard_owned(did, user_id, is_admin)
             del self._dashboards[did]
+        self._save_config()
 
     def add_dashboard_tile(
         self, user_id: str, did: str, tile: dict[str, Any], is_admin: bool = False
@@ -1247,7 +1398,8 @@ class ParseableAPI:
             d["tiles"] = tiles
             d["modified"] = self._now_iso()
             self._dashboards[did] = d
-            return d
+        self._save_config()
+        return d
 
     def list_dashboard_tags(self) -> list[str]:
         with self._lock:
@@ -1564,6 +1716,7 @@ class ParseableAPI:
             raise ApiError(400, "role body must be a grant list")
         with self._lock:
             self.rbac.put_role(name, self._parse_grants(body))
+        self._save_config()
 
     def get_role(self, name: str) -> list[dict[str, Any]]:
         with self._lock:
@@ -1584,6 +1737,7 @@ class ParseableAPI:
                 raise ApiError(404, f"no role {name}") from e
             except ValueError as e:
                 raise ApiError(409, str(e)) from e
+        self._save_config()
 
     def create_user(self, name: str, body: dict[str, Any]) -> dict[str, Any]:
         """POST /api/v1/user/{name} (reference returns a generated
@@ -1607,6 +1761,7 @@ class ParseableAPI:
             password = body.get("password") or secrets.token_urlsafe(16)
             self.rbac.add_user(name, grants, roles=roles)
             self._passwords[name] = password
+        self._save_config()
         return {"name": name, "password": password}
 
     def delete_user(self, name: str) -> None:
@@ -1615,6 +1770,7 @@ class ParseableAPI:
                 raise ApiError(404, f"no user {name}")
             del self._passwords[name]
             self.rbac._users.pop(name, None)
+        self._save_config()
 
     def list_users(self) -> list[dict[str, Any]]:
         with self._lock:
@@ -2188,9 +2344,7 @@ class _Handler(BaseHTTPRequestHandler):
 
                 self._allow(Action.MANAGE)
                 try:
-                    self.api.targets.delete(
-                        parts[3], alert_target_ids=self.api._alert_target_ids
-                    )
+                    self.api.delete_target(parts[3])
                 except TargetInUseError as e:
                     raise ApiError(409, f"target {e} is in use by an alert") from e
                 except KeyError as e:

@@ -1826,3 +1826,84 @@ def test_server_restart_rediscovers_streams(spark, tmp_path):
         assert {f["name"] for f in schema["fields"]} >= {"level", "msg", "latency_ms"}
     finally:
         srv2.shutdown()
+
+
+def test_server_restart_preserves_configuration(spark, tmp_path):
+    """Full configuration durability: users/roles/grants, saved filters,
+    correlations, dashboards, notification targets, alerts (incl.
+    enabled flag), and API keys all survive a server restart via the
+    persisted config snapshot replayed through the normal creation
+    paths — the reference reloads all of these from its metastore on
+    boot."""
+    import base64 as b64
+
+    root = str(tmp_path)
+    api1 = ParseableAPI(spark, root, auth=("admin", "root-pw"))
+    srv1, base1 = serve_background(api1)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def req(base, method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or admin)},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        _post(base1 + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        api1._stores["s1"].flush()
+        req(base1, "PUT", "/api/v1/role/analyst",
+            [{"privilege": "reader", "stream": "s1"}])
+        req(base1, "POST", "/api/v1/user/reader1",
+            {"password": "rpw", "roles": ["analyst"]})
+        tgt = req(base1, "POST", "/api/v1/targets",
+                  {"name": "hook", "type": "webhook",
+                   "endpoint": "http://127.0.0.1:1/never"})
+        alert = req(base1, "POST", "/api/v1/alerts",
+                    {"stream": "s1", "aggregate": "count", "operator": ">",
+                     "threshold": 5, "targets": [tgt["id"]]})
+        req(base1, "PATCH", f"/api/v1/alerts/{alert['id']}/disable")
+        fil = req(base1, "POST", "/api/v1/filters",
+                  {"filterName": "errs", "streamName": "s1",
+                   "query": {"filterType": "sql"}})
+        dash = req(base1, "POST", "/api/v1/dashboards",
+                   {"title": "board", "tags": ["t1"]})
+        key = req(base1, "POST", "/api/prism/v1/apikeys",
+                  {"keyName": "ci", "roles": ["analyst"]})
+    finally:
+        srv1.shutdown()
+
+    api2 = ParseableAPI(spark, root, auth=("admin", "root-pw"))
+    srv2, base2 = serve_background(api2)
+    try:
+        # users + roles: the restored reader logs in with restored grants
+        rows = req(base2, "POST", "/api/v1/query",
+                   {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                   {"Authorization": "Basic " + b64.b64encode(b"reader1:rpw").decode()})
+        assert rows == [{"n": len(EVENTS)}]
+        assert req(base2, "GET", "/api/v1/role/analyst") == [
+            {"privilege": "reader", "stream": "s1", "tenant": "default"}
+        ]
+        # targets (same id), alerts (same id, disabled flag kept)
+        assert [t["id"] for t in req(base2, "GET", "/api/v1/targets")] == [tgt["id"]]
+        a2 = req(base2, "GET", f"/api/v1/alerts/{alert['id']}")
+        assert a2["enabled"] is False and a2["threshold"] == 5
+        assert a2["targets"] == [tgt["id"]]
+        # filters, dashboards, api keys
+        assert req(base2, "GET", f"/api/v1/filters/{fil['filterId']}")["filterName"] == "errs"
+        d2 = req(base2, "GET", f"/api/v1/dashboards/{dash['dashboardId']}")
+        assert d2["title"] == "board" and d2["created"] == dash["created"]
+        rows = req(base2, "POST", "/api/v1/query",
+                   {"query": "SELECT count(*) AS n FROM s1", **_range()},
+                   {"x-api-key": key["apiKey"]})
+        assert rows == [{"n": len(EVENTS)}]
+        # in-use target delete still refused after restart (wiring intact)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req(base2, "DELETE", f"/api/v1/targets/{tgt['id']}")
+        assert ei.value.code == 409
+    finally:
+        srv2.shutdown()
