@@ -1125,16 +1125,30 @@ def test_prism_home_and_datasets_e2e(spark, tmp_path):
         one = next(d for d in ds if d["stream"] == "svc_a")
         assert one["counts"]["fields"] == ["start_time", "end_time", "count"]
         assert len(one["counts"]["records"]) == 10  # fixed 10-bin density
-        # same "1h".."now" window as the counts endpoint → same totals
-        # (endTime "now" truncates to the minute, so compare endpoints
-        # rather than the raw ingest count)
-        direct = req("POST", "/api/v1/counts",
+        # same "1h".."now" window as the counts endpoint → same totals.
+        # endTime "now" truncates to the minute, so a minute boundary
+        # crossing between the two calls can legally change the sum —
+        # retry the pair until the direct sum is stable across it.
+        def counts_pair():
+            d1 = req("POST", "/api/v1/counts",
                      {"stream": "svc_a", "startTime": "1h", "endTime": "now",
                       "numBins": 10}, admin)
-        assert (
-            sum(r["count"] for r in one["counts"]["records"])
-            == sum(r["count"] for r in direct["records"])
-        )
+            p = req("POST", "/api/prism/v1/datasets", {"streams": ["svc_a"]}, admin)[0]
+            d2 = req("POST", "/api/v1/counts",
+                     {"stream": "svc_a", "startTime": "1h", "endTime": "now",
+                      "numBins": 10}, admin)
+            s1 = sum(r["count"] for r in d1["records"])
+            s2 = sum(r["count"] for r in d2["records"])
+            sp = sum(r["count"] for r in p["counts"]["records"])
+            return s1, sp, s2
+
+        for _ in range(3):
+            s1, sp, s2 = counts_pair()
+            if s1 == s2:  # no boundary crossed mid-pair
+                assert sp == s1
+                break
+        else:
+            raise AssertionError("minute boundary crossed on every attempt")
         ds_r = req("POST", "/api/prism/v1/datasets",
                    {"streams": ["svc_a", "svc_b", "ghost"]}, hdr("reader1", "rpw"))
         assert [d["stream"] for d in ds_r] == ["svc_a"]  # others skipped, not errors
