@@ -2,18 +2,21 @@
 
 Two tiers:
 
-1. REAL pure-Python decoders for uncompressed formats that need no
-   codec libraries: 24-bit BMP (struct header parse + numpy pixel
-   math, padding and bottom-up row order handled) and 16-bit PCM WAV
+1. REAL pure-Python decoders that need no codec libraries: 24-bit BMP
+   (struct header parse + numpy pixel math, padding and bottom-up row
+   order handled), baseline JPEG (full T.81 marker walk + Huffman +
+   IDCT in `llm/jpeg.py` — image payloads are format-sniffed, so BMP
+   and JPEG flow through the same operators), and 16-bit PCM WAV
    (RIFF chunk walk). Video is a concatenated-BMP frame stream — our
    own trivial container, but every frame decode is a real BMP parse.
    `synthesize_real_media` builds payloads whose ground-truth features
    are analytic functions of doc_id, so the DuckDB oracle can verify
    the decoded VALUES, not just row counts (q35/q42).
 2. The original deterministic fakes (`_fake_decode`, `resize_images`,
-   `sample_frames`) for formats that genuinely need codecs (JPEG/MP4
-   et al.) — the Spark plumbing (schema contracts, Arrow-batched
-   mapInPandas, modality pruning) is identical either way.
+   `sample_frames`) remain only for container formats that genuinely
+   need full codec stacks (MP4/H.264 et al.) — the Spark plumbing
+   (schema contracts, Arrow-batched mapInPandas, modality pruning) is
+   identical either way.
 """
 
 from __future__ import annotations
@@ -56,8 +59,9 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder (REAL DECODE NOT
-    IMPLEMENTED — container lacks image/audio libraries). Derives a
+    """Deterministic stand-in for formats still lacking a real decoder
+    (MP4/H.264 video containers; BMP/JPEG/WAV all have real decoders
+    now). Derives a
     feature vector from payload bytes so tests have stable output.
     Vectorized with numpy — inside an Arrow batch the per-row work is
     array math, not a Python byte loop."""
@@ -292,6 +296,44 @@ def encode_bmp_pixels(rgb) -> bytes:
     return header + info + pixels
 
 
+def sniff_image_format(payload: bytes) -> str:
+    """'bmp' | 'jpeg' by magic bytes — image operators are
+    format-agnostic; the payload says what it is."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    raise ValueError("unrecognized image payload (not BMP or JPEG)")
+
+
+def decode_image_pixels(payload: bytes):
+    """Any supported image payload → (H, W, 3) RGB uint8 (format
+    dispatch by magic: real BMP parse or real baseline-JPEG decode)."""
+    if sniff_image_format(payload) == "bmp":
+        return decode_bmp_pixels(payload)
+    from parseable_spark.llm import jpeg
+
+    return jpeg.decode_jpeg(payload)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Any supported image payload → width/height/per-channel means
+    (the q35 feature contract, now format-agnostic)."""
+    if sniff_image_format(payload) == "bmp":
+        return decode_bmp(payload)
+    import numpy as np
+
+    px = decode_image_pixels(payload)
+    mean = px.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "mean_r": float(mean[0]),
+        "mean_g": float(mean[1]),
+        "mean_b": float(mean[2]),
+    }
+
+
 def resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
     """REAL aspect-preserving BMP downscale: pixel decode →
     nearest-neighbor resample (pure numpy index math — out[i, j] =
@@ -310,28 +352,50 @@ def resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
     return encode_bmp_pixels(px[rows][:, cols])
 
 
+def resize_image(
+    payload: bytes, max_w: int, max_h: int, jpeg_quality: int = 85
+) -> tuple[bytes, int, int]:
+    """Format-agnostic aspect-preserving downscale: decode (BMP or
+    baseline JPEG) → nearest-neighbor resample → re-encode in the SAME
+    format. Returns (payload, width, height); images already inside the
+    box pass through unchanged."""
+    import numpy as np
+
+    fmt = sniff_image_format(payload)
+    px = decode_image_pixels(payload)
+    h, w = px.shape[:2]
+    scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
+    if scale >= 1.0:
+        return payload, w, h
+    out_w, out_h = max(int(w * scale), 1), max(int(h * scale), 1)
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    resized = px[rows][:, cols]
+    if fmt == "bmp":
+        return encode_bmp_pixels(resized), out_w, out_h
+    from parseable_spark.llm import jpeg
+
+    return jpeg.encode_jpeg(resized, quality=jpeg_quality), out_w, out_h
+
+
 def resize_images_real(
     media: DataFrame, max_w: int = 224, max_h: int = 224
 ) -> DataFrame:
-    """Resize with the REAL BMP codec: decode → nearest-neighbor →
-    re-encode inside an Arrow-batched mapInPandas, payload and
-    width/height metadata both updated. Modality pruning keeps
-    audio/video out of the Python stage. Swap resize_bmp for
-    PIL.thumbnail to cover compressed formats (resize_images remains
-    the documented stub for those)."""
+    """Resize with the REAL codecs (BMP or baseline JPEG, sniffed by
+    magic): decode → nearest-neighbor → re-encode in the same format
+    inside an Arrow-batched mapInPandas, payload and width/height
+    metadata both updated. Modality pruning keeps audio/video out of
+    the Python stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            resized = pdf["payload"].map(
-                lambda p: resize_bmp(p, max_w, max_h) if p else p
+            triples = pdf["payload"].map(
+                lambda p: resize_image(p, max_w, max_h) if p else (p, 0, 0)
             )
-            dims = resized.map(
-                lambda p: struct.unpack_from("<ii", p, 18) if p else (0, 0)
-            )
-            out["payload"] = resized
-            out["width"] = dims.map(lambda d: d[0]).astype("int64")
-            out["height"] = dims.map(lambda d: abs(d[1])).astype("int64")
+            out["payload"] = triples.map(lambda t: t[0])
+            out["width"] = triples.map(lambda t: t[1]).astype("int64")
+            out["height"] = triples.map(lambda t: t[2]).astype("int64")
             yield out
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
@@ -460,7 +524,7 @@ def extract_real_features(media: DataFrame) -> DataFrame:
             )
         )
         if mtype == "image":
-            out.update(decode_bmp(payload))
+            out.update(decode_image(payload))  # BMP or JPEG by magic
         elif mtype == "audio":
             out.update(decode_wav(payload))
         else:

@@ -177,3 +177,180 @@ class TestRealResize:
             )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan  # Arrow-batched, not row Python
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (llm/jpeg.py): pure-numpy encoder + decoder.
+
+    The decoder is validated two ways: (a) against an INDEPENDENT numpy
+    reference of the same public math (DCT→quantize→dequantize→IDCT,
+    no entropy coding) — the decode of our encoder's bytes must equal
+    that reference exactly, proving the Huffman/marker layer is
+    lossless; (b) by PSNR against the source across qualities,
+    subsamplings, restart intervals, and odd dimensions.
+    """
+
+    @staticmethod
+    def _psnr(a, b):
+        import numpy as np
+
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    @staticmethod
+    def _gradient(h, w):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack([(x * 4) % 256, (y * 6) % 256, (x + y) % 256], axis=-1).astype(
+            np.uint8
+        )
+
+    def test_entropy_layer_lossless_vs_reference_math(self):
+        """decode(encode(img)) == independent numpy quantization
+        roundtrip (444): every bit of loss comes from quantization, the
+        Huffman/marker/bit-IO layer adds none."""
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+
+        img = self._gradient(24, 40)
+        quality = 75
+        # independent reference: same public pipeline, no entropy code
+        qt_lum, qt_chrom = jpeg._scaled_tables(quality)
+        ycc = jpeg.rgb_to_ycbcr(img)
+        planes = []
+        for ci in range(3):
+            qt = (qt_lum if ci == 0 else qt_chrom).reshape(8, 8).astype(float)
+            blocks = jpeg._to_blocks(ycc[..., ci] - 128.0)
+            coefs = np.round((jpeg._D @ blocks @ jpeg._D.T) / qt)
+            planes.append(jpeg._from_blocks(jpeg._D.T @ (coefs * qt) @ jpeg._D) + 128.0)
+        expected = jpeg.ycbcr_to_rgb(np.stack(planes, axis=-1))
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))
+        assert np.array_equal(got, expected)
+
+    def test_roundtrip_psnr_across_options(self):
+        from parseable_spark.llm import jpeg
+
+        img = self._gradient(37, 53)  # non-multiple-of-8/16 dims
+        floor = {("444", 50): 40, ("444", 90): 45, ("420", 50): 35, ("420", 90): 40}
+        for (sub, q), bound in floor.items():
+            dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+            assert dec.shape == img.shape
+            assert self._psnr(img, dec) > bound, (sub, q)
+
+    def test_restart_markers_resync_identically(self):
+        """Restart intervals change the byte stream but not the decoded
+        pixels; decoder resyncs at every RSTn."""
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+        for interval in (1, 3, 7):
+            enc = jpeg.encode_jpeg(img, quality=85, restart_interval=interval)
+            assert np.array_equal(jpeg.decode_jpeg(enc), plain)
+        enc420 = jpeg.encode_jpeg(img, quality=85, subsampling="420", restart_interval=2)
+        assert np.array_equal(
+            jpeg.decode_jpeg(enc420),
+            jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, subsampling="420")),
+        )
+
+    def test_odd_dimensions_and_determinism(self):
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+
+        for shape in [(1, 1), (8, 8), (9, 17), (16, 15), (33, 1)]:
+            im = (np.indices(shape).sum(axis=0)[..., None].repeat(3, -1) * 7).astype(
+                np.uint8
+            )
+            for sub in ("444", "420"):
+                enc = jpeg.encode_jpeg(im, 92, subsampling=sub)
+                assert enc == jpeg.encode_jpeg(im, 92, subsampling=sub)  # deterministic
+                dec = jpeg.decode_jpeg(enc)
+                assert dec.shape == im.shape
+                assert self._psnr(im, dec) > 30
+
+    def test_byte_stuffing_and_dimensions_fast_path(self):
+        """A solid mid-gray image produces 0xFF-rich streams in some
+        blocks; roundtrip must survive stuffing. jpeg_dimensions reads
+        SOF0 without entropy decode."""
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+
+        img = np.full((16, 24, 3), (200, 30, 90), dtype=np.uint8)
+        enc = jpeg.encode_jpeg(img, quality=90)
+        assert jpeg.jpeg_dimensions(enc) == (24, 16)
+        assert self._psnr(img, jpeg.decode_jpeg(enc)) > 45
+
+    def test_malformed_jpeg_raises(self):
+        import pytest
+
+        from parseable_spark.llm import jpeg
+
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"not a jpeg")
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+        # progressive SOF2 is explicitly rejected, not mis-decoded
+        import struct as _s
+
+        seg = b"\xff\xd8" + b"\xff\xc2" + _s.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+        with pytest.raises(ValueError, match="non-baseline"):
+            jpeg.decode_jpeg(seg)
+
+
+class TestJpegSparkPath:
+    def test_jpeg_media_features_and_resize(self, spark):
+        """JPEG payloads flow through the SAME Spark operators as BMP
+        (format sniffed by magic): extract_real_features decodes them,
+        resize_images_real re-encodes them as JPEG with correct dims."""
+        import numpy as np
+        import pandas as pd
+
+        from parseable_spark.llm import jpeg, multimodal
+
+        def solid_jpeg(doc_id):
+            w, h, rgb = multimodal._image_params(doc_id)
+            return jpeg.encode_jpeg(
+                np.full((h, w, 3), rgb, dtype=np.uint8), quality=95
+            )
+
+        ids = [0, 3, 33, 63, 90]
+        pdf = pd.DataFrame(
+            {
+                "media_id": ids,
+                "media_type": ["image"] * len(ids),
+                "payload": [solid_jpeg(i) for i in ids],
+                "width": [multimodal._image_params(i)[0] for i in ids],
+                "height": [multimodal._image_params(i)[1] for i in ids],
+                "duration_ms": [None] * len(ids),
+            }
+        )
+        media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+        feats = {r["media_id"]: r for r in multimodal.extract_real_features(media).collect()}
+        for i in ids:
+            w, h, rgb = multimodal._image_params(i)
+            r = feats[i]
+            assert (r["width"], r["height"]) == (w, h)
+            # solid color at q95: decoded means within quantization error
+            for got, want in zip((r["mean_r"], r["mean_g"], r["mean_b"]), rgb):
+                assert abs(got - want) < 3.0, (i, got, want)
+        resized = {
+            r["media_id"]: r
+            for r in multimodal.resize_images_real(media, max_w=8, max_h=8).collect()
+        }
+        for i in ids:
+            w, h, _ = multimodal._image_params(i)
+            scale = min(8 / w, 8 / h, 1.0)
+            r = resized[i]
+            assert r["width"] == max(int(w * scale), 1)
+            assert r["height"] == max(int(h * scale), 1)
+            payload = bytes(r["payload"])
+            if scale < 1.0:  # re-encoded in the SAME format
+                assert payload[:2] == b"\xff\xd8"
+                assert jpeg.jpeg_dimensions(payload) == (r["width"], r["height"])
