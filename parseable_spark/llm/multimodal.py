@@ -416,6 +416,23 @@ def split_bmp_stream(payload: bytes) -> list[bytes]:
     return frames
 
 
+def split_video_frames(payload: bytes) -> tuple[list[bytes], int]:
+    """Container-sniffed video demux → (frame payloads, ms per frame).
+
+    Real formats first: MJPEG-in-AVI (RIFF walk, fps from strh) with
+    per-frame baseline-JPEG payloads, else the concatenated-BMP stream.
+    Each frame payload is decodable by decode_image/decode_image_pixels
+    (format dispatch by magic), so every downstream video operator is
+    container-agnostic."""
+    from parseable_spark.llm import avi
+
+    if avi.is_avi(payload):
+        meta = avi.decode_avi_mjpeg(payload)
+        ms = 1000 // max(meta["fps"], 1) if meta["fps"] else VIDEO_FRAME_MS
+        return meta["frames"], ms
+    return split_bmp_stream(payload), VIDEO_FRAME_MS
+
+
 # --- analytic synthesis: features predictable from doc_id -------------------
 # image:  w = doc_id%31+1, h = doc_id%23+1, rgb = (doc_id%256, 7*doc_id%256, 13*doc_id%256)
 # audio:  square wave ±amp, amp = (doc_id%100)*300+100, n = (doc_id%50+1)*80, rate 8000
@@ -528,9 +545,9 @@ def extract_real_features(media: DataFrame) -> DataFrame:
         elif mtype == "audio":
             out.update(decode_wav(payload))
         else:
-            frames = split_bmp_stream(payload)
+            frames, _ms = split_video_frames(payload)  # AVI/MJPEG or BMP stream
             out["n_frames"] = len(frames)
-            first = decode_bmp(frames[0])
+            first = decode_image(frames[0])
             out.update({k: first[k] for k in ("mean_r", "mean_g", "mean_b")})
         return out
 
@@ -560,8 +577,8 @@ REAL_FRAME_SCHEMA = StructType(
 
 
 def sample_frames_real(media: DataFrame, every_ms: int = VIDEO_FRAME_MS) -> DataFrame:
-    """Frame sampling with REAL per-frame BMP decode: split the
-    concatenated-BMP stream via header file-size fields, pick the frame
+    """Frame sampling with REAL per-frame decode: demux the container
+    (MJPEG-in-AVI or concatenated-BMP, sniffed), pick the frame
     covering each sample timestamp, decode its pixel means. Modality
     pruning keeps non-video rows out of the Python stage."""
 
@@ -574,10 +591,10 @@ def sample_frames_real(media: DataFrame, every_ms: int = VIDEO_FRAME_MS) -> Data
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                frames = split_bmp_stream(payload)
-                for ts in range(0, int(dur or len(frames) * VIDEO_FRAME_MS), every_ms):
-                    idx = min(ts // VIDEO_FRAME_MS, len(frames) - 1)
-                    d = decode_bmp(frames[idx])
+                frames, frame_ms = split_video_frames(payload)
+                for ts in range(0, int(dur or len(frames) * frame_ms), every_ms):
+                    idx = min(ts // frame_ms, len(frames) - 1)
+                    d = decode_image(frames[idx])
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["ts_ms"].append(ts)

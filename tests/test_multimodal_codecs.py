@@ -354,3 +354,107 @@ class TestJpegSparkPath:
             if scale < 1.0:  # re-encoded in the SAME format
                 assert payload[:2] == b"\xff\xd8"
                 assert jpeg.jpeg_dimensions(payload) == (r["width"], r["height"])
+
+
+class TestAviMjpeg:
+    """MJPEG-in-AVI container (llm/avi.py): real RIFF structure, JPEG
+    frames decodable by our own baseline codec."""
+
+    @staticmethod
+    def _frames(n, w=16, h=8):
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+
+        return [
+            jpeg.encode_jpeg(
+                np.full((h, w, 3), ((20 * i) % 256, 80, 160), dtype=np.uint8),
+                quality=95,
+            )
+            for i in range(n)
+        ]
+
+    def test_roundtrip_structure_and_frames(self):
+        from parseable_spark.llm import avi, jpeg
+
+        frames = self._frames(4)
+        payload = avi.encode_avi_mjpeg(frames, width=16, height=8, fps=5)
+        assert avi.is_avi(payload)
+        meta = avi.decode_avi_mjpeg(payload)
+        assert (meta["fps"], meta["width"], meta["height"], meta["n_frames"]) == (5, 16, 8, 4)
+        assert meta["frames"] == frames  # stored verbatim, odd sizes padded outside
+        # every demuxed frame is a real decodable JPEG
+        px = jpeg.decode_jpeg(meta["frames"][2])
+        assert px.shape == (8, 16, 3)
+        assert abs(float(px[..., 0].mean()) - 40.0) < 3  # (20*2)%256 within quant error
+
+    def test_unknown_chunks_tolerated(self):
+        import struct as _s
+
+        from parseable_spark.llm import avi
+
+        frames = self._frames(2)
+        payload = bytearray(avi.encode_avi_mjpeg(frames, 16, 8, fps=10))
+        # splice an unknown JUNK chunk right after the hdrl list
+        junk = b"JUNK" + _s.pack("<I", 6) + b"abcdef"
+        insert_at = payload.find(b"LIST", 12)
+        hdrl_size = _s.unpack_from("<I", payload, insert_at + 4)[0]
+        pos = insert_at + 8 + hdrl_size + (hdrl_size % 2)
+        payload[pos:pos] = junk
+        _s.pack_into("<I", payload, 4, len(payload) - 8)
+        meta = avi.decode_avi_mjpeg(bytes(payload))
+        assert meta["n_frames"] == 2 and meta["frames"] == frames
+
+    def test_malformed_raises(self):
+        import pytest
+
+        from parseable_spark.llm import avi
+
+        with pytest.raises(ValueError):
+            avi.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            avi.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")  # no frames
+
+    def test_avi_video_through_spark_operators(self, spark):
+        """AVI/MJPEG videos flow through extract_real_features and
+        sample_frames_real (container sniffed per row; same operators
+        as BMP-stream videos)."""
+        import numpy as np
+        import pandas as pd
+
+        from parseable_spark.llm import avi, jpeg, multimodal
+
+        def make_video(doc_id, n):
+            frames = [
+                jpeg.encode_jpeg(
+                    np.full((8, 16, 3), ((doc_id + 40 * i) % 256, 10, 200), np.uint8),
+                    quality=95,
+                )
+                for i in range(n)
+            ]
+            return avi.encode_avi_mjpeg(frames, 16, 8, fps=2)  # 500 ms/frame
+
+        pdf = pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "media_type": ["video", "video"],
+                "payload": [make_video(60, 3), make_video(5, 2)],
+                "width": [None, None],
+                "height": [None, None],
+                "duration_ms": [1500, 1000],
+            }
+        )
+        media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+        feats = {r["media_id"]: r for r in multimodal.extract_real_features(media).collect()}
+        assert feats[1]["n_frames"] == 3 and feats[2]["n_frames"] == 2
+        assert abs(feats[1]["mean_r"] - 60.0) < 3  # first-frame red mean
+        sampled = multimodal.sample_frames_real(media, every_ms=500).collect()
+        by_id = {}
+        for r in sampled:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert len(by_id[1]) == 3  # 1500 ms at 500 ms/frame
+        idx1 = sorted(r["frame_idx"] for r in by_id[1])
+        assert idx1 == [0, 1, 2]
+        for r in by_id[1]:
+            want = (60 + 40 * r["frame_idx"]) % 256
+            assert abs(r["mean_r"] - want) < 3
