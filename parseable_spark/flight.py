@@ -34,13 +34,25 @@ from .query.engine import QueryEngine
 
 
 class FlightQueryServer(_flight.FlightServerBase if _flight else object):
-    """One do_get surface over a QueryEngine (airplane.rs:126-248)."""
+    """One do_get surface over a QueryEngine (airplane.rs:126-248),
+    plus cluster-management actions (cluster/mod.rs get_cluster_info /
+    fetch_stats_from_ingestors): `info` returns static node metadata,
+    `metrics` returns the live stats snapshot, `ping` answers liveness
+    (check_liveness probes peers the same way)."""
 
-    def __init__(self, engine: QueryEngine, location: str = "grpc://0.0.0.0:0"):
+    def __init__(
+        self,
+        engine: QueryEngine,
+        location: str = "grpc://0.0.0.0:0",
+        node_info: dict | None = None,
+        metrics_fn=None,
+    ):
         if _flight is None:
             raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
         super().__init__(location)
         self.engine = engine
+        self.node_info = node_info or {}
+        self.metrics_fn = metrics_fn
 
     def do_get(self, context, ticket):
         req = json.loads(ticket.ticket.decode("utf-8"))
@@ -50,14 +62,44 @@ class FlightQueryServer(_flight.FlightServerBase if _flight else object):
         table = df.toArrow()
         return _flight.RecordBatchStream(table)
 
+    def do_action(self, context, action):
+        name = action.type
+        if name == "ping":
+            payload = {"status": "ok"}
+        elif name == "info":
+            payload = {"status": "ok", **self.node_info}
+        elif name == "metrics":
+            payload = self.metrics_fn() if self.metrics_fn else {}
+        else:
+            raise KeyError(f"unknown action {name!r}")
+        return iter([_flight.Result(json.dumps(payload).encode("utf-8"))])
 
-def serve(engine: QueryEngine, port: int = 0) -> "FlightQueryServer":
+
+def serve(
+    engine: QueryEngine,
+    port: int = 0,
+    node_info: dict | None = None,
+    metrics_fn=None,
+) -> "FlightQueryServer":
     """Start a Flight server on localhost:port (0 = ephemeral); returns
     the server (server.port gives the bound port; call shutdown() to
     stop)."""
-    server = FlightQueryServer(engine, f"grpc://0.0.0.0:{port}")
+    server = FlightQueryServer(
+        engine, f"grpc://0.0.0.0:{port}", node_info=node_info, metrics_fn=metrics_fn
+    )
     threading.Thread(target=server.serve, daemon=True).start()
     return server
+
+
+def node_action(port: int, name: str, timeout: float = 2.0) -> dict:
+    """Client helper: invoke a cluster action on a peer node; raises on
+    unreachable/dead peers (callers map that to reachable=false)."""
+    if _flight is None:
+        raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
+    client = _flight.connect(f"grpc://localhost:{port}")
+    opts = _flight.FlightCallOptions(timeout=timeout)
+    results = list(client.do_action(_flight.Action(name, b""), options=opts))
+    return json.loads(results[0].body.to_pybytes()) if results else {}
 
 
 def fetch(port: int, query: str, start: str | None = None, end: str | None = None):

@@ -921,6 +921,113 @@ class ParseableAPI:
             )
         return "\n".join(lines) + "\n"
 
+    # -- cluster management (handlers/http/cluster/mod.rs) -------------------
+    def stats_snapshot(self) -> dict[str, dict[str, Any]]:
+        """Per-stream counters, the payload a peer returns for the
+        cluster `metrics` action (fetch_stats_from_ingestors)."""
+        with self._lock:
+            return {
+                s: {
+                    "events": st.stats.current.events,
+                    "ingestion_bytes": st.stats.current.ingestion,
+                    "storage_bytes": st.stats.current.storage,
+                    "lifetime_events": st.stats.lifetime.events,
+                    "staging_events": sum(len(b.records) for b in st._staging),
+                }
+                for s, st in sorted(self._stores.items())
+            }
+
+    def _self_node(self) -> tuple[str, str]:
+        return "local", ("querier" if self.ingestor_ports else "standalone")
+
+    def cluster_info(self) -> list[dict[str, Any]]:
+        """ClusterInfo rows (cluster/utils.rs:55-63): one row per node —
+        self plus every ingestor peer, probed over the Flight `info`
+        action. Unreachable peers keep their row with reachable=false
+        and the error message (get_cluster_info does the same instead
+        of failing the whole call)."""
+        from . import flight
+
+        name, ntype = self._self_node()
+        infos: list[dict[str, Any]] = [
+            {
+                "domain_name": name,
+                "reachable": True,
+                "staging_path": self.root,
+                "storage_path": self.root,
+                "error": None,
+                "status": "ok",
+                "node_type": ntype,
+            }
+        ]
+        for port in list(self.ingestor_ports):
+            row: dict[str, Any] = {
+                "domain_name": f"localhost:{port}",
+                "reachable": False,
+                "staging_path": "",
+                "storage_path": "",
+                "error": None,
+                "status": None,
+                "node_type": "ingestor",
+            }
+            try:
+                meta = flight.node_action(port, "info")
+                row.update(
+                    reachable=True,
+                    status=meta.get("status", "ok"),
+                    staging_path=meta.get("staging_path", ""),
+                    storage_path=meta.get("storage_path", ""),
+                )
+            except Exception as e:  # noqa: BLE001 — dead peer is a row, not a 500
+                row["error"] = str(e)[:200]
+            infos.append(row)
+        return infos
+
+    def cluster_metrics(self) -> list[dict[str, Any]]:
+        """Per-node stream counters: self from the local ledgers, peers
+        via the Flight `metrics` action (get_cluster_metrics /
+        fetch_cluster_metrics). Unreachable peers are skipped — the
+        reference collects from live nodes only."""
+        from . import flight
+
+        name, ntype = self._self_node()
+        rows = [{"address": name, "node_type": ntype, "streams": self.stats_snapshot()}]
+        for port in list(self.ingestor_ports):
+            try:
+                streams = flight.node_action(port, "metrics")
+            except Exception:  # noqa: BLE001
+                continue
+            rows.append(
+                {
+                    "address": f"localhost:{port}",
+                    "node_type": "ingestor",
+                    "streams": streams,
+                }
+            )
+        return rows
+
+    def remove_cluster_node(self, domain: str) -> dict[str, str]:
+        """DELETE /api/v1/cluster/{domain}: refuse while the node
+        answers liveness, else drop it from the fan-out set
+        (remove_node, cluster/mod.rs:1125-1160)."""
+        from . import flight
+
+        try:
+            port = int(domain.rsplit(":", 1)[-1])
+        except ValueError:
+            raise ApiError(400, f"invalid node address {domain!r}") from None
+        if port not in self.ingestor_ports:
+            raise ApiError(404, f"node {domain} is not part of the cluster")
+        try:
+            flight.node_action(port, "ping")
+            alive = True
+        except Exception:  # noqa: BLE001
+            alive = False
+        if alive:
+            raise ApiError(400, "node is currently live and cannot be removed")
+        self.ingestor_ports.remove(port)
+        return {"status": f"removed node {domain}"}
+
     # -- traces APM (handlers/http/traces.rs:60-330, 440-640) ----------------
     MAX_TRACE_LIMIT = 1000
     DEFAULT_TRACE_LIMIT = 50
@@ -2090,6 +2197,19 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if path in ("/api/v1/cluster/info", "/api/v1/cluster/metrics"):
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)  # reference Action::ListCluster*
+                payload = (
+                    self.api.cluster_info()
+                    if path.endswith("/info")
+                    else self.api.cluster_metrics()
+                )
+                self._respond_json(200, payload)
+                return
             if path == "/api/v1/about":
                 self._respond_json(
                     200,
@@ -2298,6 +2418,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if parts[:3] == ["api", "v1", "cluster"] and len(parts) == 4:
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # reference Action::DeleteNode
+                self._respond_json(200, self.api.remove_cluster_node(parts[3]))
+                return
             if parts[:4] == ["api", "prism", "v1", "apikeys"] and len(parts) == 5:
                 from .rbac import Action
 

@@ -1921,3 +1921,72 @@ def test_server_restart_preserves_configuration(spark, tmp_path):
         assert ei.value.code == 409
     finally:
         srv2.shutdown()
+
+
+def test_cluster_info_metrics_and_node_removal(spark, tmp_path):
+    """Cluster management surface (handlers/http/cluster/mod.rs
+    get_cluster_info:941 / get_cluster_metrics:1087 / remove_node:1125):
+    a querier with one live ingestor peer (real Flight server with
+    info/metrics actions) and one dead port reports per-node rows,
+    collects live peers' metrics, refuses to remove a live node, and
+    removes a dead one."""
+    import socket
+
+    pytest.importorskip("pyarrow.flight")
+    from parseable_spark import flight
+    from parseable_spark.ingest.events import StreamConfig
+    from parseable_spark.query.engine import QueryEngine
+    from parseable_spark.storage.store import StreamStore
+
+    # live ingestor peer: staged events + info/metrics actions
+    store_b = StreamStore(spark, str(tmp_path / "b"), StreamConfig(name="applogs"))
+    store_b.ingest([{"level": "info", "msg": "fresh"}])
+    engine_b = QueryEngine(spark, time_col="p_timestamp")
+    engine_b.register_stream("applogs", store_b.staging_df(), time_col="p_timestamp")
+    ingestor = flight.serve(
+        engine_b,
+        node_info={"staging_path": str(tmp_path / "b"), "storage_path": str(tmp_path / "b")},
+        metrics_fn=lambda: {"applogs": {"events": 1, "staging_events": 1}},
+    )
+    # a port with nothing listening = dead peer
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    api = ParseableAPI(
+        spark, str(tmp_path / "a"), ingestor_ports=[ingestor.port, dead_port]
+    )
+    srv, base = serve_background(api)
+    try:
+        _, info = _req("GET", base + "/api/v1/cluster/info")
+        by_name = {r["domain_name"]: r for r in info}
+        assert by_name["local"]["node_type"] == "querier"
+        live = by_name[f"localhost:{ingestor.port}"]
+        assert live["reachable"] and live["node_type"] == "ingestor"
+        assert live["staging_path"] == str(tmp_path / "b")
+        dead = by_name[f"localhost:{dead_port}"]
+        assert not dead["reachable"] and dead["error"]
+
+        _, metrics = _req("GET", base + "/api/v1/cluster/metrics")
+        addrs = {r["address"] for r in metrics}
+        assert addrs == {"local", f"localhost:{ingestor.port}"}  # dead peer skipped
+        peer = next(r for r in metrics if r["address"] != "local")
+        assert peer["streams"]["applogs"]["events"] == 1
+
+        # removing the live node is refused
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("DELETE", base + f"/api/v1/cluster/localhost:{ingestor.port}")
+        assert ei.value.code == 400
+        # unknown node -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("DELETE", base + "/api/v1/cluster/localhost:1")
+        assert ei.value.code == 404
+        # dead node is removed and leaves the fan-out set
+        _, out = _req("DELETE", base + f"/api/v1/cluster/localhost:{dead_port}")
+        assert "removed" in out["status"]
+        _, info2 = _req("GET", base + "/api/v1/cluster/info")
+        assert len(info2) == 2 and api.ingestor_ports == [ingestor.port]
+    finally:
+        srv.shutdown()
+        ingestor.shutdown()
