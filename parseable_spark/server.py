@@ -117,6 +117,10 @@ class ParseableAPI:
         self._oauth_users: set[str] = set()  # oidc: principals (is_oauth)
         self._lock = threading.RLock()
         self._target_bodies: dict[str, dict[str, Any]] = {}
+        # outbound egress policy for alert targets (alert_target_policy.rs):
+        # None until an admin PUTs one — then every new target's
+        # destination is authorized through prepare_target (SSRF gate)
+        self._target_policy = None
         self._alert_bodies: dict[str, dict[str, Any]] = {}
         self._discover_streams()
         self._load_config()
@@ -206,6 +210,9 @@ class ParseableAPI:
                 "dashboards": self._dashboards,
                 "api_keys": self._api_keys,
                 "targets": self._target_bodies,
+                "target_policy": (
+                    self._target_policy.to_dict() if self._target_policy else None
+                ),
                 "alerts": {
                     aid: {**body, "enabled": self._alerts[aid].enabled}
                     for aid, body in self._alert_bodies.items()
@@ -253,6 +260,10 @@ class ParseableAPI:
                 self.rbac.add_user(
                     f"apikey:{kid}", [], roles=list(rec.get("roles") or [])
                 )
+            if cfg.get("target_policy"):
+                from .query.outbound_policy import TargetPolicy
+
+                self._target_policy = TargetPolicy.from_dict(cfg["target_policy"])
             for tid, body in (cfg.get("targets") or {}).items():
                 t = self._build_target(body)
                 t.id = tid  # preserve the original id across restarts
@@ -438,9 +449,62 @@ class ParseableAPI:
             return AlertManagerTarget(name, endpoint, auth=auth)
         raise ApiError(400, f"unknown target type {kind!r}")
 
+    def get_target_policy(self) -> dict[str, Any]:
+        """GET /api/v1/alert-target-policy (alert_target_policy.rs:15):
+        the active outbound policy, or the permissive default when none
+        has been configured."""
+        from .query.outbound_policy import TargetPolicy
+
+        with self._lock:
+            return (self._target_policy or TargetPolicy(allow_private=True)).to_dict()
+
+    def put_target_policy(self, body: dict[str, Any]) -> dict[str, Any]:
+        """PUT /api/v1/alert-target-policy (alert_target_policy.rs:21):
+        validate before replacing — a bad policy never becomes
+        active."""
+        from .query.outbound_policy import (
+            OutboundPolicyError,
+            TargetPolicy,
+            validate_policy,
+        )
+
+        policy = TargetPolicy.from_dict(body if isinstance(body, dict) else {})
+        try:
+            validate_policy(policy)
+        except OutboundPolicyError as e:
+            raise ApiError(400, str(e)) from None
+        with self._lock:
+            self._target_policy = policy
+        self._save_config()
+        return policy.to_dict()
+
+    def _enforce_target_policy(self, body: dict[str, Any]) -> None:
+        """Authorize a new target's destination against the active
+        outbound policy (prepare_alert_target — scheme, TLS, domain,
+        resolved-address, and header screening). No-op until an admin
+        configures a policy."""
+        from .query.outbound_policy import OutboundPolicyError, prepare_target
+
+        with self._lock:
+            policy = self._target_policy
+        if policy is None:
+            return
+        try:
+            prepare_target(
+                body.get("endpoint") or "",
+                (body.get("type") or "").strip(),
+                policy,
+                skip_tls_check=bool(body.get("skipTlsCheck", False)),
+                headers=body.get("headers") or None,
+            )
+        except OutboundPolicyError as e:
+            raise ApiError(400, str(e)) from None
+
     def create_target(self, body: dict[str, Any]) -> dict[str, Any]:
         """POST /api/v1/targets (targets.rs:37-50): build the typed
-        target from {name, type, endpoint, ...}; response is masked."""
+        target from {name, type, endpoint, ...}; response is masked.
+        The destination must pass the outbound egress policy first."""
+        self._enforce_target_policy(body)
         t = self._build_target(body)
         with self._lock:
             self.targets.update(t)
@@ -2197,6 +2261,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if path == "/api/v1/alert-target-policy":
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)  # reference Action::All
+                self._respond_json(200, self.api.get_target_policy())
+                return
             if path in ("/api/v1/cluster/info", "/api/v1/cluster/metrics"):
                 from .rbac import Action
 
@@ -2310,6 +2382,14 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
+            if path == "/api/v1/alert-target-policy":
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # reference Action::All
+                self._respond_json(
+                    200, self.api.put_target_policy(self._json_body() or {})
+                )
+                return
             if parts[:3] == ["api", "v1", "dashboards"] and len(parts) >= 4:
                 if len(parts) == 5 and parts[4] == "add_tile":
                     self._respond_json(
