@@ -80,25 +80,32 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse-centroid
     cell, probe only the `nprobe` cells nearest the query, exact cosine
     inside them.
 
-    The codebook here is deterministic (the first `n_centroids` vectors
-    by id) so the whole pipeline is oracle-checkable; in production the
-    codebook comes from a sampled k-means and the mechanics are
-    unchanged. Scale shape: the codebook is broadcast (tiny), cell
-    assignment is a map-side argmax partially aggregated before the
-    groupBy shuffle, and on a cell-partitioned table the probe reads
-    nprobe/n_centroids of the data — the IVF index IS the partition
-    layout."""
+    The default codebook is deterministic (the first `n_centroids`
+    vectors by id) so the whole pipeline is oracle-checkable; pass
+    `centroids` (e.g. from `llm.semantic.kmeans_fit`) for the
+    production path — a trained codebook, same mechanics
+    (tools/quality_probe.py measures the recall difference). Scale
+    shape: the codebook is broadcast (tiny), cell assignment is a
+    map-side argmax partially aggregated before the groupBy shuffle,
+    and on a cell-partitioned table the probe reads nprobe/n_centroids
+    of the data — the IVF index IS the partition layout."""
     from pyspark.sql.functions import broadcast
 
-    cents = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
-    )
+    if centroids is not None:
+        from .semantic import _centroid_df
+
+        cents = _centroid_df(embeddings.sparkSession, centroids)
+    else:
+        cents = (
+            embeddings.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
+        )
     # probe cells: nearest centroids to the query (driver-side, tiny)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = [

@@ -176,3 +176,19 @@ class TestSemanticDedup:
         rows = out.collect()
         assert len(rows) == emb.count()  # one verdict per vector
         assert {r["cluster"] for r in rows} <= set(range(8))
+
+
+def test_ivf_ann_accepts_trained_codebook(emb_df):
+    """ivf_ann with a kmeans_fit codebook returns valid top-k rows and
+    assigns cells from the trained centroids (production path measured
+    in tools/quality_probe.py)."""
+    from parseable_spark.llm import similarity
+
+    cents = semantic.kmeans_fit(emb_df, k=4, max_iter=3)
+    q = [r["embedding"] for r in emb_df.filter("vec_id = 0").collect()][0]
+    rows = similarity.ivf_ann(
+        emb_df, [float(x) for x in q], k=5, nprobe=2, centroids=cents
+    ).collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["vec_id"] == 0  # the query vector itself tops its cell
+    assert all(r["cell"] in {c for c, _ in cents} for r in rows)

@@ -41,10 +41,19 @@ def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
         for r in emb.filter(F.col("vec_id") % 97 == 3).limit(n_queries).collect()
     }
 
+    from parseable_spark.llm import semantic
+
+    # trained codebook (production path) vs the deterministic
+    # first-N-ids codebook the oracle-checkable queries use
+    km16 = semantic.kmeans_fit(emb, k=16, max_iter=5)
+
     methods = {
         "lsh_bucket": lambda v: similarity.bucketed_ann(emb, v, k=k),
         "ivf_flat_nprobe2": lambda v: similarity.ivf_ann(
             emb, v, k=k, n_centroids=16, nprobe=2
+        ),
+        "ivf_kmeans_nprobe2": lambda v: similarity.ivf_ann(
+            emb, v, k=k, n_centroids=16, nprobe=2, centroids=km16
         ),
         "ivf_flat_nprobe4": lambda v: similarity.ivf_ann(
             emb, v, k=k, n_centroids=16, nprobe=4
@@ -57,6 +66,7 @@ def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
     scanned = {
         "lsh_bucket": 1 / 256,  # 8 sign planes
         "ivf_flat_nprobe2": 2 / 16,
+        "ivf_kmeans_nprobe2": 2 / 16,  # nominal; trained cells are uneven
         "ivf_flat_nprobe4": 4 / 16,
         "ivf_hier_nprobe2": 2 / 16,
     }
