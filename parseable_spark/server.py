@@ -78,6 +78,7 @@ class ParseableAPI:
         auth: tuple[str, str] | None = None,
         ingestor_ports: list[int] | None = None,
         oidc=None,  # oidc.OpenidConfig | None — enables SSO login
+        resource_monitor=None,  # resource_check.ResourceMonitor | None
     ) -> None:
         self.spark = spark
         self.root = root
@@ -121,6 +122,8 @@ class ParseableAPI:
         # None until an admin PUTs one — then every new target's
         # destination is authorized through prepare_target (SSRF gate)
         self._target_policy = None
+        # optional overload shedding (resource_check.rs)
+        self.resource_monitor = resource_monitor
         self._alert_bodies: dict[str, dict[str, Any]] = {}
         self._discover_streams()
         self._load_config()
@@ -2593,6 +2596,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)
         try:
+            # resource gate (resource_check.rs middleware): shed the
+            # data plane under overload; health/admin GETs stay up
+            mon = getattr(self.api, "resource_monitor", None)
+            if mon is not None and not mon.resource_ok:
+                self._respond_json(503, {"error": "Server resources over-utilized"})
+                return
             if not self._authorized():
                 return
             if parsed.path in ("/v1/logs", "/v1/metrics", "/v1/traces"):
