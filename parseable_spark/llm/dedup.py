@@ -334,6 +334,108 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
 
 
+def paragraph_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    window: int = 20,
+    min_words: int = 3,
+) -> DataFrame:
+    """(id, para_idx, para, para_hash) rows: one row per paragraph.
+
+    Two segmentations: `sep` (regex — newlines/sentence boundaries for
+    natural text) or fixed `window`-word spans when the corpus has no
+    separators (the driver's synthetic docs). Paragraphs are
+    whitespace-normalized + lowercased before hashing so formatting
+    differences don't defeat the match."""
+    if sep is not None:
+        paras = docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+        )
+    else:
+        w = normalized_words(F.col(text_col))
+        paras = docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.ceil(F.size(w) / window).cast("int") - 1, F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.array_join(F.slice(w, i * window + 1, window), " "),
+                )
+            ).alias("para_idx", "para"),
+        )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " ")
+    return (
+        paras.withColumn("para", norm)
+        .filter(F.size(F.split(F.col("para"), " ")) >= min_words)
+        .withColumn("para_hash", F.md5(F.col("para")))
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    window: int = 20,
+    min_words: int = 3,
+    max_copies: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph-level dedup (the RefinedWeb/Falcon
+    recipe, public): a paragraph appearing in more than `max_copies`
+    documents corpus-wide is boilerplate — remove EVERY occurrence
+    (matching that recipe; headers/footers/license blocks should not
+    survive anywhere) and rebuild each document from its kept
+    paragraphs in original order.
+
+    Returns (id, n_paragraphs, n_dup_paragraphs, dup_ratio,
+    clean_text). Scale shape: one explode, one hash aggregate on the
+    paragraph digest (key cardinality ~ distinct paragraphs, balanced),
+    a broadcast-or-shuffle join back on the digest, and one per-doc
+    rebuild aggregate — no pairwise comparison anywhere; the span
+    window bounds every row's width."""
+    paras = paragraph_rows(docs, id_col, text_col, sep, window, min_words)
+    # distinct-document counts per paragraph digest: a paragraph
+    # repeated WITHIN one doc is repetition (llm.text.repetition
+    # filters), not cross-doc boilerplate
+    copies = paras.groupBy("para_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with")
+    )
+    tagged = paras.join(copies, "para_hash").withColumn(
+        "is_dup", F.col("n_docs_with") > max_copies
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_paragraphs"),
+            F.round(
+                F.sum(F.col("is_dup").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_dup"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def contamination(
     train_docs: DataFrame,
     bench_docs: DataFrame,

@@ -192,3 +192,74 @@ def test_ivf_ann_accepts_trained_codebook(emb_df):
     assert 0 < len(rows) <= 5
     assert rows[0]["vec_id"] == 0  # the query vector itself tops its cell
     assert all(r["cell"] in {c for c, _ in cents} for r in rows)
+
+
+class TestParagraphDedup:
+    """Cross-document paragraph dedup (llm/dedup.py paragraph_dedup —
+    the RefinedWeb/Falcon boilerplate-removal recipe)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        boiler = "subscribe to our newsletter for more updates every week"
+        rows = [
+            (0, f"unique opening zero. {boiler}. unique closing zero."),
+            (1, f"{boiler}. completely different body text here one."),
+            (2, "no boilerplate in this document at all two."),
+            (3, f"another unique text three. {boiler}."),
+            # within-doc repetition only: NOT cross-doc boilerplate
+            (4, "repeated phrase inside four. repeated phrase inside four."),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_boilerplate_removed_everywhere(self, corpus):
+        from parseable_spark.llm import dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup.paragraph_dedup(
+                corpus, sep=r"\.\s*", min_words=3, max_copies=1
+            ).collect()
+        }
+        # the boilerplate sentence appears in docs 0/1/3 -> removed from ALL
+        for did in (0, 1, 3):
+            assert "subscribe" not in out[did]["clean_text"], did
+            assert out[did]["n_dup_paragraphs"] == 1
+        # unique sentences survive, in original order (separator chars
+        # are consumed by the split — spans rejoin with single spaces)
+        assert out[0]["clean_text"] == "unique opening zero unique closing zero"
+        assert out[2]["n_dup_paragraphs"] == 0
+        assert "no boilerplate" in out[2]["clean_text"]
+        # within-doc repetition is NOT flagged (distinct-doc counting)
+        assert out[4]["n_dup_paragraphs"] == 0
+
+    def test_window_mode_on_separatorless_corpus(self, spark):
+        """The driver's synthetic docs have no punctuation: fixed
+        word-window spans segment them; planting the same 6-word span
+        in three docs flags exactly those spans."""
+        from parseable_spark.llm import dedup
+
+        span = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, f"{span} one two three four five six"),
+            (1, f"{span} seven eight nine ten eleven twelve"),
+            (2, "thirteen fourteen fifteen sixteen seventeen eighteen totally unique"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.paragraph_dedup(df, window=6, min_words=3).collect()
+        }
+        assert out[0]["n_dup_paragraphs"] == 1 and out[1]["n_dup_paragraphs"] == 1
+        assert "alpha" not in out[0]["clean_text"]
+        assert out[2]["n_dup_paragraphs"] == 0
+
+    def test_runs_on_fixture_documents(self, spark):
+        from parseable_spark.llm import dedup
+        from parseable_spark.tables import load_table
+        from tests.conftest import SF_SMALL
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        out = dedup.paragraph_dedup(docs, window=20)
+        assert out.count() == docs.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
