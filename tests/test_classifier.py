@@ -46,7 +46,10 @@ def _numpy_gd(X, y, lr, iters):
 def planted_df(spark):
     x1, x2, y = _planted()
     rows = [(int(i), float(a), float(b), float(c)) for i, (a, b, c) in enumerate(zip(x1, x2, y))]
-    return spark.createDataFrame(rows, "id bigint, x1 double, x2 double, y double").cache()
+    df = spark.createDataFrame(rows, "id bigint, x1 double, x2 double, y double").cache()
+    yield df
+    # leave the CacheManager clean for the suite's no-cached-RDDs checks
+    df.unpersist(blocking=True)
 
 
 class TestLogregFit:

@@ -75,7 +75,10 @@ def _numpy_lloyds(X, ids, k, max_iter=10, tol=1e-6):
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rows = [(int(i), [float(x) for x in v]) for i, v in _corpus()]
-    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    yield df
+    # leave the CacheManager clean for the suite's no-cached-RDDs checks
+    df.unpersist(blocking=True)
 
 
 class TestKmeans:
