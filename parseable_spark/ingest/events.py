@@ -38,6 +38,9 @@ class StreamConfig:
     custom_partition: str | None = None
     infer_timestamp: bool = True
     max_flatten_level: int = fl.DEFAULT_MAX_FLATTEN_LEVEL
+    # static-schema stream (static_schema.rs): the registry is seeded at
+    # creation and ingestion rejects fields outside it — no evolution
+    static_schema_flag: bool = False
 
 
 @dataclass
@@ -110,6 +113,21 @@ def prepare_batch(
     )
     # committed types win for already-known fields (derive_arrow_schema path)
     batch_schema = {k: registry.fields.get(k, t) for k, t in coerced.items()}
+    if config.static_schema_flag:
+        # static streams reject data fields outside the declared schema
+        # (is_schema_matching, reference event/format/mod.rs:213-233) —
+        # conflict-renamed fields (type mismatches) land here too since
+        # their renamed names are never declared. The fixed p_* meta
+        # fields stay exempt (add_parseable_fields appends them after
+        # the schema check in the reference as well).
+        unknown = sorted(
+            k for k, t in coerced.items() if t != sc.NULL and k not in registry.fields
+        )
+        if unknown:
+            raise ValueError(
+                f"static schema mismatch for stream {config.name!r}: "
+                f"fields {unknown} are not in the declared schema"
+            )
     is_first = registry.merge(batch_schema)
 
     ts = p_timestamp or datetime.now(timezone.utc).replace(tzinfo=None)

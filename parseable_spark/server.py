@@ -148,8 +148,20 @@ class ParseableAPI:
                 for f in ("manifest.json", "stream.json", "snapshot.json")
             ):
                 continue
+            cfg_kwargs: dict[str, Any] = {}
+            cpath = os.path.join(sdir, "config.json")
+            if os.path.exists(cpath):
+                with open(cpath) as f:
+                    stored = json.load(f)
+                cfg_kwargs = {
+                    "static_schema_flag": bool(stored.get("static_schema_flag")),
+                    "custom_partition": stored.get("custom_partition"),
+                }
             self._stores[name] = StreamStore(
-                self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+                self.spark,
+                self.root,
+                StreamConfig(name=name, **cfg_kwargs),
+                time_col=self.time_col,
             )
             rpath = os.path.join(sdir, "retention.json")
             if os.path.exists(rpath):
@@ -300,7 +312,10 @@ class ParseableAPI:
             raise ApiError(400, "body must be a JSON object or array of objects")
         store = self.get_or_create_stream(stream_name)
         with self._lock:
-            return store.ingest(body, p_custom_fields=custom_fields or None)
+            try:
+                return store.ingest(body, p_custom_fields=custom_fields or None)
+            except ValueError as e:  # reserved column / static schema mismatch
+                raise ApiError(400, str(e)) from None
 
     # -- OTel ingest (ingest.rs:305-388) -------------------------------------
     def ingest_otel(
@@ -1689,16 +1704,58 @@ class ParseableAPI:
         with self._lock:
             return [{"name": n} for n in sorted(self._stores)]
 
-    def create_stream(self, name: str) -> None:
+    def create_stream(
+        self,
+        name: str,
+        body: Any = None,
+        static_schema: bool = False,
+        custom_partition: str | None = None,
+    ) -> None:
         """PUT /api/v1/logstream/{name} (logstream.rs:201-214): create;
         409-equivalent error when it already exists (the reference
-        rejects a bare create of an existing stream)."""
+        rejects a bare create of an existing stream). With
+        `x-p-static-schema-flag: true` the body declares the full field
+        list (static_schema.rs) — the committed schema is seeded up
+        front and ingestion rejects fields outside it."""
+        fields = None
+        if static_schema:
+            from .ingest.static_schema import parse_static_schema
+
+            try:
+                fields = parse_static_schema(body, custom_partition=custom_partition)
+            except ValueError as e:
+                raise ApiError(400, str(e)) from None
         with self._lock:
             if name in self._stores:
                 raise ApiError(400, f"logstream {name} already exists")
-            self._stores[name] = StreamStore(
-                self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+            store = StreamStore(
+                self.spark,
+                self.root,
+                StreamConfig(
+                    name=name,
+                    custom_partition=custom_partition,
+                    static_schema_flag=static_schema,
+                ),
+                time_col=self.time_col,
             )
+            if fields is not None:
+                store.stream.registry.fields = dict(sorted(fields.items()))
+                store.stream.registry.save(store.schema_path)
+            if static_schema or custom_partition:
+                # persist the creation-time stream options so a restart
+                # rebuilds the same enforcement (reference stream.json)
+                import os
+
+                os.makedirs(store.stream_dir, exist_ok=True)
+                with open(os.path.join(store.stream_dir, "config.json"), "w") as f:
+                    json.dump(
+                        {
+                            "static_schema_flag": static_schema,
+                            "custom_partition": custom_partition,
+                        },
+                        f,
+                    )
+            self._stores[name] = store
 
     def delete_stream(self, name: str) -> None:
         """DELETE /api/v1/logstream/{name} (logstream.rs:52-94): drop
@@ -2441,7 +2498,15 @@ class _Handler(BaseHTTPRequestHandler):
                 from .rbac import Action
 
                 self._allow(Action.CREATE_STREAM, name)
-                self.api.create_stream(name)
+                static = (
+                    self.headers.get("x-p-static-schema-flag") or ""
+                ).lower() == "true"
+                self.api.create_stream(
+                    name,
+                    body=self._json_body() if static else None,
+                    static_schema=static,
+                    custom_partition=self.headers.get("x-p-custom-partition"),
+                )
                 self._respond_json(200, {"status": f"created log stream {name}"})
             elif sub == "retention":
                 from .rbac import Action
