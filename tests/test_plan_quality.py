@@ -120,3 +120,32 @@ def test_field_stats_topk_uses_parallel_partial_topk(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, (
         "per-field ORDER BY+LIMIT did not compile to TakeOrderedAndProject"
     )
+
+
+def test_new_library_operators_stay_jvm_side(spark):
+    """The round-3 library operators (not in the 50-entry registry)
+    obey the same invariant as the registry: no row-at-a-time Python in
+    any plan — paragraph dedup, semantic assignment, and classifier
+    scoring are pure column expressions / joins."""
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm import dedup, semantic
+    from parseable_spark.llm.classifier import LinearModel
+    from parseable_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = [(0, [1.0] * 64), (1, [-1.0] * 64)]
+    model = LinearModel(["n_chars"], [0.01], -1.0, 0.0)
+    frames = {
+        "paragraph_dedup": dedup.paragraph_dedup(docs, window=20),
+        "kmeans_assign": semantic.kmeans_assign(emb, cents),
+        "classifier_score": docs.select(
+            F.length("text").alias("n_chars")
+        ).withColumn("p", model.score_col()),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
