@@ -41,6 +41,13 @@ class StreamConfig:
     # static-schema stream (static_schema.rs): the registry is seeded at
     # creation and ingestion rejects fields outside it — no evolution
     static_schema_flag: bool = False
+    # user time partition (SURVEY §1.5; reference json/flatten.rs:157-220):
+    # events carry their own timestamp field, which replaces ingest time
+    # as p_timestamp; first event must be within `time_partition_limit`
+    # days of now, later ones within `max_chunk_age_hours` of the first
+    time_partition: str | None = None
+    time_partition_limit_days: int = 30
+    max_chunk_age_hours: int = 24
 
 
 @dataclass
@@ -48,6 +55,67 @@ class PreparedBatch:
     records: list[dict[str, Any]]
     schema: sc.SchemaRegistry
     is_first: bool  # batch added new fields to the stream schema
+    # user-time-partition streams: the stream's reference timestamp
+    # after this batch (the caller persists it for chunk-age checks)
+    reference_ts: datetime | None = None
+
+
+def _parse_event_time(v: Any, field_name: str) -> datetime:
+    """Reference validate_time_partition's parse rules (json/
+    flatten.rs:168-181): present, a string, RFC3339-parseable."""
+    if v is None:
+        raise ValueError(f"field {field_name!r} is not part of the log")
+    if not isinstance(v, str):
+        raise ValueError(f"field {field_name!r} is not a string")
+    try:
+        dt = datetime.fromisoformat(v.replace("Z", "+00:00").replace("z", "+00:00"))
+    except ValueError:
+        raise ValueError(
+            f"field {field_name!r} is not a valid RFC3339 timestamp"
+        ) from None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def validate_time_partition(
+    records: list[dict[str, Any]],
+    config: "StreamConfig",
+    reference_ts: datetime | None = None,
+    now: datetime | None = None,
+) -> tuple[list[datetime], datetime]:
+    """Per-record event-time extraction + the reference's two-stage age
+    validation (json/flatten.rs:157-220): the stream's FIRST timestamp
+    must be within `time_partition_limit_days` of now; every later one
+    within `max_chunk_age_hours` BEFORE the reference timestamp.
+    Returns (per-record timestamps, updated reference timestamp)."""
+    from datetime import timedelta
+
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    if now.tzinfo is not None:
+        now = now.astimezone(timezone.utc).replace(tzinfo=None)
+    out: list[datetime] = []
+    ref = reference_ts
+    for rec in records:
+        dt = _parse_event_time(rec.get(config.time_partition), config.time_partition)
+        if ref is None:
+            cutoff = now - timedelta(days=config.time_partition_limit_days)
+            if dt < cutoff:
+                raise ValueError(
+                    f"field {config.time_partition!r} timestamp {dt.isoformat()} is "
+                    f"older than the {config.time_partition_limit_days}-day limit"
+                )
+            ref = dt
+        else:
+            oldest = ref - timedelta(hours=config.max_chunk_age_hours)
+            if dt < oldest:
+                raise ValueError(
+                    f"field {config.time_partition!r} timestamp {dt.isoformat()} is "
+                    f"more than {config.max_chunk_age_hours}h older than the "
+                    f"stream reference {ref.isoformat()}"
+                )
+        out.append(dt.replace(microsecond=dt.microsecond // 1000 * 1000))
+    return out, ref
 
 
 def _coerce_value(v: Any, t: str) -> Any:
@@ -78,9 +146,13 @@ def prepare_batch(
     config: StreamConfig,
     p_timestamp: datetime | None = None,
     p_custom_fields: dict[str, str] | None = None,
+    reference_ts: datetime | None = None,
+    now: datetime | None = None,
 ) -> PreparedBatch:
     """Run the full normalization pipeline against the stream's
-    committed schema; mutates `registry` via union-merge."""
+    committed schema; mutates `registry` via union-merge. On
+    user-time-partition streams each record's p_timestamp is its OWN
+    validated event time, not the ingest time."""
     records = fl.flatten_json_body(
         body,
         separator=config.separator,
@@ -130,6 +202,12 @@ def prepare_batch(
             )
     is_first = registry.merge(batch_schema)
 
+    event_times: list[datetime] | None = None
+    new_reference = reference_ts
+    if config.time_partition:
+        event_times, new_reference = validate_time_partition(
+            records, config, reference_ts=reference_ts, now=now
+        )
     ts = p_timestamp or datetime.now(timezone.utc).replace(tzinfo=None)
     if ts.tzinfo is not None:
         ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
@@ -151,19 +229,24 @@ def prepare_batch(
         registry.merge({k: sc.UTF8 for k in extra})
 
     out_records = []
-    for rec in records:
+    for i, rec in enumerate(records):
         typed = {
             k: _coerce_value(v, registry.fields[k])
             for k, v in rec.items()
             if registry.fields.get(k) is not None  # drop all-null untyped fields
         }
-        typed[DEFAULT_TIMESTAMP_KEY] = ts
+        typed[DEFAULT_TIMESTAMP_KEY] = event_times[i] if event_times else ts
         for mk in _META_FIELDS:
             if mk in meta:
                 typed[mk] = meta[mk]
         typed.update(extra)
         out_records.append(typed)
-    return PreparedBatch(records=out_records, schema=registry, is_first=is_first)
+    return PreparedBatch(
+        records=out_records,
+        schema=registry,
+        is_first=is_first,
+        reference_ts=new_reference,
+    )
 
 
 def batch_spark_schema(registry: sc.SchemaRegistry, meta_fields: bool = True) -> StructType:
@@ -189,6 +272,9 @@ class Stream:
 
     config: StreamConfig
     registry: sc.SchemaRegistry = field(default_factory=sc.SchemaRegistry)
+    # user-time-partition streams: first accepted event time, the anchor
+    # for the chunk-age validation (reference REFERENCE_TIMESTAMP)
+    reference_timestamp: datetime | None = None
 
     def ingest(
         self,
@@ -198,6 +284,8 @@ class Stream:
         p_custom_fields: dict[str, str] | None = None,
     ) -> DataFrame:
         batch = prepare_batch(
-            body, self.registry, self.config, p_timestamp, p_custom_fields
+            body, self.registry, self.config, p_timestamp, p_custom_fields,
+            reference_ts=self.reference_timestamp,
         )
+        self.reference_timestamp = batch.reference_ts
         return to_dataframe(spark, batch)

@@ -145,7 +145,7 @@ class ParseableAPI:
                 continue
             if not any(
                 os.path.exists(os.path.join(sdir, f))
-                for f in ("manifest.json", "stream.json", "snapshot.json")
+                for f in ("manifest.json", "stream.json", "snapshot.json", "config.json")
             ):
                 continue
             cfg_kwargs: dict[str, Any] = {}
@@ -156,6 +156,10 @@ class ParseableAPI:
                 cfg_kwargs = {
                     "static_schema_flag": bool(stored.get("static_schema_flag")),
                     "custom_partition": stored.get("custom_partition"),
+                    "time_partition": stored.get("time_partition"),
+                    "time_partition_limit_days": int(
+                        stored.get("time_partition_limit_days") or 30
+                    ),
                 }
             self._stores[name] = StreamStore(
                 self.spark,
@@ -1710,6 +1714,8 @@ class ParseableAPI:
         body: Any = None,
         static_schema: bool = False,
         custom_partition: str | None = None,
+        time_partition: str | None = None,
+        time_partition_limit_days: int = 30,
     ) -> None:
         """PUT /api/v1/logstream/{name} (logstream.rs:201-214): create;
         409-equivalent error when it already exists (the reference
@@ -1722,7 +1728,11 @@ class ParseableAPI:
             from .ingest.static_schema import parse_static_schema
 
             try:
-                fields = parse_static_schema(body, custom_partition=custom_partition)
+                fields = parse_static_schema(
+                    body,
+                    custom_partition=custom_partition,
+                    time_partition=time_partition or "",
+                )
             except ValueError as e:
                 raise ApiError(400, str(e)) from None
         with self._lock:
@@ -1735,13 +1745,15 @@ class ParseableAPI:
                     name=name,
                     custom_partition=custom_partition,
                     static_schema_flag=static_schema,
+                    time_partition=time_partition,
+                    time_partition_limit_days=time_partition_limit_days,
                 ),
                 time_col=self.time_col,
             )
             if fields is not None:
                 store.stream.registry.fields = dict(sorted(fields.items()))
                 store.stream.registry.save(store.schema_path)
-            if static_schema or custom_partition:
+            if static_schema or custom_partition or time_partition:
                 # persist the creation-time stream options so a restart
                 # rebuilds the same enforcement (reference stream.json)
                 import os
@@ -1752,6 +1764,8 @@ class ParseableAPI:
                         {
                             "static_schema_flag": static_schema,
                             "custom_partition": custom_partition,
+                            "time_partition": time_partition,
+                            "time_partition_limit_days": time_partition_limit_days,
                         },
                         f,
                     )
@@ -2501,11 +2515,24 @@ class _Handler(BaseHTTPRequestHandler):
                 static = (
                     self.headers.get("x-p-static-schema-flag") or ""
                 ).lower() == "true"
+                limit_raw = (
+                    self.headers.get("x-p-time-partition-limit") or "30d"
+                ).rstrip("d")
+                try:
+                    limit_days = int(limit_raw)
+                    if limit_days <= 0:
+                        raise ValueError
+                except ValueError:
+                    raise ApiError(
+                        400, "x-p-time-partition-limit must be like '90d'"
+                    ) from None
                 self.api.create_stream(
                     name,
                     body=self._json_body() if static else None,
                     static_schema=static,
                     custom_partition=self.headers.get("x-p-custom-partition"),
+                    time_partition=self.headers.get("x-p-time-partition"),
+                    time_partition_limit_days=limit_days,
                 )
                 self._respond_json(200, {"status": f"created log stream {name}"})
             elif sub == "retention":

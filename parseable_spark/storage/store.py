@@ -95,8 +95,10 @@ class StreamStore:
         p_custom_fields: dict[str, str] | None = None,
     ) -> int:
         batch = prepare_batch(
-            body, self.stream.registry, self.config, p_timestamp, p_custom_fields
+            body, self.stream.registry, self.config, p_timestamp, p_custom_fields,
+            reference_ts=self.stream.reference_timestamp,
         )
+        self.stream.reference_timestamp = batch.reference_ts
         self._staging.append(batch)
         # raw JSON size — the reference's origin_size event counter
         # (src/stats.rs, src/event/mod.rs origin_size)

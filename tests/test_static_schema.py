@@ -143,3 +143,91 @@ def test_dynamic_streams_unaffected(spark, tmp_path):
 
     api = ParseableAPI(spark, str(tmp_path))
     assert api.ingest("free", [{"anything": 1}, {"goes": "here"}]) == 2
+
+
+class TestTimePartition:
+    """User time partition (SURVEY §1.5; reference json/flatten.rs:
+    157-220): the event's own timestamp field replaces ingest time as
+    p_timestamp, with the two-stage age validation."""
+
+    def test_event_time_replaces_ingest_time(self, spark, tmp_path):
+        from datetime import datetime
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        store = StreamStore(
+            spark, str(tmp_path), StreamConfig(name="tp", time_partition="event_ts")
+        )
+        now = datetime.utcnow()
+        iso = lambda d: d.isoformat() + "Z"  # noqa: E731
+        from datetime import timedelta
+
+        t0, t1 = now - timedelta(hours=2), now - timedelta(hours=1)
+        store.ingest([
+            {"event_ts": iso(t0), "msg": "a"},
+            {"event_ts": iso(t1), "msg": "b"},
+        ])
+        rows = {r["msg"]: r["p_timestamp"] for r in store.staging_df().collect()}
+        assert abs((rows["a"] - t0).total_seconds()) < 0.001
+        assert abs((rows["b"] - t1).total_seconds()) < 0.001
+
+    def test_age_validation_two_stage(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        import pytest as _pytest
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        cfg = StreamConfig(
+            name="tp2", time_partition="event_ts",
+            time_partition_limit_days=30, max_chunk_age_hours=24,
+        )
+        store = StreamStore(spark, str(tmp_path), cfg)
+        now = datetime.utcnow()
+        iso = lambda d: d.isoformat() + "Z"  # noqa: E731
+        # first event older than the 30-day limit -> rejected
+        with _pytest.raises(ValueError, match="30-day limit"):
+            store.ingest([{"event_ts": iso(now - timedelta(days=40)), "m": 1}])
+        # first valid event anchors the reference
+        store.ingest([{"event_ts": iso(now - timedelta(days=2)), "m": 1}])
+        # >24h BEFORE the reference -> rejected
+        with _pytest.raises(ValueError, match="older than the"):
+            store.ingest([{"event_ts": iso(now - timedelta(days=4)), "m": 2}])
+        # within the chunk-age window -> accepted
+        assert store.ingest([{"event_ts": iso(now - timedelta(days=2, hours=20)), "m": 3}]) == 1
+        # missing / non-string / unparseable field
+        for bad in [{}, {"event_ts": 5}, {"event_ts": "not a time"}]:
+            with _pytest.raises(ValueError):
+                store.ingest([{**bad, "m": 4}])
+
+    def test_http_create_with_time_partition_and_restart(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from parseable_spark.server import ParseableAPI, serve_background
+
+        api = ParseableAPI(spark, str(tmp_path))
+        srv, base = serve_background(api)
+        try:
+            _req("PUT", base, "/api/v1/logstream/evts", headers={
+                "x-p-time-partition": "event_ts",
+                "x-p-time-partition-limit": "90d",
+            })
+            cfg = api._stores["evts"].config
+            assert cfg.time_partition == "event_ts"
+            assert cfg.time_partition_limit_days == 90
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _req("PUT", base, "/api/v1/logstream/evts2",
+                     headers={"x-p-time-partition-limit": "soon"})
+            assert ei.value.code == 400
+        finally:
+            srv.shutdown()
+        # restart keeps the partition config
+        api2 = ParseableAPI(spark, str(tmp_path))
+        cfg2 = api2._stores["evts"].config
+        assert cfg2.time_partition == "event_ts"
+        assert cfg2.time_partition_limit_days == 90
+        iso = (datetime.utcnow() - timedelta(days=100)).isoformat() + "Z"
+        with pytest.raises(Exception, match="90-day limit"):
+            api2.ingest("evts", [{"event_ts": iso}])
