@@ -231,3 +231,47 @@ class TestTimePartition:
         iso = (datetime.utcnow() - timedelta(days=100)).isoformat() + "Z"
         with pytest.raises(Exception, match="90-day limit"):
             api2.ingest("evts", [{"event_ts": iso}])
+
+
+def test_time_partition_flush_scan_prunes_by_event_time(spark, tmp_path):
+    """Event-time p_timestamp flows through flush → manifest → pruned
+    scan: a query window over the events' OWN times finds them even
+    though ingest happened 'now', and a disjoint window excludes them."""
+    from datetime import datetime, timedelta
+
+    from parseable_spark.ingest.events import StreamConfig
+    from parseable_spark.storage.store import StreamStore
+
+    now = datetime.utcnow()
+    # microsecond-free base: stored event times are ms-truncated
+    base = (now - timedelta(days=1)).replace(microsecond=0)
+    cfg = StreamConfig(name="evtp", time_partition="event_ts")
+    store = StreamStore(spark, str(tmp_path), cfg)
+    iso = lambda d: d.isoformat() + "Z"  # noqa: E731
+    store.ingest(
+        [{"event_ts": iso(base + timedelta(minutes=i)), "n": i} for i in range(5)]
+    )
+    store.flush()
+    df = store.scan(now=now)
+    got = df.filter(
+        (df["p_timestamp"] >= base) & (df["p_timestamp"] < base + timedelta(minutes=10))
+    )
+    assert got.count() == 5
+    # the events are NOT at ingest time
+    assert df.filter(df["p_timestamp"] >= now - timedelta(minutes=5)).count() == 0
+    # manifest prunes a disjoint window to zero files, keeps the real one
+    assert (
+        store.manifest.prune_paths(
+            "p_timestamp",
+            (base + timedelta(hours=6)).isoformat(),
+            (base + timedelta(hours=7)).isoformat(),
+        )
+        == []
+    )
+    assert len(
+        store.manifest.prune_paths(
+            "p_timestamp",
+            base.isoformat(),
+            (base + timedelta(minutes=10)).isoformat(),
+        )
+    ) > 0
