@@ -1784,10 +1784,34 @@ def test_api_malformed_input_robustness(spark, tmp_path):
                 code, _ = hit("POST", path, body)
                 assert code < 600, (path, body)
         for path in ["/api/v1/logstream/s1/retention", "/api/v1/logstream/s1/hottier",
-                     "/api/v1/dashboards/zz", "/api/v1/alerts/zz", "/api/v1/role/x"]:
+                     "/api/v1/dashboards/zz", "/api/v1/alerts/zz", "/api/v1/role/x",
+                     "/api/v1/alert-target-policy"]:
             for body in bad_bodies[:4]:
                 code, _ = hit("PUT", path, body)
                 assert code < 600, (path, body)
+        # round-3 additions: cluster + policy + static-schema routes
+        for path in ["/api/v1/cluster/info", "/api/v1/cluster/metrics",
+                     "/api/v1/alert-target-policy"]:
+            code, _ = hit("GET", path)
+            assert code == 200, path
+        for path in ["/api/v1/cluster/nonsense%20node", "/api/v1/cluster/:::"]:
+            code, _ = hit("DELETE", path)
+            assert 400 <= code < 500, path
+        req = urllib.request.Request(
+            base + "/api/v1/logstream/brokenschema",
+            data=b"not json{",
+            method="PUT",
+            headers={
+                "Content-Type": "application/json",
+                "x-p-static-schema-flag": "true",
+                **admin,
+            },
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("malformed static schema accepted")
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 500 and json.loads(e.read())
         for path in ["/api/v1/dashboards/%00", "/api/prism/v1/apikeys/..%2f..",
                      "/api/v1/logstream/ghost/stats", "/api/v1/o/code",
                      "/api/v1/o/code?code=x", "/api/prism/v1/home/search?bogus=1",
