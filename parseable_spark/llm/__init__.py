@@ -1,9 +1,17 @@
 """Large-scale training-data pipeline operators.
 
 Beyond the reference's observability surface: deduplication (exact,
-MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
-search (brute-force + LSH-bucketed ANN), text analysis (language ID,
-quality scoring, token counting, fingerprinting), and multimodal column
-plumbing. All hot paths are Catalyst column expressions (JVM-side);
-Python appears only in the stubbed multimodal decoders.
+MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup, cross-doc
+paragraph/boilerplate removal, SemDeDup-style semantic dedup over a
+distributed k-means clustering), similarity search (brute-force +
+LSH-bucketed + IVF ANN with deterministic or trained codebooks), text
+analysis (language ID, quality scoring, token counting,
+fingerprinting, repetition filters, TF-IDF, chunking, PII, LM
+quality), a distributed logistic-regression quality classifier,
+deterministic sampling/splitting/packing, and multimodal column
+plumbing with real pure-Python codecs (BMP, baseline JPEG,
+PCM WAV, MJPEG-in-AVI video). All hot paths are Catalyst column
+expressions (JVM-side); Python appears only in the Arrow-batched
+multimodal decode kernels and bounded driver-side model state
+(k-means centroids, classifier coefficients).
 """
