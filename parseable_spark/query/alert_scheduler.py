@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 import time as _time
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any, Callable, Protocol
 
 from .alerts import Alert, AlertState
@@ -59,15 +59,38 @@ class ScheduledAlert:
     targets: list[Target] = field(default_factory=list)
     repeat_notifications: bool = False
     enabled: bool = True  # disabled alerts skip scheduled evaluation
+    # notification state (alerts.rs update_notification_state): "notify"
+    # delivers normally; a mute suppresses DELIVERY (evaluation and the
+    # state machine keep running) until `muted_until` (None = indefinite)
+    notification_state: str = "notify"
+    muted_until: datetime | None = None
     _last_eval: float = 0.0
 
     def due(self, monotonic_now: float) -> bool:
         return monotonic_now - self._last_eval >= self.eval_frequency_s
 
+    def notifications_muted(self, now: datetime | None = None) -> bool:
+        if self.notification_state == "notify":
+            return False
+        if self.muted_until is None:
+            return True  # indefinite
+        now = now or datetime.now(timezone.utc)
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=timezone.utc)
+        until = self.muted_until
+        if until.tzinfo is None:
+            until = until.replace(tzinfo=timezone.utc)
+        if now >= until:
+            # mute expired: flip back to notify (reference resumes)
+            self.notification_state = "notify"
+            self.muted_until = None
+            return False
+        return True
+
     def evaluate(self, engine, now: datetime | None = None) -> AlertState:
         """One rolling-window evaluation `eval_start..now`; notify
         targets on state transition (or every trigger when
-        repeat_notifications)."""
+        repeat_notifications), unless notifications are muted."""
         prev = self.alert.state
         row = engine.query(
             self.alert.to_sql(), self.eval_start, "now", now=now
@@ -75,7 +98,10 @@ class ScheduledAlert:
         value = float(row["agg_value"] or 0.0)
         state = self.alert.update_state(value)
         transition = state != prev
-        if (transition or (self.repeat_notifications and state is AlertState.TRIGGERED)):
+        if (
+            (transition or (self.repeat_notifications and state is AlertState.TRIGGERED))
+            and not self.notifications_muted(now)
+        ):
             for t in self.targets:
                 t.notify(self.alert, state, value)
         return state

@@ -674,6 +674,56 @@ class ParseableAPI:
             state = sa.evaluate(self.engine)
         return {"id": alert_id, "state": state.value}
 
+    def update_notification_state(self, alert_id: str, body: dict[str, Any]) -> dict[str, Any]:
+        """PATCH /api/v1/alerts/{id}/update_notification_state
+        (alerts.rs:392-447): `state` is `notify`, `indefinite`, a
+        humantime duration (mute for that long), or a FUTURE UTC
+        datetime (mute until then). Evaluation keeps running; only
+        notification delivery is suppressed."""
+        from datetime import datetime, timedelta, timezone
+
+        from .query.timerange import _HUMAN_RE, _UNIT_SECONDS
+
+        state = str((body or {}).get("state") or "").strip()
+        if not state:
+            raise ApiError(400, "missing notification state")
+        now = datetime.now(timezone.utc)
+        if state == "notify":
+            ns, until = "notify", None
+        elif state == "indefinite":
+            ns, until = "muted", None
+        else:
+            m = _HUMAN_RE.match(state)
+            if m:
+                until = now + timedelta(
+                    seconds=int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
+                )
+            else:
+                try:
+                    until = datetime.fromisoformat(state.replace("Z", "+00:00"))
+                except ValueError:
+                    raise ApiError(
+                        400,
+                        "expected `notify`, `indefinite`, a humantime duration, "
+                        f"or a UTC datetime; got {state!r}",
+                    ) from None
+                if until.tzinfo is None:
+                    until = until.replace(tzinfo=timezone.utc)
+                if until < now:
+                    raise ApiError(400, "provided time is < now")
+            ns = "muted"
+        with self._lock:
+            if alert_id not in self._alerts:
+                raise ApiError(404, f"no alert {alert_id}")
+            sa = self._alerts[alert_id]
+            sa.notification_state = ns
+            sa.muted_until = until
+        return {
+            "id": alert_id,
+            "notificationState": state if ns == "muted" else "notify",
+            "mutedUntil": until.isoformat() if until else None,
+        }
+
     # -- saved filters (users/filters.rs:38-116, handlers users/filters.rs) --
     def save_filter(self, body: dict[str, Any]) -> dict[str, Any]:
         """POST /api/v1/filters: store a named filter for a stream.
@@ -2031,6 +2081,48 @@ class ParseableAPI:
                 for n in sorted(self._passwords)
             ]
 
+    def get_user_roles(self, name: str) -> list[str]:
+        """GET /api/v1/user/{userid}/role (rbac.rs get_role)."""
+        with self._lock:
+            if name not in self._passwords:
+                raise ApiError(404, f"no user {name}")
+            return list(self.rbac._users[name].roles)
+
+    def modify_user_roles(self, name: str, roles: Any, add: bool) -> list[str]:
+        """PATCH /api/v1/user/{userid}/role/{add,remove}
+        (rbac.rs:363-520): body is a list/set of role names; adding an
+        unknown role is a 400; removing is idempotent."""
+        if not isinstance(roles, list) or not all(isinstance(r, str) for r in roles):
+            raise ApiError(400, "body must be a list of role names")
+        with self._lock:
+            if name not in self._passwords:
+                raise ApiError(404, f"no user {name}")
+            user = self.rbac._users[name]
+            if add:
+                for r in roles:
+                    if r not in self.rbac._roles:
+                        raise ApiError(400, f"unknown role {r!r}")
+                    if r not in user.roles:
+                        user.roles.append(r)
+            else:
+                user.roles = [r for r in user.roles if r not in set(roles)]
+            out = list(user.roles)
+        self._save_config()
+        return out
+
+    def generate_new_password(self, name: str) -> dict[str, str]:
+        """POST /api/v1/user/{userid}/generate-new-password
+        (rbac.rs:218-257): rotate the credential, return the new one."""
+        import secrets
+
+        with self._lock:
+            if name not in self._passwords:
+                raise ApiError(404, f"no user {name}")
+            password = secrets.token_urlsafe(16)
+            self._passwords[name] = password
+        self._save_config()
+        return {"name": name, "password": password}
+
     # -- auth ----------------------------------------------------------------
     def check_auth(self, header: str | None) -> str | None:
         """Resolve the authenticated principal. Returns the username,
@@ -2374,9 +2466,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if not self._authorized():
                     return
                 self._allow(Action.MANAGE)
-                self._respond_json(200, self.api.list_users())
+                if len(parts) == 5 and parts[4] == "role":
+                    self._respond_json(200, self.api.get_user_roles(parts[3]))
+                else:
+                    self._respond_json(200, self.api.list_users())
                 return
-            if parts[:3] == ["api", "v1", "role"]:
+            if parts[:3] in (["api", "v1", "role"], ["api", "v1", "roles"]):
                 from .rbac import Action
 
                 if not self._authorized():
@@ -2580,6 +2675,35 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     self.api.set_alert_enabled(parts[3], parts[4] == "enable"),
                 )
+                return
+            if (
+                parts[:3] == ["api", "v1", "alerts"]
+                and len(parts) == 5
+                and parts[4] == "update_notification_state"
+            ):
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)  # PutAlert-analog
+                self._respond_json(
+                    200,
+                    self.api.update_notification_state(
+                        parts[3], self._json_body() or {}
+                    ),
+                )
+                return
+            if (
+                parts[:3] == ["api", "v1", "user"]
+                and len(parts) == 6
+                and parts[4] == "role"
+                and parts[5] in ("add", "remove")
+            ):
+                from .rbac import Action
+
+                self._allow(Action.MANAGE)
+                roles = self.api.modify_user_roles(
+                    parts[3], self._json_body(), add=parts[5] == "add"
+                )
+                self._respond_json(200, {"name": parts[3], "roles": roles})
                 return
             self._respond_json(404, {"error": f"no route {path}"})
         except ApiError as e:
@@ -2788,8 +2912,16 @@ class _Handler(BaseHTTPRequestHandler):
                 from .rbac import Action
 
                 self._allow(Action.MANAGE)
-                name = parsed.path.rsplit("/", 1)[1]
-                self._respond_json(200, self.api.create_user(name, self._json_body() or {}))
+                uparts = parsed.path.strip("/").split("/")
+                if len(uparts) == 5 and uparts[4] == "generate-new-password":
+                    self._respond_json(
+                        200, self.api.generate_new_password(uparts[3])
+                    )
+                else:
+                    name = parsed.path.rsplit("/", 1)[1]
+                    self._respond_json(
+                        200, self.api.create_user(name, self._json_body() or {})
+                    )
             elif parsed.path == "/api/v1/filters":
                 from .rbac import Action
 

@@ -2014,3 +2014,99 @@ def test_cluster_info_metrics_and_node_removal(spark, tmp_path):
     finally:
         srv.shutdown()
         ingestor.shutdown()
+
+
+def test_user_role_mgmt_and_notification_state(spark, tmp_path):
+    """Round-3 parity routes: PATCH user role add/remove
+    (rbac.rs:363-520), POST generate-new-password (rbac.rs:218-257),
+    GET user roles, GET /api/v1/roles alias, and PATCH alert
+    notification muting (alerts.rs:392-447 — evaluation continues,
+    delivery is suppressed, timed mutes expire)."""
+    import base64 as b64
+
+    from parseable_spark.query.alert_scheduler import ScheduledAlert
+    from parseable_spark.query.alerts import Alert, AlertState
+    from parseable_spark.query.alert_targets import RecordingTransport, WebhookTarget
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def req(method, path, body=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.Request(
+            base + path, data=data, method=method,
+            headers={"Content-Type": "application/json", **admin},
+        )
+        resp = urllib.request.urlopen(r, timeout=30)
+        return json.loads(resp.read())
+
+    try:
+        # roles + user
+        req("PUT", "/api/v1/role/reader", [{"privilege": "reader", "stream": "*"}])
+        req("PUT", "/api/v1/role/writer", [{"privilege": "writer", "stream": "*"}])
+        created = req("POST", "/api/v1/user/casey", {"roles": ["reader"]})
+        old_pw = created["password"]
+        assert req("GET", "/api/v1/user/casey/role") == ["reader"]
+        assert set(req("GET", "/api/v1/roles")) == {"reader", "writer"}
+
+        out = req("PATCH", "/api/v1/user/casey/role/add", ["writer"])
+        assert sorted(out["roles"]) == ["reader", "writer"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("PATCH", "/api/v1/user/casey/role/add", ["ghost-role"])
+        assert ei.value.code == 400
+        out = req("PATCH", "/api/v1/user/casey/role/remove", ["reader", "nope"])
+        assert out["roles"] == ["writer"]
+
+        rotated = req("POST", "/api/v1/user/casey/generate-new-password")
+        assert rotated["password"] != old_pw
+        tok = {"Authorization": "Basic " + b64.b64encode(
+            f"casey:{rotated['password']}".encode()).decode()}
+        r = urllib.request.Request(base + "/api/v1/about", headers=tok)
+        assert urllib.request.urlopen(r, timeout=30).status == 200  # new pw works
+
+        # notification muting: drive a ScheduledAlert directly
+        from datetime import datetime as _dt, timedelta as _td, timezone as _tz
+
+        api.get_or_create_stream("s9").ingest(
+            [{"latency_ms": 999}],
+            p_timestamp=_dt.now(_tz.utc) - _td(minutes=3),
+        )
+        alert = Alert("s9", "max", "latency_ms", ">", 10.0)
+        rec = WebhookTarget("w", "http://127.0.0.1:9/h")
+        rec.transport = RecordingTransport()
+        sa = ScheduledAlert(alert=alert, targets=[rec])
+        api._alerts["a9"] = sa
+        out = req("PATCH", "/api/v1/alerts/a9/update_notification_state",
+                  {"state": "indefinite"})
+        assert out["mutedUntil"] is None
+        for name, store in api._stores.items():
+            api.engine.register_stream(name, store.scan(), time_col=store.time_col)
+        state = sa.evaluate(api.engine)
+        assert state is AlertState.TRIGGERED  # evaluation still runs
+        assert rec.transport.calls == []  # delivery muted
+        # back to notify: the next transition (or repeat) delivers
+        req("PATCH", "/api/v1/alerts/a9/update_notification_state",
+            {"state": "notify"})
+        sa.repeat_notifications = True
+        sa.evaluate(api.engine)
+        assert len(rec.transport.calls) == 1
+        # invalid states
+        for bad in ("", "whenever", "2001-01-01T00:00:00Z"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                req("PATCH", "/api/v1/alerts/a9/update_notification_state",
+                    {"state": bad})
+            assert ei.value.code == 400
+        # timed mute expires
+        out = req("PATCH", "/api/v1/alerts/a9/update_notification_state",
+                  {"state": "1m"})
+        assert out["mutedUntil"] is not None
+        assert sa.notifications_muted()
+        from datetime import datetime, timedelta, timezone
+
+        assert not sa.notifications_muted(
+            now=datetime.now(timezone.utc) + timedelta(minutes=2)
+        )
+        assert sa.notification_state == "notify"  # auto-reset after expiry
+    finally:
+        srv.shutdown()
