@@ -1455,6 +1455,71 @@ class ParseableAPI:
             "retention": self.get_retention(name),
         }
 
+    def dataset_stats(self, body: dict[str, Any]) -> list[dict[str, Any]]:
+        """POST /api/prism/v1/dataset_stats (field_stats.rs:853-890 +
+        build_stats_sql:991-1098): ranked per-field top values with
+        field totals and distinct counts, windowed by offset/limit on
+        the rank. Served from the same single-pass stacked aggregate
+        the write side (q41) uses, so the response matches what a
+        persisted pstats stream would return."""
+        name = str(body.get("dataset_name") or "")
+        if not name:
+            raise ApiError(400, "missing dataset_name")
+        offset = int(body.get("offset") or 0)
+        limit = int(body.get("limit") or 5)
+        if offset < 0 or limit <= 0:
+            raise ApiError(400, "offset must be >= 0 and limit > 0")
+        with self._lock:
+            store = self._stores.get(name)
+        if store is None:
+            raise ApiError(404, f"no dataset {name}")
+        from .query.field_stats import compute_field_stats
+
+        scan = store.scan()
+        fields = [str(f) for f in (body.get("fields") or [])]
+        known = [f for f in fields if f in scan.columns]
+        if fields and not known:
+            return []
+        stats = compute_field_stats(
+            scan, name, fields=known or None, k=offset + limit
+        ).collect()
+        out = []
+        for r in sorted(stats, key=lambda r: r["field_name"]):
+            for dv in list(r["distinct_stats"])[offset : offset + limit]:
+                out.append(
+                    {
+                        "field_name": r["field_name"],
+                        "field_count": r["count"],
+                        "distinct_count": r["distinct_count"],
+                        "distinct_value": dv["distinct_value"],
+                        "distinct_value_count": dv["count"],
+                    }
+                )
+        return out
+
+    def prism_users(self, userid: str | None = None):
+        """GET /api/v1/users[/{userid}] (rbac.rs list_users_prism /
+        get_prism_user): UI-shaped user records; API-key principals
+        are skipped, OAuth principals report their method."""
+        with self._lock:
+            def shape(n: str) -> dict[str, Any]:
+                u = self.rbac._users.get(n)
+                return {
+                    "id": n,
+                    "username": n,
+                    "method": "oauth" if n in self._oauth_users else "native",
+                    "email": None,
+                    "picture": None,
+                    "roles": list(u.roles) if u else [],
+                }
+
+            if userid is not None:
+                if userid not in self._passwords and userid not in self._oauth_users:
+                    raise ApiError(404, f"no user {userid}")
+                return shape(userid)
+            names = sorted(set(self._passwords) | self._oauth_users)
+            return [shape(n) for n in names]
+
     def prism_datasets(
         self, principal: str | None, streams: list[str]
     ) -> list[dict[str, Any]]:
@@ -2471,6 +2536,17 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     self._respond_json(200, self.api.list_users())
                 return
+            if parts[:3] == ["api", "v1", "users"]:
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.MANAGE)
+                self._respond_json(
+                    200,
+                    self.api.prism_users(parts[3] if len(parts) > 3 else None),
+                )
+                return
             if parts[:3] in (["api", "v1", "role"], ["api", "v1", "roles"]):
                 from .rbac import Action
 
@@ -2889,6 +2965,14 @@ class _Handler(BaseHTTPRequestHandler):
                 body = self._json_body() or {}
                 self._allow(Action.QUERY, str(body.get("dataset") or ""))
                 self._respond_json(200, self.api.query_context(body))
+            elif parsed.path == "/api/prism/v1/dataset_stats":
+                from .rbac import Action
+
+                body = self._json_body() or {}
+                if not isinstance(body, dict):
+                    raise ApiError(400, "body must be a JSON object")
+                self._allow(Action.QUERY, str(body.get("dataset_name") or ""))
+                self._respond_json(200, self.api.dataset_stats(body))
             elif parsed.path == "/api/prism/v1/datasets":
                 body = self._json_body() or {}
                 if not isinstance(body, dict):

@@ -2110,3 +2110,65 @@ def test_user_role_mgmt_and_notification_state(spark, tmp_path):
         assert sa.notification_state == "notify"  # auto-reset after expiry
     finally:
         srv.shutdown()
+
+
+def test_dataset_stats_and_prism_users(spark, tmp_path):
+    """POST /api/prism/v1/dataset_stats (field_stats.rs build_stats_sql
+    shape: ranked top values + field/distinct totals, offset/limit on
+    the rank) and GET /api/v1/users[/{id}] prism user records."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+
+    def _post(url, body):
+        data = json.dumps(body).encode()
+        r = urllib.request.Request(url, data=data,
+            headers={"Content-Type": "application/json", **admin})
+        resp = urllib.request.urlopen(r, timeout=30)
+        return resp, json.loads(resp.read())
+
+    def _req(method, url, body=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.Request(url, data=data, method=method,
+            headers={"Content-Type": "application/json", **admin})
+        resp = urllib.request.urlopen(r, timeout=30)
+        return resp, json.loads(resp.read())
+
+    try:
+        api.ingest("web", [
+            {"level": "info"}, {"level": "info"}, {"level": "info"},
+            {"level": "error"}, {"level": "error"}, {"level": "debug"},
+        ])
+        _, rows = _post(base + "/api/prism/v1/dataset_stats",
+                        {"dataset_name": "web", "fields": ["level"], "limit": 2})
+        assert [(r["distinct_value"], r["distinct_value_count"]) for r in rows] == [
+            ("info", 3), ("error", 2)]
+        assert all(r["field_count"] == 6 and r["distinct_count"] == 3 for r in rows)
+        # offset walks the rank window
+        _, page2 = _post(base + "/api/prism/v1/dataset_stats",
+                         {"dataset_name": "web", "fields": ["level"],
+                          "offset": 2, "limit": 2})
+        assert [(r["distinct_value"], r["distinct_value_count"]) for r in page2] == [
+            ("debug", 1)]
+        # unknown fields -> empty; unknown dataset -> 404
+        _, none = _post(base + "/api/prism/v1/dataset_stats",
+                        {"dataset_name": "web", "fields": ["ghost"]})
+        assert none == []
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/prism/v1/dataset_stats", {"dataset_name": "nope"})
+        assert ei.value.code == 404
+
+        # prism users
+        _req("POST", base + "/api/v1/user/jo")
+        _, users = _req("GET", base + "/api/v1/users")
+        assert {"id": "jo", "username": "jo", "method": "native", "email": None,
+                "picture": None, "roles": []} in users
+        _, one = _req("GET", base + "/api/v1/users/jo")
+        assert one["method"] == "native"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("GET", base + "/api/v1/users/ghost")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
