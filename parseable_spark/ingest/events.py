@@ -56,7 +56,9 @@ class PreparedBatch:
     schema: sc.SchemaRegistry
     is_first: bool  # batch added new fields to the stream schema
     # user-time-partition streams: the stream's reference timestamp
-    # after this batch (the caller persists it for chunk-age checks)
+    # after this batch. Process-lifetime state, like the reference's
+    # in-memory REFERENCE_TIMESTAMP (json/flatten.rs:183-188): a
+    # restart re-anchors the chunk-age window on the next first event.
     reference_ts: datetime | None = None
 
 
@@ -200,14 +202,16 @@ def prepare_batch(
                 f"static schema mismatch for stream {config.name!r}: "
                 f"fields {unknown} are not in the declared schema"
             )
-    is_first = registry.merge(batch_schema)
-
+    # every validation that can reject the batch runs BEFORE the merge —
+    # a rejected batch must not commit new fields to the stream schema
     event_times: list[datetime] | None = None
     new_reference = reference_ts
     if config.time_partition:
         event_times, new_reference = validate_time_partition(
             records, config, reference_ts=reference_ts, now=now
         )
+    is_first = registry.merge(batch_schema)
+
     ts = p_timestamp or datetime.now(timezone.utc).replace(tzinfo=None)
     if ts.tzinfo is not None:
         ts = ts.astimezone(timezone.utc).replace(tzinfo=None)

@@ -335,21 +335,9 @@ def decode_image(payload: bytes) -> dict:
 
 
 def resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
-    """REAL aspect-preserving BMP downscale: pixel decode →
-    nearest-neighbor resample (pure numpy index math — out[i, j] =
-    in[floor(i·H/H'), floor(j·W/W')]) → re-encode. Images already
-    inside the box pass through unchanged (scale clamped at 1)."""
-    import numpy as np
-
-    px = decode_bmp_pixels(payload)
-    h, w = px.shape[:2]
-    scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
-    if scale >= 1.0:
-        return payload
-    out_w, out_h = max(int(w * scale), 1), max(int(h * scale), 1)
-    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
-    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
-    return encode_bmp_pixels(px[rows][:, cols])
+    """REAL aspect-preserving BMP downscale — the BMP specialization of
+    resize_image (one implementation of the scale/resample math)."""
+    return resize_image(payload, max_w, max_h)[0]
 
 
 def resize_image(
@@ -428,7 +416,9 @@ def split_video_frames(payload: bytes) -> tuple[list[bytes], int]:
 
     if avi.is_avi(payload):
         meta = avi.decode_avi_mjpeg(payload)
-        ms = 1000 // max(meta["fps"], 1) if meta["fps"] else VIDEO_FRAME_MS
+        # clamp: fps is data-controlled; > 1000 fps must not floor the
+        # cadence to 0 ms (ZeroDivision downstream)
+        ms = max(1000 // max(meta["fps"], 1), 1) if meta["fps"] else VIDEO_FRAME_MS
         return meta["frames"], ms
     return split_bmp_stream(payload), VIDEO_FRAME_MS
 

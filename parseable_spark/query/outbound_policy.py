@@ -175,7 +175,12 @@ def prepare_target(
     denied CIDRs → builtin private ranges → headers."""
     from urllib.parse import urlsplit
 
-    parts = urlsplit(url)
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+        port = parts.port
+    except ValueError:  # malformed IPv6 literal, out-of-range port, ...
+        raise OutboundPolicyError("Target URL is malformed") from None
     scheme = parts.scheme.lower()
     kind = kind.lower()
     if kind == "slack":
@@ -188,7 +193,6 @@ def prepare_target(
     if skip_tls_check and not policy.allow_invalid_tls:
         raise OutboundPolicyError("TLS verification cannot be disabled")
 
-    host = parts.hostname
     if not host:
         raise OutboundPolicyError("Target URL is missing a host")
     # denied domains win before DNS resolution (no needless egress)
@@ -197,7 +201,7 @@ def prepare_target(
     if kind == "slack" and host not in _SLACK_HOSTS:
         raise OutboundPolicyError("Slack target host is invalid")
 
-    port = parts.port or (443 if scheme == "https" else 80)
+    port = port or (443 if scheme == "https" else 80)
     try:
         ip = ipaddress.ip_address(host)
         addrs = [str(ip)]

@@ -233,7 +233,16 @@ class ParseableAPI:
                     self._target_policy.to_dict() if self._target_policy else None
                 ),
                 "alerts": {
-                    aid: {**body, "enabled": self._alerts[aid].enabled}
+                    aid: {
+                        **body,
+                        "enabled": self._alerts[aid].enabled,
+                        "notification_state": self._alerts[aid].notification_state,
+                        "muted_until": (
+                            self._alerts[aid].muted_until.isoformat()
+                            if self._alerts[aid].muted_until
+                            else None
+                        ),
+                    }
                     for aid, body in self._alert_bodies.items()
                     if aid in self._alerts
                 },
@@ -290,10 +299,17 @@ class ParseableAPI:
                 self._target_bodies[tid] = body
             for aid, body in (cfg.get("alerts") or {}).items():
                 enabled = bool(body.pop("enabled", True))
+                ns = str(body.pop("notification_state", "notify"))
+                muted_raw = body.pop("muted_until", None)
                 created = self.create_alert(body)
                 sa = self._alerts.pop(created["id"])
                 self._alert_bodies.pop(created["id"], None)
                 sa.enabled = enabled
+                sa.notification_state = ns
+                if muted_raw:
+                    from datetime import datetime as _dt
+
+                    sa.muted_until = _dt.fromisoformat(muted_raw)
                 self._alerts[aid] = sa
                 self._alert_bodies[aid] = body
 
@@ -353,7 +369,10 @@ class ParseableAPI:
             raise ApiError(400, f"malformed OTLP payload: {e}") from e
         store = self.get_or_create_stream(stream_name)
         with self._lock:
-            return store.ingest(records, p_custom_fields=custom_fields or None)
+            try:
+                return store.ingest(records, p_custom_fields=custom_fields or None)
+            except ValueError as e:  # reserved column / static schema mismatch
+                raise ApiError(400, str(e)) from None
 
     # -- query (query.rs:63-77, 590-631) ------------------------------------
     def _query_df(self, payload: dict[str, Any]):
@@ -490,7 +509,9 @@ class ParseableAPI:
             validate_policy,
         )
 
-        policy = TargetPolicy.from_dict(body if isinstance(body, dict) else {})
+        if not isinstance(body, dict):
+            raise ApiError(400, "policy body must be a JSON object")
+        policy = TargetPolicy.from_dict(body)
         try:
             validate_policy(policy)
         except OutboundPolicyError as e:
@@ -718,6 +739,7 @@ class ParseableAPI:
             sa = self._alerts[alert_id]
             sa.notification_state = ns
             sa.muted_until = until
+        self._save_config()  # mute state survives restarts, like enabled
         return {
             "id": alert_id,
             "notificationState": state if ns == "muted" else "notify",
@@ -1096,7 +1118,8 @@ class ParseableAPI:
                 "node_type": ntype,
             }
         ]
-        for port in list(self.ingestor_ports):
+
+        def probe(port: int) -> dict[str, Any]:
             row: dict[str, Any] = {
                 "domain_name": f"localhost:{port}",
                 "reachable": False,
@@ -1116,7 +1139,16 @@ class ParseableAPI:
                 )
             except Exception as e:  # noqa: BLE001 — dead peer is a row, not a 500
                 row["error"] = str(e)[:200]
-            infos.append(row)
+            return row
+
+        # probe concurrently: N dead peers cost one timeout, not N
+        # (the reference's future::join over fetch_nodes_info)
+        from concurrent.futures import ThreadPoolExecutor
+
+        ports = list(self.ingestor_ports)
+        if ports:
+            with ThreadPoolExecutor(max_workers=min(len(ports), 16)) as ex:
+                infos.extend(ex.map(probe, ports))
         return infos
 
     def cluster_metrics(self) -> list[dict[str, Any]]:
@@ -1128,18 +1160,24 @@ class ParseableAPI:
 
         name, ntype = self._self_node()
         rows = [{"address": name, "node_type": ntype, "streams": self.stats_snapshot()}]
-        for port in list(self.ingestor_ports):
+
+        def fetch(port: int) -> dict[str, Any] | None:
             try:
                 streams = flight.node_action(port, "metrics")
             except Exception:  # noqa: BLE001
-                continue
-            rows.append(
-                {
-                    "address": f"localhost:{port}",
-                    "node_type": "ingestor",
-                    "streams": streams,
-                }
-            )
+                return None
+            return {
+                "address": f"localhost:{port}",
+                "node_type": "ingestor",
+                "streams": streams,
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        ports = list(self.ingestor_ports)
+        if ports:
+            with ThreadPoolExecutor(max_workers=min(len(ports), 16)) as ex:
+                rows.extend(r for r in ex.map(fetch, ports) if r is not None)
         return rows
 
     def remove_cluster_node(self, domain: str) -> dict[str, str]:
@@ -2234,6 +2272,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- helpers -------------------------------------------------------------
     def _json_body(self) -> Any:
+        self._body_consumed = True
         length = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(length) if length else b""
         if not raw:
@@ -2243,7 +2282,24 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError as e:
             raise ApiError(400, f"invalid JSON body: {e}") from e
 
+    def _drain_body(self) -> None:
+        """Consume an unread request body before responding. HTTP/1.1
+        keep-alive reuses the connection: leftover body bytes would be
+        parsed as the NEXT request line (a real desync for early
+        responses like the 503 resource gate or a 401)."""
+        if getattr(self, "_body_consumed", False):
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            self.rfile.read(length)
+        self._body_consumed = True
+
+    def handle_one_request(self) -> None:  # noqa: D102 — per-request reset
+        self._body_consumed = False
+        super().handle_one_request()
+
     def _respond_json(self, status: int, obj: Any, extra: dict[str, str] | None = None) -> None:
+        self._drain_body()
         body = json.dumps(obj, separators=(",", ":")).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")

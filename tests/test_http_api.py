@@ -2172,3 +2172,24 @@ def test_dataset_stats_and_prism_users(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_mute_state_survives_restart(spark, tmp_path):
+    """Review finding: notification mute must persist like enabled."""
+    api = ParseableAPI(spark, str(tmp_path))
+    api.ingest("m1", [{"v": 1}])
+    api._stores["m1"].flush()  # stream must be on disk for restart discovery
+    created = api.create_alert(
+        {"stream": "m1", "aggregate": "max", "column": "v",
+         "operator": ">", "threshold": 100}
+    )
+    aid = created["id"]
+    api.update_notification_state(aid, {"state": "indefinite"})
+    api2 = ParseableAPI(spark, str(tmp_path))
+    sa = api2._alerts[aid]
+    assert sa.notification_state == "muted" and sa.muted_until is None
+    assert sa.notifications_muted()
+    # timed mute persists its deadline too
+    api2.update_notification_state(aid, {"state": "2h"})
+    api3 = ParseableAPI(spark, str(tmp_path))
+    assert api3._alerts[aid].muted_until is not None

@@ -221,3 +221,22 @@ def test_policy_http_surface_and_enforcement(spark, tmp_path):
     api2 = ParseableAPI(spark, str(tmp_path))
     assert api2._target_policy is not None
     assert api2._target_policy.denied_domains == ["evil.example.com"]
+
+
+def test_malformed_urls_rejected_not_crashed():
+    """Review finding: out-of-range ports / broken IPv6 literals raise
+    OutboundPolicyError (HTTP 400), never ValueError (HTTP 500)."""
+    for url in ("http://example.com:99999/hook", "http://[::1", "http://[zz]/x"):
+        with pytest.raises(OutboundPolicyError):
+            prepare_target(url, "webhook", TargetPolicy(), resolver=lambda h, p: ["8.8.8.8"])
+
+
+def test_non_dict_policy_body_rejected(spark, tmp_path):
+    from parseable_spark.server import ParseableAPI, ApiError
+
+    api = ParseableAPI(spark, str(tmp_path))
+    for bad in ([], "oops", 5, None):
+        with pytest.raises(ApiError) as ei:
+            api.put_target_policy(bad)
+        assert ei.value.status == 400
+    assert api._target_policy is None  # nothing became active

@@ -275,3 +275,20 @@ def test_time_partition_flush_scan_prunes_by_event_time(spark, tmp_path):
             (base + timedelta(minutes=10)).isoformat(),
         )
     ) > 0
+
+
+def test_rejected_batch_commits_no_schema_fields(spark, tmp_path):
+    """Review finding: a time-partition-rejected batch must NOT leave
+    its new fields in the committed schema."""
+    from datetime import datetime, timedelta
+
+    from parseable_spark.ingest.events import StreamConfig
+    from parseable_spark.storage.store import StreamStore
+
+    cfg = StreamConfig(name="tpx", time_partition="event_ts")
+    store = StreamStore(spark, str(tmp_path), cfg)
+    old = (datetime.utcnow() - timedelta(days=40)).isoformat() + "Z"
+    with pytest.raises(ValueError):
+        store.ingest([{"event_ts": old, "phantom_field": 1}])
+    assert "phantom_field" not in store.stream.registry.fields
+    assert store.stream.reference_timestamp is None  # nothing anchored
