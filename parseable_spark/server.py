@@ -124,6 +124,11 @@ class ParseableAPI:
         self._target_policy = None
         # optional overload shedding (resource_check.rs)
         self.resource_monitor = resource_monitor
+        # SSE broadcaster: alert state-change push to UI sessions
+        # (src/sse/mod.rs Broadcaster; wired per-alert in create_alert)
+        from .sse import SseBroadcaster
+
+        self.sse = SseBroadcaster()
         self._alert_bodies: dict[str, dict[str, Any]] = {}
         self._discover_streams()
         self._load_config()
@@ -610,6 +615,19 @@ class ParseableAPI:
         )
         sa.target_ids = target_ids
         alert_id = _uuid.uuid4().hex
+        # SSE push on trigger (alerts/mod.rs:711-751): broadcast to
+        # connected sessions whose principal may QUERY the stream;
+        # sits in targets so it inherits the notification-mute gate
+        from .sse import SseAlertTarget
+
+        sa.targets.append(
+            SseAlertTarget(
+                self.sse,
+                alert_id,
+                body.get("title") or f"{agg}({body.get('aggregateColumn') or '*'}) on {stream}",
+                allow=lambda p, s=stream: self._principal_can_query(p, s),
+            )
+        )
         with self._lock:
             self._alerts[alert_id] = sa
             self._alert_bodies[alert_id] = dict(body)
@@ -652,6 +670,11 @@ class ParseableAPI:
             self.scheduler._alerts.remove(sa)
             sa.enabled = old.enabled
             self.scheduler._alerts.remove(old)
+            from .sse import SseAlertTarget
+
+            for t in sa.targets:  # re-key the SSE target to the kept id
+                if isinstance(t, SseAlertTarget):
+                    t.alert_id = alert_id
             self._alerts[alert_id] = sa
             self._alert_bodies[alert_id] = dict(body)
             self.scheduler.register(sa)
@@ -2248,6 +2271,18 @@ class ParseableAPI:
             return user
         return None
 
+    def _principal_can_query(self, principal: str | None, stream: str) -> bool:
+        """Boolean form of the QUERY gate, for SSE broadcast filtering
+        (alerts/mod.rs:726-733 user_auth_for_alert_config per active
+        session)."""
+        from .rbac import Action
+
+        try:
+            self.authorize(principal, Action.QUERY, stream)
+            return True
+        except ApiError:
+            return False
+
     def authorize(self, principal: str | None, action, stream: str = "*") -> None:
         """Per-action grant check (reference user_auth_for_datasets);
         '*' principals (open server / built-in admin) skip it."""
@@ -2370,6 +2405,64 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _allow(self, action, stream: str = "*") -> None:
         self.api.authorize(self.principal, action, stream)
+
+    def _serve_sse(self, qp: dict[str, str]) -> None:
+        """GET /api/v1/sse — ``text/event-stream`` of alert events.
+
+        Reference register_sse_client (sse/mod.rs:183-198): requires a
+        SESSION key — BasicAuth is rejected with 400 ("SSE requires
+        session-based authentication, not BasicAuth"); the first frame
+        is ``data: connected``; the server pings every 10 s and drops
+        clients whose socket has gone away. ``max_events`` (query
+        param, this repo) closes the stream after N alert events — a
+        test/CLI affordance, absent → stream until disconnect."""
+        import queue as _queue
+        import time as _time
+
+        from .sse import format_frame
+
+        sid = self._session_cookie()
+        principal = self.api.check_session(sid) if sid else None
+        if principal is None:
+            if self.headers.get("Authorization"):
+                raise ApiError(
+                    400, "SSE requires session-based authentication, not BasicAuth"
+                )
+            raise ApiError(401, "unauthorized")
+        try:
+            max_events = int(qp.get("max_events", "0"))
+        except ValueError as e:
+            raise ApiError(400, "invalid max_events") from e
+        client = self.api.sse.register(sid, principal)
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        sent = 0
+        last_ping = _time.monotonic()
+        try:
+            while True:
+                try:
+                    kind, text = client.q.get(timeout=0.25)
+                except _queue.Empty:
+                    if _time.monotonic() - last_ping >= 10.0:
+                        # ping sweep: a dead socket raises here and the
+                        # client is dropped (sse/mod.rs:65-103)
+                        self.wfile.write(format_frame("comment", "ping"))
+                        self.wfile.flush()
+                        last_ping = _time.monotonic()
+                    continue
+                self.wfile.write(format_frame(kind, text))
+                self.wfile.flush()
+                if kind == "data" and text != "connected":
+                    sent += 1
+                    if max_events and sent >= max_events:
+                        return
+        except (ConnectionError, OSError):
+            return  # client went away; ping sweep analog
+        finally:
+            self.api.sse.unregister(client)
 
     def _is_admin(self) -> bool:
         """Admin = open-server/built-in principal or a MANAGE grant —
@@ -2532,6 +2625,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if path in ("/api/v1/liveness", "/api/v1/readiness"):
                 self._respond_json(200, {"status": "ok"})
+                return
+            if path == "/api/v1/sse":
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                self._serve_sse(qp)
                 return
             if path == "/api/v1/metrics":
                 from .rbac import Action

@@ -2193,3 +2193,115 @@ def test_mute_state_survives_restart(spark, tmp_path):
     api2.update_notification_state(aid, {"state": "2h"})
     api3 = ParseableAPI(spark, str(tmp_path))
     assert api3._alerts[aid].muted_until is not None
+
+
+def test_sse_alert_push_e2e(spark, tmp_path):
+    """SSE alert push (reference src/sse/mod.rs + alerts/mod.rs:711-751):
+    GET /api/v1/sse requires session auth (BasicAuth → 400, none → 401),
+    greets with ``data: connected`` (sse/mod.rs:113), and an alert
+    transitioning to Triggered broadcasts a camelCase alertEvent — only
+    to sessions whose principal may QUERY the alert's stream
+    (user_auth_for_alert_config analog)."""
+    import base64 as b64
+    import http.client
+    import time as _time
+    from datetime import datetime, timedelta, timezone
+
+    provider = _FakeOidcProvider()
+    from parseable_spark.oidc import OpenidConfig
+
+    api = ParseableAPI(
+        spark, str(tmp_path), auth=("admin", "root-pw"),
+        oidc=OpenidConfig(
+            client_id="pclient", client_secret="psecret",
+            issuer=provider.base, origin="http://127.0.0.1:0",
+        ),
+    )
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+    host, port = srv.server_address
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+
+    def req(method, path, body=None, headers=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"Content-Type": "application/json", **(headers or {})},
+            ),
+            timeout=30,
+        )
+        return json.loads(r.read())
+
+    try:
+        # two streams with breaching data 2 min in the past (eval "now"
+        # truncates to the minute); analyst role reads s1 ONLY
+        ts = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(minutes=2)
+        api.get_or_create_stream("s1").ingest([{"value": 95.0}], p_timestamp=ts)
+        api.get_or_create_stream("s2").ingest([{"value": 95.0}], p_timestamp=ts)
+        req("PUT", "/api/v1/role/analyst",
+            [{"privilege": "reader", "stream": "s1"}], admin)
+
+        # session via the OIDC code flow (fake provider groups: analyst)
+        try:
+            opener.open(base + "/api/v1/o/code?code=good-code&state=/", timeout=30)
+            raise AssertionError("expected 307")
+        except urllib.error.HTTPError as e:
+            assert e.code == 307
+            cookie = e.headers["Set-Cookie"].split(";")[0]
+        sess = {"Cookie": cookie}
+
+        mk = lambda stream: req(  # noqa: E731
+            "POST", "/api/v1/alerts",
+            {"stream": stream, "aggregate": "max", "aggregateColumn": "value",
+             "operator": ">", "threshold": 90.0, "evalStart": "10m"},
+            admin)["id"]
+        a1, a2 = mk("s1"), mk("s2")
+
+        # auth shape: BasicAuth → 400 (reference register_sse_client
+        # rejects non-session keys), nothing → 401
+        for hdrs, want in ((admin, 400), ({}, 401)):
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(base + "/api/v1/sse", headers=hdrs),
+                    timeout=30)
+                raise AssertionError("expected HTTP error")
+            except urllib.error.HTTPError as e:
+                assert e.code == want and json.loads(e.read())
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/api/v1/sse?max_events=1", headers=sess)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        assert resp.readline() == b"data: connected\n"
+        assert resp.readline() == b"\n"
+        assert api.sse.sessions()  # registered while connected
+
+        # trigger the UNAUTHORIZED stream's alert first: it must be
+        # filtered out, so the single delivered event is a1's
+        assert req("POST", f"/api/v1/alerts/{a2}/evaluate", {}, admin)["state"] == "triggered"
+        assert req("POST", f"/api/v1/alerts/{a1}/evaluate", {}, admin)["state"] == "triggered"
+
+        rest = resp.read()  # max_events=1 → server closes after a1's event
+        conn.close()
+        frames = [f for f in rest.decode().split("\n\n") if f.startswith("data: ")]
+        assert len(frames) == 1, rest
+        evt = json.loads(frames[0][len("data: "):])
+        assert evt["criticality"] == "error" and evt["tenantId"] is None
+        assert evt["message"]["alertEvent"] == {
+            "id": a1, "state": "triggered", "name": "max(value) on s1"}
+
+        # disconnect unregisters the client
+        deadline = _time.monotonic() + 5
+        while api.sse.sessions() and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert api.sse.sessions() == []
+    finally:
+        srv.shutdown()
+        provider.shutdown()

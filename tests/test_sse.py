@@ -1,0 +1,85 @@
+"""SSE broadcaster unit tests (reference src/sse/mod.rs).
+
+The HTTP transport + alert integration is e2e-tested in
+test_http_api.py::test_sse_alert_push_e2e; these cover the
+broadcaster's fan-out semantics in isolation: the connected greeting,
+session targeting, principal filtering, slow-consumer overflow skip,
+and the Triggered-only gate of the alert target adapter.
+"""
+
+from __future__ import annotations
+
+import json
+
+from parseable_spark.sse import (
+    SseAlertTarget,
+    SseBroadcaster,
+    alert_event,
+    format_frame,
+)
+
+
+def _drain(client):
+    out = []
+    while not client.q.empty():
+        out.append(client.q.get_nowait())
+    return out
+
+
+def test_register_greets_connected_and_lists_sessions():
+    b = SseBroadcaster()
+    c = b.register("sid-1", "alice")
+    assert b.sessions() == ["sid-1"]
+    assert _drain(c) == [("data", "connected")]
+    b.unregister(c)
+    assert b.sessions() == []
+
+
+def test_broadcast_filters_by_principal_and_session():
+    b = SseBroadcaster()
+    ca = b.register("sid-a", "alice")
+    cb = b.register("sid-b", "bob")
+    _drain(ca), _drain(cb)
+    # principal filter (per-session authorization gate)
+    n = b.broadcast({"x": 1}, allow=lambda p: p == "alice")
+    assert n == 1
+    assert _drain(ca) == [("data", '{"x": 1}')]
+    assert _drain(cb) == []
+    # explicit session targeting (sse/mod.rs broadcast(sessions=Some))
+    n = b.broadcast({"x": 2}, sessions=["sid-b"])
+    assert n == 1 and _drain(cb) == [("data", '{"x": 2}')] and _drain(ca) == []
+
+
+def test_slow_consumer_overflow_skips_not_blocks():
+    b = SseBroadcaster()
+    c = b.register("sid", "u")
+    # fill the bounded queue; broadcast must neither block nor raise
+    while True:
+        try:
+            c.q.put_nowait(("data", "fill"))
+        except Exception:
+            break
+    assert b.broadcast({"dropped": True}) == 0  # skip-on-overflow
+    b.ping()  # same discipline for pings
+    assert c.q.full()
+
+
+def test_alert_target_triggers_only_on_triggered():
+    from parseable_spark.query.alerts import AlertState
+
+    b = SseBroadcaster()
+    c = b.register("sid", "u")
+    _drain(c)
+    t = SseAlertTarget(b, "aid-1", "max(v) on s", allow=None)
+    t.notify(None, AlertState.NOT_TRIGGERED, 1.0)
+    assert _drain(c) == []
+    t.notify(None, AlertState.TRIGGERED, 99.0)
+    frames = _drain(c)
+    assert len(frames) == 1
+    evt = json.loads(frames[0][1])
+    assert evt == alert_event("aid-1", "triggered", "max(v) on s")
+
+
+def test_wire_frames():
+    assert format_frame("data", "hello") == b"data: hello\n\n"
+    assert format_frame("comment", "ping") == b": ping\n\n"
