@@ -89,6 +89,35 @@ def lsh_bands(num_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
     return bands
 
 
+def banded_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash): the melted LSH banding of a corpus —
+    the shared front half of every MinHash pipeline (full and
+    incremental)."""
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signatures(
+        shingle_rows(docs, id_col, text_col, shingle_n), id_col, num_hashes
+    )
+    banded = sig.select(F.col(id_col), *lsh_bands(num_hashes, rows_per_band))
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_hash")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -121,22 +150,7 @@ def minhash_lsh_candidates(
     recovers the cluster). Deterministic (min-id rep, no RNG), so the
     output is stable run-to-run at any cap.
     """
-    num_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(
-        shingle_rows(docs, id_col, text_col, shingle_n), id_col, num_hashes
-    )
-    banded = sig.select(F.col(id_col), *lsh_bands(num_hashes, rows_per_band))
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band_idx", "b.band_hash")
+    melted = banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
     from pyspark.sql.window import Window
 
     # Bucket size via an unordered partitioned window — same shuffle key
@@ -219,6 +233,145 @@ def jaccard_verify(
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH signature index of a corpus:
+    (id, band_idx, band_hash, bsz, rep_id) — banded minhash rows plus
+    each bucket's size and min-id representative, precomputed at build
+    time so incremental runs never re-aggregate the historical corpus.
+
+    At 100 TB this is THE dedup artifact to keep: ~num_bands narrow
+    rows per document, written partitioned/bucketed by band_hash so an
+    increment's probe join co-locates without shuffling the index.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("rep_id", F.min(id_col).over(w))
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Candidate pairs for a corpus INCREMENT against a prebuilt
+    `build_lsh_index` — the production shape for rolling ingestion:
+    signatures of the historical corpus are read, never recomputed, and
+    only pairs involving a new document are emitted (old↔old pairs were
+    already found when the index was built).
+
+    Output (id_a < id_b): new↔new pairs via the same banded self-join +
+    giant-bucket star guard as `minhash_lsh_candidates`, plus new↔old
+    pairs via a probe join of the increment's bands against the index —
+    the new side of that join is the small side (broadcast; with the
+    index stored bucketed by band_hash the probe is also
+    partition-prunable, so a daily increment touches only the band
+    partitions it hashes into). Index buckets past `bucket_cap` pair
+    each new doc against the bucket's stored representative only —
+    bounded output, connectivity through the rep preserved, same
+    trade-off as the intra-corpus guard.
+    """
+    new_banded = banded_rows(
+        new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
+    ).localCheckpoint()  # consumed by three branches; freed with result
+
+    # -- new ↔ new (identical machinery to the full pipeline) ----------
+    from pyspark.sql.window import Window
+
+    sized = new_banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    )
+    small = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    a, b = small.alias("a"), small.alias("b")
+    nn_small = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    giant = sized.filter(F.col("bsz") > bucket_cap).drop("bsz")
+    reps = giant.groupBy("band_idx", "band_hash").agg(F.min(id_col).alias("rep"))
+    nn_giant = (
+        giant.join(reps, ["band_idx", "band_hash"])
+        .filter(F.col(id_col) > F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+    # -- new ↔ old (probe the index; new side broadcast) ---------------
+    probe = F.broadcast(
+        new_banded.select(
+            F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+        )
+    )
+    idx_small = index.filter(F.col("bsz") <= bucket_cap)
+    no_small = idx_small.join(probe, ["band_idx", "band_hash"]).select(
+        F.least(F.col(id_col), F.col("new_id")).alias("id_a"),
+        F.greatest(F.col(id_col), F.col("new_id")).alias("id_b"),
+    )
+    # giant index buckets: one stored rep row per bucket meets the probe
+    idx_giant_reps = (
+        index.filter(F.col("bsz") > bucket_cap)
+        .filter(F.col(id_col) == F.col("rep_id"))
+        .select("band_idx", "band_hash", id_col)
+    )
+    no_giant = idx_giant_reps.join(probe, ["band_idx", "band_hash"]).select(
+        F.least(F.col(id_col), F.col("new_id")).alias("id_a"),
+        F.greatest(F.col(id_col), F.col("new_id")).alias("id_b"),
+    )
+
+    return (
+        nn_small.union(nn_giant)
+        .union(no_small)
+        .union(no_giant)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def merge_lsh_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fold an increment into the index: union the increment's banded
+    rows and refresh bsz/rep_id per bucket. One shuffle over narrow
+    index rows (no text rescan of the historical corpus); in a
+    warehouse this is the nightly index-compaction job."""
+    from pyspark.sql.window import Window
+
+    new_banded = banded_rows(
+        new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
+    )
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        index.select(id_col, "band_idx", "band_hash")
+        .union(new_banded)
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("rep_id", F.min(id_col).over(w))
+    )
 
 
 def exact_dedup(

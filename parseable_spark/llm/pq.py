@@ -1,0 +1,284 @@
+"""Product quantization (PQ) for embedding compression + ANN at scale.
+
+The IVF-PQ pairing (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public) is the standard way to
+fit billion-vector indexes in memory: split each d-dim vector into m
+subvectors, vector-quantize each subspace with its own k-centroid
+codebook, and store only the m code ids (m bytes at k<=256) instead of
+d floats. Search scores compressed codes against a query with
+asymmetric distance computation (ADC): a per-query lookup table of
+m x k exact subspace distances, then each candidate costs m table
+lookups instead of d multiplies.
+
+Why this matters at 100 TB: float32 embeddings at 64-dim are 256
+bytes/vector; PQ(m=8, k=16) stores 8 small ints — the whole corpus's
+codes fit in a fraction of cluster RAM, scans stream 30x fewer bytes,
+and the ADC score is a short codegen'd expression over an int array.
+Composes with IVF (llm/similarity.py): coarse cells prune the scan,
+PQ compresses what remains — that pairing IS the faiss IVFPQ layout.
+
+Spark shape:
+- `pq_fit`: joint Lloyd's over all m subspaces at once — ONE pass per
+  iteration (explode each vector into m subvector rows, assign via a
+  broadcast (subspace, cid) codebook, update via hash aggregate).
+  Driver state per iteration = m*k*(d/m) = k*d floats, corpus-size
+  independent. Same determinism rules as llm/semantic.kmeans_fit:
+  lowest-id init, id tie-breaks, no RNG.
+- `pq_encode`: one broadcast-join argmin + one (id) aggregate →
+  (id, codes array<int>). No shuffle wider than the output.
+- `pq_topk`: driver computes the m x k ADC table from the query
+  (pure numpy-free python, bounded), embeds it as literal arrays, and
+  the score is a sum of m `element_at` lookups — whole-stage codegen,
+  no UDF; top-k via orderBy+limit (TakeOrderedAndProject).
+- `ivf_pq_topk`: nprobe nearest coarse cells are a driver-side argmax
+  over the (bounded) coarse codebook; the candidate filter is
+  `cell IN (...)` — partition-prunable when the code table is written
+  partitioned by cell, exactly like ivf_ann.
+
+Distances are squared L2 (the PQ-native metric; on unit-normalized
+embeddings L2 ranking equals cosine ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions import as_double_array
+
+Codebooks = list[list[list[float]]]  # [subspace][centroid][dim]
+
+
+def _l2sq(a, b):
+    """Squared L2 over two array<double> columns (sequential fold —
+    deterministic, engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _l2sq_py(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return s
+
+
+def _subvectors(
+    embeddings: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): each vector exploded into its m subvectors."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    slices = F.array(
+        *[F.slice(as_double_array(vec_col), j * sub + 1, sub) for j in range(m)]
+    )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sv")
+    )
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embeddings")
+    return int(row["d"])
+
+
+def _codebook_df(spark, codebooks: Codebooks):
+    rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "sub int, cid int, cv array<double>")
+
+
+def _assign(subvecs: DataFrame, cb, id_col: str) -> DataFrame:
+    """(id, sub, sv, code): nearest centroid per subspace — argmin via
+    min-over-struct so combining happens map-side; codebook broadcast,
+    ties break on the lower cid."""
+    return (
+        subvecs.join(broadcast(cb), "sub")
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min(F.struct(_l2sq(F.col("sv"), F.col("cv")).alias("d2"),
+                           F.col("cid"))).alias("best"),
+            F.first("sv").alias("sv"),
+        )
+        .select(id_col, "sub", "sv", F.col("best.cid").alias("code"))
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Train the m per-subspace codebooks (joint Lloyd's, one scan per
+    iteration for ALL subspaces). Returns [subspace][centroid][dim/m].
+
+    Init: subvectors of the k lowest-id vectors (deterministic; swap a
+    sampled k-means++ in production, mechanics unchanged). Empty
+    centroids keep their previous position. Convergence on max
+    coordinate shift < tol.
+    """
+    dim = _dim_of(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    # checkpointed once, consumed by every Lloyd's iteration
+    subvecs = _subvectors(embeddings, m, dim, id_col, vec_col).localCheckpoint()
+    init = (
+        subvecs.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("sub").orderBy(id_col)),
+        )
+        .filter(F.col("rk") <= k)
+        .select("sub", (F.col("rk") - 1).alias("cid"), "sv")
+        .collect()
+    )
+    books: Codebooks = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in init:
+        books[int(r["sub"])][int(r["cid"])] = list(r["sv"])
+    if any(c is None for book in books for c in book):
+        raise ValueError(f"need at least k={k} vectors to init PQ")
+    for _ in range(max_iter):
+        cb = _codebook_df(spark, books)
+        new_rows = (
+            _assign(subvecs, cb, id_col)
+            .select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("d"))
+            .select("sub", "code", F.col("d.mu").alias("cv"))
+            .collect()
+        )
+        new_map = {(int(r["sub"]), int(r["code"])): list(r["cv"]) for r in new_rows}
+        shift = 0.0
+        nxt: Codebooks = []
+        for j, book in enumerate(books):
+            nb = []
+            for c, old in enumerate(book):
+                new = new_map.get((j, c), old)
+                shift = max(
+                    shift, max((abs(a - b) for a, b in zip(old, new)), default=0.0)
+                )
+                nb.append(new)
+            nxt.append(nb)
+        books = nxt
+        if shift < tol:
+            break
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m code ids
+    ordered by subspace. One broadcast argmin + one (id) aggregate."""
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    subvecs = _subvectors(embeddings, m, dim, id_col, vec_col)
+    cb = _codebook_df(embeddings.sparkSession, codebooks)
+    return (
+        _assign(subvecs, cb, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+        )
+        .select(id_col, F.col("sc.code").alias("codes"))
+    )
+
+
+def adc_table(query_vec: list[float], codebooks: Codebooks) -> list[list[float]]:
+    """The per-query ADC lookup table: table[j][c] = ||q_j - cb[j][c]||²
+    (m x k floats, driver-side, corpus-independent)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != {m * sub}")
+    return [
+        [_l2sq_py(q[j * sub : (j + 1) * sub], cv) for cv in codebooks[j]]
+        for j in range(m)
+    ]
+
+
+def adc_score(codes_col, table: list[list[float]], ndigits: int = 6):
+    """Column: approximate squared distance = Σ_j table[j][codes[j]].
+    A sum of m literal-array lookups — whole-stage codegen, no UDF."""
+    score = None
+    for j, row in enumerate(table):
+        lut_j = F.array(*[F.lit(float(x)) for x in row])
+        term = F.element_at(lut_j, codes_col.getItem(j).cast("int") + 1)
+        score = term if score is None else score + term
+    return F.round(score, ndigits)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: Codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k by ADC over a compressed code table: (id, approx_d2),
+    ascending distance, id tie-break; TakeOrderedAndProject plan."""
+    table = adc_table(query_vec, codebooks)
+    return (
+        codes.select(
+            F.col(id_col),
+            adc_score(F.col(codes_col), table, ndigits).alias("approx_d2"),
+        )
+        .orderBy(F.asc("approx_d2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    codes_with_cell: DataFrame,
+    coarse_centroids: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cell_col: str = "cell",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: probe the nprobe coarse cells nearest the query (driver
+    argmin over the bounded coarse codebook — the faiss IVFPQ search
+    shape), then ADC-score only those cells' codes. The `cell IN`
+    filter is partition-prunable when codes are stored partitioned by
+    cell, so the scanned fraction is nprobe/n_cells of the corpus."""
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((_l2sq_py(q, cv), cid) for cid, cv in coarse_centroids)
+    )[: max(1, nprobe)]
+    probe = [cid for _, cid in ranked]
+    table = adc_table(q, codebooks)
+    return (
+        codes_with_cell.filter(F.col(cell_col).isin(probe))
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            adc_score(F.col(codes_col), table, ndigits).alias("approx_d2"),
+        )
+        .orderBy(F.asc("approx_d2"), F.asc(id_col))
+        .limit(k)
+    )
