@@ -47,8 +47,27 @@ def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
     # first-N-ids codebook the oracle-checkable queries use
     km16 = semantic.kmeans_fit(emb, k=16, max_iter=5)
 
+    from parseable_spark.llm import pq as pqmod
+
+    # PQ artifacts built once (the persisted-index story): m=8 subspaces,
+    # k=16 codes → 8 small ints per vector instead of 64 floats
+    books = pqmod.pq_fit(emb, m=8, k=16, max_iter=5)
+    codes = pqmod.pq_encode(emb, books).localCheckpoint()
+    codes_with_cell = (
+        codes.join(
+            semantic.kmeans_assign(emb, km16).select(
+                "vec_id", F.col("cluster").alias("cell")
+            ),
+            "vec_id",
+        ).localCheckpoint()
+    )
+
     methods = {
         "lsh_bucket": lambda v: similarity.bucketed_ann(emb, v, k=k),
+        "pq_adc_m8k16": lambda v: pqmod.pq_topk(codes, books, v, k=k),
+        "ivfpq_kmeans_nprobe4": lambda v: pqmod.ivf_pq_topk(
+            codes_with_cell, km16, books, v, nprobe=4, k=k
+        ),
         "ivf_flat_nprobe2": lambda v: similarity.ivf_ann(
             emb, v, k=k, n_centroids=16, nprobe=2
         ),
@@ -65,6 +84,11 @@ def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
     # scanned fraction per method (pruning factor at scale):
     scanned = {
         "lsh_bucket": 1 / 256,  # 8 sign planes
+        # PQ rows scan every row but at 8 code-bytes instead of 256
+        # vector-bytes — the fraction shown is the BYTE fraction; the
+        # IVF-PQ row prunes rows (nprobe/16) on top of the compression
+        "pq_adc_m8k16": 1 / 32,
+        "ivfpq_kmeans_nprobe4": (4 / 16) * (1 / 32),
         "ivf_flat_nprobe2": 2 / 16,
         "ivf_kmeans_nprobe2": 2 / 16,  # nominal; trained cells are uneven
         "ivf_flat_nprobe4": 4 / 16,
