@@ -175,3 +175,84 @@ def pack_sequences(
         )
         .drop("_digest", "_cum")
     )
+
+
+def mixture_rates(
+    domain_counts: Mapping[str, int],
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-domain acceptance rates for temperature-flattened corpus
+    mixing — the standard training-mixture recipe (multinomial domain
+    sampling with p_d ∝ n_d^T, as in the public mT5/XLM-R/LLaMA data
+    recipes): T=1 keeps natural proportions, T→0 approaches uniform,
+    intermediate T boosts small domains without drowning large ones.
+
+    Rates are capped at 1.0 (a filter cannot upsample). When
+    `target_rows` is None the mixture is scaled so the most-boosted
+    domain keeps everything (largest possible corpus at the requested
+    shape); otherwise rates scale toward `target_rows` total rows.
+    Pure driver-side arithmetic over the (tiny) domain-count table.
+    """
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    if not domain_counts:
+        return {}
+    if any(n < 0 for n in domain_counts.values()):
+        raise ValueError("negative domain count")
+    weights = {d: float(n) ** temperature for d, n in domain_counts.items() if n > 0}
+    wsum = sum(weights.values())
+    if wsum == 0.0:
+        return {d: 0.0 for d in domain_counts}
+    total = sum(domain_counts.values())
+    n_target = float(target_rows) if target_rows is not None else float(total)
+    # unscaled rate ∝ (w_d / n_d); normalize so either the max rate is
+    # 1.0 (no target) or expected kept rows ≈ target_rows (capped)
+    raw = {d: weights[d] / domain_counts[d] for d in weights}
+    if target_rows is None:
+        scale = 1.0 / max(raw.values())
+    else:
+        # expected kept rows is monotone in the scale (with per-domain
+        # saturation at rate 1.0) — bisect it to the requested total
+        exp = lambda s: sum(min(1.0, raw[d] * s) * domain_counts[d] for d in raw)  # noqa: E731
+        lo, hi = 0.0, 1e18
+        for _ in range(64):
+            mid = (lo + hi) / 2
+            if exp(mid) < n_target:
+                lo = mid
+            else:
+                hi = mid
+        scale = (lo + hi) / 2
+    rates = {d: min(1.0, raw[d] * scale) for d in raw}
+    for d, n in domain_counts.items():
+        rates.setdefault(d, 0.0)
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-mixture downsampling by domain.
+
+    Plan: ONE hash aggregate over `domain_col` (output cardinality =
+    number of domains — bounded, collected to the driver), driver-side
+    rate arithmetic (`mixture_rates`), then the scan-local stratified
+    hash filter (`hash_sample`) — no shuffle of the data path, same
+    reproducibility properties as every sampler here. At 100 TB the
+    count pass is a metadata-cheap columnar scan of one column and the
+    sample itself is a pushdown-friendly predicate.
+    """
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_rates(counts, temperature, target_rows)
+    return hash_sample(
+        df, strata_col=domain_col, strata_rates=rates, id_col=id_col
+    )

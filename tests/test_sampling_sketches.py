@@ -259,3 +259,80 @@ def test_kll_rollup_within_rank_error(spark):
             lo = vals[max(int((q - 0.05) * n), 0)]
             hi = vals[min(int((q + 0.05) * n), n - 1)]
             assert lo <= got <= hi, (etype, q, got, lo, hi)
+
+
+class TestMixtureSample:
+    """Temperature-mixture domain sampling (llm/sampling.mixture_rates
+    + mixture_sample)."""
+
+    def test_rates_math(self):
+        from parseable_spark.llm.sampling import mixture_rates
+
+        counts = {"web": 8000, "code": 1000, "wiki": 125}
+        # T=1: natural proportions → every rate equal (scaled to max 1)
+        r1 = mixture_rates(counts, temperature=1.0)
+        assert r1 == {"web": 1.0, "code": 1.0, "wiki": 1.0}
+        # T=1/3: weights 20/10/5 → raw rates ∝ 20/8000, 10/1000, 5/125;
+        # scaled so the most-boosted (wiki) keeps everything
+        r3 = mixture_rates(counts, temperature=1 / 3)
+        assert r3["wiki"] == 1.0
+        assert abs(r3["code"] - (10 / 1000) / (5 / 125)) < 1e-12  # 0.25
+        assert abs(r3["web"] - (20 / 8000) / (5 / 125)) < 1e-12  # 0.0625
+        # with a row target: expected kept rows ≈ target (capped rates)
+        rt = mixture_rates(counts, temperature=1 / 3, target_rows=500)
+        expected = sum(rt[d] * counts[d] for d in counts)
+        assert abs(expected - 500) < 1.0
+        assert all(0.0 <= v <= 1.0 for v in rt.values())
+        # zero-count and unlisted domains get rate 0
+        assert mixture_rates({"a": 0, "b": 10}, 0.5)["a"] == 0.0
+
+    def test_rates_validation(self):
+        import pytest
+
+        from parseable_spark.llm.sampling import mixture_rates
+
+        with pytest.raises(ValueError):
+            mixture_rates({"a": 1}, temperature=0.0)
+        with pytest.raises(ValueError):
+            mixture_rates({"a": -1})
+        assert mixture_rates({}) == {}
+
+    def test_mixture_sample_end_to_end(self, spark):
+        from pyspark.sql import functions as F
+
+        from parseable_spark.llm.sampling import mixture_rates, mixture_sample
+
+        # skewed synthetic corpus: domain sizes 4096 / 512 / 64
+        df = (
+            spark.range(4096 + 512 + 64)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < 4096, "web")
+                .when(F.col("id") < 4096 + 512, "code")
+                .otherwise("wiki")
+                .alias("domain"),
+            )
+        )
+        out = mixture_sample(df, "domain", temperature=0.5)
+        got = {
+            r["domain"]: r["n"]
+            for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+        }
+        rates = mixture_rates({"web": 4096, "code": 512, "wiki": 64}, 0.5)
+        assert got["wiki"] == 64  # most-boosted domain keeps everything
+        # realized fractions track the quantized (/256) rates
+        for d, n_dom in (("web", 4096), ("code", 512)):
+            want = round(rates[d] * 256) / 256
+            assert abs(got[d] / n_dom - want) < 0.05, (d, got[d] / n_dom, want)
+        # deterministic: same output on rerun
+        again = {
+            r["domain"]: r["n"]
+            for r in mixture_sample(df, "domain", temperature=0.5)
+            .groupBy("domain")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert again == got
+        # scan-local data path: no exchange in the filter plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
