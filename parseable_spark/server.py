@@ -129,9 +129,18 @@ class ParseableAPI:
         from .sse import SseBroadcaster
 
         self.sse = SseBroadcaster()
+        # stable per-storage-root deployment id (reference
+        # StorageMetadata.deployment_id, surfaced by /about) —
+        # persisted in config, so it survives restarts
+        import uuid as _uuid
+
+        self.deployment_id = _uuid.uuid4().hex
         self._alert_bodies: dict[str, dict[str, Any]] = {}
         self._discover_streams()
         self._load_config()
+        # ensure the minted deployment_id reaches disk even when no
+        # config mutation ever happens (fresh root, read-only usage)
+        self._save_config()
 
     def _discover_streams(self) -> None:
         """Boot-time stream discovery: every stream directory under the
@@ -208,6 +217,7 @@ class ParseableAPI:
             return  # replay in progress; one save at the end of load
         with self._lock:
             cfg = {
+                "deployment_id": self.deployment_id,
                 "roles": {
                     name: self._grants_json(grants)
                     for name, grants in self.rbac._roles.items()
@@ -274,6 +284,8 @@ class ParseableAPI:
 
     def _replay_config(self, cfg: dict[str, Any]) -> None:
         with self._lock:
+            if cfg.get("deployment_id"):
+                self.deployment_id = str(cfg["deployment_id"])
             for name, grants in (cfg.get("roles") or {}).items():
                 self.rbac.put_role(name, self._parse_grants(grants))
             for name, u in (cfg.get("users") or {}).items():
@@ -2667,12 +2679,42 @@ class _Handler(BaseHTTPRequestHandler):
                 self._respond_json(200, payload)
                 return
             if path == "/api/v1/about":
+                # payload shape per handlers/http/about.rs:48-119
+                from . import __version__
+
+                hot = [
+                    n
+                    for n, s in self.api._stores.items()
+                    if getattr(s, "hot_tier", None) is not None
+                ]
                 self._respond_json(
                     200,
                     {
-                        "version": "v1",
+                        "version": f"v{__version__}",
                         "engine": "parseable-spark",
+                        "uiVersion": "development",
+                        "commit": "",
+                        "deploymentId": self.api.deployment_id,
+                        "updateAvailable": False,
+                        "latestVersion": None,
+                        "llmActive": False,
+                        "llmProvider": None,
+                        "oidcActive": self.api.oidc_client is not None,
+                        "license": {
+                            "name": "AGPL-3.0-only",
+                            "version": "v1",
+                            "plan": "OSS",
+                            "deploymentInfo": "Managed",
+                        },
                         "mode": "querier" if self.api.ingestor_ports else "standalone",
+                        "staging": self.api.root,
+                        "hotTier": (
+                            f"Enabled, Streams: {','.join(sorted(hot))}"
+                            if hot
+                            else "Disabled"
+                        ),
+                        "grpcPort": None,
+                        "store": {"type": "localdrive", "path": self.api.root},
                         "streams": len(self.api._stores),
                     },
                 )

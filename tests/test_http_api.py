@@ -2305,3 +2305,36 @@ def test_sse_alert_push_e2e(spark, tmp_path):
     finally:
         srv.shutdown()
         provider.shutdown()
+
+
+def test_about_payload_and_deployment_id_persistence(spark, tmp_path):
+    """GET /api/v1/about mirrors the reference payload shape
+    (handlers/http/about.rs:48-119) and deploymentId is stable across
+    restarts (StorageMetadata.deployment_id semantics)."""
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+    try:
+        api.ingest("s1", [{"v": 1}])
+        _, about = _req("GET", base + "/api/v1/about")
+        assert about["version"].startswith("v")
+        assert about["mode"] == "standalone"
+        assert about["license"]["name"] == "AGPL-3.0-only"
+        assert about["oidcActive"] is False and about["llmActive"] is False
+        assert about["store"] == {"type": "localdrive", "path": str(tmp_path)}
+        assert about["hotTier"] == "Disabled"
+        did = about["deploymentId"]
+        assert len(did) == 32
+        # hot tier flips the flag
+        api.put_hot_tier("s1", {"size": 10_000_000})
+        _, about2 = _req("GET", base + "/api/v1/about")
+        assert about2["hotTier"].startswith("Enabled")
+    finally:
+        srv.shutdown()
+    # a restart on the same root keeps the deployment id
+    api2 = ParseableAPI(spark, str(tmp_path))
+    assert api2.deployment_id == did
+    # a fresh root mints a different one
+    import os
+
+    api3 = ParseableAPI(spark, str(tmp_path) + "-other")
+    assert api3.deployment_id != did
