@@ -367,6 +367,61 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF terms pivoted straight to (id, kw1..kwk) columns.
+
+    Same scoring as `tfidf_top_terms`, but the per-doc top-k is an
+    aggregate — collect_list(struct(-score, term)) → array_sort →
+    slice — instead of a ROW_NUMBER window. The aggregate path partial-
+    combines map-side and skips the window's per-partition sort, which
+    measured ~25% faster at sf0.1 (see tools note in SCALE.md); output
+    is identical (ties break on the term, ascending, in both shapes).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
+    terms = docs.select(
+        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), ndigits
+            ).alias("tfidf"),
+        )
+    )
+    top = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("tfidf")).alias("neg"), F.col("term"))
+                )
+            ),
+            1,
+            k,
+        ).alias("_t")
+    )
+    return top.select(
+        id_col,
+        *[
+            F.col("_t").getItem(i).getField("term").alias(f"kw{i + 1}")
+            for i in range(k)
+        ],
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -523,12 +523,9 @@ def _text_features_oracle() -> str:
 def q31_text_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     feats = text.doc_features(docs)
-    tf3 = text.tfidf_top_terms(docs, k=3, ndigits=4)
-    kw = tf3.groupBy("doc_id").agg(
-        F.max(F.when(F.col("rank") == 1, F.col("term"))).alias("kw1"),
-        F.max(F.when(F.col("rank") == 2, F.col("term"))).alias("kw2"),
-        F.max(F.when(F.col("rank") == 3, F.col("term"))).alias("kw3"),
-    )
+    # aggregate-path top-3 (tfidf_keywords): ~25% faster than the
+    # ROW_NUMBER window at sf0.1, identical output (probe in SCALE.md)
+    kw = text.tfidf_keywords(docs, k=3, ndigits=4)
     return feats.join(kw, "doc_id", "left")
 
 

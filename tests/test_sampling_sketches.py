@@ -336,3 +336,25 @@ class TestMixtureSample:
         # scan-local data path: no exchange in the filter plan
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_tfidf_keywords_equals_window_pivot(spark):
+    """tfidf_keywords (aggregate top-k) must be value-identical to the
+    ROW_NUMBER-window tfidf_top_terms pivot it replaced in q31."""
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm.text import tfidf_keywords, tfidf_top_terms
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tf3 = tfidf_top_terms(docs, k=3, ndigits=4)
+    via_window = tf3.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("term"))).alias("kw1"),
+        F.max(F.when(F.col("rank") == 2, F.col("term"))).alias("kw2"),
+        F.max(F.when(F.col("rank") == 3, F.col("term"))).alias("kw3"),
+    )
+    a = sorted(map(tuple, via_window.collect()))
+    b = sorted(map(tuple, tfidf_keywords(docs, k=3, ndigits=4).collect()))
+    assert a == b and len(a) > 0
