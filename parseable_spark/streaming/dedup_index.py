@@ -1,0 +1,142 @@
+"""Streaming near-dup detection against a rolling LSH signature index.
+
+The streaming face of `llm/dedup.py`'s incremental pipeline: each
+micro-batch of documents is deduplicated against everything streamed
+before it — without ever re-scanning historical text — then folded
+into the persisted index. This is the shape a 100 TB training-data
+pipeline actually runs: documents arrive continuously, near-dup pairs
+must be detected at ingest time (a duplicate is cheapest to drop
+before it is stored, embedded, and trained on), and the historical
+corpus exists only as its signature index.
+
+Layout under `base_dir`:
+- ``index/v{N}/``  — banded signature index versions
+  (`build_lsh_index` schema: id, band_idx, band_hash, bsz, rep_id);
+  a new version per micro-batch, pointer flipped atomically via
+  ``LATEST`` (write-temp + rename — readers only ever see a complete
+  version; the object-store analog of the manifest-commit pattern in
+  `storage/store.py`).
+- ``pairs/``       — append-only candidate-pair log (id_a, id_b,
+  batch_id), partitioned by batch for pruning.
+
+Per batch the work is: banding the BATCH (small), a broadcast probe of
+the index (the index is scanned, never shuffled), and one narrow-row
+shuffle to refresh bucket stats in the merged index. At warehouse
+scale the per-batch refresh becomes append + nightly compaction
+(`merge_lsh_index` run on a schedule) — stats staleness between
+compactions only affects when the giant-bucket guard engages, never
+which true pairs exist.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..llm.dedup import (
+    build_lsh_index,
+    incremental_lsh_candidates,
+    merge_lsh_index,
+    minhash_lsh_candidates,
+)
+
+
+class StreamingDedupIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 8,
+        rows_per_band: int = 2,
+        shingle_n: int = 3,
+        bucket_cap: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.shingle_n = shingle_n
+        self.bucket_cap = bucket_cap
+        os.makedirs(os.path.join(base_dir, "index"), exist_ok=True)
+        os.makedirs(os.path.join(base_dir, "pairs"), exist_ok=True)
+
+    # -- index versioning ------------------------------------------------
+    @property
+    def _latest_path(self) -> str:
+        return os.path.join(self.base_dir, "LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._latest_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _commit_version(self, version: int) -> None:
+        tmp = self._latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_path)  # atomic pointer flip
+
+    def index_df(self) -> DataFrame | None:
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.base_dir, "index", f"v{v}")
+        )
+
+    # -- per-micro-batch processing --------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: emit candidate pairs for the batch (within
+        the batch + against all history), then fold the batch into a
+        new index version."""
+        docs = batch_df.select(self.id_col, self.text_col)
+        if not docs.head(1):
+            return
+        idx = self.index_df()
+        kw = dict(
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_hashes=self.num_hashes,
+            rows_per_band=self.rows_per_band,
+            shingle_n=self.shingle_n,
+        )
+        if idx is None:
+            pairs = minhash_lsh_candidates(
+                docs, bucket_cap=self.bucket_cap, **kw
+            )
+            new_index = build_lsh_index(docs, **kw)
+        else:
+            pairs = incremental_lsh_candidates(
+                docs, idx, bucket_cap=self.bucket_cap, **kw
+            )
+            new_index = merge_lsh_index(idx, docs, **kw)
+        from pyspark.sql import functions as F
+
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(self.base_dir, "pairs"))
+        )
+        version = (self.latest_version() or 0) + 1
+        new_index.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "index", f"v{version}")
+        )
+        self._commit_version(version)
+
+    def batch_writer(self) -> Callable[[DataFrame, int], None]:
+        """Hook for `streaming.ingest.foreach_batch_sink`."""
+        return self.process_batch
+
+    # -- reads -----------------------------------------------------------
+    def candidates(self) -> DataFrame:
+        """All candidate pairs found so far (id_a, id_b, batch_id)."""
+        return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))

@@ -523,3 +523,68 @@ def test_streaming_sketch_cube_end_to_end(spark, tmp_path):
             assert math.isclose(
                 panel2[key][f"p{qq}"], panel[key][f"p{qq}"], rel_tol=0.02, abs_tol=0.5
             )
+
+
+def test_streaming_dedup_index_end_to_end(spark, tmp_path):
+    """StreamingDedupIndex (streaming/dedup_index.py): micro-batches of
+    documents dedup against the rolling LSH index — cross-batch pairs
+    surface when the LATER member arrives, historical text is never
+    rescanned (only its signature index is read), and the union of all
+    per-batch candidates equals the batch pipeline run on the full
+    corpus. The final index must equal a from-scratch rebuild."""
+    from pyspark.sql.types import LongType
+
+    from parseable_spark.llm.dedup import build_lsh_index, minhash_lsh_candidates
+    from parseable_spark.streaming import (
+        StreamingDedupIndex,
+        foreach_batch_sink,
+        json_file_stream,
+    )
+
+    base_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in base_docs.orderBy("doc_id").limit(30).collect()]
+    # 3 batches of 10 docs; batch 2 contains a near-dup of a batch-0 doc
+    # and an exact dup of a batch-1 doc
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows[20] = {"doc_id": 20, "text": texts[0] + " tiny appended tail"}
+    rows[21] = {"doc_id": 21, "text": texts[10]}
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for b in range(3):
+        (drop / f"b{b}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows[b * 10 : (b + 1) * 10])
+        )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    idx = StreamingDedupIndex(spark, str(tmp_path / "dedup"), bucket_cap=10**9)
+    stream = json_file_stream(spark, str(drop), schema, max_files_per_trigger=1)
+    q = foreach_batch_sink(
+        stream, idx.batch_writer(), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    assert idx.latest_version() == 3
+    got = {(r["id_a"], r["id_b"]) for r in idx.candidates().collect()}
+    # the planted cross-batch pairs are found when the later member lands
+    by_batch = {
+        (r["id_a"], r["id_b"]): r["batch_id"] for r in idx.candidates().collect()
+    }
+    assert (0, 20) in got and by_batch[(0, 20)] == 2
+    assert (10, 21) in got and by_batch[(10, 21)] == 2
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id bigint, text string"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(all_docs, bucket_cap=10**9).collect()
+    }
+    assert got == want
+
+    # rolling index == from-scratch rebuild over the full corpus
+    cols = ["doc_id", "band_idx", "band_hash", "bsz", "rep_id"]
+    assert sorted(map(tuple, idx.index_df().select(cols).collect())) == sorted(
+        map(tuple, build_lsh_index(all_docs).select(cols).collect())
+    )
