@@ -550,10 +550,15 @@ def test_streaming_dedup_index_end_to_end(spark, tmp_path):
     rows[21] = {"doc_id": 21, "text": texts[10]}
     drop = tmp_path / "drop"
     drop.mkdir()
+    import time as _time
+
+    now = _time.time()
     for b in range(3):
-        (drop / f"b{b}.json").write_text(
-            "\n".join(json.dumps(r) for r in rows[b * 10 : (b + 1) * 10])
-        )
+        f = drop / f"b{b}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows[b * 10 : (b + 1) * 10]))
+        # the file source orders micro-batches by modification time;
+        # widely-spaced explicit mtimes make b0→b1→b2 deterministic
+        os.utime(f, (now + 60 * b, now + 60 * b))
 
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
