@@ -210,19 +210,29 @@ def mixture_rates(
     # 1.0 (no target) or expected kept rows ≈ target_rows (capped)
     raw = {d: weights[d] / domain_counts[d] for d in weights}
     if target_rows is None:
-        scale = 1.0 / max(raw.values())
-    else:
-        # expected kept rows is monotone in the scale (with per-domain
-        # saturation at rate 1.0) — bisect it to the requested total
-        exp = lambda s: sum(min(1.0, raw[d] * s) * domain_counts[d] for d in raw)  # noqa: E731
-        lo, hi = 0.0, 1e18
-        for _ in range(64):
-            mid = (lo + hi) / 2
-            if exp(mid) < n_target:
-                lo = mid
-            else:
-                hi = mid
-        scale = (lo + hi) / 2
+        # divide by the max (x/x == 1.0 exactly) rather than multiply
+        # by its reciprocal, so the most-boosted domain's rate is an
+        # exact 1.0, not 1-ε
+        rmax = max(raw.values())
+        rates = {d: min(1.0, r / rmax) for d, r in raw.items()}
+        for d in domain_counts:
+            rates.setdefault(d, 0.0)
+        return rates
+    # expected kept rows is monotone in the scale (with per-domain
+    # saturation at rate 1.0) — bisect it to the requested total.
+    # Beyond hi = 1/min(raw) every rate saturates, so that is the
+    # tight upper bound (a fixed huge bound starves the bisection of
+    # precision when the needed scale is small).
+    n_target = min(n_target, float(total))
+    exp = lambda s: sum(min(1.0, raw[d] * s) * domain_counts[d] for d in raw)  # noqa: E731
+    lo, hi = 0.0, 1.0 / min(raw.values())
+    for _ in range(100):
+        mid = (lo + hi) / 2
+        if exp(mid) < n_target:
+            lo = mid
+        else:
+            hi = mid
+    scale = (lo + hi) / 2
     rates = {d: min(1.0, raw[d] * scale) for d in raw}
     for d, n in domain_counts.items():
         rates.setdefault(d, 0.0)

@@ -157,3 +157,116 @@ class TestStaticSchemaProperties:
         )
         assert set(out) == set(decl)
         assert all(out[n] == STATIC_TYPES[decl[n]] for n in decl)
+
+
+# ---- mixture sampling rates ------------------------------------------------
+
+
+class TestMixtureRateProperties:
+    counts = st.dictionaries(
+        st.text(st.characters(categories=["L", "N"]), min_size=1, max_size=8),
+        st.integers(0, 10**7),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(counts, st.floats(0.05, 1.0))
+    @settings(max_examples=100, deadline=None)
+    def test_rates_bounded_and_cover_every_domain(self, counts, t):
+        from parseable_spark.llm.sampling import mixture_rates
+
+        rates = mixture_rates(counts, temperature=t)
+        assert set(rates) == set(counts)
+        assert all(0.0 <= v <= 1.0 for v in rates.values())
+        # with no target, the most-boosted nonzero domain keeps everything
+        if any(n > 0 for n in counts.values()):
+            assert max(rates[d] for d, n in counts.items() if n > 0) == 1.0
+        # zero-count domains never sample
+        assert all(rates[d] == 0.0 for d, n in counts.items() if n == 0)
+
+    @given(counts, st.floats(0.05, 1.0), st.integers(1, 10**6))
+    @settings(max_examples=100, deadline=None)
+    def test_target_rows_is_a_capped_fixpoint(self, counts, t, target):
+        from parseable_spark.llm.sampling import mixture_rates
+
+        rates = mixture_rates(counts, temperature=t, target_rows=target)
+        total = sum(counts.values())
+        expected = sum(rates[d] * counts[d] for d in counts)
+        # expected kept rows hits the target, or saturates at the corpus
+        want = min(float(target), float(total))
+        assert expected <= total + 1e-6
+        assert abs(expected - want) < max(1.0, want * 1e-6) or (
+            want == float(total) and all(
+                rates[d] == 1.0 for d, n in counts.items() if n > 0
+            )
+        )
+
+    @given(counts)
+    @settings(max_examples=50, deadline=None)
+    def test_temperature_one_is_uniform_rate(self, counts):
+        from parseable_spark.llm.sampling import mixture_rates
+
+        rates = mixture_rates(counts, temperature=1.0)
+        nz = {d for d, n in counts.items() if n > 0}
+        # T=1 preserves natural proportions: every nonzero domain gets
+        # the same acceptance rate (scaled to 1.0 without a target)
+        assert all(rates[d] == 1.0 for d in nz)
+
+
+# ---- BPE -------------------------------------------------------------------
+
+
+class TestBpeProperties:
+    words = st.lists(
+        st.tuples(
+            st.text(st.characters(categories=["L"]), min_size=1, max_size=10).map(
+                str.lower
+            ),
+            st.integers(1, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(words, st.integers(0, 60))
+    @settings(max_examples=60, deadline=None)
+    def test_segments_reassemble_to_the_word(self, vocab, n_merges):
+        from parseable_spark.llm.bpe import EOW, bpe_segments, bpe_train
+
+        merges = bpe_train(vocab, num_merges=n_merges)
+        for w, _ in vocab:
+            segs = bpe_segments(w, merges)
+            assert "".join(segs) == w + EOW  # lossless segmentation
+            assert 1 <= len(segs) <= len(w)
+
+    @given(words)
+    @settings(max_examples=40, deadline=None)
+    def test_more_merges_never_increase_token_count(self, vocab):
+        from parseable_spark.llm.bpe import bpe_segments, bpe_train
+
+        full = bpe_train(vocab, num_merges=80)
+        for cut in (0, len(full) // 2, len(full)):
+            m = full[:cut]
+            n_cut = sum(len(bpe_segments(w, m)) for w, _ in vocab)
+            n_full = sum(len(bpe_segments(w, full)) for w, _ in vocab)
+            assert n_full <= n_cut
+
+
+# ---- PQ ADC table ----------------------------------------------------------
+
+
+class TestAdcProperties:
+    @given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**31 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_table_shape_and_self_distance_zero(self, m, k, seed):
+        from parseable_spark.llm.pq import adc_table
+
+        rng = np.random.default_rng(seed)
+        sub = 3
+        books = [[list(rng.normal(size=sub)) for _ in range(k)] for _ in range(m)]
+        q = [x for book in books for x in book[0]]  # q = centroid 0 per subspace
+        table = adc_table(q, books)
+        assert len(table) == m and all(len(row) == k for row in table)
+        assert all(abs(table[j][0]) < 1e-12 for j in range(m))
+        assert all(v >= 0.0 for row in table for v in row)
