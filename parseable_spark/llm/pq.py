@@ -282,3 +282,88 @@ def ivf_pq_topk(
         .orderBy(F.asc("approx_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_topk_batch(
+    codes: DataFrame,
+    codebooks: Codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Batched ADC search: top-k for EVERY query in one job —
+    (query_id, vec_id, approx_d2, rank).
+
+    The realistic inference shape: Q queries arrive together, and Q
+    separate jobs would pay Q scheduler/scan round-trips. Here the
+    per-query ADC tables are computed distributively (queries exploded
+    to subvectors, broadcast codebook join, two bounded aggregates →
+    one m x k lut per query), broadcast against the code table, and
+    scored via m array lookups per (code row, query) pair. The
+    per-query top-k is the aggregate top-k (collect_list → array_sort
+    → slice — the same shape that beat the ROW_NUMBER window in the
+    TF-IDF probe, SCALE.md), so the Q x N score stream partial-combines
+    map-side to Q·k rows before the single shuffle.
+
+    Scale: the broadcast side is Q rows of m·k doubles (a 10k-query
+    batch at m=8, k=16 is ~10 MB); the big side is the compressed code
+    table, scanned once for the whole batch.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    spark = codes.sparkSession
+
+    qsub = _subvectors(queries, m, dim, query_id_col, query_vec_col)
+    cb = _codebook_df(spark, codebooks)
+    luts = (
+        qsub.join(broadcast(cb), "sub")
+        .select(
+            query_id_col,
+            "sub",
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy(query_id_col, "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "d2"))).alias("e"))
+        .select(query_id_col, "sub", F.col("e.d2").alias("lut"))
+        .groupBy(query_id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "lut"))).alias("s"))
+        .select(query_id_col, F.col("s.lut").alias("luts"))
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("luts"), j + 1),
+            F.col(codes_col).getItem(j).cast("int") + 1,
+        )
+        score = term if score is None else score + term
+    scored = codes.join(broadcast(luts)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, ndigits).alias("approx_d2"),
+    )
+    top = (
+        scored.groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("approx_d2", F.col(id_col)))
+                ),
+                1,
+                k,
+            ).alias("t")
+        )
+        .select(query_id_col, F.posexplode("t").alias("r", "hit"))
+        .select(
+            query_id_col,
+            F.col(f"hit.{id_col}").alias(id_col),
+            F.col("hit.approx_d2").alias("approx_d2"),
+            (F.col("r") + 1).cast("int").alias("rank"),
+        )
+    )
+    return top

@@ -196,3 +196,36 @@ def test_codes_partitioned_by_cell_prune_and_codegen(spark, emb, fitted, tmp_pat
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     rows = top.collect()
     assert 0 < len(rows) <= 5 and len({r["cell"] for r in rows}) <= 2
+
+
+def test_batched_topk_equals_per_query_loop(spark, emb, fitted):
+    """pq_topk_batch must reproduce pq_topk exactly for every query in
+    the batch — same ids, distances, and order — in ONE job."""
+    from pyspark.sql import functions as F
+
+    df, ids, X = emb
+    books, _ = fitted
+    codes = P.pq_encode(df, books).localCheckpoint()
+    qids = [0, 7, 42, 311]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = P.pq_topk_batch(codes, books, queries, k=8)
+    rows = batch.collect()
+    assert {r["query_id"] for r in rows} == set(qids)
+    for qid in qids:
+        got = sorted(
+            [
+                (r["rank"], r["vec_id"], r["approx_d2"])
+                for r in rows
+                if r["query_id"] == qid
+            ]
+        )
+        want = [
+            (i + 1, r["vec_id"], r["approx_d2"])
+            for i, r in enumerate(P.pq_topk(codes, books, list(X[qid]), k=8).collect())
+        ]
+        assert got == want, qid
+    # one job, JVM only: the scored stream contains no Python eval
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
