@@ -8,10 +8,13 @@ LSH-bucketed + IVF ANN with deterministic or trained codebooks), text
 analysis (language ID, quality scoring, token counting,
 fingerprinting, repetition filters, TF-IDF, chunking, PII, LM
 quality), a distributed logistic-regression quality classifier,
-deterministic sampling/splitting/packing, and multimodal column
-plumbing with real pure-Python codecs (BMP, baseline JPEG,
-PCM WAV, MJPEG-in-AVI video). All hot paths are Catalyst column
-expressions (JVM-side); Python appears only in the Arrow-batched
-multimodal decode kernels and bounded driver-side model state
-(k-means centroids, classifier coefficients).
+deterministic sampling/splitting/packing plus temperature-mixture
+domain sampling, IVF-PQ product quantization (single-query and
+batched ADC search), an incremental LSH dedup index (batch and
+streaming), BPE tokenizer training, and multimodal column plumbing
+with real pure-Python codecs (BMP, baseline JPEG, PCM WAV,
+MJPEG-in-AVI video). All hot paths are Catalyst column expressions
+(JVM-side); Python appears only in the Arrow-batched multimodal
+decode kernels and bounded driver-side model state (k-means/PQ
+centroids, BPE merges, classifier coefficients).
 """
