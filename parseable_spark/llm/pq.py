@@ -294,24 +294,31 @@ def pq_topk_batch(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     ndigits: int = 6,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Batched ADC search: top-k for EVERY query in one job —
     (query_id, vec_id, approx_d2, rank).
 
     The realistic inference shape: Q queries arrive together, and Q
-    separate jobs would pay Q scheduler/scan round-trips. Here the
-    per-query ADC tables are computed distributively (queries exploded
-    to subvectors, broadcast codebook join, two bounded aggregates →
-    one m x k lut per query), broadcast against the code table, and
-    scored via m array lookups per (code row, query) pair. The
-    per-query top-k is the aggregate top-k (collect_list → array_sort
-    → slice — the same shape that beat the ROW_NUMBER window in the
-    TF-IDF probe, SCALE.md), so the Q x N score stream partial-combines
-    map-side to Q·k rows before the single shuffle.
+    separate jobs would each scan the full code table — Q scans of a
+    100 TB-scale index. Here the per-query ADC tables are computed
+    distributively (queries exploded to subvectors, broadcast codebook
+    join, two bounded aggregates → one m x k lut per query), broadcast
+    against the code table, and scored via m array lookups per
+    (code row, query) pair — the code table is scanned ONCE for the
+    whole batch.
+
+    The per-query top-k is a two-stage tree: stage 1 aggregates each
+    (query, salt) bucket to its local top-k (salt = id % salt_buckets,
+    so no list ever holds more than ~N/salt_buckets entries and the
+    work spreads over salt_buckets tasks per query); stage 2 merges
+    the salt_buckets·k survivors per query — a tiny aggregate. A flat
+    collect_list-per-query was measured slower at 128k codes (it
+    materializes all N scored rows in one list per query).
 
     Scale: the broadcast side is Q rows of m·k doubles (a 10k-query
-    batch at m=8, k=16 is ~10 MB); the big side is the compressed code
-    table, scanned once for the whole batch.
+    batch at m=8, k=16 is ~10 MB); the scored stream is Q·N rows but
+    never materializes beyond the bounded stage-1 lists.
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
@@ -347,8 +354,9 @@ def pq_topk_batch(
         F.col(id_col),
         F.round(score, ndigits).alias("approx_d2"),
     )
-    top = (
-        scored.groupBy(query_id_col)
+    local = (
+        scored.withColumn("_salt", F.col(id_col) % salt_buckets)
+        .groupBy(query_id_col, "_salt")
         .agg(
             F.slice(
                 F.array_sort(
@@ -358,6 +366,11 @@ def pq_topk_batch(
                 k,
             ).alias("t")
         )
+    )
+    top = (
+        local.select(query_id_col, F.explode("t").alias("hit"))
+        .groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("hit")), 1, k).alias("t"))
         .select(query_id_col, F.posexplode("t").alias("r", "hit"))
         .select(
             query_id_col,
