@@ -1,0 +1,197 @@
+"""End-to-end corpus curation: the full training-data job, composed.
+
+One operator that chains the pipeline a real pretraining-data run
+executes — exact dedup → quality gate → verified near-dup removal →
+PII redaction → (optional) semantic dedup over embeddings →
+(optional) temperature-mixture downsampling — and returns, besides
+the surviving corpus, a per-document AUDIT TABLE saying why each
+dropped document was dropped. Curation without the audit trail is
+undebuggable at 100 TB; the decisions table is the artifact data
+engineers actually inspect ("why did my domain shrink 40%?").
+
+Composition rules:
+- every stage only sees survivors of the previous stages, so the
+  expensive stages (LSH banding, semantic pair joins) run on the
+  already-thinned corpus — order is cheapest-and-broadest first;
+- drop reasons are first-match: a document that is both an exact
+  duplicate and low quality reports ``exact_duplicate``;
+- all stages inherit the determinism of their operators (digest
+  min-id canonicals, hash sampling, id tie-breaks) — same corpus in,
+  same corpus out, across runs and engines.
+
+The returned plan is lazy end to end except the bounded driver states
+its stages already carry (k-means centroids, mixture domain counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import text as T
+
+# drop-reason priority (first match wins in the audit table)
+REASONS = [
+    "exact_duplicate",
+    "low_quality",
+    "near_duplicate",
+    "semantic_duplicate",
+    "mixture_downsampled",
+]
+
+
+@dataclass
+class CurationResult:
+    kept: DataFrame  # surviving docs, PII-redacted text
+    decisions: DataFrame  # (id, kept, drop_reason)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+
+def _drops(df: DataFrame, id_col: str, reason: str) -> DataFrame:
+    return df.select(F.col(id_col), F.lit(reason).alias("drop_reason"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_words: int = 5,
+    min_chars: int = 64,
+    min_stopword_ratio: float = 0.05,
+    near_dup_threshold: float = 0.4,
+    semantic_threshold: float = 0.95,
+    semantic_k: int = 8,
+    domain_col: str | None = None,
+    mixture_temperature: float = 1.0,
+    mixture_target_rows: int | None = None,
+    compute_summary: bool = True,
+) -> CurationResult:
+    """Run the full curation chain; see module docstring.
+
+    `embeddings` (id-aligned with `docs` via vec_id_col == id_col
+    values) enables the semantic-dedup stage; `domain_col` (a column
+    of `docs`) enables mixture downsampling.
+    """
+    base = docs
+    drops: list[DataFrame] = []
+
+    # 1. exact dedup — md5 digest, min-id canonical (one narrow shuffle)
+    exact = D.exact_dedup(base, id_col, text_col)  # (digest, keep_id, n)
+    digests = base.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+    dup_ids = (
+        digests.join(exact, "digest")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+    drops.append(_drops(dup_ids, id_col, "exact_duplicate"))
+    base = base.join(dup_ids, id_col, "left_anti")
+
+    # 2. quality gate — single projection pass over survivors
+    q = T.quality_features(base, id_col, text_col)
+    bad = q.filter(
+        (F.col("n_words") < min_words)
+        | (F.col("n_chars") < min_chars)
+        | (F.col("stopword_ratio") < min_stopword_ratio)
+    ).select(id_col)
+    drops.append(_drops(bad, id_col, "low_quality"))
+    base = base.join(bad, id_col, "left_anti")
+
+    # 3. verified near-dups — LSH candidates + exact Jaccard, drop the
+    # larger id of each verified pair (min-id canonical survives)
+    cands = D.minhash_lsh_candidates(base, id_col, text_col)
+    verified = D.jaccard_verify(
+        base, cands, id_col, text_col, threshold=near_dup_threshold
+    )
+    near_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    drops.append(_drops(near_ids, id_col, "near_duplicate"))
+    base = base.join(near_ids, id_col, "left_anti")
+
+    # 4. PII redaction — rewrite in place, not drop (the same codegen'd
+    # regex chain pii_features verifies leaves zero residual)
+    base = base.withColumn(
+        text_col,
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), T.EMAIL_RE, "[EMAIL]"),
+                T.IPV4_RE,
+                "[IP]",
+            ),
+            T.PHONE_RE,
+            "[PHONE]",
+        ),
+    )
+
+    # 5. semantic dedup over embeddings (survivor-aligned)
+    if embeddings is not None:
+        from . import semantic as S
+
+        surv_vecs = embeddings.join(
+            base.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+        )
+        sem = S.semantic_dedup(
+            surv_vecs,
+            k=semantic_k,
+            threshold=semantic_threshold,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+        sem_ids = sem.filter(F.col("is_dup")).select(
+            F.col(vec_id_col).alias(id_col)
+        )
+        drops.append(_drops(sem_ids, id_col, "semantic_duplicate"))
+        base = base.join(sem_ids, id_col, "left_anti")
+
+    # 6. temperature-mixture downsampling by domain
+    if domain_col is not None:
+        from .sampling import mixture_sample
+
+        kept_mix = mixture_sample(
+            base,
+            domain_col,
+            temperature=mixture_temperature,
+            target_rows=mixture_target_rows,
+            id_col=id_col,
+        )
+        mixed_out = base.join(kept_mix.select(id_col), id_col, "left_anti").select(
+            id_col
+        )
+        drops.append(_drops(mixed_out, id_col, "mixture_downsampled"))
+        base = kept_mix
+
+    # audit table: first-match reason per dropped id
+    prio = F.create_map(
+        *[x for i, r in enumerate(REASONS) for x in (F.lit(r), F.lit(i))]
+    )
+    all_drops = None
+    for d in drops:
+        all_drops = d if all_drops is None else all_drops.unionByName(d)
+    dropped = (
+        all_drops.withColumn("_p", prio[F.col("drop_reason")])
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_p", "drop_reason")).alias("b"))
+        .select(id_col, F.col("b.drop_reason").alias("drop_reason"))
+    )
+    decisions = (
+        docs.select(id_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("drop_reason").isNull().alias("kept"),
+            "drop_reason",
+        )
+    )
+
+    summary: dict[str, Any] = {}
+    if compute_summary:
+        rows = decisions.groupBy("drop_reason").count().collect()
+        summary = {
+            (r["drop_reason"] or "kept"): r["count"] for r in rows
+        }
+    return CurationResult(kept=base, decisions=decisions, summary=summary)

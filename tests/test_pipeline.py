@@ -1,0 +1,133 @@
+"""End-to-end corpus curation (llm/pipeline.curate_corpus).
+
+A corpus with one planted defect per stage: the audit table must
+attribute each planted document to its stage, survivors must be
+exactly the clean remainder, PII must be scrubbed from kept text, and
+the whole run must be deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parseable_spark.llm.pipeline import REASONS, curate_corpus
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    texts = [r["text"] for r in base]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((100, texts[0]))  # exact duplicate of doc 0
+    rows.append((101, "too short"))  # low quality (n_words < 5)
+    # near-dup of 1 (stopword-rich tail so the quality gate still passes)
+    rows.append((102, texts[1] + " and the tail is of a kind"))
+    # unique text (not a near-dup of anything) carrying PII; its
+    # EMBEDDING below is the planted near-copy of vec 3, so only the
+    # semantic stage can catch it
+    rows.append(
+        (
+            103,
+            "the quarterly incident review covers a storage regression and "
+            "the mitigation plan for it in detail; reach me at "
+            "alice@example.com with any questions about the rollout notes",
+        )
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # embeddings aligned to doc ids 0..39; make vec 103's embedding a
+    # near-copy of vec 3's so the semantic stage has a planted dup
+    e3 = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    sem_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 40).collect()
+    ] + [(103, [x * 1.0000001 for x in e3])]
+    vecs = spark.createDataFrame(sem_rows, "vec_id bigint, embedding array<double>")
+    return df, vecs
+
+
+def test_each_stage_attributes_its_planted_defect(corpus):
+    df, vecs = corpus
+    # the synthetic corpus is word-salad (many base docs sit below the
+    # default stopword gate), so relax the prose-shaped gates: only the
+    # PLANTED defects should trigger in this test
+    res = curate_corpus(
+        df,
+        embeddings=vecs,
+        semantic_threshold=0.999999,
+        min_stopword_ratio=0.0,
+        min_chars=50,
+    )
+    reasons = {
+        r["doc_id"]: r["drop_reason"] for r in res.decisions.collect()
+    }
+    assert reasons[100] == "exact_duplicate"
+    assert reasons[101] == "low_quality"
+    assert reasons[102] == "near_duplicate"
+    # 103's text is unique, so only its planted embedding catches it
+    assert reasons[103] == "semantic_duplicate"
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    # every planted doc is gone; survivors are a subset of the base 40.
+    # The testdata corpus plants its OWN near-dups (e.g. docs 8 and 12,
+    # jaccard 0.97), so base docs may legitimately drop — but only for
+    # duplicate reasons, never quality (gates are relaxed above)
+    assert kept_ids <= set(range(40)) and {0, 1, 2, 3} <= kept_ids
+    base_drop_reasons = {reasons[i] for i in range(40) if reasons[i]}
+    assert base_drop_reasons <= {"near_duplicate", "semantic_duplicate"}
+    # audit covers every input exactly once, kept ↔ reason-null agree
+    assert len(reasons) == df.count()
+    assert all(
+        (reasons[i] is None) == (i in kept_ids) for i in reasons
+    )
+    # summary is exactly the decisions table, aggregated
+    from collections import Counter
+
+    want = Counter(v or "kept" for v in reasons.values())
+    assert res.summary == dict(want)
+    assert res.summary["kept"] == len(kept_ids)
+    # all reasons are from the documented vocabulary
+    assert {v for v in reasons.values() if v} <= set(REASONS)
+
+
+def test_pii_scrubbed_and_deterministic(corpus):
+    df, vecs = corpus
+    res = curate_corpus(df, min_stopword_ratio=0.0, min_chars=50)
+    kept_text = {
+        r["doc_id"]: r["text"] for r in res.kept.collect()
+    }
+    # 103 survives without embeddings; its email must be redacted
+    assert "[EMAIL]" in kept_text[103] and "alice@example.com" not in kept_text[103]
+    # determinism: identical kept sets and decisions on a second run
+    res2 = curate_corpus(df, min_stopword_ratio=0.0, min_chars=50)
+    assert sorted(kept_text) == sorted(
+        r["doc_id"] for r in res2.kept.collect()
+    )
+    assert res.summary == res2.summary
+
+
+def test_mixture_stage_counts(spark, corpus):
+    df, _ = corpus
+    domains = df.withColumn(
+        "domain", F.when(F.col("doc_id") < 20, "big").otherwise("small")
+    )
+    res = curate_corpus(
+        domains,
+        domain_col="domain",
+        mixture_target_rows=20,
+        min_stopword_ratio=0.0,
+        min_chars=50,
+    )
+    n_kept = res.kept.count()
+    assert res.summary["kept"] == n_kept
+    assert res.summary.get("mixture_downsampled", 0) > 0
+    # decisions for mixture drops carry the right reason
+    mix = res.decisions.filter(F.col("drop_reason") == "mixture_downsampled")
+    assert mix.count() == res.summary["mixture_downsampled"]
