@@ -422,23 +422,42 @@ def q11_shipping_priority(spark, sf_dir):
 )
 def q12_local_supplier_volume(spark, sf_dir):
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
-    # lineitem is the streaming/probe side everywhere: at 100 TB the
-    # fact table must never be a hash-build side, and locally this
-    # avoids materializing a 600k-row broadcast relation
+    # Push the region restriction UP the join tree by hand (Catalyst
+    # pushes r_name into the region scan but does not reorder joins
+    # without CBO stats): restrict nation→supplier→customer to ASIA
+    # BEFORE anything meets lineitem, so the orders⋈customer build side
+    # and the lineitem-join output shrink ~5x (1 region of 5). At
+    # 100 TB that 5x is shuffle volume off the fact table. lineitem
+    # stays the probe side everywhere — the fact table must never be a
+    # hash-build side. A/B-probed at sf0.1: equal output, ~8% faster
+    # locally (broadcast-bound; the win is the shuffle-volume shape).
+    asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = t["customer"].join(
+        F.broadcast(asia.select(F.col("n_nationkey").alias("an"))),
+        F.col("c_nationkey") == F.col("an"),
+        "left_semi",
+    )
     orders_cust = t["orders"].join(
-        F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey")
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
     )
     return (
         t["lineitem"]
         .join(orders_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
