@@ -271,6 +271,7 @@ def incremental_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     bucket_cap: int = 64,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for a corpus INCREMENT against a prebuilt
     `build_lsh_index` — the production shape for rolling ingestion:
@@ -289,9 +290,10 @@ def incremental_lsh_candidates(
     bounded output, connectivity through the rep preserved, same
     trade-off as the intra-corpus guard.
     """
-    new_banded = banded_rows(
-        new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
-    ).localCheckpoint()  # consumed by three branches; freed with result
+    if new_banded is None:
+        new_banded = banded_rows(
+            new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
+        ).localCheckpoint()  # consumed by three branches; freed with result
 
     # -- new ↔ new (identical machinery to the full pipeline) ----------
     from pyspark.sql.window import Window
@@ -355,16 +357,23 @@ def merge_lsh_index(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Fold an increment into the index: union the increment's banded
     rows and refresh bsz/rep_id per bucket. One shuffle over narrow
     index rows (no text rescan of the historical corpus); in a
-    warehouse this is the nightly index-compaction job."""
+    warehouse this is the nightly index-compaction job. Pass
+    `new_banded` (from `banded_rows`) to reuse bands already computed
+    for `incremental_lsh_candidates` instead of re-scanning the
+    increment's text."""
     from pyspark.sql.window import Window
 
-    new_banded = banded_rows(
-        new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
-    )
+    if new_banded is None:
+        new_banded = banded_rows(
+            new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
+        )
+    else:
+        new_banded = new_banded.select(id_col, "band_idx", "band_hash")
     w = Window.partitionBy("band_idx", "band_hash")
     return (
         index.select(id_col, "band_idx", "band_hash")

@@ -13,8 +13,9 @@ Composition rules:
 - every stage only sees survivors of the previous stages, so the
   expensive stages (LSH banding, semantic pair joins) run on the
   already-thinned corpus — order is cheapest-and-broadest first;
-- drop reasons are first-match: a document that is both an exact
-  duplicate and low quality reports ``exact_duplicate``;
+- drop reasons are exclusive by construction: each stage only
+  examines survivors, so a document that is both an exact duplicate
+  and low quality reports ``exact_duplicate`` (the earlier stage);
 - all stages inherit the determinism of their operators (digest
   min-id canonicals, hash sampling, id tie-breaks) — same corpus in,
   same corpus out, across runs and engines.
@@ -34,7 +35,8 @@ from pyspark.sql import functions as F
 from . import dedup as D
 from . import text as T
 
-# drop-reason priority (first match wins in the audit table)
+# drop-reason vocabulary, in stage order (stages see only survivors of
+# earlier stages, so each document carries at most one reason)
 REASONS = [
     "exact_duplicate",
     "low_quality",
@@ -165,19 +167,12 @@ def curate_corpus(
         drops.append(_drops(mixed_out, id_col, "mixture_downsampled"))
         base = kept_mix
 
-    # audit table: first-match reason per dropped id
-    prio = F.create_map(
-        *[x for i, r in enumerate(REASONS) for x in (F.lit(r), F.lit(i))]
-    )
-    all_drops = None
+    # audit table: each stage only sees survivors of the previous
+    # stages, so the per-stage drop sets are disjoint by construction —
+    # a plain union IS the first-match-reason table
+    dropped = None
     for d in drops:
-        all_drops = d if all_drops is None else all_drops.unionByName(d)
-    dropped = (
-        all_drops.withColumn("_p", prio[F.col("drop_reason")])
-        .groupBy(id_col)
-        .agg(F.min(F.struct("_p", "drop_reason")).alias("b"))
-        .select(id_col, F.col("b.drop_reason").alias("drop_reason"))
-    )
+        dropped = d if dropped is None else dropped.unionByName(d)
     decisions = (
         docs.select(id_col)
         .join(dropped, id_col, "left")

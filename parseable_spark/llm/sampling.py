@@ -63,9 +63,15 @@ def hash_sample(
         raise ValueError("strata_rates requires strata_col")
     bound = F.lit(_threshold_hex(default_rate))
     for value, r in strata_rates.items():
-        bound = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(r))).otherwise(
-            bound
+        # a None key must match NULL strata (plain == is never true
+        # against NULL, which would silently drop every NULL-stratum
+        # row regardless of its configured rate)
+        cond = (
+            F.col(strata_col).isNull()
+            if value is None
+            else F.col(strata_col) == value
         )
+        bound = F.when(cond, F.lit(_threshold_hex(r))).otherwise(bound)
     return df.filter(_bucket(id_col) < bound)
 
 

@@ -327,6 +327,11 @@ class ParseableAPI:
                     from datetime import datetime as _dt
 
                     sa.muted_until = _dt.fromisoformat(muted_raw)
+                from .sse import SseAlertTarget
+
+                for t in sa.targets:  # re-key SSE target to the kept id
+                    if isinstance(t, SseAlertTarget):
+                        t.alert_id = aid
                 self._alerts[aid] = sa
                 self._alert_bodies[aid] = body
 
@@ -2445,19 +2450,29 @@ class _Handler(BaseHTTPRequestHandler):
             max_events = int(qp.get("max_events", "0"))
         except ValueError as e:
             raise ApiError(400, "invalid max_events") from e
-        client = self.api.sse.register(sid, principal)
-        self.send_response(200)
-        self.send_header("Content-Type", "text/event-stream")
-        self.send_header("Cache-Control", "no-cache")
-        self.send_header("Connection", "close")
-        self.end_headers()
+        if max_events < 0:
+            raise ApiError(400, "invalid max_events")
+        client = None
         sent = 0
         last_ping = _time.monotonic()
         try:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            # register only after the headers made it out — a socket
+            # that dies mid-handshake must not leak a client entry
+            client = self.api.sse.register(sid, principal)
             while True:
                 try:
                     kind, text = client.q.get(timeout=0.25)
                 except _queue.Empty:
+                    # session revocation check: a logged-out/expired
+                    # session stops receiving (the reference fetches
+                    # live sessions per broadcast, alerts/mod.rs:725)
+                    if self.api.check_session(sid) is None:
+                        return
                     if _time.monotonic() - last_ping >= 10.0:
                         # ping sweep: a dead socket raises here and the
                         # client is dropped (sse/mod.rs:65-103)
@@ -2474,7 +2489,8 @@ class _Handler(BaseHTTPRequestHandler):
         except (ConnectionError, OSError):
             return  # client went away; ping sweep analog
         finally:
-            self.api.sse.unregister(client)
+            if client is not None:
+                self.api.sse.unregister(client)
 
     def _is_admin(self) -> bool:
         """Admin = open-server/built-in principal or a MANAGE grant —

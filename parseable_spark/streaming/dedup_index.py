@@ -92,15 +92,44 @@ class StreamingDedupIndex:
             os.path.join(self.base_dir, "index", f"v{v}")
         )
 
+    def _committed_versions(self) -> list[int]:
+        """Versions with a completed parquet write (_SUCCESS marker)."""
+        idx_dir = os.path.join(self.base_dir, "index")
+        out = []
+        for name in os.listdir(idx_dir):
+            if name.startswith("v") and os.path.exists(
+                os.path.join(idx_dir, name, "_SUCCESS")
+            ):
+                try:
+                    out.append(int(name[1:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     # -- per-micro-batch processing --------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: emit candidate pairs for the batch (within
         the batch + against all history), then fold the batch into a
-        new index version."""
+        new index version.
+
+        Idempotent under foreachBatch's at-least-once redelivery: the
+        index version is DERIVED from the batch id (v{batch_id+1}), the
+        previous index is the newest committed version strictly at or
+        below batch_id (so a replay reads the same pre-state even when
+        its own version was already written), the version write is an
+        overwrite, and the pairs write overwrites exactly its own
+        batch_id partition (dynamic partition overwrite)."""
         docs = batch_df.select(self.id_col, self.text_col)
         if not docs.head(1):
             return
-        idx = self.index_df()
+        prior = [v for v in self._committed_versions() if v <= int(batch_id)]
+        idx = (
+            self.spark.read.parquet(
+                os.path.join(self.base_dir, "index", f"v{prior[-1]}")
+            )
+            if prior
+            else None
+        )
         kw = dict(
             id_col=self.id_col,
             text_col=self.text_col,
@@ -108,6 +137,11 @@ class StreamingDedupIndex:
             rows_per_band=self.rows_per_band,
             shingle_n=self.shingle_n,
         )
+        from ..llm.dedup import banded_rows
+
+        # band the batch ONCE; both the candidate probe and the index
+        # merge consume the same checkpointed rows (no double text scan)
+        banded = banded_rows(docs, **kw).localCheckpoint()
         if idx is None:
             pairs = minhash_lsh_candidates(
                 docs, bucket_cap=self.bucket_cap, **kw
@@ -115,22 +149,24 @@ class StreamingDedupIndex:
             new_index = build_lsh_index(docs, **kw)
         else:
             pairs = incremental_lsh_candidates(
-                docs, idx, bucket_cap=self.bucket_cap, **kw
+                docs, idx, bucket_cap=self.bucket_cap, new_banded=banded, **kw
             )
-            new_index = merge_lsh_index(idx, docs, **kw)
+            new_index = merge_lsh_index(idx, docs, new_banded=banded, **kw)
         from pyspark.sql import functions as F
 
         (
             pairs.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(os.path.join(self.base_dir, "pairs"))
         )
-        version = (self.latest_version() or 0) + 1
+        version = int(batch_id) + 1
         new_index.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, "index", f"v{version}")
         )
-        self._commit_version(version)
+        if version > (self.latest_version() or 0):
+            self._commit_version(version)
 
     def batch_writer(self) -> Callable[[DataFrame, int], None]:
         """Hook for `streaming.ingest.foreach_batch_sink`."""

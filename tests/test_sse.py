@@ -83,3 +83,44 @@ def test_alert_target_triggers_only_on_triggered():
 def test_wire_frames():
     assert format_frame("data", "hello") == b"data: hello\n\n"
     assert format_frame("comment", "ping") == b": ping\n\n"
+
+
+def test_replayed_alert_sse_target_carries_persisted_id(spark, tmp_path):
+    """Code-review regression: after a server restart, the replayed
+    alert's SSE target must broadcast the PERSISTED alert id, not the
+    throwaway uuid minted during config replay."""
+    from parseable_spark.server import ParseableAPI
+    from parseable_spark.sse import SseAlertTarget
+
+    api = ParseableAPI(spark, str(tmp_path))
+    api.ingest("s1", [{"v": 1}])
+    api._stores["s1"].flush()
+    aid = api.create_alert(
+        {"stream": "s1", "aggregate": "max", "aggregateColumn": "v",
+         "operator": ">", "threshold": 100}
+    )["id"]
+    api2 = ParseableAPI(spark, str(tmp_path))
+    targets = [
+        t for t in api2._alerts[aid].targets if isinstance(t, SseAlertTarget)
+    ]
+    assert len(targets) == 1 and targets[0].alert_id == aid
+
+
+def test_null_stratum_rows_respect_their_rate(spark):
+    """Code-review regression: a None stratum key must match NULL
+    column values (== NULL is never true and silently dropped them)."""
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm.sampling import hash_sample, mixture_sample
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").alias("domain"),  # half NULL
+    )
+    out = hash_sample(
+        df, strata_col="domain", strata_rates={None: 1.0, "web": 1.0}
+    )
+    assert out.count() == 400  # NULL rows kept at rate 1.0
+    # and through the mixture path: T=1 keeps every nonzero domain
+    mixed = mixture_sample(df, "domain", temperature=1.0)
+    assert mixed.filter(F.col("domain").isNull()).count() == 200

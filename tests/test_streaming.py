@@ -593,3 +593,39 @@ def test_streaming_dedup_index_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, idx.index_df().select(cols).collect())) == sorted(
         map(tuple, build_lsh_index(all_docs).select(cols).collect())
     )
+
+
+def test_streaming_dedup_index_replay_is_idempotent(spark, tmp_path):
+    """Code-review regression: foreachBatch redelivers a batch after a
+    partial failure (at-least-once). Re-processing the same batch_id
+    must leave pairs AND index bit-identical — no duplicated pair rows,
+    no double-counted bucket sizes."""
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    docs0 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, "one two three four five six")],
+        "doc_id bigint, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta")],  # near-dup of 0
+        "doc_id bigint, text string",
+    )
+    idx = StreamingDedupIndex(spark, str(tmp_path / "d"), bucket_cap=10**9)
+    idx.process_batch(docs0, 0)
+    idx.process_batch(docs1, 1)
+    pairs_once = sorted(map(tuple, idx.candidates().collect()))
+    index_once = sorted(
+        map(tuple, idx.index_df().select("doc_id", "band_idx", "band_hash", "bsz", "rep_id").collect())
+    )
+    assert (0, 2, 1) in pairs_once  # cross-batch pair in batch 1
+
+    # replay batch 1 (the redelivery case)
+    idx.process_batch(docs1, 1)
+    assert sorted(map(tuple, idx.candidates().collect())) == pairs_once
+    assert (
+        sorted(
+            map(tuple, idx.index_df().select("doc_id", "band_idx", "band_hash", "bsz", "rep_id").collect())
+        )
+        == index_once
+    )
+    assert idx.latest_version() == 2

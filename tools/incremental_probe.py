@@ -9,10 +9,12 @@ re-shingles and re-hashes the entire history every day; the
 incremental plan reads only the (narrow) signature index and never
 touches historical text.
 
-Method: a FIXED 500-doc increment is deduped against histories of
-growing size (sf0.1 documents replicated xN, per-replica
-consonant-rotated text — the scale_probe recipe, so replicas are NOT
-near-dups of each other). For each history size N we time:
+Method: a FIXED 500-doc increment (tail-perturbed near-dups of the
+first 500 history docs, so real cross pairs exist at every size) is
+deduped against histories of growing size (sf0.1 documents replicated
+xN, per-replica consonant-rotated text — the scale_probe recipe, so
+replicas are NOT near-dups of each other). For each history size N we
+time:
   A) incremental: incremental_lsh_candidates(increment, index_N)
      reading the prebuilt parquet index (history text never touched);
   B) full recompute: minhash_lsh_candidates(history_N + increment)
@@ -71,14 +73,21 @@ def main() -> None:
     spark = get_spark("incremental-probe")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     base = docs.agg(F.max("doc_id")).first()[0] + 1
-    # fixed 500-doc increment: one more rotation of the first 500 docs,
-    # ids far above any history replica
+    # fixed 500-doc increment: tail-perturbed near-dups of the first
+    # 500 docs (so ~500 genuine increment↔history pairs exist at every
+    # history size), ids far above any history replica. Built
+    # explicitly — an earlier version derived it through replicate()'s
+    # internal (subset-relative) id base and produced an EMPTY frame,
+    # making the probe vacuous; the asserts below pin non-emptiness of
+    # both the increment and its pair output.
     increment = (
-        replicate(docs.limit(500), 2)
-        .filter(F.col("doc_id") >= base)
+        docs.limit(500)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" incremental refresh tail")))
         .withColumn("doc_id", F.col("doc_id") + F.lit(100 * base))
         .localCheckpoint()
     )
+    n_inc = increment.count()
+    assert n_inc == 500, n_inc
 
     sizes = [n for n in (1, 2, 4, 8) if n <= max_n]
     tmp = Path(tempfile.mkdtemp(prefix="incprobe-"))
@@ -123,10 +132,12 @@ def main() -> None:
                 )
                 .collect()
             }
+            assert got, "probe is vacuous: no increment-touching pairs"
             results.append(
                 {
                     "history_x": n,
                     "history_docs": n * base,
+                    "increment_pairs": len(got),
                     "incremental_s": round(t_inc, 2),
                     "full_recompute_s": round(t_full, 2),
                     "pairs_equal": got == want,
