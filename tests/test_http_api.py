@@ -2338,3 +2338,68 @@ def test_about_payload_and_deployment_id_persistence(spark, tmp_path):
 
     api3 = ParseableAPI(spark, str(tmp_path) + "-other")
     assert api3.deployment_id != did
+
+
+def test_sse_stream_closes_on_session_revocation(spark, tmp_path):
+    """Code-review regression: a logged-out/expired session's SSE
+    stream must stop — the handler re-checks session validity on its
+    poll tick instead of trusting the connect-time check forever."""
+    import base64 as b64
+    import http.client
+    import time as _time
+
+    provider = _FakeOidcProvider()
+    from parseable_spark.oidc import OpenidConfig
+
+    api = ParseableAPI(
+        spark, str(tmp_path), auth=("admin", "root-pw"),
+        oidc=OpenidConfig(
+            client_id="pclient", client_secret="psecret",
+            issuer=provider.base, origin="http://127.0.0.1:0",
+        ),
+    )
+    srv, base = serve_background(api)
+    host, port = srv.server_address
+    try:
+        class NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        opener = urllib.request.build_opener(NoRedirect)
+        try:
+            opener.open(base + "/api/v1/o/code?code=good-code&state=/", timeout=30)
+            raise AssertionError("expected 307")
+        except urllib.error.HTTPError as e:
+            cookie = e.headers["Set-Cookie"].split(";")[0]
+        sid = cookie.split("=", 1)[1]
+
+        # negative max_events is rejected up front
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/api/v1/sse?max_events=-1", headers={"Cookie": cookie}
+                ),
+                timeout=30,
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/api/v1/sse", headers={"Cookie": cookie})
+        resp = conn.getresponse()
+        assert resp.readline() == b"data: connected\n"
+        assert api.sse.sessions() == [sid]
+        api.drop_session(sid)  # the logout path
+        t0 = _time.time()
+        rest = resp.read()  # server closes on its next poll tick
+        assert _time.time() - t0 < 10, "stream did not close"
+        assert b"alertEvent" not in rest
+        conn.close()
+        deadline = _time.monotonic() + 5
+        while api.sse.sessions() and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert api.sse.sessions() == []
+    finally:
+        srv.shutdown()
+        provider.shutdown()
