@@ -47,6 +47,20 @@ class Condition:
     operator: str
     value: object = None
 
+    def __post_init__(self) -> None:
+        # the column is interpolated into generated SQL: restrict it to
+        # identifier characters (letters/digits/_/./-), or a space/paren/
+        # quote smuggles arbitrary expressions past the per-stream RBAC
+        # gate via /counts or alert bodies (review finding). Dots stay
+        # allowed for nested-field access; dashes for x-p-* custom
+        # fields (those reach filter() fine unquoted in Spark only when
+        # backticked by callers — same rule the reference enforces via
+        # its column whitelist).
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", str(self.column)):
+            raise ValueError(f"invalid condition column: {self.column!r}")
+
     def to_sql(self) -> str:
         op = self.operator.lower()
         if op not in _OPS:

@@ -124,6 +124,18 @@ class QueryEngine:
         self._streams[name] = (df, time_col or self.time_col)
         df.createOrReplaceTempView(name)
 
+    def deregister_stream(self, name: str, tenant: str | None = None) -> None:
+        """Drop a stream's registration AND its temp view. Without the
+        view drop, a deleted stream's data stays queryable through the
+        stale view — and the HTTP layer's per-stream RBAC no longer
+        guards it (review finding)."""
+        if tenant is not None:
+            from ..rbac import tenant_view_name
+
+            name = tenant_view_name(tenant, name)
+        self._streams.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
     def query(
         self,
         sql: str,

@@ -36,8 +36,14 @@ def parse_human_time(value: str, now: datetime | None = None) -> datetime:
     m = _HUMAN_RE.match(v)
     if m:
         return now - timedelta(seconds=int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()])
-    # RFC3339 (accept trailing Z)
-    return datetime.fromisoformat(v.replace("Z", "+00:00"))
+    # RFC3339 (accept trailing Z). Aware stamps normalize to UTC: the
+    # stored p_timestamp axis is UTC-naive, and downstream code strips
+    # tzinfo — without astimezone first, a "+05:30" client offset would
+    # silently shift every window by the offset (review finding).
+    dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
+    return dt
 
 
 @dataclass(frozen=True)

@@ -66,6 +66,17 @@ class ApiError(Exception):
         self.status = status
 
 
+
+def _int_arg(value, name: str, default: int) -> int:
+    """Client-supplied integer with 400 (not 500) on junk input."""
+    if value is None or value == "":
+        return default
+    try:
+        return int(value)
+    except (TypeError, ValueError) as e:
+        raise ApiError(400, f"invalid integer for {name!r}: {value!r}") from e
+
+
 class ParseableAPI:
     """Engine facade the HTTP handler routes into (also usable
     directly, e.g. from tests or a WSGI adapter)."""
@@ -336,9 +347,23 @@ class ParseableAPI:
                 self._alert_bodies[aid] = body
 
     # -- streams ------------------------------------------------------------
+    @staticmethod
+    def validate_stream_name(name: str) -> str:
+        """Stream names are path components AND SQL identifiers; reject
+        anything else (reference validator::stream_name). Without this,
+        `x-p-stream: ../../tmp/evil` writes outside the storage root and
+        `DELETE /logstream/..` rmtree's the root's parent (review
+        finding)."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name) or ".." in name:
+            raise ApiError(400, f"invalid stream name {name!r}")
+        return name
+
     def get_or_create_stream(self, name: str) -> StreamStore:
         with self._lock:
             if name not in self._stores:
+                self.validate_stream_name(name)
                 self._stores[name] = StreamStore(
                     self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
                 )
@@ -474,10 +499,13 @@ class ParseableAPI:
     def _parse_conditions(cfg: dict[str, Any]):
         from .query.alerts import Condition, ConditionGroup
 
-        children = [
-            Condition(c["column"], c["operator"], c.get("value"))
-            for c in (cfg.get("conditionConfig") or cfg.get("condition_config") or [])
-        ]
+        try:
+            children = [
+                Condition(c["column"], c["operator"], c.get("value"))
+                for c in (cfg.get("conditionConfig") or cfg.get("condition_config") or [])
+            ]
+        except ValueError as e:  # invalid column identifier → 400
+            raise ApiError(400, str(e)) from e
         return ConditionGroup(cfg.get("operator", "AND"), children)
 
     def _build_target(self, body: dict[str, Any]):
@@ -627,7 +655,7 @@ class ParseableAPI:
         sa = ScheduledAlert(
             alert,
             eval_start=body.get("evalStart") or "10m",
-            eval_frequency_s=int(body.get("evalFrequencySeconds") or 600),
+            eval_frequency_s=_int_arg(body.get("evalFrequencySeconds"), "evalFrequencySeconds", 600),
             targets=targets,
         )
         sa.target_ids = target_ids
@@ -1073,9 +1101,13 @@ class ParseableAPI:
             for labels, v in samples:
                 lines.append(f"parseable_{name}{labels} {int(v) if float(v).is_integer() else v}")
 
+        def esc(v: str) -> str:
+            # label-value escaping per the exposition format spec
+            return v.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
         with self._lock:
             streams = sorted(self._stores)
-            lbl = lambda s: f'{{stream="{s}",format="json"}}'  # noqa: E731
+            lbl = lambda s: f'{{stream="{esc(s)}",format="json"}}'  # noqa: E731
             emit(
                 "events_ingested", "gauge", "Events ingested for a stream",
                 [(lbl(s), self._stores[s].stats.current.events) for s in streams],
@@ -1306,12 +1338,12 @@ class ParseableAPI:
         from .query.response import row_to_json
 
         raw_limit = body.get("limit")
-        limit = self.DEFAULT_TRACE_LIMIT if raw_limit is None else int(raw_limit)
+        limit = _int_arg(raw_limit, "limit", self.DEFAULT_TRACE_LIMIT)
         if not 1 <= limit <= self.MAX_TRACE_LIMIT:
             raise ApiError(
                 400, f"limit must be between 1 and {self.MAX_TRACE_LIMIT}, got {limit}"
             )
-        offset = int(body.get("offset") or 0)
+        offset = _int_arg(body.get("offset"), "offset", 0)
         option = body.get("options") or body.get("option") or "spans"
         if option not in ("spans", "errorSpans", "traces"):
             raise ApiError(400, f"unknown options value {option!r}")
@@ -1394,7 +1426,7 @@ class ParseableAPI:
             anchor_dt = parse_human_time(anchor)
         except ValueError as e:
             raise ApiError(400, str(e)) from e
-        page_size = int(body.get("pageSize") or 500)
+        page_size = _int_arg(body.get("pageSize"), "pageSize", 500)
         if not 1 <= page_size <= 10000:
             raise ApiError(400, "pageSize must be between 1 and 10000")
         half = max(page_size // 2, 1)
@@ -1543,8 +1575,8 @@ class ParseableAPI:
         name = str(body.get("dataset_name") or "")
         if not name:
             raise ApiError(400, "missing dataset_name")
-        offset = int(body.get("offset") or 0)
-        limit = int(body.get("limit") or 5)
+        offset = _int_arg(body.get("offset"), "offset", 0)
+        limit = _int_arg(body.get("limit"), "limit", 5)
         if offset < 0 or limit <= 0:
             raise ApiError(400, "offset must be >= 0 and limit > 0")
         with self._lock:
@@ -1819,7 +1851,7 @@ class ParseableAPI:
             tr = TimeRange.parse(start, end)
         except ValueError as e:
             raise ApiError(400, str(e)) from e
-        num_bins = int(body.get("numBins") or 10)
+        num_bins = _int_arg(body.get("numBins"), "numBins", 10)
         if not 1 <= num_bins <= 10000:
             raise ApiError(400, "numBins must be between 1 and 10000")
         lo = tr.start.replace(tzinfo=None)
@@ -1829,17 +1861,20 @@ class ParseableAPI:
 
         cond = body.get("conditions") or {}
         group_by = list(cond.get("groupBy") or cond.get("group_by") or [])
-        top_k = cond.get("topK") or cond.get("top_k")
+        top_k = _int_arg(cond.get("topK") or cond.get("top_k"), "topK", 0)
         cfg = (cond.get("conditions") or {})
         where = None
         if cfg:
-            children = [
-                Condition(c["column"], c["operator"], c.get("value"))
-                for c in (
-                    cfg.get("conditionConfig") or cfg.get("condition_config") or []
-                )
-            ]
-            where = ConditionGroup(cfg.get("operator", "AND"), children).to_sql()
+            try:
+                children = [
+                    Condition(c["column"], c["operator"], c.get("value"))
+                    for c in (
+                        cfg.get("conditionConfig") or cfg.get("condition_config") or []
+                    )
+                ]
+                where = ConditionGroup(cfg.get("operator", "AND"), children).to_sql()
+            except ValueError as e:  # bad column/operator → client error
+                raise ApiError(400, str(e)) from e
 
         with self._lock:
             tcol = store.time_col
@@ -1875,7 +1910,7 @@ class ParseableAPI:
                     ((sum(x["count"] for x in v), k) for k, v in counts.items()),
                     key=lambda t: (-t[0], t[1]),
                 )
-                keep = {k for _, k in totals[: int(top_k)]}
+                keep = {k for _, k in totals[:top_k]}
                 counts = {k: v for k, v in counts.items() if k in keep}
             records = []
             for key in sorted(counts, key=lambda k: tuple(str(x) for x in k)):
@@ -1931,6 +1966,7 @@ class ParseableAPI:
         with self._lock:
             if name in self._stores:
                 raise ApiError(400, f"logstream {name} already exists")
+            self.validate_stream_name(name)
             store = StreamStore(
                 self.spark,
                 self.root,
@@ -1966,14 +2002,31 @@ class ParseableAPI:
 
     def delete_stream(self, name: str) -> None:
         """DELETE /api/v1/logstream/{name} (logstream.rs:52-94): drop
-        staging, data, and metadata."""
+        staging, data, metadata, the engine view, the retention policy,
+        and the stream's alerts — a later stream of the same name must
+        not inherit any of them (review findings: stale temp view was
+        queryable without RBAC; stale retention silently deleted the
+        new stream's data)."""
         import shutil
 
         with self._lock:
             store = self._stores.pop(name, None)
             if store is None:
                 raise ApiError(404, f"logstream {name} does not exist")
+            self.validate_stream_name(name)  # defense in depth pre-rmtree
+            self.engine.deregister_stream(name)
+            self._retention.pop(name, None)
+            stale = [
+                aid for aid, sa in self._alerts.items() if sa.alert.stream == name
+            ]
+            for aid in stale:
+                sa = self._alerts.pop(aid)
+                self._alert_bodies.pop(aid, None)
+                if sa in self.scheduler._alerts:
+                    self.scheduler._alerts.remove(sa)
             shutil.rmtree(store.stream_dir, ignore_errors=True)
+        if stale:
+            self._save_config()
 
     def _store_or_404(self, name: str) -> StreamStore:
         with self._lock:
@@ -2272,7 +2325,15 @@ class ParseableAPI:
         '*' when the server is open (no auth configured), or None when
         credentials are required and invalid. The static `auth` tuple
         acts as a built-in admin alongside RBAC users."""
-        if self.auth is None and not self._passwords:
+        if (
+            self.auth is None
+            and not self._passwords
+            and not self._api_keys
+            and self.oidc_client is None
+        ):
+            # open server ONLY when no auth mechanism of any kind is
+            # configured; an OIDC- or API-key-only deployment must not
+            # grant anonymous admin (review finding)
             return "*"
         if not header or not header.startswith("Basic "):
             return None
@@ -2368,10 +2429,18 @@ class _Handler(BaseHTTPRequestHandler):
         for k, v in extra.items():
             self.send_header(k, v)
         self.end_headers()
-        for line in lines:
-            chunk = line.encode()
-            self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
-        self.wfile.write(b"0\r\n\r\n")
+        try:
+            for line in lines:
+                chunk = line.encode()
+                self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        finally:
+            # run the generator's finally NOW (it may hold the API
+            # lock); abandoning it to GC after a client disconnect can
+            # leave the lock held forever (review finding)
+            close = getattr(lines, "close", None)
+            if close is not None:
+                close()
 
     principal: str | None = None
 
@@ -3322,7 +3391,10 @@ class _Handler(BaseHTTPRequestHandler):
         for t in extract_table_names(
             str(payload.get("query") or ""), spark=self.api.spark
         ):
-            if t in self.api._stores:
+            # fail closed: anything resolvable in the engine needs a
+            # QUERY grant, whether or not a live store backs it — a
+            # stale view must never be a grant bypass (review finding)
+            if t in self.api._stores or t in self.api.engine._streams:
                 self._allow(Action.QUERY, t)
         # query params override/augment body flags (query.rs:591-619)
         for flag in ("fields", "sendNull", "streaming"):

@@ -2403,3 +2403,105 @@ def test_sse_stream_closes_on_session_revocation(spark, tmp_path):
     finally:
         srv.shutdown()
         provider.shutdown()
+
+
+def test_security_review_fixes(spark, tmp_path):
+    """Code-review regressions: stream-name traversal, deleted-stream
+    view bypass, condition-column injection, stale retention, and
+    tz-offset window handling."""
+    from datetime import datetime, timedelta, timezone
+
+    api = ParseableAPI(spark, str(tmp_path))
+    srv, base = serve_background(api)
+
+    def post(path, body, headers=None, expect_error=False):
+        try:
+            return _post(base + path, body, headers=headers)[1], None
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            assert body and json.loads(body) is not None
+            return None, e.code
+
+    try:
+        # 1. traversal: header and path stream names are rejected
+        _, code = post("/api/v1/ingest", EVENTS, headers={"x-p-stream": "../evil"})
+        assert code == 400
+        req = urllib.request.Request(
+            base + "/api/v1/logstream/..", method="PUT", data=b"[]",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 4xx")
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 500
+        assert not (tmp_path / ".." / "data").exists()
+
+        # seed a real stream
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1"})
+
+        # 2. condition-column injection in counts → 400
+        _, code = post(
+            "/api/v1/counts",
+            {"stream": "s1", "startTime": _range()["startTime"],
+             "endTime": _range()["endTime"],
+             "conditions": {"conditions": {
+                 "operator": "and", "conditionConfig": [
+                     {"column": "(SELECT 1) = 1 OR level",
+                      "operator": "is not null"}]}}},
+        )
+        assert code == 400
+
+        # 3. tz-offset windows: a +05:30 window equals its UTC twin
+        now = datetime.now(timezone.utc)
+        ist = timezone(timedelta(hours=5, minutes=30))
+        fmt = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S%z")  # noqa: E731
+        q = "SELECT count(*) AS n FROM s1"
+        utc_rows, _ = post("/api/v1/query", {
+            "query": q, "startTime": fmt(now - timedelta(minutes=10)),
+            "endTime": fmt(now + timedelta(minutes=10))})
+        ist_rows, _ = post("/api/v1/query", {
+            "query": q,
+            "startTime": fmt((now - timedelta(minutes=10)).astimezone(ist)),
+            "endTime": fmt((now + timedelta(minutes=10)).astimezone(ist))})
+        assert utc_rows == ist_rows == [{"n": len(EVENTS)}]
+
+        # 4. delete removes retention + engine view: the deleted data
+        # is unreachable and recreation does not inherit the policy
+        req = urllib.request.Request(
+            base + "/api/v1/logstream/s1/retention", method="PUT",
+            data=json.dumps([{"duration": "1d", "action": "delete"}]).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=30)
+        assert "s1" in api._retention
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/api/v1/logstream/s1", method="DELETE"), timeout=30)
+        assert "s1" not in api._retention
+        assert "s1" not in api.engine._streams
+        rows, code = post("/api/v1/query", {"query": q, **_range()})
+        assert rows is None and code >= 400  # stale view gone
+    finally:
+        srv.shutdown()
+
+
+def test_oidc_only_server_is_not_open(spark, tmp_path):
+    """Code-review regression: with OIDC configured and no native
+    users, anonymous requests must get 401, not implicit '*' admin."""
+    provider = _FakeOidcProvider()
+    from parseable_spark.oidc import OpenidConfig
+
+    api = ParseableAPI(
+        spark, str(tmp_path),
+        oidc=OpenidConfig(client_id="c", client_secret="s",
+                          issuer=provider.base, origin="http://127.0.0.1:0"),
+    )
+    srv, base = serve_background(api)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query",
+                  {"query": "SELECT 1", **_range()})
+        assert ei.value.code == 401
+    finally:
+        srv.shutdown()
+        provider.shutdown()
