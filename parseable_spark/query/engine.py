@@ -25,7 +25,10 @@ DEFAULT_SQL_TIMEOUT_SECONDS = 300.0
 # A query "already constrains time" only if the time column appears in a
 # comparison/BETWEEN — a bare mention (e.g. inside DATE_BIN) doesn't count.
 _TIME_PRED_TMPL = (
-    r'(?<![\w."]){col}(?![\w."])\s*(?:=|!=|<>|<=?|>=?|(?i:\s+BETWEEN\b))'
+    # a leading dot is ALLOWED (qualified refs like app.p_timestamp are
+    # the user constraining time — treating them as unconstrained would
+    # double-filter to the intersection of both windows; review finding)
+    r'(?<![\w"]){col}(?![\w."])\s*(?:=|!=|<>|<=?|>=?|(?i:\s+BETWEEN\b))'
     r"|(?:=|!=|<>|<=?|>=?)\s*{col}(?![\w.\"])"
 )
 
@@ -105,6 +108,13 @@ class QueryEngine:
         self.spark = spark
         self.time_col = time_col
         self._streams: dict[str, tuple[DataFrame, str]] = {}
+        # query() swaps shared temp views in and restores them; the
+        # Flight server calls it from multiple gRPC threads, so the
+        # inject→analyze→restore window must be exclusive or parallel
+        # requests read each other's time windows (review finding).
+        # spark.sql() resolves views at ANALYSIS (inside the lock) —
+        # executing the returned DataFrame later is safe.
+        self._view_lock = threading.RLock()
 
     def register_stream(
         self,
@@ -146,22 +156,28 @@ class QueryEngine:
         """Run SQL; inject the time filter on every referenced stream
         unless the query already filters its time column (reference
         behavior: src/query/mod.rs:404-411)."""
-        if start is not None and end is not None:
-            tr = TimeRange.parse(start, end, now=now)
-            lo, hi = tr.sql_literals()
-            for name in extract_table_names(sql, spark=self.spark):
-                if name not in self._streams:
-                    continue
-                df, tcol = self._streams[name]
-                if references_time_col(sql, tcol):
-                    continue  # user already constrains time
-                df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}").createOrReplaceTempView(name)
-        try:
-            return self.spark.sql(sql)
-        finally:
-            # restore unfiltered views for subsequent queries
-            for name, (df, _) in self._streams.items():
-                df.createOrReplaceTempView(name)
+        with self._view_lock:
+            if start is not None and end is not None:
+                tr = TimeRange.parse(start, end, now=now)
+                lo, hi = tr.sql_literals()
+                # Spark resolves temp views case-insensitively, so the
+                # lookup must too — an exact-case miss would silently
+                # skip injection and return full history (review finding)
+                canon = {k.lower(): k for k in self._streams}
+                for name in extract_table_names(sql, spark=self.spark):
+                    key = canon.get(name.lower())
+                    if key is None:
+                        continue
+                    df, tcol = self._streams[key]
+                    if references_time_col(sql, tcol):
+                        continue  # user already constrains time
+                    df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}").createOrReplaceTempView(key)
+            try:
+                return self.spark.sql(sql)
+            finally:
+                # restore unfiltered views for subsequent queries
+                for name, (df, _) in self._streams.items():
+                    df.createOrReplaceTempView(name)
 
     def execute(
         self,
@@ -226,8 +242,12 @@ class QueryEngine:
         if plan.aggregateExpressions().size() != 1:
             return None
         expr = plan.aggregateExpressions().apply(0)
-        norm = expr.toString().lower()
-        if "count(1)" not in norm and "count(*)" not in norm:
+        # exact shape, not substring: `count(1) * 2` or `count(1) FILTER
+        # (WHERE ...)` also CONTAIN "count(1)" but must scan (review
+        # finding — the fast path would return the raw manifest count)
+        if not re.fullmatch(
+            r"count\(1\) AS [^#]+#\d+L?", expr.toString(), re.IGNORECASE
+        ):
             return None
         alias = expr.name()
         # Walk wrappers until we hit a registered stream's alias: the

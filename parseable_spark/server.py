@@ -443,9 +443,17 @@ class ParseableAPI:
                 from .query.engine import extract_table_names
                 from .flight import querier_query
 
-                streams = [
-                    t for t in extract_table_names(sql) if t in self._stores
-                ]
+                canon = {k.lower(): k for k in self._stores}
+                streams = list(
+                    dict.fromkeys(
+                        canon[t.lower()]
+                        # parser-derived (spark=) — the regex fallback
+                        # misses FROM/**/s and case variants, silently
+                        # skipping the fan-out (review finding)
+                        for t in extract_table_names(sql, spark=self.spark)
+                        if t.lower() in canon
+                    )
+                )
                 if len(streams) == 1:
                     name = streams[0]
                     return querier_query(
@@ -3388,14 +3396,20 @@ class _Handler(BaseHTTPRequestHandler):
             raise ApiError(400, "body must be a JSON object")
         # parser-derived table set: matches exactly what Spark resolves,
         # closing the regex bypasses (FROM`s2`, FROM/**/s2, comma joins)
+        # case-insensitive: Spark resolves views case-insensitively, so
+        # FROM APP must hit the grant check for stream "app" too
+        canon = {k.lower(): k for k in self.api._stores}
+        canon.update(
+            {k.lower(): k for k in self.api.engine._streams if k.lower() not in canon}
+        )
         for t in extract_table_names(
             str(payload.get("query") or ""), spark=self.api.spark
         ):
             # fail closed: anything resolvable in the engine needs a
             # QUERY grant, whether or not a live store backs it — a
             # stale view must never be a grant bypass (review finding)
-            if t in self.api._stores or t in self.api.engine._streams:
-                self._allow(Action.QUERY, t)
+            if t.lower() in canon:
+                self._allow(Action.QUERY, canon[t.lower()])
         # query params override/augment body flags (query.rs:591-619)
         for flag in ("fields", "sendNull", "streaming"):
             if flag in params and not payload.get(flag):

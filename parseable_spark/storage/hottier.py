@@ -78,6 +78,18 @@ class HotTier:
         local = self._local_path(remote_path)
         return local if local in self._sizes else None
 
+    def invalidate(self, remote_path: str) -> None:
+        """Drop a cached copy whose remote file was deleted (retention/
+        compaction); without this, dead entries occupy quota forever
+        and eviction chews through live recent buckets instead
+        (review finding)."""
+        local = self._local_path(remote_path)
+        if self._sizes.pop(local, None) is not None:
+            try:
+                os.remove(local)
+            except OSError:
+                pass
+
     def resolve(self, remote_paths: list[str]) -> list[str]:
         """Swap each path for its hot-tier copy when cached (the scan
         branch split of stream_schema_provider.rs:232-289; misses stay

@@ -170,6 +170,12 @@ class StreamStore:
         """Union of manifest-pruned parquet + (fresh-window-gated)
         staging memtable; time predicate applied on top so Spark also
         does row-group pruning."""
+        naive = lambda d: (  # noqa: E731 — aware stamps → UTC-naive axis
+            d.astimezone(timezone.utc).replace(tzinfo=None)
+            if d is not None and d.tzinfo is not None
+            else d
+        )
+        start, end, now = naive(start), naive(end), naive(now)
         iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.%f") if d else None  # noqa: E731
         paths = self.manifest.prune_paths(self.time_col, iso(start), iso(end))
         if limit is not None:
@@ -233,7 +239,12 @@ class StreamStore:
             if len(files) < min_files:
                 continue
             paths = [f.file_path for f in files]
-            df = self.spark.read.parquet(*paths)
+            # registry schema, not first-file inference: files written
+            # before a schema-evolution step lack the newer columns, and
+            # an inferred read would DROP those columns from the rewrite
+            # (silent data loss — review finding); the registry schema
+            # nulls them instead, same as scan()
+            df = self._parquet_df(paths)
             tmp = d + ".compact.tmp"
             (
                 df.coalesce(1)
@@ -245,6 +256,8 @@ class StreamStore:
             new_files = glob(os.path.join(tmp, "*.parquet"))
             for p in paths:
                 os.remove(p)
+                if self.hot_tier is not None:
+                    self.hot_tier.invalidate(p)
             moved = []
             for i, p in enumerate(new_files):
                 dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")
@@ -279,6 +292,15 @@ class StreamStore:
             dead = [f for f in self.manifest.files if f.file_path not in live]
             self.manifest.files = [f for f in self.manifest.files if f.file_path in live]
             self.manifest.save(self.manifest_path)
+            # keep the snapshot in lockstep with the manifest (flush and
+            # compact do; a stale snapshot over-counts totals and keeps
+            # time bounds for deleted data — review finding)
+            self.snapshot = Snapshot()
+            self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
+            self.snapshot.save(self.snapshot_path)
+            if self.hot_tier is not None:
+                for f in dead:
+                    self.hot_tier.invalidate(f.file_path)
             ev = sum(f.num_rows for f in dead)
             st = sum(f.file_size for f in dead)
             # ingestion bytes aren't tracked per file; attribute them
