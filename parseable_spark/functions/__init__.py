@@ -93,14 +93,29 @@ def salted_join(
     AQE's skew-join split handles most skew at runtime; explicit salting
     is for the pathological case AQE can't fix — one key holding a
     double-digit percent of the fact table, where a single reducer
-    would still own the whole key. The salt is deterministic
-    (hash of the skewed row), so results are reproducible; the other
-    side is replicated salt_buckets× (keep it the smaller input).
+    would still own the whole key. The salt derives from the row's
+    position (monotonically_increasing_id), NOT a hash of its values:
+    hot keys are typically millions of IDENTICAL rows (heartbeats,
+    repeated error lines), and a value hash would send every copy to
+    the same bucket, reducing the guard to a no-op exactly in the case
+    it exists for (review finding). Join output is unaffected by salt
+    placement, so task-retry nondeterminism of the row ids is harmless.
+
+    Only inner/left-side joins are supported: the replicated side would
+    emit its unmatched rows once per salt bucket under right/full outer
+    semantics (review finding).
     """
     from pyspark.sql import DataFrame  # noqa: F401 (typing only)
 
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched replicated-side rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     s = skewed.withColumn("_salt", salt)
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -73,13 +73,25 @@ def asof_join(
     l_payload = [c for c in left.columns if c not in (*keys, left_ts)]
     r_order = [c for c in right_order]
 
+    # the right payload travels as ONE struct so the fill is row-atomic:
+    # per-column last(ignorenulls) would stitch values from DIFFERENT
+    # right rows whenever a payload column is null (review finding —
+    # (price from ts=2, qty from ts=1) is a row that never existed)
+    _PACK = "__asof_right"
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols]
+            + [f"__rts:{right.schema[right_ts].dataType.simpleString()}"]
+        )
+        + ">"
+    )
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(_RTS),
+        F.lit(None).cast(r_struct_type).alias(_PACK),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"__ord_{c}")
             for c in r_order
@@ -90,8 +102,9 @@ def asof_join(
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c) for c in right_cols],
-        F.col(right_ts).alias(_RTS),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+        ).alias(_PACK),
         *[F.col(c).alias(f"__ord_{c}") for c in r_order],
     )
 
@@ -105,13 +118,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    packed = F.last(_PACK, ignorenulls=True).over(w)
     filled = l_side.unionByName(r_side).select(
         *keys,
         "__asof_ts",
         F.col(_SIDE),
         *[F.col(c) for c in l_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
-        F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+        *[packed.getField(c).alias(c) for c in right_cols],
+        packed.getField("__rts").alias(_RTS),
     )
 
     out = filled.filter(F.col(_SIDE) == 1)

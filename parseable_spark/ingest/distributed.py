@@ -44,9 +44,11 @@ from .events import DEFAULT_TIMESTAMP_KEY, StreamConfig, _coerce_value, batch_sp
 
 def _normalize_records(
     bodies: list[Any], committed: dict[str, str], config: StreamConfig
-) -> tuple[list[dict[str, Any]], dict[str, str]]:
+) -> tuple[list[dict[str, Any]], dict[str, str], dict[str, str]]:
     """The exact prepare_batch normalization, minus registry mutation:
-    returns (records, inferred-after-coercion schema)."""
+    returns (records, inferred-after-coercion schema, raw inferred
+    schema — the pre-coercion types phase 1 needs for sibling
+    commitment)."""
     records: list[dict[str, Any]] = []
     for body in bodies:
         records.extend(
@@ -78,7 +80,7 @@ def _normalize_records(
         inferred, records, config.schema_version, config.infer_timestamp
     )
     batch_schema = {k: committed.get(k, t) for k, t in coerced.items()}
-    return records, batch_schema
+    return records, batch_schema, inferred
 
 
 def infer_schema_distributed(
@@ -93,21 +95,76 @@ def infer_schema_distributed(
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local: dict[str, str] = {}
+        local_raw: dict[str, set[str]] = {}
         for pdf in batches:
             bodies = [json.loads(s) for s in pdf[json_col] if s]
-            _, batch_schema = _normalize_records(bodies, committed, config)
+            _, batch_schema, raw = _normalize_records(bodies, committed, config)
             for k, t in batch_schema.items():
                 local[k] = sc.promote(local[k], t) if k in local else t
+            # raw (pre-coercion) types drive phase 2's per-record rename
+            # suffixes — the driver needs them to pre-commit siblings
+            for k, t in raw.items():
+                if t != sc.NULL:
+                    local_raw.setdefault(k, set()).add(t)
         yield pd.DataFrame(
-            {"field": list(local), "type": [local[k] for k in local]}
+            {
+                "field": list(local) + [k for k in local_raw for _ in local_raw[k]],
+                "type": [local[k] for k in local]
+                + [t for k in local_raw for t in local_raw[k]],
+                "kind": ["coerced"] * len(local)
+                + ["raw" for k in local_raw for _ in local_raw[k]],
+            }
         )
 
-    pairs = raw.mapInPandas(infer, schema="field string, type string").collect()
+    pairs = raw.mapInPandas(
+        infer, schema="field string, type string, kind string"
+    ).collect()
     merged: dict[str, str] = {}
+    raw_observed: dict[str, set[str]] = {}
     for r in pairs:
         k, t = r["field"], r["type"]
+        if r["kind"] == "raw":
+            raw_observed.setdefault(k, set()).add(t)
+            continue
         merged[k] = sc.promote(merged[k], t) if k in merged else t
-    registry.merge({k: t for k, t in merged.items() if t != sc.NULL})
+    updates = {k: t for k, t in merged.items() if t != sc.NULL}
+
+    def _values_fit(t: str, base: str) -> bool:
+        """Type-level: can every value of raw type t live in a `base`
+        column under v1 coercion?"""
+        return (
+            t == base
+            or t == sc.NULL
+            or (base == sc.FLOAT64 and t in (sc.INT64, sc.UINT64))
+            or (base == sc.UTF8 and t == sc.TIMESTAMP_MS)  # ts values are strings
+            # a TIMESTAMP base only exists when EVERY partition's strings
+            # parsed as datetimes (any plain string would have promoted
+            # the base to utf8), so raw utf8 fits by construction
+            or (base == sc.TIMESTAMP_MS and t == sc.UTF8)
+        )
+
+    def _coerced_of(t: str) -> str:
+        # the type a renamed sibling's values coerce to (v1 number rule)
+        if config.schema_version == "v1" and t in (sc.INT64, sc.UINT64):
+            return sc.FLOAT64
+        return t
+
+    # Cross-partition incompatible types: the promoted base type cannot
+    # hold every partition's values — phase 2 renames those records to
+    # typed siblings named after their RAW inferred type, so those
+    # sibling columns must be COMMITTED here or the values vanish in
+    # normalization (review finding: partition A's ints were silently
+    # dropped after partition B's strings promoted the field to utf8).
+    # Driver parity: sequential driver batches produce the same sibling
+    # columns, just anchored to arrival order.
+    for k, types in raw_observed.items():
+        base = updates.get(k)
+        if base is None:
+            continue
+        for t in types:
+            if not _values_fit(t, base):
+                updates.setdefault(f"{k}_{sc._SUFFIX[t]}", _coerced_of(t))
+    registry.merge(updates)
     return registry
 
 
@@ -133,7 +190,7 @@ def normalize_distributed(
     def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bodies = [json.loads(s) for s in pdf[json_col] if s]
-            records, _ = _normalize_records(bodies, committed, config)
+            records, _, _ = _normalize_records(bodies, committed, config)
             cols: dict[str, list[Any]] = {c: [] for c in col_names}
             for rec in records:
                 for c in col_names:

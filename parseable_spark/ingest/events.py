@@ -210,6 +210,18 @@ def prepare_batch(
         event_times, new_reference = validate_time_partition(
             records, config, reference_ts=reference_ts, now=now
         )
+    # ... including value coercion: dry-run it against the would-be
+    # post-merge types (committed types win for existing fields). A
+    # batch like [{"t": "2024-01-01T00:00:00Z"}, {"t": "yesterday"}]
+    # infers TIMESTAMP from the first sample and rejects on the second —
+    # without the dry run the rejected batch had already committed
+    # t:timestamp to the shared registry (review finding).
+    effective = {**batch_schema, **registry.fields}
+    for rec in records:
+        for k, v in rec.items():
+            t = effective.get(k)
+            if t is not None:
+                _coerce_value(v, t)
     is_first = registry.merge(batch_schema)
 
     ts = p_timestamp or datetime.now(timezone.utc).replace(tzinfo=None)

@@ -50,8 +50,18 @@ class SchemaDefinition:
             if not m:
                 continue
             extracted = {
-                k: v for k, v in m.groupdict().items() if v is not None and k in p.fields
+                k: v
+                for k, v in m.groupdict().items()
+                if v is not None
+                and (
+                    k in p.fields
+                    # `<name>_bare` groups are alternation plumbing (one
+                    # group per quoted/unquoted alternative)
+                    or (k.endswith("_bare") and k[: -len("_bare")] in p.fields)
+                )
             }
+            for k in [k for k in extracted if k.endswith("_bare")]:
+                extracted.setdefault(k[: -len("_bare")], extracted.pop(k))
             if extracted:
                 obj.update(extracted)
                 return set(extracted)
@@ -84,7 +94,12 @@ _BUILTIN = {
     ],
     "logfmt": [
         (
-            r'^(?=.*\blevel=(?P<level>\w+))(?=.*\bmsg="?(?P<message>[^"]*)"?)'
+            # quoted msg captures to the closing quote; unquoted msg is
+            # one token (\S+) — [^"]* had no delimiter and swallowed the
+            # rest of the line including later key=value pairs (review
+            # finding, verified by execution)
+            r'^(?=.*\blevel=(?P<level>\w+))(?=.*\bmsg=(?:"(?P<message>[^"]*)"'
+            r"|(?P<message_bare>\S+)))"
             r"(?=.*\bts=(?P<timestamp>\S+))?.*$",
             {"level", "message", "timestamp"},
         )

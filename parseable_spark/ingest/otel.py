@@ -30,6 +30,41 @@ _SEVERITIES = [
 ]
 
 
+# OTLP/JSON permits enums as integers OR names (review finding: a
+# payload with severityNumber "SEVERITY_NUMBER_WARN" must not crash)
+_SEVERITY_NAMES = {
+    f"SEVERITY_NUMBER_{name}": base + off
+    for base, name_group in (
+        (1, ["TRACE", "TRACE2", "TRACE3", "TRACE4"]),
+        (5, ["DEBUG", "DEBUG2", "DEBUG3", "DEBUG4"]),
+        (9, ["INFO", "INFO2", "INFO3", "INFO4"]),
+        (13, ["WARN", "WARN2", "WARN3", "WARN4"]),
+        (17, ["ERROR", "ERROR2", "ERROR3", "ERROR4"]),
+        (21, ["FATAL", "FATAL2", "FATAL3", "FATAL4"]),
+    )
+    for off, name in enumerate(name_group)
+}
+_SEVERITY_NAMES["SEVERITY_NUMBER_UNSPECIFIED"] = 0
+_SPAN_KIND_NAMES = {
+    "SPAN_KIND_UNSPECIFIED": 0,
+    "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2,
+    "SPAN_KIND_CLIENT": 3,
+    "SPAN_KIND_PRODUCER": 4,
+    "SPAN_KIND_CONSUMER": 5,
+}
+
+
+def _enum_int(value, names: dict) -> int:
+    """int | enum-name string → int (unknown names → 0, never a crash)."""
+    if isinstance(value, str) and not value.isdigit():
+        return names.get(value, 0)
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return 0
+
+
 def severity_info(n: int) -> tuple[str, str]:
     for lo, hi, text, cat in _SEVERITIES:
         if lo <= n <= hi:
@@ -93,7 +128,7 @@ def flatten_otel_logs(payload: dict) -> list[dict[str, Any]]:
                 rec = dict(base)
                 rec["time_unix_nano"] = lr.get("timeUnixNano")
                 rec["observed_time_unix_nano"] = lr.get("observedTimeUnixNano")
-                sev_n = int(lr.get("severityNumber", 0))
+                sev_n = _enum_int(lr.get("severityNumber", 0), _SEVERITY_NAMES)
                 text, cat = severity_info(sev_n)
                 rec["severity_number"] = sev_n
                 rec["severity_text"] = lr.get("severityText") or text
@@ -110,7 +145,11 @@ def flatten_otel_logs(payload: dict) -> list[dict[str, Any]]:
                         except (ValueError, TypeError):
                             parsed = None
                         if isinstance(parsed, dict):
-                            flatten_object(rec, "body", parsed, "_")
+                            # same separator as structured (kvlist)
+                            # bodies: the same logical field must land
+                            # in ONE column regardless of the
+                            # exporter's body encoding (review finding)
+                            flatten_object(rec, "body", parsed, ".")
                 insert_attributes(rec, lr.get("attributes"))
                 rec["p_log_category"] = cat  # after attrs: cannot be overridden
                 rec["log_record_dropped_attributes_count"] = lr.get(
@@ -195,7 +234,7 @@ def flatten_otel_traces(payload: dict) -> list[dict[str, Any]]:
                 rec["span_span_id"] = span.get("spanId", "")
                 rec["span_parent_span_id"] = span.get("parentSpanId", "")
                 rec["span_name"] = span.get("name", "")
-                rec["span_kind"] = span.get("kind", 0)
+                rec["span_kind"] = _enum_int(span.get("kind", 0), _SPAN_KIND_NAMES)
                 start = int(span.get("startTimeUnixNano", 0))
                 end = int(span.get("endTimeUnixNano", 0))
                 rec["span_start_time_unix_nano"] = span.get("startTimeUnixNano")

@@ -137,17 +137,18 @@ class StreamingDedupIndex:
             rows_per_band=self.rows_per_band,
             shingle_n=self.shingle_n,
         )
-        from ..llm.dedup import banded_rows
-
-        # band the batch ONCE; both the candidate probe and the index
-        # merge consume the same checkpointed rows (no double text scan)
-        banded = banded_rows(docs, **kw).localCheckpoint()
         if idx is None:
             pairs = minhash_lsh_candidates(
                 docs, bucket_cap=self.bucket_cap, **kw
             )
             new_index = build_lsh_index(docs, **kw)
         else:
+            from ..llm.dedup import banded_rows
+
+            # band the batch ONCE; both the candidate probe and the
+            # index merge consume the same checkpointed rows (no double
+            # text scan; first-batch helpers band internally)
+            banded = banded_rows(docs, **kw).localCheckpoint()
             pairs = incremental_lsh_candidates(
                 docs, idx, bucket_cap=self.bucket_cap, new_banded=banded, **kw
             )
@@ -162,9 +163,16 @@ class StreamingDedupIndex:
             .parquet(os.path.join(self.base_dir, "pairs"))
         )
         version = int(batch_id) + 1
-        new_index.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "index", f"v{version}")
-        )
+        if version not in self._committed_versions():
+            # never rewrite an already-committed version in place: on a
+            # replay after the checkpoint failed to commit, LATEST may
+            # already point here and an overwrite would delete files
+            # under a live reader (review finding). Content is a pure
+            # function of (prev index, batch), so the committed version
+            # IS this rewrite's output.
+            new_index.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "index", f"v{version}")
+            )
         if version > (self.latest_version() or 0):
             self._commit_version(version)
 

@@ -77,3 +77,31 @@ def test_asof_collision_rejected(spark):
     df = spark.createDataFrame([(1, _ts(0), 1.0)], "k bigint, ts timestamp_ntz, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, keys=["k"])
+
+
+def test_nullable_right_payload_is_row_atomic(spark):
+    """Code-review regression: the matched right row must come over as a
+    whole — per-column ignorenulls fill stitched (price from ts2, qty
+    from ts1), a row that never existed."""
+    from datetime import datetime
+
+    from parseable_spark.functions.asof import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("k", datetime(2026, 1, 1, 0, 0, 1), 100.0, 10.0),
+            ("k", datetime(2026, 1, 1, 0, 0, 2), 200.0, None),
+        ],
+        "k string, ts timestamp_ntz, price double, qty double",
+    )
+    left = spark.createDataFrame(
+        [("k", datetime(2026, 1, 1, 0, 0, 3))], "k string, ts timestamp_ntz"
+    )
+    out = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        matched_ts_col="m_ts",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["price"] == 200.0 and r["qty"] is None
+    assert r["m_ts"] == datetime(2026, 1, 1, 0, 0, 2)

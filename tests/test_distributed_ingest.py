@@ -114,3 +114,41 @@ def test_scales_over_partitions(spark):
     out = normalize_distributed(spark, raw, reg, cfg)
     assert out.count() == 10_000
     assert out.agg({"k": "max"}).first()[0] == 6.0
+
+
+def test_cross_partition_type_conflict_loses_no_values(spark, tmp_path):
+    """Code-review regression: partition A all-ints, partition B
+    all-strings for the same field. The promoted base (utf8) cannot
+    hold A's ints; phase 1 must commit the typed sibling so phase 2's
+    renamed values land in a real column instead of vanishing."""
+    import json as _json
+
+    from parseable_spark.ingest import schema as sc
+    from parseable_spark.ingest.distributed import (
+        infer_schema_distributed,
+        normalize_distributed,
+    )
+    from parseable_spark.ingest.events import StreamConfig
+
+    rows_a = [_json.dumps({"foo": i}) for i in range(4)]
+    rows_b = [_json.dumps({"foo": f"s{i}"}) for i in range(3)]
+    raw = spark.createDataFrame(
+        [(r,) for r in rows_a], "value string"
+    ).repartition(1).unionByName(
+        spark.createDataFrame([(r,) for r in rows_b], "value string").repartition(1)
+    )
+    registry = sc.SchemaRegistry()
+    config = StreamConfig(name="xpart")
+    infer_schema_distributed(raw, registry, config)
+    # base field + typed sibling both committed; the sibling carries
+    # the RAW inferred type's suffix (what phase 2 renames to) and the
+    # coerced value type — the same layout the driver path produces
+    assert registry.fields["foo"] == sc.UTF8
+    sib = f"foo_{sc._SUFFIX[sc.INT64]}"
+    assert registry.fields.get(sib) == sc.FLOAT64
+
+    out = normalize_distributed(spark, raw, registry, config).collect()
+    got_strings = sorted(r["foo"] for r in out if r["foo"] is not None)
+    got_ints = sorted(r[sib] for r in out if r[sib] is not None)
+    assert got_strings == [f"s{i}" for i in range(3)]
+    assert got_ints == [float(i) for i in range(4)]  # nothing lost

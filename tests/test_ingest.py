@@ -184,3 +184,28 @@ class TestStreamIngest:
         row = df.collect()[0]
         assert row["p_user_agent"] == "curl/8"
         assert row["p_src_ip"] == "10.0.0.1"
+
+
+def test_rejected_batch_commits_no_schema(spark):
+    """Code-review regression: a batch rejected during value coercion
+    must not have committed its new fields to the stream registry."""
+    import pytest as _pytest
+
+    from parseable_spark.ingest.events import Stream, StreamConfig
+
+    from parseable_spark.ingest.events import prepare_batch
+
+    stream = Stream(StreamConfig(name="rej"))
+    with _pytest.raises(ValueError):
+        prepare_batch(
+            [{"login_time": "2024-01-01T00:00:00Z"}, {"login_time": "yesterday"}],
+            stream.registry,
+            stream.config,
+        )
+    assert "login_time" not in stream.registry.fields
+    # a later plain-string batch is NOT conflict-renamed
+    out = prepare_batch(
+        [{"login_time": "whenever"}], stream.registry, stream.config
+    )
+    assert stream.registry.fields.get("login_time") == "utf8"
+    assert all("login_time_utf8" not in r for r in out.records)

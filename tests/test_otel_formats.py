@@ -59,8 +59,9 @@ class TestOtelLogs:
         assert r["http.method"] == "POST"
         assert r["http.status_code"] == 500
         assert r["span_id"] == "aa11" and r["trace_id"] == "bb22"
-        # JSON string body extracted to body_-prefixed fields
-        assert r["body_user"] == "u1" and r["body_ok"] is False
+        # JSON string body extracted with the same "." separator as
+        # structured (kvlist) bodies — one column per logical field
+        assert r["body.user"] == "u1" and r["body.ok"] is False
 
     def test_severity_mapping(self):
         assert severity_info(9) == ("INFO", "INFO")
@@ -291,3 +292,38 @@ class TestTraceDetailBranches:
         ka = sorted((r["span_span_id"], r["level"]) for r in a.collect())
         kb = sorted((r["span_span_id"], r["level"]) for r in b.collect())
         assert ka == kb and len(ka) > 100
+
+
+def test_otlp_enum_names_accepted():
+    """Code-review regression: OTLP/JSON permits enums as names; a
+    string severityNumber / span kind must not crash ingestion."""
+    from parseable_spark.ingest.otel import flatten_otel_logs, flatten_otel_traces
+
+    logs = {
+        "resourceLogs": [{
+            "scopeLogs": [{
+                "logRecords": [{
+                    "timeUnixNano": "1",
+                    "severityNumber": "SEVERITY_NUMBER_WARN",
+                    "body": {"stringValue": "x"},
+                }]
+            }]
+        }]
+    }
+    recs = flatten_otel_logs(logs)
+    assert recs[0]["severity_number"] == 13
+    assert recs[0]["severity_text"] == "WARN"
+
+    traces = {
+        "resourceSpans": [{
+            "scopeSpans": [{
+                "spans": [{
+                    "traceId": "t", "spanId": "s", "name": "op",
+                    "kind": "SPAN_KIND_SERVER",
+                    "startTimeUnixNano": "1", "endTimeUnixNano": "2",
+                }]
+            }]
+        }]
+    }
+    srecs = flatten_otel_traces(traces)
+    assert srecs[0]["span_kind"] == 2

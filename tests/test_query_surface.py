@@ -232,3 +232,29 @@ class TestSqlTimeout:
         eng.register_stream("events", load_table(spark, SF_SMALL, "events"), time_col="ts")
         with pytest.raises(Exception, match="no_such_col|UNRESOLVED"):
             eng.execute("SELECT no_such_col FROM events", timeout_seconds=60)
+
+
+def test_salted_join_spreads_identical_rows_and_validates_how(spark):
+    """Code-review regression: the hot key's rows are typically
+    IDENTICAL — a value-hash salt sent every copy to one bucket, making
+    the guard a no-op; and outer joins must be rejected (the replicated
+    side would duplicate unmatched rows)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from parseable_spark.functions import salted_join
+
+    big = spark.range(4096).select(
+        F.lit("hot").alias("k"), F.lit("same payload").alias("payload")
+    )
+    dim = spark.createDataFrame([("hot", 1)], "k string, dim_val int")
+    out = salted_join(big, dim, "k", salt_buckets=8)
+    assert out.count() == 4096
+    # the identical rows spread across many salt buckets, not one
+    spread = (
+        big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert spread > 1
+    with _pytest.raises(ValueError):
+        salted_join(big, dim, "k", how="full")
