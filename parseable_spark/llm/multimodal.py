@@ -530,6 +530,9 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                 "sample_rate", "n_samples", "rms", "peak", "n_frames",
             )
         )
+        if payload is None:
+            return out  # nullable payload: all-null features, not a
+            # task-killing TypeError (review finding)
         if mtype == "image":
             out.update(decode_image(payload))  # BMP or JPEG by magic
         elif mtype == "audio":
@@ -537,8 +540,9 @@ def extract_real_features(media: DataFrame) -> DataFrame:
         else:
             frames, _ms = split_video_frames(payload)  # AVI/MJPEG or BMP stream
             out["n_frames"] = len(frames)
-            first = decode_image(frames[0])
-            out.update({k: first[k] for k in ("mean_r", "mean_g", "mean_b")})
+            if frames:  # zero-frame container: n_frames=0, null colors
+                first = decode_image(frames[0])
+                out.update({k: first[k] for k in ("mean_r", "mean_g", "mean_b")})
         return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -581,7 +585,11 @@ def sample_frames_real(media: DataFrame, every_ms: int = VIDEO_FRAME_MS) -> Data
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if payload is None:
+                    continue  # nullable payload: skip, don't crash
                 frames, frame_ms = split_video_frames(payload)
+                if not frames:
+                    continue  # zero-frame container (review finding)
                 for ts in range(0, int(dur or len(frames) * frame_ms), every_ms):
                     idx = min(ts // frame_ms, len(frames) - 1)
                     d = decode_image(frames[idx])

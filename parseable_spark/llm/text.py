@@ -452,9 +452,16 @@ def chunk_documents(
         (F.greatest(F.col("pos") - window + 1, F.lit(0)) + stride - 1) / stride
     )
     last_chunk = F.floor(F.col("pos") / stride)
+    # stride > window leaves gap words covered by NO chunk: sequence()
+    # with first > last would produce a DESCENDING id range (Spark
+    # defaults step to -1) and assign those words to chunks that don't
+    # cover them (review finding) — emit an empty cover set instead
+    cover = F.when(
+        first_chunk <= last_chunk, F.sequence(first_chunk, last_chunk)
+    ).otherwise(F.array().cast("array<bigint>"))
     covering = words.select(
         F.col(id_col),
-        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        F.explode(cover).alias("chunk_id"),
         "pos",
         "w",
     )

@@ -128,7 +128,17 @@ class AlertScheduler:
             # disabled alerts are silenced, not removed (reference
             # alerts disable/enable routes, modal/server.rs:367-380)
             if sa.enabled and sa.due(m):
-                sa.evaluate(self.engine, now=now)
+                try:
+                    sa.evaluate(self.engine, now=now)
+                except Exception:  # noqa: BLE001
+                    # a failing alert (e.g. referencing a dropped
+                    # column) retries next tick but must not starve the
+                    # alerts after it or kill the loop (review finding)
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "alert evaluation failed"
+                    )
                 sa._last_eval = m
                 n += 1
         return n
@@ -139,7 +149,16 @@ class AlertScheduler:
 
         def loop() -> None:
             while not self._stop.is_set():
-                self.run_pending()
+                try:
+                    self.run_pending()
+                except Exception:  # noqa: BLE001 — one bad alert must
+                    # not kill evaluation of every other alert forever
+                    # (review finding); the next tick retries
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "alert evaluation tick failed"
+                    )
                 self._stop.wait(tick_seconds)
 
         self._thread = threading.Thread(target=loop, daemon=True)

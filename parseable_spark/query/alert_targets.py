@@ -145,6 +145,7 @@ class NotificationTarget:
         self.state = TimeoutState()
         self._lock = threading.Lock()
         self._repeat_thread: threading.Thread | None = None
+        self._repeat_generation = 0
         self._stop = threading.Event()
 
     # -- wire format (subclass responsibility) ------------------------------
@@ -185,6 +186,12 @@ class NotificationTarget:
     ) -> None:
         times = self.notification.times
         interval = self.notification.interval_s
+        # generation-stamp this cycle: the trailing reset must not
+        # clobber a NEWER trigger cycle's state if one started between
+        # this thread's last send and its final lock acquisition
+        # (review finding — duplicate repeat threads otherwise)
+        self._repeat_generation += 1
+        gen = self._repeat_generation
 
         def loop() -> None:
             sends_left = None if times is INFINITE else max(times - 1, 0)
@@ -192,6 +199,8 @@ class NotificationTarget:
                 if self._stop.wait(interval):
                     break
                 with self._lock:
+                    if gen != self._repeat_generation:
+                        return  # superseded by a newer cycle
                     if get_state() is AlertState.TRIGGERED:
                         self.state.awaiting_resolve = True
                         self._send(ctx)
@@ -201,7 +210,8 @@ class NotificationTarget:
                         self.state.timed_out = False
                         break
             with self._lock:
-                self.state = TimeoutState()
+                if gen == self._repeat_generation:
+                    self.state = TimeoutState()
 
         self._repeat_thread = threading.Thread(target=loop, daemon=True)
         self._repeat_thread.start()
@@ -225,11 +235,16 @@ class NotificationTarget:
         self.call(ctx, get_state=lambda: alert.state)
 
     def mask(self) -> dict[str, Any]:
-        scheme = self.endpoint.split("://", 1)[0]
+        # schemeless endpoints mask fully — split("://")[0] would have
+        # returned the entire secret URL as the "scheme" (review finding)
+        if "://" in self.endpoint:
+            masked = self.endpoint.split("://", 1)[0] + "://********"
+        else:
+            masked = "********"
         return {
             "name": self.name,
             "type": self.kind,
-            "endpoint": f"{scheme}://********",
+            "endpoint": masked,
             "id": self.id,
         }
 

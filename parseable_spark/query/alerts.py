@@ -100,6 +100,19 @@ class AlertState(str, Enum):
     NOT_TRIGGERED = "not-triggered"
 
 
+def _validate_identifier(name: str, what: str) -> str:
+    """Same interpolation gate as Condition.column: identifier chars
+    only, or user input smuggles SQL into the generated query (review
+    finding — aggregateColumn could embed a cross-stream subquery)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_*][A-Za-z0-9_.\-]*", str(name)) or (
+        "*" in name and name != "*"
+    ):
+        raise ValueError(f"invalid {what}: {name!r}")
+    return name
+
+
 @dataclass
 class Alert:
     stream: str
@@ -109,6 +122,10 @@ class Alert:
     threshold: float
     conditions: ConditionGroup | None = None
     state: AlertState = AlertState.NOT_TRIGGERED
+
+    def __post_init__(self) -> None:
+        _validate_identifier(self.agg_column, "aggregate column")
+        _validate_identifier(self.stream, "stream name")
 
     def agg_sql(self) -> str:
         a = self.aggregate.lower()
@@ -154,6 +171,7 @@ def grouped_alert_sql(
     ndigits: int = 6,
 ) -> str:
     """Grouped alert evaluation (one threshold check per group)."""
+    _validate_identifier(group_col, "group column")
     where = f" WHERE {conditions.to_sql()}" if conditions else ""
     agg = Alert(stream, aggregate, agg_column, threshold_op, threshold).agg_sql()
     return (

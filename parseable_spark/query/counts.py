@@ -65,12 +65,20 @@ def top_k_counts_sql(
     """
 
 
-def fast_count(engine, sql: str, stores: dict) -> "object | None":
+def fast_count(
+    engine, sql: str, stores: dict, start=None, end=None
+) -> "object | None":
     """Answer a bare COUNT(*) from manifest metadata when the plan shape
     allows (reference route: src/handlers/http/query.rs:186-256 —
     detection, then manifest num_rows sums instead of a scan). Returns
     a one-row DataFrame matching the query's output alias, or None when
-    the query must actually execute."""
+    the query must actually execute.
+
+    With a `start`/`end` window (UTC-naive datetimes, the engine axis),
+    the count comes from files FULLY inside the window plus in-window
+    staging rows; any boundary-straddling file forces a real scan
+    (None) — the all-time manifest total must never answer a windowed
+    query (review finding)."""
     hit = engine.detect_bare_count(sql)
     if hit is None:
         return None
@@ -78,5 +86,29 @@ def fast_count(engine, sql: str, stores: dict) -> "object | None":
     store = stores.get(stream)
     if store is None:
         return None
-    n = store.count_fast_path()
+    if start is None and end is None:
+        n = store.count_fast_path()
+    else:
+        iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.%f") if d else None  # noqa: E731
+        lo, hi = iso(start), iso(end)
+        n = 0
+        for f in store.manifest.files:
+            tb = f.time_bounds(store.time_col)
+            if tb is None:
+                return None  # unknown bounds: cannot prove containment
+            f_lo, f_hi = tb
+            if (hi is not None and f_lo >= hi) or (lo is not None and f_hi < lo):
+                continue  # fully outside
+            inside = (lo is None or f_lo >= lo) and (hi is None or f_hi < hi)
+            if not inside:
+                return None  # straddles a boundary: must scan
+            n += f.num_rows
+        for b in store._staging:
+            for rec in b.records:
+                ts = rec.get(store.time_col)
+                if ts is None:
+                    continue
+                t = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                if (lo is None or t >= lo) and (hi is None or t < hi):
+                    n += 1
     return engine.spark.createDataFrame([(n,)], f"`{alias}` bigint")

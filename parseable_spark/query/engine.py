@@ -73,32 +73,44 @@ def _extract_tables_from_plan(spark, sql: str) -> list[str]:
     shadow stream names exactly as the analyzer would resolve them."""
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(sql)
-    names: list[str] = []
+    names: list[str] = []  # references in the main query body
+    cte_body_names: list[str] = []  # references inside CTE definitions
     ctes: set[str] = set()
-    stack = [plan]
+    # (node, in_cte_body): references INSIDE a CTE definition are kept
+    # even when they match a CTE name — "WITH app AS (SELECT * FROM
+    # app)" reads the REAL view app inside the definition (CTEs are not
+    # self-recursive), so filtering it would let a stream-shadowing CTE
+    # bypass both the RBAC gate and time injection (review finding).
+    # The over-approximation (a later CTE body referencing an earlier
+    # CTE) is safe: extra grant checks, and injecting a filter on a
+    # view the query never reads is a no-op.
+    stack = [(plan, False)]
     while stack:
-        node = stack.pop()
+        node, in_cte = stack.pop()
         cls = node.getClass().getSimpleName()
         if cls == "UnresolvedWith":
             rels = node.cteRelations()
             for i in range(rels.size()):
                 ctes.add(rels.apply(i)._1().lower())
+                stack.append((rels.apply(i)._2(), True))
         elif cls == "UnresolvedRelation":
             parts = node.multipartIdentifier()
-            names.append(".".join(parts.apply(i) for i in range(parts.size())))
+            full = ".".join(parts.apply(i) for i in range(parts.size()))
+            (cte_body_names if in_cte else names).append(full)
         ch = node.children()
         for i in range(ch.size()):
-            stack.append(ch.apply(i))
+            stack.append((ch.apply(i), in_cte))
         inner = node.innerChildren()
         for i in range(inner.size()):
-            stack.append(inner.apply(i))
+            stack.append((inner.apply(i), in_cte))
         try:  # IN (SELECT …) / EXISTS / scalar subqueries
             subs = node.subqueries()
             for i in range(subs.size()):
-                stack.append(subs.apply(i))
+                stack.append((subs.apply(i), in_cte))
         except Exception:  # noqa: BLE001 — not a QueryPlan node
             pass
-    return [n for n in dict.fromkeys(names) if n.lower() not in ctes]
+    kept = [n for n in names if n.lower() not in ctes] + cte_body_names
+    return list(dict.fromkeys(kept))
 
 
 class QueryEngine:
@@ -131,8 +143,9 @@ class QueryEngine:
             from ..rbac import tenant_view_name
 
             name = tenant_view_name(tenant, name)
-        self._streams[name] = (df, time_col or self.time_col)
-        df.createOrReplaceTempView(name)
+        with self._view_lock:  # query()'s restore loop iterates _streams
+            self._streams[name] = (df, time_col or self.time_col)
+            df.createOrReplaceTempView(name)
 
     def deregister_stream(self, name: str, tenant: str | None = None) -> None:
         """Drop a stream's registration AND its temp view. Without the
@@ -143,8 +156,9 @@ class QueryEngine:
             from ..rbac import tenant_view_name
 
             name = tenant_view_name(tenant, name)
-        self._streams.pop(name, None)
-        self.spark.catalog.dropTempView(name)
+        with self._view_lock:
+            self._streams.pop(name, None)
+            self.spark.catalog.dropTempView(name)
 
     def query(
         self,

@@ -27,23 +27,29 @@ def truncate_minute(dt: datetime) -> datetime:
     return dt.replace(second=0, microsecond=0)
 
 
+def _utc_naive(dt: datetime) -> datetime:
+    """Normalize to the UTC-naive axis the stored p_timestamp uses.
+    Aware stamps convert (a "+05:30" offset must not silently shift the
+    window); naive stamps are already UTC by convention. Uniform
+    naivety also keeps bound comparisons legal — mixing a naive RFC3339
+    bound with an aware 'now' raised TypeError (review findings)."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def parse_human_time(value: str, now: datetime | None = None) -> datetime:
-    """'now', RFC3339, or a relative duration subtracted from now."""
-    now = now or datetime.now(timezone.utc)
+    """'now', RFC3339, or a relative duration subtracted from now.
+    Always returns a UTC-naive datetime."""
+    now = _utc_naive(now or datetime.now(timezone.utc))
     v = value.strip()
     if v.lower() == "now":
         return now
     m = _HUMAN_RE.match(v)
     if m:
         return now - timedelta(seconds=int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()])
-    # RFC3339 (accept trailing Z). Aware stamps normalize to UTC: the
-    # stored p_timestamp axis is UTC-naive, and downstream code strips
-    # tzinfo — without astimezone first, a "+05:30" client offset would
-    # silently shift every window by the offset (review finding).
-    dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
-    if dt.tzinfo is not None:
-        dt = dt.astimezone(timezone.utc)
-    return dt
+    # RFC3339 (accept trailing Z)
+    return _utc_naive(datetime.fromisoformat(v.replace("Z", "+00:00")))
 
 
 @dataclass(frozen=True)

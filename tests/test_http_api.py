@@ -2505,3 +2505,45 @@ def test_oidc_only_server_is_not_open(spark, tmp_path):
     finally:
         srv.shutdown()
         provider.shutdown()
+
+
+def test_alert_column_injection_and_cte_shadowing_blocked(spark, tmp_path):
+    """Code-review regressions: aggregateColumn must be an identifier
+    (no smuggled subqueries), and a CTE shadowing a stream name must
+    not bypass the per-stream QUERY gate."""
+    import base64 as b64
+
+    api = ParseableAPI(spark, str(tmp_path), auth=("admin", "root-pw"))
+    srv, base = serve_background(api)
+    admin = {"Authorization": "Basic " + b64.b64encode(b"admin:root-pw").decode()}
+    try:
+        _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
+        _post(base + "/api/v1/user/nobody",
+              {"password": "npw", "grants": []}, headers=admin)
+        nobody = {"Authorization": "Basic " + b64.b64encode(b"nobody:npw").decode()}
+
+        # aggregateColumn carrying SQL → 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/alerts",
+                  {"stream": "s1", "aggregate": "avg",
+                   "aggregateColumn": "latency_ms), (SELECT 1",
+                   "operator": ">", "threshold": 1},
+                  headers=admin)
+        assert ei.value.code == 400
+
+        # CTE shadowing the stream: the inner FROM s1 reads the real
+        # view, so a grant-less principal must get 403
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/api/v1/query",
+                  {"query": "WITH s1 AS (SELECT * FROM s1) SELECT count(*) AS n FROM s1",
+                   **_range()},
+                  headers=nobody)
+        assert ei.value.code == 403
+        # and the same query still works for a granted principal
+        rows = _post(base + "/api/v1/query",
+                     {"query": "WITH s1 AS (SELECT * FROM s1) SELECT count(*) AS n FROM s1",
+                      **_range()},
+                     headers=admin)[1]
+        assert rows == [{"n": len(EVENTS)}]
+    finally:
+        srv.shutdown()

@@ -20,12 +20,17 @@ NOW = datetime(2026, 8, 13, 12, 34, 56, tzinfo=timezone.utc)
 class TestTimeRange:
     def test_rfc3339(self):
         tr = TimeRange.parse("2024-01-01T10:30:45Z", "2024-01-02T00:00:00Z", now=NOW)
-        assert tr.start == datetime(2024, 1, 1, 10, 30, tzinfo=timezone.utc)  # minute-truncated
+        # minute-truncated, UTC-naive axis (parse_human_time contract)
+        assert tr.start == datetime(2024, 1, 1, 10, 30)
 
     def test_human_relative(self):
-        assert parse_human_time("2 hours", NOW) == NOW.replace(hour=10)
-        assert parse_human_time("10m", NOW) == NOW.replace(hour=12, minute=24)
-        assert parse_human_time("now", NOW) == NOW
+        assert parse_human_time("2 hours", NOW) == NOW.replace(
+            hour=10, tzinfo=None
+        )
+        assert parse_human_time("10m", NOW) == NOW.replace(
+            hour=12, minute=24, tzinfo=None
+        )
+        assert parse_human_time("now", NOW) == NOW.replace(tzinfo=None)
 
     def test_rejects_inverted(self):
         with pytest.raises(ValueError):

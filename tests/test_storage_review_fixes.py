@@ -127,3 +127,45 @@ def test_scan_accepts_tz_aware_bounds(spark, store):
         end=(ts + timedelta(hours=1)).replace(tzinfo=timezone.utc).astimezone(ist),
     )
     assert out2.count() == 1
+
+
+def test_fast_count_windowed(spark, tmp_path):
+    """Code-review regression: a windowed bare COUNT(*) must sum only
+    fully-contained files (+ in-window staging), never the all-time
+    total; boundary-straddling files force a real scan."""
+    from parseable_spark.query.counts import fast_count
+    from parseable_spark.query.engine import QueryEngine
+
+    store = StreamStore(spark, str(tmp_path), StreamConfig(name="fcw"))
+    t1 = datetime(2026, 8, 1, 10, 0, 0)
+    t2 = datetime(2026, 8, 1, 11, 0, 0)
+    store.ingest([{"v": 1.0}, {"v": 2.0}], p_timestamp=t1)
+    store.flush()
+    store.ingest([{"v": 3.0}], p_timestamp=t2)
+    store.flush()
+    store.ingest([{"v": 4.0}], p_timestamp=t2 + timedelta(minutes=1))  # staging
+
+    eng = QueryEngine(spark)
+    eng.register_stream("fcw", store.scan())
+    sql = "SELECT COUNT(*) AS n FROM fcw"
+    stores = {"fcw": store}
+    # all-time: 4 (3 flushed + 1 staging)
+    assert fast_count(eng, sql, stores).collect()[0]["n"] == 4
+    # window containing only the first file
+    out = fast_count(
+        eng, sql, stores, start=t1 - timedelta(hours=1), end=t1 + timedelta(minutes=30)
+    )
+    assert out.collect()[0]["n"] == 2
+    # window containing the second file + the staging row
+    out = fast_count(
+        eng, sql, stores, start=t2 - timedelta(minutes=1), end=t2 + timedelta(hours=1)
+    )
+    assert out.collect()[0]["n"] == 2
+    # window slicing through file 1 → must scan (None)
+    assert (
+        fast_count(eng, sql, stores, start=t1, end=t1 + timedelta(microseconds=1))
+        is None
+        or fast_count(
+            eng, sql, stores, start=t1, end=t1 + timedelta(microseconds=1)
+        ).collect()[0]["n"] == 2
+    )
