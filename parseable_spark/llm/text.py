@@ -317,6 +317,32 @@ def doc_features(
     )
 
 
+def _tfidf_scored(
+    docs: DataFrame, id_col: str, text_col: str, ndigits: int
+) -> DataFrame:
+    """(id, term, tfidf): the shared scoring front half of both TF-IDF
+    shapes. tf/df hash aggregates; df table broadcast back BY TERM; the
+    corpus size is a broadcast 1-row aggregate, not an eager .count(),
+    so the whole computation stays one lazy job."""
+    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
+    terms = docs.select(
+        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), ndigits
+            ).alias("tfidf"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -337,28 +363,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    # corpus size as a broadcast 1-row aggregate, not an eager .count():
-    # keeps the whole computation one lazy job (the driver-side count
-    # was a full extra scan per invocation)
-    n_docs = docs.agg(
-        F.countDistinct(id_col).cast("double").alias("_n_docs")
-    )
-    terms = docs.select(
-        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            F.col("term"),
-            F.round(
-                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), ndigits
-            ).alias("tfidf"),
-        )
-    )
+    scored = _tfidf_scored(docs, id_col, text_col, ndigits)
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -385,23 +390,7 @@ def tfidf_keywords(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
-    terms = docs.select(
-        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            F.col("term"),
-            F.round(
-                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), ndigits
-            ).alias("tfidf"),
-        )
-    )
+    scored = _tfidf_scored(docs, id_col, text_col, ndigits)
     top = scored.groupBy(id_col).agg(
         F.slice(
             F.array_sort(
