@@ -33,8 +33,12 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 _BUCKET = "__rj_bucket"
 
 
-def _epoch(col: str) -> str:
-    return f"timestampdiff(SECOND, {_EPOCH_NTZ}, {col})"
+def _epoch_us(col: str) -> str:
+    # MICROSECOND, not SECOND: whole-second truncation includes pairs
+    # whose true gap is a fraction past the window boundary, diverging
+    # from an inclusive full-precision BETWEEN (review finding — the
+    # same ambiguity sessions.py was already fixed for)
+    return f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})"
 
 
 def time_range_join(
@@ -60,14 +64,14 @@ def time_range_join(
         raise ValueError("upper_seconds must be >= lower_seconds")
     keys = list(keys)
     span = max(upper_seconds - lower_seconds, 1)
-    w = int(bucket_seconds or span)
+    w = int(bucket_seconds or span) * 1_000_000  # microsecond epoch axis
 
     clash = (set(left.columns) & set(right.columns)) - set(keys)
     if clash:
         raise ValueError(f"non-key column collision: {sorted(clash)}")
 
-    lo = F.expr(_epoch(left_ts)) + F.lit(int(lower_seconds))
-    hi = F.expr(_epoch(left_ts)) + F.lit(int(upper_seconds))
+    lo = F.expr(_epoch_us(left_ts)) + F.lit(int(lower_seconds) * 1_000_000)
+    hi = F.expr(_epoch_us(left_ts)) + F.lit(int(upper_seconds) * 1_000_000)
     l_exp = left.withColumn(
         _BUCKET,
         F.explode(
@@ -78,13 +82,15 @@ def time_range_join(
         ),
     )
     r_b = right.withColumn(
-        _BUCKET, F.floor(F.expr(_epoch(right_ts)) / F.lit(w)).cast("long")
+        _BUCKET, F.floor(F.expr(_epoch_us(right_ts)) / F.lit(w)).cast("long")
     )
 
     in_range = (
-        F.expr(_epoch(right_ts)) >= F.expr(_epoch(left_ts)) + F.lit(int(lower_seconds))
+        F.expr(_epoch_us(right_ts))
+        >= F.expr(_epoch_us(left_ts)) + F.lit(int(lower_seconds) * 1_000_000)
     ) & (
-        F.expr(_epoch(right_ts)) <= F.expr(_epoch(left_ts)) + F.lit(int(upper_seconds))
+        F.expr(_epoch_us(right_ts))
+        <= F.expr(_epoch_us(left_ts)) + F.lit(int(upper_seconds) * 1_000_000)
     )
 
     if how == "inner":

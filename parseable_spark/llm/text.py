@@ -601,10 +601,14 @@ def log_templates(
             F.col("value").cast("string"),
             F.lit(" ms"),
         )
+    # the numeric mask covers the FULL literal incl. sign and exponent:
+    # a negative or scientific-notation double ("-3.5", "1.0E-4") must
+    # collapse to one <NUM>, not leak "-<NUM>"/"<NUM>E-<NUM>" fragments
+    # that split templates (review finding)
     template = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(msg_col, r"0x[0-9a-fA-F]+", "<HEX>"),
-            r"\d+(\.\d+)?",
+            r"-?\d+(\.\d+)?([eE][+-]?\d+)?",
             "<NUM>",
         ),
         r"'[^']*'",

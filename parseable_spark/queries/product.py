@@ -35,7 +35,7 @@ def _engine(spark, sf_dir) -> QueryEngine:
         GROUP BY grp, bin_epoch
     ), top_groups AS (
         SELECT grp FROM grouped_counts
-        GROUP BY grp ORDER BY sum(cnt) DESC, grp LIMIT 2
+        GROUP BY grp ORDER BY sum(cnt) DESC, grp NULLS LAST LIMIT 2
     )
     SELECT g.grp AS event_type, g.bin_epoch, g.cnt
     FROM grouped_counts g
@@ -166,14 +166,14 @@ def q20_alert_eval(spark, sf_dir):
             SELECT 'event_type' AS field_name, CAST(event_type AS VARCHAR) AS field_value,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 2
-            ORDER BY cnt DESC, field_value ASC LIMIT 5
+            ORDER BY cnt DESC, field_value ASC NULLS LAST LIMIT 5
         )
         UNION ALL
         SELECT * FROM (
             SELECT 'user_id' AS field_name, CAST(user_id AS VARCHAR) AS field_value,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 2
-            ORDER BY cnt DESC, field_value ASC LIMIT 5
+            ORDER BY cnt DESC, field_value ASC NULLS LAST LIMIT 5
         )
     ), card AS (
         SELECT 'event_type' AS field_name,
@@ -188,7 +188,7 @@ def q20_alert_eval(spark, sf_dir):
     SELECT u.field_name, u.field_value, u.cnt,
            ROW_NUMBER() OVER (
                PARTITION BY u.field_name
-               ORDER BY u.cnt DESC, u.field_value ASC) AS rn,
+               ORDER BY u.cnt DESC, u.field_value ASC NULLS LAST) AS rn,
            c.total_count, c.distinct_count
     FROM u JOIN card c ON u.field_name = c.field_name
     """,

@@ -37,7 +37,7 @@ def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
                    CAST(count(*) AS BIGINT) AS cnt
             FROM {stream}
             GROUP BY CAST({f} AS STRING)
-            ORDER BY cnt DESC, field_value ASC
+            ORDER BY cnt DESC, field_value ASC NULLS LAST
             LIMIT {k}
             """
         )
@@ -49,7 +49,7 @@ def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
         SELECT field_name, field_value, cnt,
                ROW_NUMBER() OVER (
                    PARTITION BY field_name
-                   ORDER BY cnt DESC, field_value ASC) AS rn
+                   ORDER BY cnt DESC, field_value ASC NULLS LAST) AS rn
         FROM ({union})
     """
 

@@ -135,6 +135,17 @@ class Rbac:
 
 
 def tenant_view_name(tenant: str, stream: str) -> str:
-    """Namespaced temp-view name: one SparkSession, many tenants."""
-    safe = tenant.replace("-", "_")
-    return stream if tenant == DEFAULT_TENANT else f"{safe}__{stream}"
+    """Namespaced temp-view name: one SparkSession, many tenants.
+
+    The encoding must be INJECTIVE and collision-free against
+    default-tenant names (review finding: a lossy '-'→'_' map collided
+    tenants 'a-b'/'a_b', and a default stream literally named
+    'acme__logs' captured tenant acme's 'logs' view). Escape coding
+    ('_'→'_0', '-'→'_1', '.'→'_2') is injective, and the leading
+    underscore prefix can never collide with a stream view because
+    stream names must start alphanumeric (server.validate_stream_name).
+    """
+    if tenant == DEFAULT_TENANT:
+        return stream
+    safe = tenant.replace("_", "_0").replace("-", "_1").replace(".", "_2")
+    return f"_t_{safe}__{stream}"

@@ -169,7 +169,14 @@ class TestRbac:
 
     def test_tenant_view_name(self):
         assert tenant_view_name("default", "logs") == "logs"
-        assert tenant_view_name("acme-corp", "logs") == "acme_corp__logs"
+        assert tenant_view_name("acme-corp", "logs") == "_t_acme_1corp__logs"
+        # injective: tenants that collided under the lossy '-'→'_' map
+        # now get distinct views, and no tenant view can collide with a
+        # default-tenant stream (those must start alphanumeric)
+        assert tenant_view_name("acme_corp", "logs") != tenant_view_name(
+            "acme-corp", "logs"
+        )
+        assert not tenant_view_name("acme", "logs")[0].isalnum()
 
 
 class TestRetentionConfig:

@@ -143,3 +143,28 @@ def test_bucket_coverage_property():
         assert (l + lo) // w <= r // w <= (l + hi) // w
 
     check()
+
+
+def test_subsecond_boundary_is_exact(spark):
+    """Code-review regression: whole-second epoch truncation admitted
+    pairs whose true gap is a fraction past the window boundary."""
+    from datetime import datetime
+
+    from parseable_spark.functions.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [("u", datetime(2026, 1, 1, 12, 0, 0, 500000))], "k string, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", datetime(2026, 1, 1, 11, 55, 0, 400000)),  # gap 300.1s: OUT
+            ("u", datetime(2026, 1, 1, 11, 55, 0, 600000)),  # gap 299.9s: IN
+        ],
+        "k string, rts timestamp_ntz",
+    )
+    out = time_range_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=-300, upper_seconds=300,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["rts"] == datetime(2026, 1, 1, 11, 55, 0, 600000)

@@ -188,8 +188,8 @@ class TestScanProviderCompletion:
         ev = load_table(spark, SF_SMALL, "events")
         eng.register_stream("events", ev.limit(10), time_col="ts", tenant="acme")
         eng.register_stream("events", ev.limit(20), time_col="ts", tenant="globex")
-        assert spark.sql("SELECT count(*) c FROM acme__events").first()["c"] == 10
-        assert spark.sql("SELECT count(*) c FROM globex__events").first()["c"] == 20
+        assert spark.sql("SELECT count(*) c FROM _t_acme__events").first()["c"] == 10
+        assert spark.sql("SELECT count(*) c FROM _t_globex__events").first()["c"] == 20
 
     def test_flush_populates_hot_tier(self, spark, tmp_path):
         from parseable_spark.ingest.events import StreamConfig
