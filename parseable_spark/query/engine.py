@@ -22,6 +22,18 @@ from .timerange import TimeRange
 # reference: P_SQL_TIMEOUT, 300 s default (src/cli.rs:212-219)
 DEFAULT_SQL_TIMEOUT_SECONDS = 300.0
 
+# Temp views are SESSION-global, but one SparkSession may host several
+# QueryEngine instances — one per tenant (reference: per-tenant
+# DataFusion schemas, src/query/mod.rs:122-147,186). The lock and the
+# view-ownership registry are therefore PROCESS-global: every engine's
+# inject→analyze→restore window is exclusive against every other
+# engine's, and a query that references a stream registered by a
+# DIFFERENT engine sees "table not found" rather than that tenant's
+# data (the view is dropped for the duration of analysis and restored
+# after).
+_VIEW_LOCK = threading.RLock()
+_VIEW_OWNER: dict[str, "QueryEngine"] = {}  # view name → owning engine
+
 # A query "already constrains time" only if the time column appears in a
 # comparison/BETWEEN — a bare mention (e.g. inside DATE_BIN) doesn't count.
 _TIME_PRED_TMPL = (
@@ -121,12 +133,14 @@ class QueryEngine:
         self.time_col = time_col
         self._streams: dict[str, tuple[DataFrame, str]] = {}
         # query() swaps shared temp views in and restores them; the
-        # Flight server calls it from multiple gRPC threads, so the
+        # Flight server calls it from multiple gRPC threads, and other
+        # tenants' engines share the same session catalog, so the
         # inject→analyze→restore window must be exclusive or parallel
-        # requests read each other's time windows (review finding).
-        # spark.sql() resolves views at ANALYSIS (inside the lock) —
-        # executing the returned DataFrame later is safe.
-        self._view_lock = threading.RLock()
+        # requests read each other's time windows — or each other's
+        # tenants (review findings). spark.sql() resolves views at
+        # ANALYSIS (inside the lock) — executing the returned DataFrame
+        # later is safe.
+        self._view_lock = _VIEW_LOCK
 
     def register_stream(
         self,
@@ -145,6 +159,7 @@ class QueryEngine:
             name = tenant_view_name(tenant, name)
         with self._view_lock:  # query()'s restore loop iterates _streams
             self._streams[name] = (df, time_col or self.time_col)
+            _VIEW_OWNER[name.lower()] = self
             df.createOrReplaceTempView(name)
 
     def deregister_stream(self, name: str, tenant: str | None = None) -> None:
@@ -158,6 +173,8 @@ class QueryEngine:
             name = tenant_view_name(tenant, name)
         with self._view_lock:
             self._streams.pop(name, None)
+            if _VIEW_OWNER.get(name.lower()) is self:
+                del _VIEW_OWNER[name.lower()]
             self.spark.catalog.dropTempView(name)
 
     def query(
@@ -171,27 +188,44 @@ class QueryEngine:
         unless the query already filters its time column (reference
         behavior: src/query/mod.rs:404-411)."""
         with self._view_lock:
+            lo = hi = None
             if start is not None and end is not None:
                 tr = TimeRange.parse(start, end, now=now)
                 lo, hi = tr.sql_literals()
-                # Spark resolves temp views case-insensitively, so the
-                # lookup must too — an exact-case miss would silently
-                # skip injection and return full history (review finding)
-                canon = {k.lower(): k for k in self._streams}
-                for name in extract_table_names(sql, spark=self.spark):
-                    key = canon.get(name.lower())
-                    if key is None:
-                        continue
+            # Spark resolves temp views case-insensitively, so the
+            # lookup must too — an exact-case miss would silently
+            # skip injection and return full history (review finding)
+            canon = {k.lower(): k for k in self._streams}
+            foreign_hidden: list[QueryEngine] = []
+            for name in extract_table_names(sql, spark=self.spark):
+                key = canon.get(name.lower())
+                if key is not None:
+                    # install OUR view unconditionally (another tenant's
+                    # engine may have left a same-named view installed),
+                    # time-filtered unless the user constrains time
                     df, tcol = self._streams[key]
-                    if references_time_col(sql, tcol):
-                        continue  # user already constrains time
-                    df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}").createOrReplaceTempView(key)
+                    if lo is not None and not references_time_col(sql, tcol):
+                        df = df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}")
+                    df.createOrReplaceTempView(key)
+                    continue
+                owner = _VIEW_OWNER.get(name.lower())
+                if owner is not None and owner is not self:
+                    # a DIFFERENT engine's stream: invisible to this
+                    # tenant — drop for the analysis window so the query
+                    # fails with "table not found" instead of silently
+                    # reading the other tenant's data (cross-tenant
+                    # isolation; reference per-tenant schema resolution)
+                    self.spark.catalog.dropTempView(name)
+                    foreign_hidden.append(owner)
             try:
                 return self.spark.sql(sql)
             finally:
                 # restore unfiltered views for subsequent queries
                 for name, (df, _) in self._streams.items():
                     df.createOrReplaceTempView(name)
+                for owner in foreign_hidden:
+                    for name, (df, _) in owner._streams.items():
+                        df.createOrReplaceTempView(name)
 
     def execute(
         self,

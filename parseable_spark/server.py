@@ -90,11 +90,15 @@ class ParseableAPI:
         ingestor_ports: list[int] | None = None,
         oidc=None,  # oidc.OpenidConfig | None — enables SSO login
         resource_monitor=None,  # resource_check.ResourceMonitor | None
+        tenant: str | None = None,  # tenants.py: one API instance per tenant
     ) -> None:
+        from .rbac import DEFAULT_TENANT
+
         self.spark = spark
         self.root = root
         self.time_col = time_col
         self.auth = auth
+        self.tenant = tenant or DEFAULT_TENANT
         # querier mode: Flight ports of ingestor peers whose staging-
         # fresh events merge into queries touching the hot window
         self.ingestor_ports = list(ingestor_ports or [])
@@ -173,11 +177,11 @@ class ParseableAPI:
                 for f in ("manifest.json", "stream.json", "snapshot.json", "config.json")
             ):
                 continue
+            from .migration import load_versioned
+
             cfg_kwargs: dict[str, Any] = {}
-            cpath = os.path.join(sdir, "config.json")
-            if os.path.exists(cpath):
-                with open(cpath) as f:
-                    stored = json.load(f)
+            stored = load_versioned("stream_config", os.path.join(sdir, "config.json"))
+            if stored is not None:
                 cfg_kwargs = {
                     "static_schema_flag": bool(stored.get("static_schema_flag")),
                     "custom_partition": stored.get("custom_partition"),
@@ -192,10 +196,9 @@ class ParseableAPI:
                 StreamConfig(name=name, **cfg_kwargs),
                 time_col=self.time_col,
             )
-            rpath = os.path.join(sdir, "retention.json")
-            if os.path.exists(rpath):
-                with open(rpath) as f:
-                    self._retention[name] = json.load(f)
+            stored_ret = load_versioned("retention", os.path.join(sdir, "retention.json"))
+            if stored_ret is not None:
+                self._retention[name] = stored_ret["tasks"]
 
     SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
 
@@ -273,19 +276,22 @@ class ParseableAPI:
                     if aid in self._alerts
                 },
             }
+            from .migration import stamped
+
             os.makedirs(self.root, exist_ok=True)
             tmp = self._config_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(cfg, f)
+                json.dump(stamped("config", cfg), f)
             os.replace(tmp, self._config_path)
 
     def _load_config(self) -> None:
-        import os
+        # versioned load + in-place upgrade of pre-versioning roots
+        # (migration.py; reference src/migration/mod.rs boot flow)
+        from .migration import load_versioned
 
-        if not os.path.exists(self._config_path):
+        cfg = load_versioned("config", self._config_path)
+        if cfg is None:
             return
-        with open(self._config_path) as f:
-            cfg = json.load(f)
         self._loading_config = True
         try:
             self._replay_config(cfg)
@@ -1440,13 +1446,22 @@ class ParseableAPI:
         half = max(page_size // 2, 1)
         anchor_lit = f"TIMESTAMP_NTZ '{anchor_dt.replace(tzinfo=None).isoformat(sep=' ')}'"
         with self._lock:
+            import uuid as _uuid
+
             df = store.scan()
-            view = f"_ctx_{dataset}"
+            # per-call unique name: two tenants' APIs share one Spark
+            # session, so a shared "_ctx_<dataset>" name is a
+            # cross-tenant race (B replaces the view between A's create
+            # and A's collect)
+            view = f"_ctx_{dataset}_{_uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
             sql = log_context_sql(
                 view, store.time_col, store.time_col, anchor_lit, half, half
             )
-            rows = self.spark.sql(sql).collect()
+            try:
+                rows = self.spark.sql(sql).collect()
+            finally:
+                self.spark.catalog.dropTempView(view)
         before = sorted(
             (r for r in rows if r["direction"] == "before"),
             key=lambda r: r[store.time_col],
@@ -1995,15 +2010,20 @@ class ParseableAPI:
                 # rebuilds the same enforcement (reference stream.json)
                 import os
 
+                from .migration import stamped
+
                 os.makedirs(store.stream_dir, exist_ok=True)
                 with open(os.path.join(store.stream_dir, "config.json"), "w") as f:
                     json.dump(
-                        {
-                            "static_schema_flag": static_schema,
-                            "custom_partition": custom_partition,
-                            "time_partition": time_partition,
-                            "time_partition_limit_days": time_partition_limit_days,
-                        },
+                        stamped(
+                            "stream_config",
+                            {
+                                "static_schema_flag": static_schema,
+                                "custom_partition": custom_partition,
+                                "time_partition": time_partition,
+                                "time_partition_limit_days": time_partition_limit_days,
+                            },
+                        ),
                         f,
                     )
             self._stores[name] = store
@@ -2117,10 +2137,12 @@ class ParseableAPI:
             parse_retention_config(tasks)
         except RetentionConfigError as e:
             raise ApiError(400, str(e)) from e
+        from .migration import stamped
+
         with self._lock:
             self._retention[name] = tasks
             with open(os.path.join(store.stream_dir, "retention.json"), "w") as f:
-                json.dump(tasks, f)
+                json.dump(stamped("retention", {"tasks": tasks}), f)
 
     def run_retention(self, now=None) -> dict[str, int]:
         """Apply every stored retention config (the reference's daily
@@ -2386,7 +2408,8 @@ class ParseableAPI:
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
-    api: ParseableAPI  # set by make_server
+    api: ParseableAPI  # set by make_server (default tenant's API)
+    tenants = None  # tenants.TenantManager | None — set by make_server
 
     def log_message(self, *args) -> None:  # quiet test output
         pass
@@ -2473,6 +2496,18 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self.principal = self.api.check_auth(self.headers.get("Authorization"))
         if self.principal is None:
+            # credentials that are VALID in a different tenant get 403
+            # (wrong tenant), not 401 (unknown) — the reference's
+            # InvalidTenantId / UnAuthorized split (middleware.rs:210-221,
+            # 254-258)
+            if self.tenants is not None and self.tenants.multi_tenant:
+                homes = self.tenants.tenant_of_credentials(self._probe_credentials)
+                if homes and self.tenant not in homes:
+                    self._respond_json(
+                        403,
+                        {"error": f"credentials do not belong to tenant {self.tenant}"},
+                    )
+                    return False
             self._respond_json(401, {"error": "unauthorized"})
             return False
         return True
@@ -2498,7 +2533,143 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _allow(self, action, stream: str = "*") -> None:
+        # per-tenant service suspension gates the action BEFORE the
+        # grant check (reference check_suspension, middleware.rs:485-499
+        # + tenants/mod.rs:123-142)
+        if self.tenants is not None and self.tenants.multi_tenant:
+            msg = self.tenants.is_action_suspended(self.tenant, action)
+            if msg:
+                raise ApiError(403, msg)
         self.api.authorize(self.principal, action, stream)
+
+    # -- multi-tenancy (x-p-tenant; middleware.rs:150-260,334-390) -----------
+    _INGEST_PATHS = ("/api/v1/ingest", "/v1/logs", "/v1/metrics", "/v1/traces")
+
+    tenant: str = "default"
+
+    def _probe_credentials(self, api) -> str | None:
+        """Resolve the request's credentials against ONE tenant's API —
+        same precedence as _authorized, but anonymous requests never
+        match (an open API's '*' would otherwise claim every request)."""
+        api_key = self.headers.get("x-api-key")
+        sid = self._session_cookie()
+        if api_key is not None:
+            return api.check_api_key(api_key)
+        if sid is not None:
+            p = api.check_session(sid)
+            if p is not None:
+                return p
+        hdr = self.headers.get("Authorization")
+        if hdr is None:
+            return None
+        return api.check_auth(hdr)
+
+    def _resolve_tenant(self) -> None:
+        """Route the request to its tenant's ParseableAPI instance.
+
+        Reference flow (middleware.rs): single-tenant mode rejects the
+        tenant header outright (:380-389); multi-tenant ingest REQUIRES
+        it and forbids "default" (:340-358); other actions derive the
+        tenant from the authenticated user when no header is given
+        (:361-377); a workspace-suspended tenant is refused everything
+        (tenants/mod.rs:134-149)."""
+        from .rbac import DEFAULT_TENANT
+        from .tenants import (
+            INTRA_CLUSTER_TENANT_HEADER,
+            TENANT_ID_HEADER,
+            TenantNotFound,
+        )
+
+        mgr = self.tenants
+        hdr = self.headers.get(TENANT_ID_HEADER) or self.headers.get(
+            INTRA_CLUSTER_TENANT_HEADER
+        )
+        self.tenant = DEFAULT_TENANT
+        self.api = type(self).api  # reset to the default-tenant instance
+        if mgr is None or not mgr.multi_tenant:
+            if hdr is not None:
+                raise ApiError(400, f"unexpected header {TENANT_ID_HEADER}")
+            return
+        if self.command == "POST" and urlparse(self.path).path in self._INGEST_PATHS:
+            if hdr is None:
+                raise ApiError(400, f"missing {TENANT_ID_HEADER} header")
+            if hdr == DEFAULT_TENANT:
+                raise ApiError(400, f"invalid {TENANT_ID_HEADER} header")
+        if hdr is not None:
+            try:
+                self.api = mgr.api_for(hdr)
+            except TenantNotFound as e:
+                raise ApiError(404, str(e)) from e
+            self.tenant = hdr
+        else:
+            homes = mgr.tenant_of_credentials(self._probe_credentials)
+            if homes:
+                self.tenant = homes[0]
+                self.api = mgr.api_for(self.tenant)
+        if mgr.is_workspace_suspended(self.tenant):
+            raise ApiError(403, "Your workspace is suspended")
+
+    def _allow_superadmin(self) -> None:
+        """Tenant lifecycle is SuperAdmin-only (reference Action::
+        SuperAdmin, middleware.rs:359): the built-in credential pair
+        (or an open dev server), never a tenant-local admin."""
+        if self.principal != "*":
+            raise ApiError(403, "tenant management requires the server administrator")
+
+    def _tenant_admin_route(self, parts: list[str]) -> bool:
+        """/api/v1/tenants[/{id}[/suspend|resume]] — dispatch; returns
+        True when handled. HTTP surface over the OSS-public engine
+        functions add_tenant/suspend/resume/delete_tenant
+        (src/parseable/mod.rs:1178-1263; the reference's own HTTP
+        handlers for these live in its enterprise tree)."""
+        if parts[:3] != ["api", "v1", "tenants"]:
+            return False
+        from .tenants import TenantMeta, TenantNotFound
+
+        if not self._authorized():
+            return True
+        self._allow_superadmin()
+        mgr = self.tenants
+        if mgr is None or not mgr.multi_tenant:
+            raise ApiError(400, "P_MULTI_TENANCY is set to false")
+        try:
+            if self.command == "GET" and len(parts) == 3:
+                self._respond_json(200, mgr.list_tenants())
+            elif self.command == "PUT" and len(parts) == 4:
+                body = self._json_body() or {}
+                try:
+                    mgr.add_tenant(parts[3], TenantMeta.from_json(body))
+                except ValueError as e:
+                    raise ApiError(400, str(e)) from e
+                self._respond_json(200, {"status": f"created tenant {parts[3]}"})
+            elif self.command == "POST" and len(parts) == 4:
+                mgr.update_meta(parts[3], self._json_body() or {})
+                self._respond_json(200, {"status": f"updated tenant {parts[3]}"})
+            elif (
+                self.command == "PUT"
+                and len(parts) == 5
+                and parts[4] in ("suspend", "resume")
+            ):
+                qp = parse_qs(urlparse(self.path).query)
+                service = (qp.get("service") or [""])[0]
+                try:
+                    if parts[4] == "suspend":
+                        mgr.suspend_service(parts[3], service)
+                    else:
+                        mgr.resume_service(parts[3], service)
+                except ValueError as e:
+                    raise ApiError(400, str(e)) from e
+                self._respond_json(
+                    200, {"status": f"{parts[4]}d {service} for tenant {parts[3]}"}
+                )
+            elif self.command == "DELETE" and len(parts) == 4:
+                mgr.delete_tenant(parts[3])
+                self._respond_json(200, {"status": f"deleted tenant {parts[3]}"})
+            else:
+                self._respond_json(404, {"error": "no such tenant route"})
+        except TenantNotFound as e:
+            raise ApiError(404, str(e)) from e
+        return True
 
     def _serve_sse(self, qp: dict[str, str]) -> None:
         """GET /api/v1/sse — ``text/event-stream`` of alert events.
@@ -2602,7 +2773,10 @@ class _Handler(BaseHTTPRequestHandler):
         parsed_url = urlparse(self.path)
         path = parsed_url.path
         try:
+            self._resolve_tenant()
             parts_d = path.strip("/").split("/")
+            if self._tenant_admin_route(parts_d):
+                return
             if parts_d[:4] == ["api", "v1", "o", "login"]:
                 qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
                 target = qp.get("redirect") or "/"
@@ -2912,6 +3086,9 @@ class _Handler(BaseHTTPRequestHandler):
         parsed_url = urlparse(self.path)
         path = parsed_url.path
         try:
+            self._resolve_tenant()
+            if self._tenant_admin_route(path.strip("/").split("/")):
+                return
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
@@ -3024,6 +3201,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PATCH(self) -> None:  # noqa: N802
         path = urlparse(self.path).path
         try:
+            self._resolve_tenant()
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
@@ -3078,6 +3256,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self) -> None:  # noqa: N802
         path = urlparse(self.path).path
         try:
+            self._resolve_tenant()
+            if self._tenant_admin_route(path.strip("/").split("/")):
+                return
             if not self._authorized():
                 return
             parts = path.strip("/").split("/")
@@ -3176,6 +3357,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)
         try:
+            self._resolve_tenant()
+            if self._tenant_admin_route(parsed.path.strip("/").split("/")):
+                return
             # resource gate (resource_check.rs middleware): shed the
             # data plane under overload; health/admin GETs stay up
             mon = getattr(self.api, "resource_monitor", None)
@@ -3428,16 +3612,22 @@ class _Handler(BaseHTTPRequestHandler):
         self.api.record_query(time.perf_counter() - t0)
 
 
-def make_server(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    api: ParseableAPI, host: str = "127.0.0.1", port: int = 0, tenants=None
+) -> ThreadingHTTPServer:
     """Bind a threaded HTTP server (port=0 → ephemeral). Call
-    ``serve_forever`` on a thread; ``shutdown()`` to stop."""
-    handler = type("Handler", (_Handler,), {"api": api})
+    ``serve_forever`` on a thread; ``shutdown()`` to stop.
+
+    ``tenants`` (tenants.TenantManager) turns on multi-tenant routing:
+    every request resolves its tenant's own ParseableAPI instance from
+    the ``x-p-tenant`` header / authenticated user before dispatch."""
+    handler = type("Handler", (_Handler,), {"api": api, "tenants": tenants})
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_background(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0):
+def serve_background(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0, tenants=None):
     """Start the server on a daemon thread; returns (server, base_url)."""
-    srv = make_server(api, host, port)
+    srv = make_server(api, host, port, tenants=tenants)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"

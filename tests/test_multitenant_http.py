@@ -1,0 +1,332 @@
+"""HTTP multi-tenancy e2e (VERDICT r3 next-2).
+
+Reference semantics under test:
+- ``x-p-tenant`` / ``intra-cluster-tenant`` headers + P_MULTI_TENANCY
+  switch (src/handlers/mod.rs:44, middleware.rs:150-260,334-390);
+- tenant lifecycle over the OSS-public engine functions
+  (src/parseable/mod.rs:1178-1332) + per-service suspension
+  (src/tenants/mod.rs:35-161);
+- two tenants over ONE server: cross-tenant query/ingest/alert/
+  dashboard access all 403, per-tenant storage roots isolated, shared
+  SparkSession views isolated by the engine's ownership registry.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import urllib.error
+import urllib.request
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from parseable_spark.server import ParseableAPI, serve_background
+from parseable_spark.tenants import TenantManager
+
+ADMIN = ("admin", "s3cret")
+
+
+def _basic(user: str, pw: str) -> dict[str, str]:
+    tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+    return {"Authorization": f"Basic {tok}"}
+
+
+def _req(method: str, url: str, body=None, headers=None):
+    """Returns (status, parsed_json_or_None) without raising on 4xx."""
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        url,
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json", **(headers or {})},
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=30)
+        return resp.status, json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        try:
+            return e.code, json.loads(raw)
+        except Exception:
+            return e.code, raw.decode(errors="replace")
+
+
+def _range() -> dict:
+    now = datetime.now(timezone.utc)
+    fmt = lambda d: d.strftime("%Y-%m-%dT%H:%M:%SZ")  # noqa: E731
+    return {
+        "startTime": fmt(now - timedelta(minutes=10)),
+        "endTime": fmt(now + timedelta(minutes=10)),
+    }
+
+
+EVENTS_ACME = [{"level": "info", "msg": f"acme-{i}"} for i in range(4)]
+EVENTS_GLOBEX = [{"level": "warn", "msg": f"globex-{i}"} for i in range(7)]
+
+
+@pytest.fixture(scope="module")
+def mt(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mt_store"))
+    api = ParseableAPI(spark, root, auth=ADMIN)
+    mgr = TenantManager(api, multi_tenant=True)
+    srv, base = serve_background(api, tenants=mgr)
+    yield api, mgr, base, root
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tenants_ready(mt):
+    """Two tenants, one user each (admin-created), same stream name."""
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    for tid in ("acme", "globex"):
+        st, _ = _req("PUT", f"{base}/api/v1/tenants/{tid}", {}, adm)
+        assert st == 200
+    creds = {}
+    for tid, user in (("acme", "alice"), ("globex", "bob")):
+        st, out = _req(
+            "POST",
+            f"{base}/api/v1/user/{user}",
+            {"grants": [{"privilege": "admin"}]},
+            {**adm, "x-p-tenant": tid},
+        )
+        assert st == 200, out
+        creds[tid] = (user, out["password"])
+    # ingest the same stream name into BOTH tenants
+    st, out = _req(
+        "POST",
+        f"{base}/api/v1/ingest",
+        EVENTS_ACME,
+        {**_basic(*creds["acme"]), "x-p-tenant": "acme", "x-p-stream": "applogs"},
+    )
+    assert st == 200 and out["records"] == 4
+    st, out = _req(
+        "POST",
+        f"{base}/api/v1/ingest",
+        EVENTS_GLOBEX,
+        {**_basic(*creds["globex"]), "x-p-tenant": "globex", "x-p-stream": "applogs"},
+    )
+    assert st == 200 and out["records"] == 7
+    return creds
+
+
+def test_single_tenant_mode_rejects_header(spark, tmp_path):
+    """middleware.rs:380-389: tenant header in single-tenant mode → 400."""
+    api = ParseableAPI(spark, str(tmp_path / "st"), auth=ADMIN)
+    srv, base = serve_background(api)  # no TenantManager
+    try:
+        st, out = _req(
+            "GET",
+            f"{base}/api/v1/logstream",
+            None,
+            {**_basic(*ADMIN), "x-p-tenant": "acme"},
+        )
+        assert st == 400 and "unexpected header" in out["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_tenant_lifecycle_validation(mt, tenants_ready):
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    # invalid id / reserved id / duplicate
+    st, out = _req("PUT", f"{base}/api/v1/tenants/-bad", {}, adm)
+    assert st == 400 and "regex" in out["error"]
+    st, out = _req("PUT", f"{base}/api/v1/tenants/default", {}, adm)
+    assert st == 400
+    st, out = _req("PUT", f"{base}/api/v1/tenants/acme", {}, adm)
+    assert st == 400 and "already exists" in out["error"]
+    # list shows both with metadata fields
+    st, out = _req("GET", f"{base}/api/v1/tenants", None, adm)
+    assert st == 200 and [t["tenantId"] for t in out] == ["acme", "globex"]
+    # metadata update round-trips (tenants/mod.rs:70-91)
+    st, _ = _req(
+        "POST",
+        f"{base}/api/v1/tenants/acme",
+        {"customerName": "Acme Corp", "plan": "pro",
+         "ingestionQuota": {"type": "sizeBytes", "limit": 10**9},
+         "quotaPeriod": "Monthly"},
+        adm,
+    )
+    assert st == 200
+    st, out = _req("GET", f"{base}/api/v1/tenants", None, adm)
+    acme = next(t for t in out if t["tenantId"] == "acme")
+    assert acme["customerName"] == "Acme Corp"
+    assert acme["ingestionQuota"]["limit"] == 10**9
+    # tenant management is SuperAdmin-only: a tenant-local admin is 403
+    alice = tenants_ready["acme"]
+    st, _ = _req("GET", f"{base}/api/v1/tenants", None,
+                 {**_basic(*alice), "x-p-tenant": "acme"})
+    assert st == 403
+
+
+def test_ingest_header_rules(mt, tenants_ready):
+    """middleware.rs:340-358: ingest REQUIRES the header; 'default' is
+    invalid."""
+    _, _, base, _ = mt
+    alice = tenants_ready["acme"]
+    st, out = _req("POST", f"{base}/api/v1/ingest", EVENTS_ACME,
+                   {**_basic(*alice), "x-p-stream": "applogs"})
+    assert st == 400 and "missing x-p-tenant" in out["error"]
+    st, out = _req("POST", f"{base}/api/v1/ingest", EVENTS_ACME,
+                   {**_basic(*alice), "x-p-tenant": "default", "x-p-stream": "applogs"})
+    assert st == 400 and "invalid x-p-tenant" in out["error"]
+    # unknown tenant → 404 TenantNotFound (tenants/mod.rs:159-161)
+    st, out = _req("POST", f"{base}/api/v1/ingest", EVENTS_ACME,
+                   {**_basic(*alice), "x-p-tenant": "nosuch", "x-p-stream": "applogs"})
+    assert st == 404 and "Tenant not found" in out["error"]
+
+
+def test_same_stream_name_isolated_per_tenant(mt, tenants_ready):
+    _, _, base, _ = mt
+    q = {"query": "SELECT count(*) AS n FROM applogs", **_range()}
+    for tid, want in (("acme", 4), ("globex", 7)):
+        user = tenants_ready[tid]
+        st, rows = _req("POST", f"{base}/api/v1/query", q,
+                        {**_basic(*user), "x-p-tenant": tid})
+        assert st == 200 and rows == [{"n": want}], (tid, rows)
+    # intra-cluster-tenant header is an accepted alias (middleware.rs:162)
+    st, rows = _req("POST", f"{base}/api/v1/query", q,
+                    {**_basic(*tenants_ready["acme"]), "intra-cluster-tenant": "acme"})
+    assert st == 200 and rows == [{"n": 4}]
+    # no header: tenant derived from the authenticated user
+    # (middleware.rs:361-377)
+    st, rows = _req("POST", f"{base}/api/v1/query", q,
+                    {**_basic(*tenants_ready["globex"])})
+    assert st == 200 and rows == [{"n": 7}]
+
+
+def test_cross_tenant_access_all_403(mt, tenants_ready):
+    """The r3 'done' criterion: query/ingest/alert/dashboard across
+    tenants are 403."""
+    _, _, base, _ = mt
+    alice = _basic(*tenants_ready["acme"])
+    # query
+    st, out = _req("POST", f"{base}/api/v1/query",
+                   {"query": "SELECT count(*) AS n FROM applogs", **_range()},
+                   {**alice, "x-p-tenant": "globex"})
+    assert st == 403, out
+    # ingest
+    st, out = _req("POST", f"{base}/api/v1/ingest", EVENTS_ACME,
+                   {**alice, "x-p-tenant": "globex", "x-p-stream": "applogs"})
+    assert st == 403, out
+    # alerts
+    st, out = _req("GET", f"{base}/api/v1/alerts", None,
+                   {**alice, "x-p-tenant": "globex"})
+    assert st == 403, out
+    # dashboards
+    st, out = _req("POST", f"{base}/api/v1/dashboards",
+                   {"title": "intrusion", "tiles": []},
+                   {**alice, "x-p-tenant": "globex"})
+    assert st == 403, out
+
+
+def test_dashboards_and_users_namespaced(mt, tenants_ready):
+    _, _, base, _ = mt
+    alice = {**_basic(*tenants_ready["acme"]), "x-p-tenant": "acme"}
+    bob = {**_basic(*tenants_ready["globex"]), "x-p-tenant": "globex"}
+    st, dash = _req("POST", f"{base}/api/v1/dashboards",
+                    {"title": "acme ops", "tiles": []}, alice)
+    assert st == 200
+    st, acme_list = _req("GET", f"{base}/api/v1/dashboards", None, alice)
+    st2, globex_list = _req("GET", f"{base}/api/v1/dashboards", None, bob)
+    assert st == st2 == 200
+    assert [d["title"] for d in acme_list] == ["acme ops"]
+    assert globex_list == []
+    # user lists are per-tenant too
+    st, users = _req("GET", f"{base}/api/v1/user", None, alice)
+    assert st == 200 and [u["name"] for u in users] == ["alice"]
+
+
+def test_suspension_suspend_resume(mt, tenants_ready):
+    """tenants/mod.rs:101-149: per-service suspension with the
+    reference's message strings; workspace blocks everything."""
+    _, _, base, _ = mt
+    adm = _basic(*ADMIN)
+    alice = {**_basic(*tenants_ready["acme"]), "x-p-tenant": "acme"}
+    q = {"query": "SELECT count(*) AS n FROM applogs", **_range()}
+
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/acme/suspend?service=query", None, adm)
+    assert st == 200
+    st, out = _req("POST", f"{base}/api/v1/query", q, alice)
+    assert st == 403 and out["error"] == "Querying is suspended for your workspace"
+    # ingest still allowed while only query is suspended
+    st, _ = _req("POST", f"{base}/api/v1/ingest",
+                 [{"level": "info", "msg": "during-suspend"}],
+                 {**alice, "x-p-stream": "applogs"})
+    assert st == 200
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/acme/resume?service=query", None, adm)
+    assert st == 200
+    st, rows = _req("POST", f"{base}/api/v1/query", q, alice)
+    assert st == 200 and rows == [{"n": 5}]
+
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/acme/suspend?service=workspace", None, adm)
+    assert st == 200
+    for method, path, body in (
+        ("POST", "/api/v1/query", q),
+        ("GET", "/api/v1/logstream", None),
+    ):
+        st, out = _req(method, base + path, body, alice)
+        assert st == 403 and out["error"] == "Your workspace is suspended"
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/acme/resume?service=workspace", None, adm)
+    assert st == 200
+    # bad service name
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/acme/suspend?service=nope", None, adm)
+    assert st == 400
+
+
+def test_storage_roots_isolated_and_persistent(mt, tenants_ready, spark):
+    api, mgr, base, root = mt
+    assert os.path.isdir(os.path.join(root, "_tenants", "acme"))
+    assert os.path.isdir(os.path.join(root, "_tenants", "globex"))
+    assert os.path.isfile(os.path.join(root, "_tenants", "acme", "tenant.json"))
+    # tenant user/config persisted under the tenant root, not the default's
+    with open(os.path.join(root, "_tenants", "acme", "_config.json")) as f:
+        cfg = json.load(f)
+    assert list(cfg.get("users", {})) == ["alice"]
+    # a fresh manager over the same root re-discovers both tenants
+    # (reference load_tenants, parseable/mod.rs:1266-1322)
+    api2 = ParseableAPI(spark, root, auth=ADMIN)
+    mgr2 = TenantManager(api2, multi_tenant=True)
+    assert sorted(t["tenantId"] for t in mgr2.list_tenants()) == ["acme", "globex"]
+    meta = mgr2.get_meta("acme")
+    assert meta.customer_name == "Acme Corp"
+    for t in ("acme", "globex"):
+        mgr2.delete_tenant(t)
+
+
+def test_engine_level_view_isolation(mt, tenants_ready):
+    """A tenant's engine must NOT resolve another tenant's temp view,
+    even though both share one SparkSession (the leftover-view leak:
+    engine.py _VIEW_OWNER registry)."""
+    api, mgr, base, root = mt
+    acme_api = mgr.api_for("acme")
+    globex_api = mgr.api_for("globex")
+    # register a stream that exists ONLY in globex
+    import pandas as pd
+
+    sdf = api.spark.createDataFrame(pd.DataFrame({"v": [1, 2, 3]}))
+    globex_api.engine.register_stream("gonly", sdf, time_col="v")
+    # acme referencing it must fail, not read globex's rows
+    with pytest.raises(Exception) as ei:
+        acme_api.engine.query("SELECT * FROM gonly").collect()
+    assert "TABLE_OR_VIEW_NOT_FOUND" in str(ei.value) or "not found" in str(ei.value).lower()
+    # globex still resolves its own view afterwards (restore path)
+    assert globex_api.engine.query("SELECT count(*) AS n FROM gonly").collect()[0]["n"] == 3
+    globex_api.engine.deregister_stream("gonly")
+
+
+def test_delete_tenant_in_memory_removal(mt, tenants_ready):
+    _, mgr, base, _ = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/temp1", {}, adm)
+    assert st == 200
+    st, _ = _req("DELETE", f"{base}/api/v1/tenants/temp1", None, adm)
+    assert st == 200
+    st, out = _req("GET", f"{base}/api/v1/logstream", None,
+                   {**adm, "x-p-tenant": "temp1"})
+    assert st == 404 and "Tenant not found" in out["error"]
+    st, _ = _req("DELETE", f"{base}/api/v1/tenants/temp1", None, adm)
+    assert st == 404
