@@ -158,18 +158,21 @@ class Manifest:
                     break
         return counts
 
-    # --- persistence ---------------------------------------------------
+    # --- persistence (versioned; migration.py upgrade chain) -----------
     def save(self, path: str) -> None:
+        from ..migration import stamped
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"files": [asdict(x) for x in self.files]}, f)
+            json.dump(stamped("manifest", {"files": [asdict(x) for x in self.files]}), f)
 
     @classmethod
     def load(cls, path: str) -> "Manifest":
-        if not os.path.exists(path):
+        from ..migration import load_versioned
+
+        data = load_versioned("manifest", path)
+        if data is None:
             return cls()
-        with open(path) as f:
-            data = json.load(f)
         return cls(files=[FileStats(**x) for x in data["files"]])
 
 
@@ -222,13 +225,17 @@ class Snapshot:
         return merged
 
     def save(self, path: str) -> None:
+        from ..migration import stamped
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"items": self.items}, f)
+            json.dump(stamped("snapshot", {"items": self.items}), f)
 
     @classmethod
     def load(cls, path: str) -> "Snapshot":
-        if not os.path.exists(path):
+        from ..migration import load_versioned
+
+        data = load_versioned("snapshot", path)
+        if data is None:
             return cls()
-        with open(path) as f:
-            return cls(items=json.load(f)["items"])
+        return cls(items=data["items"])

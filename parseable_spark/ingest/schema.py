@@ -351,13 +351,22 @@ class SchemaRegistry:
         )
 
     def save(self, path: str) -> None:
+        from ..migration import stamped
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            jsonlib.dump({"fields": self.fields}, f, indent=1, sort_keys=True)
+            jsonlib.dump(
+                stamped("stream_schema", {"fields": self.fields}),
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     @classmethod
     def load(cls, path: str) -> "SchemaRegistry":
-        if not os.path.exists(path):
+        from ..migration import load_versioned
+
+        data = load_versioned("stream_schema", path)
+        if data is None:
             return cls()
-        with open(path) as f:
-            return cls(fields=jsonlib.load(f)["fields"])
+        return cls(fields=data["fields"])

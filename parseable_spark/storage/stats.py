@@ -56,13 +56,18 @@ class FullStats:
         return cls(**{k: Stats(**v) for k, v in d.items()})
 
     def save(self, path: str) -> None:
+        from ..migration import stamped
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump(self.to_dict(), f)
+            json.dump(stamped("stats", self.to_dict()), f)
 
     @classmethod
     def load(cls, path: str) -> "FullStats":
-        if not os.path.exists(path):
+        from ..migration import load_versioned
+
+        data = load_versioned("stats", path)
+        if data is None:
             return cls()
-        with open(path) as f:
-            return cls.from_dict(json.load(f))
+        data.pop("version", None)
+        return cls.from_dict(data)
