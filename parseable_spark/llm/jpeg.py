@@ -148,12 +148,37 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
     return codes
 
 
-def _build_huffman_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _build_huffman_codes(bits, vals).items()
-    }
+_FAST_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _build_fast_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """Flat 16-bit-peek decode table: index = the next 16 bits of the
+    stream, value = (symbol, code length); invalid prefixes get length
+    0. One list index replaces the per-bit tree walk — the standard
+    table-driven Huffman decode every fast JPEG implementation uses
+    (libjpeg's jdhuff lookahead). Built with numpy slice fills (one per
+    code, ~60-250 codes) and cached per (bits, vals): image corpora
+    reuse a handful of DHT tables (ours always emits Annex K), so the
+    build cost amortizes to zero."""
+    key = (tuple(bits), tuple(vals))
+    hit = _FAST_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = vals[k]
+            ln[base : base + span] = length
+            k += 1
+            code += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())  # list indexing beats np scalar ops
+    _FAST_LUT_CACHE[key] = out
+    return out
 
 
 # --- bit IO -----------------------------------------------------------------
@@ -182,68 +207,94 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
 
-class _BitReader:
-    """Reads entropy-coded bits with 0xFF00 unstuffing; stops at any
-    real marker (leaves position on the 0xFF)."""
+def _unstuff_entropy(payload: bytes, pos: int) -> tuple[bytes, list[int]]:
+    """Vectorized pre-pass over the entropy-coded segment: strip 0xFF00
+    byte stuffing, excise RSTn markers (recording each boundary's offset
+    in the unstuffed stream), stop at the first real marker. Moves all
+    per-byte marker logic out of the bit-reading hot loop."""
+    arr = np.frombuffer(payload, dtype=np.uint8)[pos:]
+    ff = np.flatnonzero(arr == 0xFF)
+    end = len(arr)
+    drop: list[int] = []  # positions to delete (stuffed 0x00s, RST pairs)
+    restarts: list[int] = []  # positions of RST 0xFF bytes
+    for i in ff.tolist():
+        if i + 1 >= len(arr):
+            end = i
+            break
+        nxt = arr[i + 1]
+        if nxt == 0x00:
+            drop.append(i + 1)
+        elif 0xD0 <= nxt <= 0xD7:
+            drop.append(i)
+            drop.append(i + 1)
+            restarts.append(i)
+        else:  # real marker terminates the entropy stream
+            end = i
+            break
+    keep = np.ones(end, dtype=bool)
+    d = np.asarray([x for x in drop if x < end], dtype=np.int64)
+    if d.size:
+        keep[d] = False
+    buf = arr[:end][keep].tobytes()
+    kept_before = np.cumsum(keep)
+    bounds = [int(kept_before[i - 1]) if i > 0 else 0 for i in restarts if i < end]
+    return buf, bounds
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+
+class _FastBitReader:
+    """Bit cursor over the pre-unstuffed entropy stream. ``acc`` holds
+    ``nbits`` valid low bits; refills 4 bytes per int.from_bytes and
+    zero-fills past the end (the T.81 virtual-zero convention the slow
+    reader implements per byte)."""
+
+    __slots__ = ("buf", "restarts", "bytepos", "acc", "nbits", "_ri")
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.buf, self.restarts = _unstuff_entropy(payload, pos)
+        self.bytepos = 0
         self.acc = 0
         self.nbits = 0
+        self._ri = 0
 
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0
-                self.nbits += 8
-                continue
-            byte = self.data[self.pos]
-            if byte == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                else:  # real marker: virtual zero-fill, don't consume
-                    self.acc = (self.acc << 8) | 0
-                    self.nbits += 8
-                    continue
+    def _ensure(self, n: int) -> None:
+        while self.nbits < n:
+            chunk = self.buf[self.bytepos : self.bytepos + 4]
+            if chunk:
+                self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                self.nbits += 8 * len(chunk)
+                self.bytepos += len(chunk)
             else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
+                self.acc <<= 8
+                self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._ensure(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def drop(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._ensure(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def align_to_marker(self) -> None:
-        """Drop buffered bits and skip to the next marker boundary (used
-        at restart markers)."""
+    def restart(self) -> None:
+        """Resync at an RSTn boundary (recorded by the unstuffing pass)."""
         self.acc = 0
         self.nbits = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                return
-            self.pos += 1
-
-
-def _decode_huffman(reader: _BitReader, lut: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = lut.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
+        if self._ri < len(self.restarts):
+            self.bytepos = self.restarts[self._ri]
+            self._ri += 1
+        else:
+            self.bytepos = len(self.buf)
 
 
 def _extend(v: int, size: int) -> int:
@@ -476,7 +527,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
-                hufftables[(tc_th >> 4, tc_th & 0x0F)] = _build_huffman_lut(bits, vals)
+                hufftables[(tc_th >> 4, tc_th & 0x0F)] = _build_fast_lut(bits, vals)
                 off += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -524,31 +575,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
              "dc": hufftables[(0, dc_t)], "ac": hufftables[(1, ac_t)]}
         )
 
-    reader = _BitReader(payload, pos)
+    reader = _FastBitReader(payload, pos)
     pred = [0] * len(comps)
     mcu_count = 0
+    # hot loop: 16-bit-peek LUT decode (one list index per symbol) +
+    # multi-bit amplitude reads — the r3 decoder walked both the
+    # Huffman tree AND the amplitude bit-by-bit in Python
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
-                if (
-                    reader.pos + 1 < len(payload)
-                    and payload[reader.pos] == 0xFF
-                    and 0xD0 <= payload[reader.pos + 1] <= 0xD7
-                ):
-                    reader.pos += 2
+                reader.restart()
                 pred = [0] * len(comps)
             for ci, info in enumerate(comp_info):
+                dc_sym, dc_len = info["dc"]
+                ac_sym, ac_len = info["ac"]
                 for by in range(info["vs"]):
                     for bx in range(info["hs"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        size = _decode_huffman(reader, info["dc"])
-                        diff = _extend(reader.read_bits(size), size)
+                        blk = [0] * 64
+                        idx = reader.peek16()
+                        ln = dc_len[idx]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code in entropy stream")
+                        reader.drop(ln)
+                        size = dc_sym[idx]
+                        diff = _extend(reader.take(size), size)
                         pred[ci] += diff
                         blk[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            sym = _decode_huffman(reader, info["ac"])
+                            idx = reader.peek16()
+                            ln = ac_len[idx]
+                            if ln == 0:
+                                raise ValueError("invalid Huffman code in entropy stream")
+                            reader.drop(ln)
+                            sym = ac_sym[idx]
                             if sym == 0x00:  # EOB
                                 break
                             run, size = sym >> 4, sym & 0x0F
@@ -560,7 +620,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             k += run
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            blk[k] = _extend(reader.read_bits(size), size)
+                            blk[k] = _extend(reader.take(size), size)
                             k += 1
                         row = my * info["vs"] + by
                         col = mx * info["hs"] + bx

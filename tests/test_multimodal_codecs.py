@@ -287,6 +287,37 @@ class TestJpegCodec:
         assert jpeg.jpeg_dimensions(enc) == (24, 16)
         assert self._psnr(img, jpeg.decode_jpeg(enc)) > 45
 
+    def test_fast_lut_matches_code_assignment(self):
+        """The 16-bit-peek decode LUT (r4 fast path) must agree with the
+        canonical T.81 code assignment for EVERY index: any index whose
+        top bits are a valid code maps to that code's symbol + length;
+        indices under no code have length 0."""
+        from parseable_spark.llm import jpeg
+
+        # the standard Annex K luminance AC table — the richest shape
+        # (code lengths 2..16, 162 symbols)
+        bits, vals = jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS
+        codes = jpeg._build_huffman_codes(list(bits), list(vals))
+        sym, ln = jpeg._build_fast_lut(list(bits), list(vals))
+        covered = 0
+        for s, (code, length) in codes.items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            covered += span
+            for idx in (base, base + span - 1, base + span // 2):
+                assert sym[idx] == s and ln[idx] == length, (s, code, length)
+        assert sum(1 for x in ln if x > 0) == covered
+
+    def test_unstuff_entropy_boundaries(self):
+        from parseable_spark.llm import jpeg
+
+        # stuffed FF00 → FF; RST0 pair excised with boundary recorded;
+        # real marker (FFD9) terminates
+        payload = bytes([0xAA, 0xFF, 0x00, 0xBB, 0xFF, 0xD0, 0xCC, 0xFF, 0xD9])
+        buf, bounds = jpeg._unstuff_entropy(payload, 0)
+        assert buf == bytes([0xAA, 0xFF, 0xBB, 0xCC])
+        assert bounds == [3]  # data after RST0 starts at unstuffed offset 3
+
     def test_malformed_jpeg_raises(self):
         import pytest
 
