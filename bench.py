@@ -42,10 +42,28 @@ HEADLINE = [
     "q18_counts_histogram",
     "q21_field_stats_topk",
     "q25_dedup_minhash_verified",
+    "q25_dedup_minhash_production",
     "q28_knn_bruteforce",
     "q31_text_features",
     "q34_sessionization",
 ]
+
+
+def _q25_production(spark, sf_dir):
+    """The DEPLOYABLE q25 plan: giant-bucket star guard at its
+    production default (bucket_cap=64). The registry entry runs
+    uncapped to match its all-pairs DuckDB oracle; tracking only that
+    shape would benchmark a plan the engine would never run at scale
+    (VERDICT r3 wrong-2) — so the bench reports both."""
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm import dedup
+    from parseable_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    scored = dedup.jaccard_verify(docs, cands, threshold=0.0)
+    return scored.withColumn("is_dup", F.col("jaccard") >= 0.2)
 
 
 def main() -> None:
@@ -55,18 +73,20 @@ def main() -> None:
 
     spark = get_spark("bench")
     specs = registry()
+    extra = {"q25_dedup_minhash_production": _q25_production}
 
     # warm the session (JVM, file listing) outside the timed region
     spark.range(1).count()
 
     def run(name: str) -> None:
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn = extra[name] if name in extra else specs[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm: codegen/broadcast/page-cache outside timing
         best = float("inf")
-        for _ in range(2):  # min-of-2 damps scheduler/GC noise
+        for _ in range(3):  # best-of-3 damps scheduler/GC noise
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
