@@ -158,13 +158,12 @@ class Manifest:
                     break
         return counts
 
-    # --- persistence (versioned; migration.py upgrade chain) -----------
+    # --- persistence (versioned via migration.py, transported via the
+    #     metastore seam) ------------------------------------------------
     def save(self, path: str) -> None:
-        from ..migration import stamped
+        from ..migration import save_versioned
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(stamped("manifest", {"files": [asdict(x) for x in self.files]}), f)
+        save_versioned("manifest", path, {"files": [asdict(x) for x in self.files]})
 
     @classmethod
     def load(cls, path: str) -> "Manifest":
@@ -225,11 +224,9 @@ class Snapshot:
         return merged
 
     def save(self, path: str) -> None:
-        from ..migration import stamped
+        from ..migration import save_versioned
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(stamped("snapshot", {"items": self.items}), f)
+        save_versioned("snapshot", path, {"items": self.items})
 
     @classmethod
     def load(cls, path: str) -> "Snapshot":

@@ -351,16 +351,9 @@ class SchemaRegistry:
         )
 
     def save(self, path: str) -> None:
-        from ..migration import stamped
+        from ..migration import save_versioned
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            jsonlib.dump(
-                stamped("stream_schema", {"fields": self.fields}),
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+        save_versioned("stream_schema", path, {"fields": self.fields}, indent=1)
 
     @classmethod
     def load(cls, path: str) -> "SchemaRegistry":

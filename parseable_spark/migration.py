@@ -33,8 +33,6 @@ self-managed.
 
 from __future__ import annotations
 
-import json
-import os
 from collections.abc import Callable
 from typing import Any
 
@@ -111,17 +109,25 @@ def stamped(kind: str, payload: dict[str, Any]) -> dict[str, Any]:
 
 
 def load_versioned(kind: str, path: str, write_back: bool = True) -> dict[str, Any] | None:
-    """Read + upgrade an artifact file; rewrite it in place when a
-    migration ran (the reference's boot-time put_remote_metadata after
-    migrate, src/migration/mod.rs). Returns None when absent."""
-    if not os.path.exists(path):
+    """Read + upgrade an artifact; rewrite it in place when a migration
+    ran (the reference's boot-time put_remote_metadata after migrate,
+    src/migration/mod.rs). Returns None when absent. All IO goes through
+    the metastore seam (metastore.py) so the metadata backend is
+    swappable independently of the data store."""
+    from .metastore import get_metastore
+
+    ms = get_metastore()
+    raw = ms.get_json(path)
+    if raw is None:
         return None
-    with open(path) as f:
-        raw = json.load(f)
     payload, changed = upgrade(kind, raw)
     if changed and write_back:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
+        ms.put_json(path, payload)
     return payload
+
+
+def save_versioned(kind: str, path: str, payload: dict[str, Any], indent: int | None = None) -> None:
+    """Stamp + persist through the metastore seam (atomic)."""
+    from .metastore import get_metastore
+
+    get_metastore().put_json(path, stamped(kind, payload), indent=indent)

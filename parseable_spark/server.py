@@ -166,14 +166,13 @@ class ParseableAPI:
         retention configs reload with each stream."""
         import os
 
-        if not os.path.isdir(self.root):
-            return
-        for name in sorted(os.listdir(self.root)):
+        from .metastore import get_metastore
+
+        ms = get_metastore()
+        for name in ms.list_dirs(self.root):
             sdir = os.path.join(self.root, name)
-            if not os.path.isdir(sdir):
-                continue
             if not any(
-                os.path.exists(os.path.join(sdir, f))
+                ms.exists(os.path.join(sdir, f))
                 for f in ("manifest.json", "stream.json", "snapshot.json", "config.json")
             ):
                 continue
@@ -276,13 +275,10 @@ class ParseableAPI:
                     if aid in self._alerts
                 },
             }
-            from .migration import stamped
+            from .migration import save_versioned
 
             os.makedirs(self.root, exist_ok=True)
-            tmp = self._config_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(stamped("config", cfg), f)
-            os.replace(tmp, self._config_path)
+            save_versioned("config", self._config_path, cfg)
 
     def _load_config(self) -> None:
         # versioned load + in-place upgrade of pre-versioning roots
@@ -2010,22 +2006,18 @@ class ParseableAPI:
                 # rebuilds the same enforcement (reference stream.json)
                 import os
 
-                from .migration import stamped
+                from .migration import save_versioned
 
-                os.makedirs(store.stream_dir, exist_ok=True)
-                with open(os.path.join(store.stream_dir, "config.json"), "w") as f:
-                    json.dump(
-                        stamped(
-                            "stream_config",
-                            {
-                                "static_schema_flag": static_schema,
-                                "custom_partition": custom_partition,
-                                "time_partition": time_partition,
-                                "time_partition_limit_days": time_partition_limit_days,
-                            },
-                        ),
-                        f,
-                    )
+                save_versioned(
+                    "stream_config",
+                    os.path.join(store.stream_dir, "config.json"),
+                    {
+                        "static_schema_flag": static_schema,
+                        "custom_partition": custom_partition,
+                        "time_partition": time_partition,
+                        "time_partition_limit_days": time_partition_limit_days,
+                    },
+                )
             self._stores[name] = store
 
     def delete_stream(self, name: str) -> None:
@@ -2053,6 +2045,11 @@ class ParseableAPI:
                 if sa in self.scheduler._alerts:
                     self.scheduler._alerts.remove(sa)
             shutil.rmtree(store.stream_dir, ignore_errors=True)
+            # the data tree is gone; drop the stream's metadata through
+            # the seam too (a non-filesystem metastore keeps it separately)
+            from .metastore import get_metastore
+
+            get_metastore().delete_prefix(store.stream_dir)
         if stale:
             self._save_config()
 
@@ -2137,12 +2134,15 @@ class ParseableAPI:
             parse_retention_config(tasks)
         except RetentionConfigError as e:
             raise ApiError(400, str(e)) from e
-        from .migration import stamped
+        from .migration import save_versioned
 
         with self._lock:
             self._retention[name] = tasks
-            with open(os.path.join(store.stream_dir, "retention.json"), "w") as f:
-                json.dump(stamped("retention", {"tasks": tasks}), f)
+            save_versioned(
+                "retention",
+                os.path.join(store.stream_dir, "retention.json"),
+                {"tasks": tasks},
+            )
 
     def run_retention(self, now=None) -> dict[str, int]:
         """Apply every stored retention config (the reference's daily

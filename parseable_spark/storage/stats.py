@@ -56,11 +56,9 @@ class FullStats:
         return cls(**{k: Stats(**v) for k, v in d.items()})
 
     def save(self, path: str) -> None:
-        from ..migration import stamped
+        from ..migration import save_versioned
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(stamped("stats", self.to_dict()), f)
+        save_versioned("stats", path, self.to_dict())
 
     @classmethod
     def load(cls, path: str) -> "FullStats":

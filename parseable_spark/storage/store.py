@@ -56,11 +56,11 @@ class StreamStore:
         self.manifest = Manifest.load(self.manifest_path)
         self.snapshot = Snapshot.load(self.snapshot_path)
         self.stats = FullStats.load(self.stats_path)
-        reg_path = self.schema_path
-        if os.path.exists(reg_path):
-            from ..ingest.schema import SchemaRegistry
+        from ..ingest.schema import SchemaRegistry
 
-            self.stream.registry = SchemaRegistry.load(reg_path)
+        reg = SchemaRegistry.load(self.schema_path)  # empty when absent
+        if reg.fields:
+            self.stream.registry = reg
 
     # --- paths ---------------------------------------------------------
     @property

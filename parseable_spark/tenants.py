@@ -147,14 +147,11 @@ class TenantManager:
         return os.path.join(self.tenant_root(tenant_id), TENANT_META_FILE)
 
     def _persist_meta(self, tenant_id: str) -> None:
-        from .migration import stamped
+        from .migration import save_versioned
 
-        path = self._meta_path(tenant_id)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(stamped("tenant", self._meta[tenant_id].to_json()), f, indent=2)
-        os.replace(tmp, path)
+        save_versioned(
+            "tenant", self._meta_path(tenant_id), self._meta[tenant_id].to_json(), indent=2
+        )
 
     def _build_api(self, tenant_id: str):
         from .server import ParseableAPI
@@ -177,13 +174,13 @@ class TenantManager:
         a tenant.json re-registers; invalid ids are skipped (never
         deleted — we don't own dirs we can't parse)."""
         base = os.path.join(self.default_api.root, TENANTS_DIRNAME)
-        if not os.path.isdir(base):
-            return
+        from .metastore import get_metastore
         from .migration import load_versioned
 
-        for tid in sorted(os.listdir(base)):
+        ms = get_metastore()
+        for tid in ms.list_dirs(base):
             mpath = os.path.join(base, tid, TENANT_META_FILE)
-            if not os.path.isfile(mpath):
+            if not ms.exists(mpath):
                 continue
             try:
                 validate_tenant_id(tid)
