@@ -6,17 +6,21 @@ Two tiers:
    (struct header parse + numpy pixel math, padding and bottom-up row
    order handled), baseline JPEG (full T.81 marker walk + Huffman +
    IDCT in `llm/jpeg.py` — image payloads are format-sniffed, so BMP
-   and JPEG flow through the same operators), and 16-bit PCM WAV
-   (RIFF chunk walk). Video is a concatenated-BMP frame stream — our
-   own trivial container, but every frame decode is a real BMP parse.
-   `synthesize_real_media` builds payloads whose ground-truth features
-   are analytic functions of doc_id, so the DuckDB oracle can verify
-   the decoded VALUES, not just row counts (q35/q42).
+   and JPEG flow through the same operators), 16-bit PCM WAV
+   (RIFF chunk walk), MJPEG-in-AVI (RIFF container walk in
+   `llm/avi.py`), and MPEG-1 video I-frames (`llm/mpeg1.py` — real
+   keyframe pixel decode from the ISO/IEC 11172-2 intra path, with
+   P/B pictures skipped at the start-code level, which is exactly the
+   keyframe-extraction access pattern a 100 TB curation pipeline
+   uses). `synthesize_real_media` builds payloads whose ground-truth
+   features are analytic functions of doc_id, so the DuckDB oracle can
+   verify the decoded VALUES, not just row counts (q35/q42).
 2. The original deterministic fakes (`_fake_decode`, `resize_images`,
    `sample_frames`) remain only for container formats that genuinely
-   need full codec stacks (MP4/H.264 et al.) — the Spark plumbing
-   (schema contracts, Arrow-batched mapInPandas, modality pruning) is
-   identical either way.
+   need full codec stacks (now ONLY inter-frame-coded modern codecs:
+   H.264/MP4 et al.) — the Spark plumbing (schema contracts,
+   Arrow-batched mapInPandas, modality pruning) is identical either
+   way.
 """
 
 from __future__ import annotations
@@ -297,20 +301,33 @@ def encode_bmp_pixels(rgb) -> bytes:
 
 
 def sniff_image_format(payload: bytes) -> str:
-    """'bmp' | 'jpeg' by magic bytes — image operators are
-    format-agnostic; the payload says what it is."""
+    """'bmp' | 'jpeg' | 'mpeg1' by magic bytes — image operators are
+    format-agnostic; the payload says what it is ('mpeg1' = a
+    self-contained single-keyframe MPEG-1 snippet from
+    mpeg1.extract_iframe_payloads)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
-    raise ValueError("unrecognized image payload (not BMP or JPEG)")
+    if payload[:4] == b"\x00\x00\x01\xb3":
+        return "mpeg1"
+    raise ValueError("unrecognized image payload (not BMP, JPEG, or MPEG-1)")
 
 
 def decode_image_pixels(payload: bytes):
     """Any supported image payload → (H, W, 3) RGB uint8 (format
-    dispatch by magic: real BMP parse or real baseline-JPEG decode)."""
-    if sniff_image_format(payload) == "bmp":
+    dispatch by magic: real BMP parse, real baseline-JPEG decode, or a
+    real MPEG-1 I-frame decode for keyframe snippets)."""
+    fmt = sniff_image_format(payload)
+    if fmt == "bmp":
         return decode_bmp_pixels(payload)
+    if fmt == "mpeg1":
+        from parseable_spark.llm import mpeg1
+
+        frames = mpeg1.decode_mpeg1_iframes(payload, max_frames=1)
+        if not frames:
+            raise ValueError("MPEG-1 snippet contains no I-frame")
+        return frames[0][1]
     from parseable_spark.llm import jpeg
 
     return jpeg.decode_jpeg(payload)
@@ -408,11 +425,14 @@ def split_video_frames(payload: bytes) -> tuple[list[bytes], int]:
     """Container-sniffed video demux → (frame payloads, ms per frame).
 
     Real formats first: MJPEG-in-AVI (RIFF walk, fps from strh) with
-    per-frame baseline-JPEG payloads, else the concatenated-BMP stream.
+    per-frame baseline-JPEG payloads; MPEG-1 elementary streams
+    (I-frame-only keyframe extraction — each frame payload is a
+    self-contained single-keyframe snippet, P/B pictures skipped at the
+    start-code level, llm/mpeg1.py); else the concatenated-BMP stream.
     Each frame payload is decodable by decode_image/decode_image_pixels
     (format dispatch by magic), so every downstream video operator is
     container-agnostic."""
-    from parseable_spark.llm import avi
+    from parseable_spark.llm import avi, mpeg1
 
     if avi.is_avi(payload):
         meta = avi.decode_avi_mjpeg(payload)
@@ -420,6 +440,8 @@ def split_video_frames(payload: bytes) -> tuple[list[bytes], int]:
         # cadence to 0 ms (ZeroDivision downstream)
         ms = max(1000 // max(meta["fps"], 1), 1) if meta["fps"] else VIDEO_FRAME_MS
         return meta["frames"], ms
+    if mpeg1.is_mpeg1(payload):
+        return mpeg1.extract_iframe_payloads(payload)
     return split_bmp_stream(payload), VIDEO_FRAME_MS
 
 
@@ -590,7 +612,11 @@ def sample_frames_real(media: DataFrame, every_ms: int = VIDEO_FRAME_MS) -> Data
                 frames, frame_ms = split_video_frames(payload)
                 if not frames:
                     continue  # zero-frame container (review finding)
-                for ts in range(0, int(dur or len(frames) * frame_ms), every_ms):
+                # NULL duration arrives as NaN through Arrow→pandas, and
+                # NaN is truthy — `dur or fallback` would int(NaN) crash
+                if dur is None or pd.isna(dur):
+                    dur = len(frames) * frame_ms
+                for ts in range(0, int(dur), every_ms):
                     idx = min(ts // frame_ms, len(frames) - 1)
                     d = decode_image(frames[idx])
                     rows["media_id"].append(mid)
