@@ -438,6 +438,27 @@ class ParseableAPI:
         for name, store in self._stores.items():
             self.engine.register_stream(name, store.scan(), time_col=store.time_col)
         try:
+            if not self.ingestor_ports:
+                # COUNT(*) fast path (reference query.rs:186-256): a bare
+                # SELECT COUNT(*) FROM stream answers from manifest row
+                # counts + in-window staging when every file is FULLY
+                # inside the window — no scan. Boundary-straddling files
+                # or any filter/grouping fall through to the real query.
+                # Skipped in querier mode (peer staging isn't in local
+                # manifests).
+                from .query.counts import fast_count
+                from .query.engine import TimeRange
+
+                tr = TimeRange.parse(start, end)
+                fast = fast_count(
+                    self.engine,
+                    sql,
+                    self._stores,
+                    start=tr.start.replace(tzinfo=None),
+                    end=tr.end.replace(tzinfo=None),
+                )
+                if fast is not None:
+                    return fast
             if self.ingestor_ports:
                 # querier mode (airplane.rs:155-184): merge fresh staging
                 # events from ingestor peers for single-stream queries

@@ -1,0 +1,95 @@
+"""Z-order (Morton) multi-column clustering — data layout for pruning.
+
+At 100 TB the cheapest query is the one that never reads the file: a
+time-sorted layout prunes time predicates (writer.py + manifests) but
+scatters every OTHER column across all files, so `user_id = X` reads
+the whole partition. Z-ordering interleaves the bits of several
+columns' range-normalized values into one sort key, so files become
+rectangles in the multi-column space and parquet min/max footer stats
+(and the manifests built from them) prune on ANY of the clustered
+columns at once — the same layout lever Delta Lake's OPTIMIZE ZORDER BY
+and public Databricks/Delta literature describe (public technique;
+implemented here from scratch as pure Spark column expressions).
+
+Mechanics:
+- numeric/timestamp columns → rank-normalize into [0, 2^bits) using the
+  column min/max (one aggregate pass — a layout job's prerogative);
+- string columns → xxhash64 bucket in [0, 2^bits): point-equality
+  pruning works (a value's bucket is stable), range pruning does not —
+  documented, same tradeoff Delta makes for high-cardinality strings;
+- the Morton key is a SUM of shift/mask terms over every (bit, column)
+  pair — pure JVM-side expressions inside whole-stage codegen, no UDF;
+- `cluster_by_zorder` = repartitionByRange(morton) +
+  sortWithinPartitions(morton): each output file covers a compact
+  Morton range ⇒ tight min/max on every clustered column.
+
+Measured effect: tools/zorder_probe.py (results in SCALE.md) — row
+groups whose stats overlap a point+range predicate drop by ~an order of
+magnitude vs time-only layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType, TimestampNTZType, TimestampType
+
+DEFAULT_BITS = 12  # 4096 buckets per column — plenty for file-level pruning
+
+
+def _normalize(df: DataFrame, col: str, bits: int) -> Column:
+    """Column → integer in [0, 2^bits): min/max range scaling for
+    ordered types, hash buckets for strings."""
+    dt = df.schema[col].dataType
+    top = (1 << bits) - 1
+    if isinstance(dt, StringType):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(1 << bits)).cast("long")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        # unix_micros needs TIMESTAMP; NTZ casts losslessly (UTC axis)
+        v = F.unix_micros(F.col(col).cast("timestamp"))
+    elif isinstance(dt, NumericType):
+        v = F.col(col).cast("double")
+    else:
+        raise ValueError(f"cannot z-order column {col!r} of type {dt.simpleString()}")
+    lo, hi = df.agg(F.min(v), F.max(v)).first()
+    if lo is None or hi is None or hi == lo:
+        return F.lit(0).cast("long")
+    scaled = (v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(top))
+    return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top))
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Column:
+    """Morton interleave of the normalized columns, as one codegen'd
+    expression (bits × len(cols) shift/mask terms, OR-summed)."""
+    if not cols:
+        raise ValueError("z-order needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
+    norms = [_normalize(df, c, bits) for c in cols]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, nc in enumerate(norms):
+            key = key + F.shiftleft(
+                F.shiftright(nc, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
+            )
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Rewrite a DataFrame into `num_files` Morton-contiguous chunks —
+    the compaction/OPTIMIZE-time layout pass. Each output partition
+    covers a compact Morton range, so every clustered column's min/max
+    is tight per file. (repartitionByRange samples the key — one extra
+    job, the standard cost of a layout rewrite.)"""
+    key = zorder_key(df, cols, bits).alias("__zorder")
+    keyed = df.select("*", key)
+    return (
+        keyed.repartitionByRange(num_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
