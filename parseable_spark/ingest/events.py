@@ -48,6 +48,11 @@ class StreamConfig:
     time_partition: str | None = None
     time_partition_limit_days: int = 30
     max_chunk_age_hours: int = 24
+    # z-order clustering at compaction (storage/layout.py): multi-column
+    # Morton sort inside each compacted file, so row-group min/max stats
+    # are tight on EVERY listed column (entity+time access patterns);
+    # None keeps the reference's time-desc sort
+    zorder_cols: list[str] | None = None
 
 
 @dataclass

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -188,6 +189,7 @@ class ParseableAPI:
                     "time_partition_limit_days": int(
                         stored.get("time_partition_limit_days") or 30
                     ),
+                    "zorder_cols": stored.get("zorder_cols"),
                 }
             self._stores[name] = StreamStore(
                 self.spark,
@@ -1984,6 +1986,7 @@ class ParseableAPI:
         custom_partition: str | None = None,
         time_partition: str | None = None,
         time_partition_limit_days: int = 30,
+        zorder_cols: list[str] | None = None,
     ) -> None:
         """PUT /api/v1/logstream/{name} (logstream.rs:201-214): create;
         409-equivalent error when it already exists (the reference
@@ -2003,6 +2006,9 @@ class ParseableAPI:
                 )
             except ValueError as e:
                 raise ApiError(400, str(e)) from None
+        for zc in zorder_cols or []:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", zc):
+                raise ApiError(400, f"invalid z-order column name {zc!r}")
         with self._lock:
             if name in self._stores:
                 raise ApiError(400, f"logstream {name} already exists")
@@ -2016,13 +2022,14 @@ class ParseableAPI:
                     static_schema_flag=static_schema,
                     time_partition=time_partition,
                     time_partition_limit_days=time_partition_limit_days,
+                    zorder_cols=list(zorder_cols) if zorder_cols else None,
                 ),
                 time_col=self.time_col,
             )
             if fields is not None:
                 store.stream.registry.fields = dict(sorted(fields.items()))
                 store.stream.registry.save(store.schema_path)
-            if static_schema or custom_partition or time_partition:
+            if static_schema or custom_partition or time_partition or zorder_cols:
                 # persist the creation-time stream options so a restart
                 # rebuilds the same enforcement (reference stream.json)
                 import os
@@ -2037,6 +2044,7 @@ class ParseableAPI:
                         "custom_partition": custom_partition,
                         "time_partition": time_partition,
                         "time_partition_limit_days": time_partition_limit_days,
+                        "zorder_cols": list(zorder_cols) if zorder_cols else None,
                     },
                 )
             self._stores[name] = store
@@ -3183,6 +3191,7 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ApiError(
                         400, "x-p-time-partition-limit must be like '90d'"
                     ) from None
+                zraw = self.headers.get("x-p-zorder") or ""
                 self.api.create_stream(
                     name,
                     body=self._json_body() if static else None,
@@ -3190,6 +3199,8 @@ class _Handler(BaseHTTPRequestHandler):
                     custom_partition=self.headers.get("x-p-custom-partition"),
                     time_partition=self.headers.get("x-p-time-partition"),
                     time_partition_limit_days=limit_days,
+                    zorder_cols=[c.strip() for c in zraw.split(",") if c.strip()]
+                    or None,
                 )
                 self._respond_json(200, {"status": f"created log stream {name}"})
             elif sub == "retention":

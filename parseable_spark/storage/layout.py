@@ -37,25 +37,46 @@ from pyspark.sql.types import NumericType, StringType, TimestampNTZType, Timesta
 DEFAULT_BITS = 12  # 4096 buckets per column — plenty for file-level pruning
 
 
-def _normalize(df: DataFrame, col: str, bits: int) -> Column:
-    """Column → integer in [0, 2^bits): min/max range scaling for
-    ordered types, hash buckets for strings."""
+def _ordered_expr(df: DataFrame, col: str) -> Column | None:
+    """Orderable numeric view of a column, or None for hash-bucketed
+    types (strings)."""
     dt = df.schema[col].dataType
-    top = (1 << bits) - 1
     if isinstance(dt, StringType):
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(1 << bits)).cast("long")
+        return None
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         # unix_micros needs TIMESTAMP; NTZ casts losslessly (UTC axis)
-        v = F.unix_micros(F.col(col).cast("timestamp"))
-    elif isinstance(dt, NumericType):
-        v = F.col(col).cast("double")
-    else:
-        raise ValueError(f"cannot z-order column {col!r} of type {dt.simpleString()}")
-    lo, hi = df.agg(F.min(v), F.max(v)).first()
-    if lo is None or hi is None or hi == lo:
-        return F.lit(0).cast("long")
-    scaled = (v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(top))
-    return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top))
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, NumericType):
+        return F.col(col).cast("double")
+    raise ValueError(f"cannot z-order column {col!r} of type {dt.simpleString()}")
+
+
+def _normalize_all(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Columns → integers in [0, 2^bits): min/max range scaling for
+    ordered types, hash buckets for strings. ALL ranges come from one
+    aggregate job (a layout pass adds exactly one stats scan, however
+    many columns are clustered)."""
+    top = (1 << bits) - 1
+    ordered = {c: e for c in cols if (e := _ordered_expr(df, c)) is not None}
+    stats: dict[str, tuple] = {}
+    if ordered:
+        aggs = []
+        for c, e in ordered.items():
+            aggs += [F.min(e).alias(f"__lo_{c}"), F.max(e).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).first()
+        stats = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in ordered}
+    out = []
+    for c in cols:
+        if c not in ordered:
+            out.append(F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)).cast("long"))
+            continue
+        lo, hi = stats[c]
+        if lo is None or hi is None or hi == lo:
+            out.append(F.lit(0).cast("long"))
+            continue
+        scaled = (ordered[c] - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(top))
+        out.append(F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top)))
+    return out
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Column:
@@ -65,7 +86,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Colu
         raise ValueError("z-order needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
-    norms = [_normalize(df, c, bits) for c in cols]
+    norms = _normalize_all(df, cols, bits)
     key = F.lit(0).cast("long")
     for b in range(bits):
         for ci, nc in enumerate(norms):

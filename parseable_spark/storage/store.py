@@ -246,9 +246,24 @@ class StreamStore:
             # nulls them instead, same as scan()
             df = self._parquet_df(paths)
             tmp = d + ".compact.tmp"
+            # compaction is the layout pass: z-order-configured streams
+            # get a Morton sort inside the compacted file (tight
+            # row-group stats on every clustered column — entity+time
+            # pruning, storage/layout.py); default stays the reference's
+            # time-desc order. Columns the schema hasn't seen yet fall
+            # back to the time sort.
+            zcols = [
+                c for c in (self.config.zorder_cols or []) if c in df.columns
+            ]
+            if zcols:
+                from .layout import zorder_key
+
+                sort_key = zorder_key(df, zcols)
+            else:
+                sort_key = F.desc(self.time_col)
             (
                 df.coalesce(1)
-                .sortWithinPartitions(F.desc(self.time_col))
+                .sortWithinPartitions(sort_key)
                 .write.mode("overwrite")
                 .option("compression", "zstd")
                 .parquet(tmp)

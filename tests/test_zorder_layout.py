@@ -102,3 +102,63 @@ def test_zorder_column_dropped(spark):
     df = spark.range(100).select(F.col("id").alias("a"), (F.col("id") % 7).alias("b"))
     out = cluster_by_zorder(df, ["a", "b"], num_files=4)
     assert out.columns == ["a", "b"]
+
+
+def test_compaction_applies_stream_zorder_config(spark, tmp_path):
+    """Product integration: a stream created with zorder_cols gets
+    Morton-sorted compacted files (tight per-row-group user_id stats),
+    the setting survives restart via config.json, and query results are
+    unaffected."""
+    from datetime import datetime
+
+    from parseable_spark.server import ParseableAPI
+
+    root = str(tmp_path / "zc")
+    api = ParseableAPI(spark, root)
+    api.create_stream("ev", zorder_cols=["user_id", "p_timestamp"])
+    store = api._stores["ev"]
+    base = datetime(2026, 8, 10, 9, 0)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(3):  # 3 small files in one minute partition
+        store.ingest(
+            [{"user_id": int(u), "v": 1.0} for u in rng.integers(0, 10_000, 200)],
+            p_timestamp=base,
+        )
+        store.flush()
+    assert store.compact() == 1
+
+    # compacted row groups are tight on user_id (a time-sorted layout
+    # would span ~the full id range in every row group)
+    import pyarrow.parquet as pq
+    from glob import glob
+
+    [f] = glob(f"{root}/ev/data/**/compacted-*.parquet", recursive=True)
+    pf = pq.ParquetFile(f)
+    md = pf.metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    # single row group here: whole-file sortedness shown by page-level
+    # order — read user_id and assert Morton-ordering groups ids
+    ids = pf.read(columns=["user_id"])["user_id"].to_pylist()
+    # morton order on (user_id, ts) with constant ts ⇒ ascending user_id
+    # BUCKETS (4096 normalization buckets; order within a bucket is
+    # arbitrary)
+    lo, hi = min(ids), max(ids)
+    buckets = [int((i - lo) / (hi - lo) * 4095) for i in ids]
+    assert buckets == sorted(buckets)
+    assert md.row_group(0).column(names["user_id"]).statistics is not None
+
+    # restart: zorder_cols reloads from config.json
+    api2 = ParseableAPI(spark, root)
+    assert api2._stores["ev"].config.zorder_cols == ["user_id", "p_timestamp"]
+    # data intact
+    assert api2._stores["ev"].scan().count() == 600
+
+
+def test_create_stream_rejects_bad_zorder_name(spark, tmp_path):
+    from parseable_spark.server import ApiError, ParseableAPI
+
+    api = ParseableAPI(spark, str(tmp_path / "zbad"))
+    with pytest.raises(ApiError, match="invalid z-order column"):
+        api.create_stream("s", zorder_cols=["ok", "bad; DROP"])
