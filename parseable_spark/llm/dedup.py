@@ -598,6 +598,131 @@ def paragraph_dedup(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_copies: int = 1,
+) -> DataFrame:
+    """Corpus-repeated SPANS inside documents (the ExactSubstr-dedup
+    primitive from the public "Deduplicating Training Data Makes
+    Language Models Better" recipe, Lee et al. 2021 — there built with
+    a monolithic suffix array; here re-expressed Spark-first at token
+    granularity): every maximal token range covered by a
+    `min_tokens`-token sequence that appears in more than `max_copies`
+    distinct documents.
+
+    Returns (id, span_start, span_end) — token positions, end
+    exclusive, overlapping windows merged per document.
+
+    Scale shape: one explode to token rows, one per-doc window
+    producing a 64-bit rolling shingle key (collect_list of token
+    hashes over a ROWS frame → xxhash64: O(n·L) longs, all JVM-side —
+    the explode+window plan that beat HOF slicing in the r3 probe), one
+    hash aggregate on the shingle key (count_distinct docs), a semi
+    join back, and a gaps-and-islands merge per doc. No pairwise work
+    anywhere; a true suffix-array pass (repeat length unbounded, byte
+    granularity) stays a per-shard single-node job by construction —
+    this is the distributable fixed-L variant. 64-bit keys mean hash
+    collisions mark a false span at ~2^-64 per pair — acceptable for
+    corpus curation (document-level dedup above is digest-exact)."""
+    from pyspark.sql.window import Window
+
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w")
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, min_tokens - 1)
+    )
+    sh = toks.select(
+        F.col(id_col),
+        "pos",
+        F.xxhash64(F.collect_list(F.xxhash64("w")).over(frame)).alias("sh"),
+        F.count(F.lit(1)).over(frame).alias("_width"),
+    ).filter(F.col("_width") == min_tokens)
+    dup_keys = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > max_copies)
+        .select("sh")
+    )
+    hits = sh.join(dup_keys, "sh", "left_semi").select(
+        F.col(id_col), "pos", (F.col("pos") + min_tokens).alias("end")
+    )
+    # gaps-and-islands merge of overlapping [pos, end) windows per doc
+    order = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("bigint")
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("end").cast("bigint").alias("span_end"),
+        )
+        .drop("_island")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_copies: int = 1,
+) -> DataFrame:
+    """Remove every corpus-repeated span (duplicate_spans) from every
+    document — the RefinedWeb-style "remove all occurrences" policy,
+    matching paragraph_dedup — and rebuild the text from the kept
+    tokens in order. Returns (id, n_tokens, n_dup_tokens,
+    dup_token_frac, clean_text).
+
+    The join back attaches each doc's (few, merged) spans as ONE array
+    per doc, so the per-token duplicate test is an `exists` over a
+    small array — no token×span row blowup."""
+    spans = duplicate_spans(docs, id_col, text_col, min_tokens, max_copies)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w")
+    )
+    tagged = toks.join(per_doc, id_col, "left").withColumn(
+        "_dup",
+        F.coalesce(
+            F.exists(
+                "_spans",
+                lambda s: (F.col("pos") >= s["span_start"])
+                & (F.col("pos") < s["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_dup").cast("bigint")).alias("n_dup_tokens"),
+        F.round(F.sum(F.col("_dup").cast("double")) / F.count(F.lit(1)), 6).alias(
+            "dup_token_frac"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("_dup"), F.struct("pos", "w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def contamination(
     train_docs: DataFrame,
     bench_docs: DataFrame,

@@ -59,7 +59,10 @@ def _v1_to_v2(kind: str) -> Callable[[Any], dict[str, Any]]:
 
     def step(raw: Any) -> dict[str, Any]:
         if not isinstance(raw, dict):
-            raw = {_LIST_ENVELOPE[kind]: raw}
+            key = _LIST_ENVELOPE.get(kind)
+            if key is None:
+                raise ValueError(f"corrupt {kind} artifact: expected an object")
+            raw = {key: raw}
         return {**raw, "version": "v2"}
 
     return step

@@ -173,9 +173,14 @@ class QueryEngine:
             name = tenant_view_name(tenant, name)
         with self._view_lock:
             self._streams.pop(name, None)
-            if _VIEW_OWNER.get(name.lower()) is self:
+            owner = _VIEW_OWNER.get(name.lower())
+            if owner is self:
                 del _VIEW_OWNER[name.lower()]
-            self.spark.catalog.dropTempView(name)
+            if owner is self or owner is None:
+                # drop only a view we own: another engine (tenant) may
+                # have re-registered the same name since — its view must
+                # survive our teardown
+                self.spark.catalog.dropTempView(name)
 
     def query(
         self,

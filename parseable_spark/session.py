@@ -27,6 +27,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # deterministic timestamp semantics vs the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
+    # NOT set: spark.sql.parquet.aggregatePushdown — it only activates
+    # on the V2 parquet source (parquet is in useV1SourceList by
+    # default), and flipping the whole engine to V2 changes
+    # pushdown/stats behavior everywhere for a win the manifest
+    # COUNT(*) fast path already covers. Measured inert on V1, reverted.
 }
 
 

@@ -297,6 +297,28 @@ def test_storage_roots_isolated_and_persistent(mt, tenants_ready, spark):
         mgr2.delete_tenant(t)
 
 
+def test_engine_view_ownership_survives_other_tenants_teardown(mt, tenants_ready):
+    """Deregistering tenant A's stream must not drop tenant B's
+    same-named view that took ownership since (r4 review fix); and the
+    foreign-view hide must be case-insensitive, like Spark's resolver."""
+    import pandas as pd
+
+    api, mgr, base, root = mt
+    a = mgr.api_for("acme").engine
+    b = mgr.api_for("globex").engine
+    sdf_a = api.spark.createDataFrame(pd.DataFrame({"v": [1]}))
+    sdf_b = api.spark.createDataFrame(pd.DataFrame({"v": [1, 2]}))
+    a.register_stream("shared", sdf_a, time_col="v")
+    b.register_stream("shared", sdf_b, time_col="v")  # B takes ownership
+    a.deregister_stream("shared")
+    # B's view survived A's teardown
+    assert b.query("SELECT count(*) AS n FROM shared").collect()[0]["n"] == 2
+    # case-variant reference to a foreign-only stream is still hidden
+    with pytest.raises(Exception, match="(?i)not.*found|cannot be found"):
+        a.query("SELECT * FROM SHARED").collect()
+    b.deregister_stream("shared")
+
+
 def test_engine_level_view_isolation(mt, tenants_ready):
     """A tenant's engine must NOT resolve another tenant's temp view,
     even though both share one SparkSession (the leftover-view leak:
