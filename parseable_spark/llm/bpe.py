@@ -160,3 +160,95 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum("n_tok").cast("bigint").alias("bpe_tokens"))
     )
+
+
+def bpe_symbol_table(
+    vocab: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> list[tuple[str, int]]:
+    """Deterministic symbol → token-id table for a trained tokenizer:
+    every single character seen in the vocab (word-internal and
+    word-final '</w>' variants — the OOV floor) plus every symbol a
+    merge can produce. Ids are assigned by sorted symbol string, so
+    the same (vocab, merges) yields the same ids on any engine."""
+    symbols: set[str] = set()
+    for w, _ in vocab:
+        for s in _symbols(w):
+            base = s[: -len(EOW)] if s.endswith(EOW) else s
+            symbols.add(base)  # word-internal variant
+            symbols.add(base + EOW)  # word-final variant
+    for a, b in merges:
+        symbols.add(a + b)
+    return [(s, i) for i, s in enumerate(sorted(symbols))]
+
+
+def bpe_encode(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus: (id, token_ids array<int>, n_tokens) —
+    the sequences a training-shard writer actually emits, feeding
+    straight into `sampling.pack_sequences` via n_tokens.
+
+    Scale split: in-vocabulary words (the corpus head by construction)
+    take the JVM path — one broadcast join against the word → ids
+    table precomputed driver-side from the bounded vocab. Only OOV
+    word OCCURRENCES cross into Python, through one Arrow-batched
+    applyInPandas keyed by the word so each distinct OOV word is
+    segmented once per partition-group, not once per occurrence.
+    Symbols outside the table (characters never seen in training) map
+    to id -1, the conventional unk sentinel.
+
+    Reassembly is a per-doc aggregate: array_sort(collect_list(struct
+    (pos, ids))) then flatten — one shuffle on the doc key.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    sym_id = dict(bpe_symbol_table(vocab, merges))
+    word_ids = [
+        (w, [sym_id[s] for s in bpe_segments(w, merges)]) for w, _ in vocab
+    ]
+    id_table = spark.createDataFrame(word_ids, "w string, _ids array<int>")
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(normalized_words(F.col(text_col)), lambda w: F.length(w) > 0)
+        ).alias("pos", "w"),
+    ).join(F.broadcast(id_table), "w", "left")
+    hit = words.filter(F.col("_ids").isNotNull())
+    miss = words.filter(F.col("_ids").isNull()).drop("_ids")
+
+    def segment_oov(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group = one distinct OOV word; segment once, fan out
+        ids = [sym_id.get(s, -1) for s in bpe_segments(pdf["w"].iloc[0], merges)]
+        pdf = pdf.copy()
+        pdf["_ids"] = [ids] * len(pdf)
+        return pdf
+
+    oov = miss.groupBy("w").applyInPandas(segment_oov, schema=hit.schema)
+    return (
+        hit.unionByName(oov)
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_ids"))),
+                    lambda s: s["_ids"],
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+    )
+
+
+def bpe_decode_ids(ids: list[int], symbol_table: list[tuple[str, int]]) -> str:
+    """Inverse of `bpe_encode` for audit/round-trip tests: token ids →
+    normalized text (unknown-id sentinel renders as the empty string,
+    '</w>' markers become word boundaries)."""
+    by_id = {i: s for s, i in symbol_table}
+    joined = "".join(by_id.get(i, "") for i in ids)
+    return joined.replace(EOW, " ").strip()

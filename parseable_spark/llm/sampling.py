@@ -272,3 +272,35 @@ def mixture_sample(
     return hash_sample(
         df, strata_col=domain_col, strata_rates=rates, id_col=id_col
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle for a training epoch:
+    every row gets (shard, ord) from xxhash64(id, seed), the frame is
+    repartitioned to exactly `n_shards` output partitions by shard and
+    sorted (shard, ord, id) within each — so writing it yields shard
+    files in a pseudo-random document order that is reproducible from
+    `seed` alone and DIFFERENT each epoch (contrast `pack_sequences`,
+    whose digest order is fixed).
+
+    Scale shape: one hash-partitioned shuffle, per-partition sort
+    (external, spillable), no global sort and no driver state. The
+    shard count is the write-parallelism knob; at 100 TB pick
+    n_shards so a shard ~ the target training-file size.
+
+    Epoch reshuffles recompute only this exchange — upstream stages
+    (tokenization, packing) are untouched by a seed change.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keyed = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    ).withColumn("ord", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+    return keyed.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "ord", id_col
+    )

@@ -102,3 +102,69 @@ def test_token_counts_exact_for_in_vocab_corpus(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "BroadcastHashJoin" in plan
+
+
+class TestEncode:
+    """bpe_encode: full corpus tokenization to token-id sequences."""
+
+    ROWS = [
+        (1, "the lowest estimate"),
+        (2, "the newest newest widest"),
+        (3, "zzquux lowest"),  # zzquux is OOV at top_n below
+        (4, "qqq"),  # entirely OOV, chars unseen in training
+    ]
+
+    def _fit(self, spark):
+        df = spark.createDataFrame(self.ROWS[:2], "doc_id bigint, text string")
+        vocab = B.word_vocab(df, top_n=100)
+        merges = B.bpe_train(vocab, num_merges=50)
+        return vocab, merges
+
+    def test_matches_driver_side_segmenter(self, spark):
+        vocab, merges = self._fit(spark)
+        sym = dict(B.bpe_symbol_table(vocab, merges))
+        df = spark.createDataFrame(self.ROWS, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in B.bpe_encode(df, vocab, merges).collect()}
+        for i, t in self.ROWS:
+            want = [
+                sym.get(s, -1)
+                for w in t.lower().split()
+                for s in B.bpe_segments(w, merges)
+            ]
+            assert list(got[i]["token_ids"]) == want, i
+            assert got[i]["n_tokens"] == len(want)
+
+    def test_round_trip(self, spark):
+        """Exact decode for text whose CHARACTERS are covered by
+        training — including an OOV word ('towel') that exercises the
+        Python segmentation path. Unseen chars are unk by design and
+        cannot round-trip (covered by test_unseen_chars_are_unk)."""
+        vocab, merges = self._fit(spark)
+        table = B.bpe_symbol_table(vocab, merges)
+        rows = self.ROWS[:2] + [(3, "towel estimate")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in B.bpe_encode(df, vocab, merges).collect()}
+        for i, t in rows:
+            assert B.bpe_decode_ids(list(got[i]["token_ids"]), table) == t.lower()
+
+    def test_unseen_chars_are_unk(self, spark):
+        vocab, merges = self._fit(spark)
+        df = spark.createDataFrame(self.ROWS, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in B.bpe_encode(df, vocab, merges).collect()}
+        assert all(i == -1 for i in got[4]["token_ids"])  # q never trained
+
+    def test_feeds_pack_sequences(self, spark):
+        from parseable_spark.llm.sampling import pack_sequences
+
+        vocab, merges = self._fit(spark)
+        df = spark.createDataFrame(self.ROWS, "doc_id bigint, text string")
+        enc = B.bpe_encode(df, vocab, merges)
+        packed = pack_sequences(enc, "n_tokens", budget=8, n_shards=2)
+        assert packed.count() == 4
+        assert {"batch_id", "shard", "token_ids"} <= set(packed.columns)
+
+    def test_symbol_table_deterministic(self, spark):
+        vocab, merges = self._fit(spark)
+        assert B.bpe_symbol_table(vocab, merges) == B.bpe_symbol_table(vocab, merges)
+        ids = [i for _, i in B.bpe_symbol_table(vocab, merges)]
+        assert ids == list(range(len(ids)))
