@@ -111,6 +111,13 @@ def _or_bits(pdf: pd.DataFrame, nbytes: int) -> np.ndarray:
     return bitmap
 
 
+def _member(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Vectorized membership: row i is a member iff every bit in
+    pos[i, :] is set. pos is an (n_rows, k) int64 matrix."""
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
 def bloom_build(
     docs: DataFrame,
     key_col: str = "text",
@@ -203,8 +210,7 @@ def bloom_probe(
             member = np.zeros(len(left), dtype=bool)
         else:
             bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
-            bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            member = bits.all(axis=1)
+            member = _member(bitmap, pos)
         out = left.drop(columns=["_shard_id", "_pos"])
         out["maybe_member"] = member
         return out

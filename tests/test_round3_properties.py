@@ -270,3 +270,77 @@ class TestAdcProperties:
         assert len(table) == m and all(len(row) == k for row in table)
         assert all(abs(table[j][0]) < 1e-12 for j in range(m))
         assert all(v >= 0.0 for row in table for v in row)
+
+
+# ---- Bloom bit kernels (new in r4) -----------------------------------------
+
+from parseable_spark.llm.bloom import _member, _or_bits
+
+
+@st.composite
+def position_sets(draw):
+    nbytes = draw(st.integers(4, 64))
+    m = nbytes * 8
+    k = draw(st.integers(1, 8))
+    n_rows = draw(st.integers(1, 20))
+    rows = [
+        draw(st.lists(st.integers(0, m - 1), min_size=k, max_size=k))
+        for _ in range(n_rows)
+    ]
+    return nbytes, k, rows
+
+
+class TestBloomBitProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(position_sets())
+    def test_or_bits_sets_exactly_inserted_bits(self, case):
+        import pandas as pd
+
+        nbytes, _, rows = case
+        bitmap = _or_bits(pd.DataFrame({"pos": rows}), nbytes)
+        want = {p for r in rows for p in r}
+        got = {i for i in range(nbytes * 8) if bitmap[i >> 3] >> (i & 7) & 1}
+        assert got == want
+
+    @settings(max_examples=60, deadline=None)
+    @given(position_sets())
+    def test_inserted_rows_are_members(self, case):
+        import pandas as pd
+
+        nbytes, k, rows = case
+        bitmap = _or_bits(pd.DataFrame({"pos": rows}), nbytes)
+        pos = np.asarray(rows, dtype=np.int64).reshape(-1, k)
+        assert _member(bitmap, pos).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(position_sets())
+    def test_rows_touching_unset_bits_are_non_members(self, case):
+        import pandas as pd
+
+        nbytes, k, rows = case
+        m = nbytes * 8
+        used = {p for r in rows for p in r}
+        free = [p for p in range(m) if p not in used]
+        if not free:
+            return
+        bitmap = _or_bits(pd.DataFrame({"pos": rows}), nbytes)
+        # every probe row contains at least one never-set bit
+        probes = np.asarray(
+            [[free[0]] + rows[i % len(rows)][: k - 1] for i in range(5)],
+            dtype=np.int64,
+        )
+        assert not _member(bitmap, probes).any()
+
+    @settings(max_examples=40, deadline=None)
+    @given(position_sets(), position_sets())
+    def test_or_merge_is_union(self, a, b):
+        import pandas as pd
+
+        nbytes = min(a[0], b[0])
+        m = nbytes * 8
+        ra = [[p % m for p in r] for r in a[2]]
+        rb = [[p % m for p in r] for r in b[2]]
+        ba = _or_bits(pd.DataFrame({"pos": ra}), nbytes)
+        bb = _or_bits(pd.DataFrame({"pos": rb}), nbytes)
+        both = _or_bits(pd.DataFrame({"pos": ra + rb}), nbytes)
+        assert (np.bitwise_or(ba, bb) == both).all()
