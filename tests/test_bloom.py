@@ -38,7 +38,9 @@ def corpus(spark):
 
 @pytest.fixture(scope="module")
 def built(spark, corpus):
-    return bloom.bloom_build(corpus, "text", **GEO).cache()
+    bf = bloom.bloom_build(corpus, "text", **GEO).cache()
+    yield bf
+    bf.unpersist()  # keep the shared session's CacheManager clean
 
 
 class TestBuildProbe:

@@ -69,7 +69,9 @@ def target_df(spark):
 
 @pytest.fixture(scope="module")
 def trained(target_df):
-    return lm.ngram_counts(target_df, order=3).cache()
+    counts = lm.ngram_counts(target_df, order=3).cache()
+    yield counts
+    counts.unpersist()  # keep the shared session's CacheManager clean
 
 
 @pytest.fixture(scope="module")

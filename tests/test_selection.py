@@ -61,9 +61,9 @@ def raw_df(spark):
 
 @pytest.fixture(scope="module")
 def ratios(target_df, raw_df):
-    return selection.dsir_log_ratios(
-        target_df, raw_df, buckets=B, smoothing=SMOOTH
-    ).cache()
+    r = selection.dsir_log_ratios(target_df, raw_df, buckets=B, smoothing=SMOOTH).cache()
+    yield r
+    r.unpersist()  # keep the shared session's CacheManager clean
 
 
 @pytest.fixture(scope="module")
