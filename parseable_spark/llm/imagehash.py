@@ -1,0 +1,175 @@
+"""Perceptual image hashing (pHash) and image dedup over media columns.
+
+The classic public pHash recipe: downscale to 32×32 grayscale, 2-D
+DCT-II, keep the low-frequency 8×8 block, threshold each coefficient
+against the median (DC excluded from the median so a brightness
+offset cannot flip every bit) → a 64-bit fingerprint whose Hamming
+distance tracks perceptual difference. Re-encodes of the same picture
+(JPEG at a different quality, BMP vs JPEG) collide or land within a
+few bits; different pictures land ~32 bits apart.
+
+Dedup shapes, mirroring the text-side split in dedup.py:
+- exact perceptual dup: groupBy(phash) — one shuffle, no pairs
+  (simhash16's shape).
+- near-dup within Hamming ≤ t: split the 64 bits into `bands` chunks;
+  by pigeonhole any pair within t < bands bits shares ≥1 exact chunk,
+  so candidates come from a self-join on (band_idx, band_bits) —
+  LSH-style one-shuffle candidate generation, verified exactly with a
+  JVM-side popcount on XOR. No all-pairs work anywhere.
+
+The decode runs inside one Arrow-batched mapInPandas over the real
+codecs (BMP/baseline-JPEG/MPEG-1 I-frame via
+multimodal.decode_image_pixels); the hash itself is ~100 numpy ops
+per image, negligible next to the decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (the jpeg.py 8×8 construction at 32)."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+        basis[0] *= np.sqrt(1 / n)
+        basis[1:] *= np.sqrt(2 / n)
+        _DCT32 = basis
+    return _DCT32
+
+
+def phash64(px: np.ndarray) -> int:
+    """(H, W, 3) RGB uint8 → 64-bit perceptual hash (as a signed
+    int64 so it round-trips Spark's LongType)."""
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    rows = (np.arange(32) * h // 32).astype(np.int64)
+    cols = (np.arange(32) * w // 32).astype(np.int64)
+    small = gray[rows][:, cols]
+    d = _dct_matrix(32)
+    coef = d @ small @ d.T
+    block = coef[:8, :8].flatten()
+    median = np.median(block[1:])  # DC excluded: brightness-shift safe
+    bits = block > median
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # wrap to signed int64
+    return int(np.int64(np.uint64(val)))
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every image row — decode with the real
+    codecs inside one Arrow-batched mapInPandas, modality-pruned so
+    audio/video never reach Python."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from parseable_spark.llm.multimodal import decode_image_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        phash64(decode_image_pixels(p)) if p else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=PHASH_SCHEMA)
+    )
+
+
+def exact_image_dups(hashes: DataFrame) -> DataFrame:
+    """Groups of perceptually-identical images: (phash, n_copies,
+    rep_id, member_ids). One shuffle on the 64-bit hash — the
+    `exact_dedup` shape over pixels instead of bytes."""
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("rep_id"),
+            F.array_sort(F.collect_list("media_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def near_image_dups(
+    hashes: DataFrame, max_distance: int = 6, bands: int = 8
+) -> DataFrame:
+    """Candidate pairs within Hamming distance ≤ max_distance, exact:
+    banded LSH candidates (pigeonhole-complete while max_distance <
+    bands) verified by a JVM-side popcount. Returns (id_a, id_b,
+    distance) with id_a < id_b, deduped across bands.
+
+    64 must divide into `bands` equal chunks; completeness needs
+    max_distance < bands (t bit flips can ruin at most t bands)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_distance >= bands:
+        raise ValueError(
+            "completeness requires max_distance < bands "
+            f"(got {max_distance} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("phash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band_idx", "b.band_bits")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash"))).alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+    return pairs
