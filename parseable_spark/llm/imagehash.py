@@ -173,3 +173,90 @@ def near_image_dups(
         .distinct()
     )
     return pairs
+
+
+VFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def video_frame_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, phash) — one row per keyframe of every
+    video, demuxed container-agnostically (AVI/MPEG-1/BMP-stream via
+    multimodal.split_video_frames) and hashed with the image pHash.
+    Cardinality-changing mapInPandas (one input row → n frames),
+    modality-pruned to video rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from parseable_spark.llm.multimodal import (
+        decode_image_pixels,
+        split_video_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                frames, _ms = split_video_frames(payload)
+                for i, fp in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(phash64(decode_image_pixels(fp)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=VFRAME_SCHEMA)
+    )
+
+
+def near_video_dups(
+    frame_hashes: DataFrame,
+    min_shared_frames: int = 2,
+    hub_cap: int = 64,
+) -> DataFrame:
+    """Video pairs sharing ≥ min_shared_frames identical keyframe
+    hashes: (id_a, id_b, n_shared). The join key is the frame phash —
+    one shuffle, no pairwise scan of videos.
+
+    `hub_cap` is the flood guard (the LSH giant-bucket lesson,
+    dedup.py:149): a frame hash present in more than hub_cap distinct
+    videos — black frames, title cards — would emit O(n²) pairs from
+    one key, so those hashes are dropped from pairing. Matching
+    through hub frames alone is evidence of a shared template, not a
+    duplicate video."""
+    per_video = frame_hashes.select("media_id", "phash").distinct()
+    freq = per_video.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("_n_videos")
+    )
+    rare = per_video.join(
+        freq.filter(F.col("_n_videos") <= hub_cap).select("phash"),
+        "phash",
+        "left_semi",
+    )
+    left = rare.alias("l")
+    right = rare.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.phash") == F.col("r.phash"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .groupBy(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_frames)
+    )
