@@ -569,7 +569,9 @@ def paragraph_dedup(
     copies = paras.groupBy("para_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with")
     )
-    tagged = paras.join(copies, "para_hash").withColumn(
+    # same broadcast hazard as duplicate_spans: `copies` has one row
+    # per distinct paragraph (corpus-scale); keep the join spillable
+    tagged = paras.join(copies.hint("shuffle_merge"), "para_hash").withColumn(
         "is_dup", F.col("n_docs_with") > max_copies
     )
     return (
@@ -649,7 +651,11 @@ def duplicate_spans(
         .filter(F.col("n_docs") > max_copies)
         .select("sh")
     )
-    hits = sh.join(dup_keys, "sh", "left_semi").select(
+    # merge hint: dup_keys is corpus-scale in the worst case (every
+    # repeated shingle key), and AQE's post-aggregate size estimate
+    # under-guesses it — an attempted broadcast OOM'd the x64 memory
+    # probe under a 1 GB heap. Sort-merge is fully spillable.
+    hits = sh.join(dup_keys.hint("shuffle_merge"), "sh", "left_semi").select(
         F.col(id_col), "pos", (F.col("pos") + min_tokens).alias("end")
     )
     # gaps-and-islands merge of overlapping [pos, end) windows per doc
@@ -694,7 +700,7 @@ def strip_duplicate_spans(
     toks = docs.select(
         F.col(id_col), F.posexplode(normalized_words(F.col(text_col))).alias("pos", "w")
     )
-    tagged = toks.join(per_doc, id_col, "left").withColumn(
+    tagged = toks.join(per_doc.hint("shuffle_merge"), id_col, "left").withColumn(
         "_dup",
         F.coalesce(
             F.exists(

@@ -6,15 +6,23 @@ the working set exceeds executor memory — the actual 100 TB failure
 mode. It replicates the two memory-heaviest inputs xN (documents for
 the UNCAPPED LSH dedup+verify q25; events for the q47 window frames,
 whose 5-value partition key gives ~N*24k-row sort partitions), then
-runs both queries in a SUBPROCESS whose JVM heap is pinned small
+runs each query in its OWN subprocess whose JVM heap is pinned small
 (``--mem``, default 1g, set at JVM launch — that's why it must be a
 child process), and scrapes the Spark status store for shuffle/spill
-bytes. PASS = the child completes with nonzero spill recorded (the
+bytes. PASS = every child completes with nonzero spill recorded (the
 sorts/aggregations degraded to disk instead of dying); an OOM kills
-only the child and reports as FAIL.
+only that child and reports as FAIL.
+
+One child PER QUERY is deliberate: the probe asks "does this PLAN
+spill instead of dying on a 1 GB executor" — the per-plan capacity
+question that transfers to a real cluster, where executors are not
+one shared driver-heap process accumulating every query's status
+store and broadcast blocks. (The r4 sequence experiment showed the
+shared-session variant fails on the THIRD heavy query from exactly
+that accumulation, with each query green solo.)
 
 Usage: python tools/memory_probe.py [N=64] [--mem 1g]
-       (child mode, internal: --child <data_dir> <mem>)
+       (child mode, internal: --child <data_dir> <mem> <query>)
 """
 
 from __future__ import annotations
@@ -75,8 +83,15 @@ def build_data(out_dir: str, n: int) -> None:
     spark.stop()
 
 
-def child(data_dir: str, mem: str) -> None:
-    """Constrained-heap session; runs the two probes; reports metrics."""
+PROBE_QUERIES = (
+    "q25_dedup_minhash_verified",
+    "q47_window_frames",
+    "strip_duplicate_spans",  # r4: token-explode × per-doc windows
+)
+
+
+def child(data_dir: str, mem: str, query: str) -> None:
+    """Constrained-heap session; runs ONE probe query; reports metrics."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -85,18 +100,29 @@ def child(data_dir: str, mem: str) -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")  # REST /api/v1 = spill metrics
         .config("spark.ui.port", "0")
+        # keep the status store small: retained task/stage metadata
+        # lives in the same heap the probe is squeezing
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
         .config("spark.sql.adaptive.enabled", "true")
         .appName("memory-probe")
         .getOrCreate()
     )
-    results = {}
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    for name in ("q25_dedup_minhash_verified", "q47_window_frames"):
-        t0 = time.perf_counter()
-        qs[name](spark, data_dir).write.format("noop").mode("overwrite").save()
-        results[name] = {"wall_s": round(time.perf_counter() - t0, 2)}
+    from parseable_spark.llm.dedup import strip_duplicate_spans
+    from parseable_spark.tables import load_table
+
+    if query == "strip_duplicate_spans":
+        df = strip_duplicate_spans(
+            load_table(spark, data_dir, "documents"), min_tokens=8
+        )
+    else:
+        df = entry.queries()[query](spark, data_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    results = {query: {"wall_s": round(time.perf_counter() - t0, 2)}}
 
     # spill/shuffle accounting from the UI REST API (the same numbers
     # the stage page shows)
@@ -117,6 +143,7 @@ def child(data_dir: str, mem: str) -> None:
             {
                 "metric": "memory_probe_child",
                 "driver_memory": mem,
+                "query": query,
                 "queries": results,
                 "memoryBytesSpilled": int(mem_spill),
                 "diskBytesSpilled": int(disk_spill),
@@ -130,7 +157,7 @@ def child(data_dir: str, mem: str) -> None:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(sys.argv[2], sys.argv[3])
+        child(sys.argv[2], sys.argv[3], sys.argv[4])
         return 0
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64
     mem = "1g"
@@ -142,18 +169,28 @@ def main() -> int:
     build_data(data_dir, n)
     build_s = round(time.perf_counter() - t0, 1)
 
-    proc = subprocess.run(
-        [sys.executable, __file__, "--child", data_dir, mem],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
-    child_json = None
-    for line in proc.stdout.splitlines():
-        if line.startswith('{"metric": "memory_probe_child"'):
-            child_json = json.loads(line)
-    ok = proc.returncode == 0 and child_json is not None
-    oom = "OutOfMemoryError" in proc.stderr or "OutOfMemoryError" in proc.stdout
+    children, all_ok, any_oom = [], True, False
+    last_stderr = ""
+    for query in PROBE_QUERIES:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child", data_dir, mem, query],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        child_json = None
+        for line in proc.stdout.splitlines():
+            if line.startswith('{"metric": "memory_probe_child"'):
+                child_json = json.loads(line)
+        ok = proc.returncode == 0 and child_json is not None
+        oom = (
+            "OutOfMemoryError" in proc.stderr or "OutOfMemoryError" in proc.stdout
+        )
+        children.append(child_json or {"query": query, "failed": True})
+        all_ok = all_ok and ok
+        any_oom = any_oom or oom
+        if not ok:
+            last_stderr = proc.stderr[-2000:]
     print(
         json.dumps(
             {
@@ -161,17 +198,17 @@ def main() -> int:
                 "replication": n,
                 "build_s": build_s,
                 "driver_memory": mem,
-                "child": child_json,
-                "oom": oom,
+                "children": children,
+                "oom": any_oom,
                 "verdict": "PASS: spill-not-OOM"
-                if ok and not oom
-                else f"FAIL rc={proc.returncode} (see stderr tail)",
+                if all_ok and not any_oom
+                else "FAIL (see stderr tail)",
             }
         )
     )
-    if not ok:
-        sys.stderr.write(proc.stderr[-2000:])
-    return 0 if ok else 1
+    if not all_ok:
+        sys.stderr.write(last_stderr)
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
