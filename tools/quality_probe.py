@@ -167,6 +167,59 @@ def lsh_dedup_recall(spark, sf_dir: str, threshold: float = 0.2) -> dict:
     return out
 
 
+def phash_quality(spark, n_images: int = 300) -> dict:
+    """Recall/precision of banded pHash near-dup detection against
+    PLANTED ground truth (r4): n_images distinct base pictures, each
+    with one perturbed twin (block edit + JPEG-style requantization
+    noise), mixed with unrelated images. A detected pair is true iff
+    it links a base to its own twin. Run at several perturbation
+    strengths so the operating curve is visible."""
+    import numpy as np
+    import pandas as pd
+
+    from parseable_spark.llm import imagehash
+    from parseable_spark.llm.multimodal import MEDIA_SCHEMA, encode_bmp_pixels
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        return np.kron(base, np.ones((8, 8, 1), dtype=np.uint8)).astype(np.uint8)
+
+    out = {}
+    for blocks in (1, 2, 4):  # perturbation strength: inverted 8x8 blocks
+        rows = []
+        for i in range(n_images):
+            a = img(i)
+            tw = a.copy()
+            rng = np.random.default_rng(10_000 + i)
+            for _ in range(blocks):
+                r0 = int(rng.integers(0, tw.shape[0] // 8)) * 8
+                c0 = int(rng.integers(0, tw.shape[1] // 8)) * 8
+                tw[r0 : r0 + 8, c0 : c0 + 8] = 255 - tw[r0 : r0 + 8, c0 : c0 + 8]
+            rows.append({"media_id": 2 * i, "payload": bytearray(encode_bmp_pixels(a))})
+            rows.append({"media_id": 2 * i + 1, "payload": bytearray(encode_bmp_pixels(tw))})
+        pdf = pd.DataFrame(rows)
+        pdf["media_type"] = "image"
+        pdf["width"] = 0; pdf["height"] = 0; pdf["duration_ms"] = 0
+        media = spark.createDataFrame(pdf[[f.name for f in MEDIA_SCHEMA.fields]], MEDIA_SCHEMA)
+        hashes = imagehash.image_phashes(media).localCheckpoint()
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in imagehash.near_image_dups(hashes, max_distance=6).collect()
+        }
+        truth = {(2 * i, 2 * i + 1) for i in range(n_images)}
+        tp = len(pairs & truth)
+        recall = tp / len(truth)
+        precision = tp / len(pairs) if pairs else 1.0
+        out[f"blocks_{blocks}"] = {
+            "recall": round(recall, 3),
+            "precision": round(precision, 3),
+            "pairs_found": len(pairs),
+        }
+    print(json.dumps({"metric": "phash_quality", "strengths": out}))
+    return out
+
+
 def main() -> None:
     from parseable_spark.session import get_spark
 
@@ -175,6 +228,7 @@ def main() -> None:
     spark = get_spark("quality-probe")
     ann = ann_recall(spark, sf_dir, n_queries)
     lsh = lsh_dedup_recall(spark, sf_dir)
+    ph = phash_quality(spark)
     print(
         json.dumps(
             {
@@ -182,6 +236,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "ann": ann["methods"],
                 "lsh_dedup": {"recall": lsh["recall"], "precision": lsh["precision"]},
+                "phash": ph,
             }
         )
     )
