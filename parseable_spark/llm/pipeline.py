@@ -1,9 +1,11 @@
 """End-to-end corpus curation: the full training-data job, composed.
 
 One operator that chains the pipeline a real pretraining-data run
-executes — exact dedup → quality gate → verified near-dup removal →
-PII redaction → (optional) semantic dedup over embeddings →
-(optional) temperature-mixture downsampling — and returns, besides
+executes — (optional) Bloom history gate → exact dedup → quality gate
+→ (optional) perplexity filter under a target-corpus LM → verified
+near-dup removal → (optional) repeated-span strip → PII redaction →
+(optional) semantic dedup over embeddings → (optional)
+temperature-mixture downsampling — and returns, besides
 the surviving corpus, a per-document AUDIT TABLE saying why each
 dropped document was dropped. Curation without the audit trail is
 undebuggable at 100 TB; the decisions table is the artifact data
@@ -38,8 +40,10 @@ from . import text as T
 # drop-reason vocabulary, in stage order (stages see only survivors of
 # earlier stages, so each document carries at most one reason)
 REASONS = [
+    "in_history",
     "exact_duplicate",
     "low_quality",
+    "high_perplexity",
     "near_duplicate",
     "semantic_duplicate",
     "mixture_downsampled",
@@ -73,16 +77,42 @@ def curate_corpus(
     domain_col: str | None = None,
     mixture_temperature: float = 1.0,
     mixture_target_rows: int | None = None,
+    history_bloom: DataFrame | None = None,
+    bloom_geometry: dict[str, int] | None = None,
+    lm_counts: DataFrame | None = None,
+    max_pseudo_ppl: float | None = None,
+    strip_spans_min_tokens: int | None = None,
     compute_summary: bool = True,
 ) -> CurationResult:
     """Run the full curation chain; see module docstring.
 
     `embeddings` (id-aligned with `docs` via vec_id_col == id_col
     values) enables the semantic-dedup stage; `domain_col` (a column
-    of `docs`) enables mixture downsampling.
+    of `docs`) enables mixture downsampling. Round-4 optional stages:
+    `history_bloom` (a `bloom.bloom_build` index over previously
+    ingested corpora, geometry in `bloom_geometry`) gates the batch
+    against rolling history first; `lm_counts` + `max_pseudo_ppl`
+    (an `lm.ngram_counts` model trained on a TARGET corpus) adds the
+    CCNet perplexity filter; `strip_spans_min_tokens` rewrites
+    survivors through `dedup.strip_duplicate_spans` (text becomes the
+    normalized token stream with corpus-repeated runs removed — the
+    tokenizer-facing representation).
     """
     base = docs
     drops: list[DataFrame] = []
+
+    # 0. (optional) Bloom history gate — membership against everything
+    # already ingested, BEFORE any in-batch work: definite-new rows
+    # survive; a maybe-member hit means "already in the corpus" at the
+    # filter's FPP (the curation-safe drop direction)
+    if history_bloom is not None:
+        from . import bloom as B
+
+        geo = bloom_geometry or {}
+        tagged = B.bloom_probe(base, history_bloom, text_col, **geo)
+        hist_ids = tagged.filter(F.col("maybe_member")).select(id_col)
+        drops.append(_drops(hist_ids, id_col, "in_history"))
+        base = base.join(hist_ids, id_col, "left_anti")
 
     # 1. exact dedup — md5 digest, min-id canonical (one narrow shuffle)
     exact = D.exact_dedup(base, id_col, text_col)  # (digest, keep_id, n)
@@ -105,6 +135,15 @@ def curate_corpus(
     drops.append(_drops(bad, id_col, "low_quality"))
     base = base.join(bad, id_col, "left_anti")
 
+    # 2b. (optional) CCNet perplexity filter under the target-corpus LM
+    if lm_counts is not None and max_pseudo_ppl is not None:
+        from . import lm as L
+
+        scored = L.stupid_backoff_scores(base, lm_counts, id_col, text_col)
+        ppl_bad = scored.filter(F.col("pseudo_ppl") > max_pseudo_ppl).select(id_col)
+        drops.append(_drops(ppl_bad, id_col, "high_perplexity"))
+        base = base.join(ppl_bad, id_col, "left_anti")
+
     # 3. verified near-dups — LSH candidates + exact Jaccard, drop the
     # larger id of each verified pair (min-id canonical survives)
     cands = D.minhash_lsh_candidates(base, id_col, text_col)
@@ -114,6 +153,19 @@ def curate_corpus(
     near_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
     drops.append(_drops(near_ids, id_col, "near_duplicate"))
     base = base.join(near_ids, id_col, "left_anti")
+
+    # 3b. (optional) repeated-span strip — rewrite, not drop: text
+    # becomes the normalized token stream with every corpus-repeated
+    # >=L-token run removed (survivor-only, so the shingle aggregate
+    # runs on the thinned corpus)
+    if strip_spans_min_tokens is not None:
+        stripped = D.strip_duplicate_spans(
+            base, id_col, text_col, min_tokens=strip_spans_min_tokens
+        )
+        base = base.drop(text_col).join(
+            stripped.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
 
     # 4. PII redaction — rewrite in place, not drop (the same codegen'd
     # regex chain pii_features verifies leaves zero residual)

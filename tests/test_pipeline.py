@@ -131,3 +131,78 @@ def test_mixture_stage_counts(spark, corpus):
     # decisions for mixture drops carry the right reason
     mix = res.decisions.filter(F.col("drop_reason") == "mixture_downsampled")
     assert mix.count() == res.summary["mixture_downsampled"]
+
+
+def test_r4_stages_attribute_their_planted_defects(spark, corpus):
+    """The three round-4 optional stages in one run: a doc already in
+    the history bloom drops as in_history; a gibberish doc drops as
+    high_perplexity; a doc sharing a long run with another survivor
+    gets the run STRIPPED (rewrite, not drop)."""
+    from parseable_spark.llm import bloom, lm
+    from parseable_spark.llm.pipeline import curate_corpus
+
+    df, _ = corpus
+    geo = dict(num_shards=4, bits_per_shard=1 << 14, num_hashes=5)
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    # history = doc 5's text was ingested in a previous epoch
+    hist = spark.createDataFrame([(0, texts[5])], "doc_id bigint, text string")
+    history = bloom.bloom_build(hist, "text", **geo)
+    # target-corpus LM over the clean base docs
+    lm_counts = lm.ngram_counts(df.filter(F.col("doc_id") < 40), order=2)
+    # build the span-dedup pair from IN-VOCABULARY words so the LM
+    # stage does not catch them first; pads are disjoint from the run
+    # and long enough that pairwise Jaccard stays under the near-dup
+    # threshold
+    vocab = sorted(
+        {w for t in texts.values() for w in t.lower().split()}
+    )
+    run = " ".join(vocab[:12])
+    pad_a = " ".join(vocab[12:21] * 2)
+    pad_b = " ".join(vocab[21:30] * 2)
+    extra = spark.createDataFrame(
+        [
+            (  # gibberish long enough (and stopworded) to pass the
+                # quality gate, so only the LM can catch it
+                200,
+                "the zq wv xk jm qq ww vv kk zz xx pp yy bb dd ff gg hh "
+                "jj ll mm nn rr ss tt and the vx kq zw pj qv wx yz",
+            ),
+            (201, f"{pad_a} {run}"),  # shares the 12-token run
+            (202, f"{run} {pad_b}"),  # with 201
+        ],
+        "doc_id bigint, text string",
+    )
+    res = curate_corpus(
+        df.unionByName(extra),
+        history_bloom=history,
+        bloom_geometry=geo,
+        lm_counts=lm_counts,
+        max_pseudo_ppl=2000.0,
+        strip_spans_min_tokens=10,
+        compute_summary=True,
+    )
+    reasons = {
+        r["doc_id"]: r["drop_reason"] for r in res.decisions.collect()
+    }
+    assert reasons[5] == "in_history"
+    assert reasons[200] == "high_perplexity"
+    kept_text = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    # the shared 12-token run is stripped from BOTH docs, pads kept
+    assert 201 in kept_text and 202 in kept_text
+    assert run not in kept_text[201] and run not in kept_text[202]
+    assert vocab[12] in kept_text[201] and vocab[21] in kept_text[202]
+    assert res.summary.get("in_history", 0) == 1
+    # 200 is caught (asserted above); other legitimately OOV-heavy
+    # docs (e.g. the prose PII doc vs the word-salad LM) may join it
+    assert res.summary.get("high_perplexity", 0) >= 1
+
+
+def test_r4_stages_off_by_default_is_r3_behavior(corpus):
+    """With none of the optional r4 params, the chain is byte-for-byte
+    the r3 pipeline (no new stages sneak in)."""
+    from parseable_spark.llm.pipeline import curate_corpus
+
+    df, _ = corpus
+    res = curate_corpus(df, compute_summary=True)
+    assert "in_history" not in res.summary
+    assert "high_perplexity" not in res.summary
