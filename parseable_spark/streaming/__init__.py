@@ -20,13 +20,14 @@ from .sketches import (
     query_sketch_cube,
     sketch_cube_batch_writer,
 )
-from .dedup_index import StreamingDedupIndex
+from .dedup_index import StreamingBloomGate, StreamingDedupIndex
 from .stateful import alert_state_machine
 
 __all__ = [
     "LIVETAIL",
     "LiveTail",
     "Message",
+    "StreamingBloomGate",
     "StreamingDedupIndex",
     "alert_state_machine",
     "compact_sketch_cube",

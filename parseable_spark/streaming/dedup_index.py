@@ -184,3 +184,134 @@ class StreamingDedupIndex:
     def candidates(self) -> DataFrame:
         """All candidate pairs found so far (id_a, id_b, batch_id)."""
         return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))
+
+
+class StreamingBloomGate:
+    """Streaming EXACT-dedup gate against a rolling Bloom filter — the
+    membership counterpart of StreamingDedupIndex (near-dups), built on
+    `llm/bloom.py`. Each micro-batch keeps only documents whose key is
+    definitely absent from everything committed before it (plus
+    in-batch exact dedup), then ORs the survivors' sub-filter into a
+    new index version. History is never re-scanned; the index is a few
+    bitmap rows per version (~10 bits per historical item).
+
+    Same commit discipline as the LSH index: version derived from the
+    batch id, pre-state = newest committed version at or below the
+    batch id (replays read the same pre-state), committed versions are
+    never rewritten in place, LATEST flips atomically. A replayed batch
+    therefore emits the same survivors and converges to the same
+    bitmaps.
+
+    Layout under ``base_dir``: ``bloom/v{N}/`` (shard_id, bitmap)
+    versions + ``LATEST``; ``passed/`` append-only survivor log
+    partitioned by batch_id.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "doc_id",
+        key_col: str = "text",
+        num_shards: int = 16,
+        bits_per_shard: int = 1 << 20,
+        num_hashes: int = 7,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.key_col = key_col
+        self.geo = dict(
+            num_shards=num_shards,
+            bits_per_shard=bits_per_shard,
+            num_hashes=num_hashes,
+        )
+        os.makedirs(os.path.join(base_dir, "bloom"), exist_ok=True)
+
+    @property
+    def _latest_path(self) -> str:
+        return os.path.join(self.base_dir, "LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._latest_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _commit_version(self, version: int) -> None:
+        tmp = self._latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_path)
+
+    def _committed_versions(self) -> list[int]:
+        out = []
+        bloom_dir = os.path.join(self.base_dir, "bloom")
+        for name in os.listdir(bloom_dir):
+            if name.startswith("v") and os.path.exists(
+                os.path.join(bloom_dir, name, "_SUCCESS")
+            ):
+                try:
+                    out.append(int(name[1:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def bloom_df(self) -> DataFrame | None:
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.base_dir, "bloom", f"v{v}")
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..llm import bloom as B
+
+        docs = batch_df.select(self.id_col, self.key_col)
+        if not docs.head(1):
+            return
+        # in-batch exact dedup, deterministic min-id representative
+        w = Window.partitionBy(self.key_col).orderBy(self.id_col)
+        docs = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prior = [v for v in self._committed_versions() if v <= int(batch_id)]
+        if prior:
+            old = self.spark.read.parquet(
+                os.path.join(self.base_dir, "bloom", f"v{prior[-1]}")
+            )
+            survivors = B.bloom_filter_new(docs, old, self.key_col, **self.geo)
+        else:
+            old = None
+            survivors = docs
+        survivors = survivors.localCheckpoint()  # one computation, two writes
+        (
+            survivors.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(self.base_dir, "passed"))
+        )
+        version = int(batch_id) + 1
+        if version not in self._committed_versions():
+            sub = B.bloom_build(survivors, self.key_col, **self.geo)
+            merged = B.bloom_merge(old, sub) if old is not None else sub
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "bloom", f"v{version}")
+            )
+        if version > (self.latest_version() or 0):
+            self._commit_version(version)
+
+    def batch_writer(self) -> Callable[[DataFrame, int], None]:
+        return self.process_batch
+
+    def passed(self) -> DataFrame:
+        """All gate survivors so far (id, key, batch_id)."""
+        return self.spark.read.parquet(os.path.join(self.base_dir, "passed"))

@@ -629,3 +629,66 @@ def test_streaming_dedup_index_replay_is_idempotent(spark, tmp_path):
         == index_once
     )
     assert idx.latest_version() == 2
+
+
+def test_streaming_bloom_gate_end_to_end(spark, tmp_path):
+    """StreamingBloomGate: three micro-batches with planted repeats —
+    the rolling gate's survivor set equals a full-history exact dedup
+    (zero false negatives; this corpus is far below the geometry's FPP
+    design point, so no false drops either)."""
+    from parseable_spark.streaming import StreamingBloomGate
+
+    gate = StreamingBloomGate(
+        spark, str(tmp_path / "g"), num_shards=4, bits_per_shard=1 << 14
+    )
+    b0 = spark.createDataFrame(
+        [(0, "alpha doc"), (1, "beta doc"), (2, "alpha doc")],  # in-batch dup
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha doc"), (4, "gamma doc")],  # 3 repeats history
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(5, "beta doc"), (6, "delta doc"), (7, "gamma doc")],
+        "doc_id bigint, text string",
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        gate.process_batch(b, i)
+    passed = {r["doc_id"] for r in gate.passed().collect()}
+    # min-id representative per distinct text across the whole stream
+    assert passed == {0, 1, 4, 6}
+    assert gate.latest_version() == 3
+    # the committed filter recognizes every historical text
+    from parseable_spark.llm import bloom
+
+    probe = bloom.bloom_probe(
+        b0.unionByName(b1).unionByName(b2),
+        gate.bloom_df(),
+        "text",
+        num_shards=4,
+        bits_per_shard=1 << 14,
+    )
+    assert probe.filter("NOT maybe_member").count() == 0
+
+
+def test_streaming_bloom_gate_replay_is_idempotent(spark, tmp_path):
+    """Redelivered batch (at-least-once foreachBatch): same survivors,
+    bit-identical bitmaps, version unchanged."""
+    from parseable_spark.streaming import StreamingBloomGate
+
+    gate = StreamingBloomGate(
+        spark, str(tmp_path / "g"), num_shards=4, bits_per_shard=1 << 14
+    )
+    b0 = spark.createDataFrame([(0, "alpha"), (1, "beta")], "doc_id bigint, text string")
+    b1 = spark.createDataFrame([(2, "alpha"), (3, "gamma")], "doc_id bigint, text string")
+    gate.process_batch(b0, 0)
+    gate.process_batch(b1, 1)
+    passed_once = sorted(r["doc_id"] for r in gate.passed().collect())
+    bits_once = {r["shard_id"]: bytes(r["bitmap"]) for r in gate.bloom_df().collect()}
+    gate.process_batch(b1, 1)  # replay
+    assert sorted(r["doc_id"] for r in gate.passed().collect()) == passed_once
+    assert {
+        r["shard_id"]: bytes(r["bitmap"]) for r in gate.bloom_df().collect()
+    } == bits_once
+    assert gate.latest_version() == 2
