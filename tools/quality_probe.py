@@ -220,6 +220,83 @@ def phash_quality(spark, n_images: int = 300) -> dict:
     return out
 
 
+def audio_quality(spark, n_clips: int = 200) -> dict:
+    """Recall/precision of banded audio-fingerprint near-dup detection
+    against planted ground truth (r4): n_clips distinct harmonic clips,
+    each with a noisy twin, at several noise levels."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from parseable_spark.llm import audiohash
+    from parseable_spark.llm.multimodal import MEDIA_SCHEMA
+
+    def wav(sig):
+        pcm = np.clip(sig, -32768, 32767).astype("<i2").tobytes()
+        return (
+            struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+                8000, 16000, 2, 16, b"data", len(pcm),
+            )
+            + pcm
+        )
+
+    def clip(i, noise_seed=None, noise=0.0):
+        # spectrally DISTINCT distractors: per-clip random harmonic
+        # amplitude pattern + fundamental (nearby pure-harmonic stacks
+        # with identical rolloff are perceptually near-identical and
+        # would be counted as false positives unfairly)
+        t = np.arange(12000)
+        rng = np.random.default_rng(i)
+        f0 = float(rng.uniform(120, 900))
+        amps = rng.uniform(500, 6000, 6)
+        chirp = float(rng.uniform(0.05, 0.3))
+        sig = sum(
+            amps[k]
+            * np.sin(2 * np.pi * f0 * (k + 1) * t / 8000 * (1 + chirp * t / 12000))
+            for k in range(6)
+        )
+        if noise_seed is not None:
+            sig = sig + np.random.default_rng(10_000 + noise_seed).normal(
+                0, 3000 * noise, t.size
+            )
+        return sig
+
+    out = {}
+    for noise in (0.1, 0.3, 0.5):
+        rows = []
+        for i in range(n_clips):
+            rows.append({"media_id": 2 * i, "payload": bytearray(wav(clip(i)))})
+            rows.append(
+                {
+                    "media_id": 2 * i + 1,
+                    "payload": bytearray(wav(clip(i, noise_seed=i, noise=noise))),
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        pdf["media_type"] = "audio"
+        pdf["width"] = 0; pdf["height"] = 0; pdf["duration_ms"] = 0
+        media = spark.createDataFrame(
+            pdf[[f.name for f in MEDIA_SCHEMA.fields]], MEDIA_SCHEMA
+        )
+        hashes = audiohash.audio_fingerprints(media).localCheckpoint()
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in audiohash.near_audio_dups(hashes, max_distance=6).collect()
+        }
+        truth = {(2 * i, 2 * i + 1) for i in range(n_clips)}
+        tp = len(pairs & truth)
+        out[f"noise_{noise}"] = {
+            "recall": round(tp / len(truth), 3),
+            "precision": round(tp / len(pairs), 3) if pairs else 1.0,
+            "pairs_found": len(pairs),
+        }
+    print(json.dumps({"metric": "audio_quality", "strengths": out}))
+    return out
+
+
 def main() -> None:
     from parseable_spark.session import get_spark
 
@@ -229,6 +306,7 @@ def main() -> None:
     ann = ann_recall(spark, sf_dir, n_queries)
     lsh = lsh_dedup_recall(spark, sf_dir)
     ph = phash_quality(spark)
+    au = audio_quality(spark)
     print(
         json.dumps(
             {
@@ -237,6 +315,7 @@ def main() -> None:
                 "ann": ann["methods"],
                 "lsh_dedup": {"recall": lsh["recall"], "precision": lsh["precision"]},
                 "phash": ph,
+                "audio": au,
             }
         )
     )
