@@ -227,6 +227,26 @@ class StreamingBloomGate:
             num_hashes=num_hashes,
         )
         os.makedirs(os.path.join(base_dir, "bloom"), exist_ok=True)
+        # geometry is part of the persisted index: bit positions are a
+        # function of (num_shards, bits_per_shard, num_hashes), so a
+        # restart with different constructor defaults would silently
+        # mis-probe every committed bitmap. First construction pins the
+        # geometry on disk; later constructions load and obey it.
+        meta_path = os.path.join(base_dir, "meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                persisted = json.load(f)["geometry"]
+            if persisted != self.geo:
+                self.geo = persisted
+        else:
+            import json
+
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": "v1", "geometry": self.geo}, f)
+            os.replace(tmp, meta_path)
 
     @property
     def _latest_path(self) -> str:

@@ -692,3 +692,26 @@ def test_streaming_bloom_gate_replay_is_idempotent(spark, tmp_path):
         r["shard_id"]: bytes(r["bitmap"]) for r in gate.bloom_df().collect()
     } == bits_once
     assert gate.latest_version() == 2
+
+
+def test_streaming_bloom_gate_geometry_persists_across_restart(spark, tmp_path):
+    """Bit positions are a function of the filter geometry, so a
+    restarted gate constructed with DIFFERENT defaults must load and
+    obey the geometry the index was built with — not mis-probe every
+    committed bitmap."""
+    from parseable_spark.streaming import StreamingBloomGate
+
+    g1 = StreamingBloomGate(
+        spark, str(tmp_path / "g"), num_shards=4, bits_per_shard=1 << 14
+    )
+    b0 = spark.createDataFrame([(0, "alpha"), (1, "beta")], "doc_id bigint, text string")
+    g1.process_batch(b0, 0)
+    # restart with clashing constructor args: persisted geometry wins
+    g2 = StreamingBloomGate(
+        spark, str(tmp_path / "g"), num_shards=16, bits_per_shard=1 << 20
+    )
+    assert g2.geo == g1.geo
+    b1 = spark.createDataFrame([(2, "alpha"), (3, "gamma")], "doc_id bigint, text string")
+    g2.process_batch(b1, 1)
+    passed = sorted(r["doc_id"] for r in g2.passed().collect())
+    assert passed == [0, 1, 3]  # the repeat is still recognized
