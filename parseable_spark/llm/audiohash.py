@@ -132,28 +132,38 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
-def exact_audio_dups(hashes: DataFrame) -> DataFrame:
+def exact_audio_dups(hashes: DataFrame, sample_cap: int = 16) -> DataFrame:
     """Groups of perceptually-identical clips — one shuffle on the
-    64-bit fingerprint."""
+    64-bit fingerprint; member_ids is a capped sample (see
+    imagehash.exact_image_dups: a mega-group must not materialize one
+    row holding the full membership array), n_copies the true count."""
+    from parseable_spark.llm.imagehash import exact_image_dups
+
     return (
-        hashes.groupBy("ahash")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("media_id").alias("rep_id"),
-            F.array_sort(F.collect_list("media_id")).alias("member_ids"),
-        )
-        .filter(F.col("n_copies") > 1)
+        exact_image_dups(
+            hashes.withColumnRenamed("ahash", "phash"), sample_cap
+        ).withColumnRenamed("phash", "ahash")
     )
 
 
 def near_audio_dups(
-    hashes: DataFrame, max_distance: int = 6, bands: int = 8
+    hashes: DataFrame,
+    max_distance: int = 6,
+    bands: int = 8,
+    group_cap: int = 64,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over the fingerprint — delegates to
     the hash-agnostic banded join in imagehash (pigeonhole-complete
-    while max_distance < bands)."""
+    while max_distance < bands), inheriting its identical-hash
+    collapse + band-bucket star guards (a silence-clip flood is the
+    audio twin of the blank-image flood)."""
     from parseable_spark.llm.imagehash import near_image_dups
 
     return near_image_dups(
-        hashes.withColumnRenamed("ahash", "phash"), max_distance, bands
+        hashes.withColumnRenamed("ahash", "phash"),
+        max_distance,
+        bands,
+        group_cap=group_cap,
+        bucket_cap=bucket_cap,
     )

@@ -102,14 +102,33 @@ def image_phashes(media: DataFrame) -> DataFrame:
     )
 
 
-def exact_image_dups(hashes: DataFrame) -> DataFrame:
+def exact_image_dups(hashes: DataFrame, sample_cap: int = 16) -> DataFrame:
     """Groups of perceptually-identical images: (phash, n_copies,
     rep_id, member_ids). One shuffle on the 64-bit hash — the
-    `exact_dedup` shape over pixels instead of bytes."""
+    `exact_dedup` shape over pixels instead of bytes.
+
+    `member_ids` is a CAPPED sample (first `sample_cap` ids in id
+    order), not the full membership: a mega-group — 10 M copies of a
+    blank tracking pixel — must not materialize one row holding a
+    10 M-element array. `n_copies` is always the true count; callers
+    needing full membership join `hashes` back on phash (streamed, no
+    single giant row)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("phash")
+    sized = (
+        hashes.filter(F.col("phash").isNotNull())
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_rn", F.row_number().over(w.orderBy("media_id"))
+        )
+    )
+    # groupBy lands on the window's phash partitioning — no 2nd shuffle
     return (
-        hashes.groupBy("phash")
+        sized.filter(F.col("_rn") <= sample_cap)
+        .groupBy("phash")
         .agg(
-            F.count(F.lit(1)).alias("n_copies"),
+            F.first("n_copies").alias("n_copies"),
             F.min("media_id").alias("rep_id"),
             F.array_sort(F.collect_list("media_id")).alias("member_ids"),
         )
@@ -117,27 +136,25 @@ def exact_image_dups(hashes: DataFrame) -> DataFrame:
     )
 
 
-def near_image_dups(
-    hashes: DataFrame, max_distance: int = 6, bands: int = 8
+def _banded_hash_pairs(
+    distinct_hashes: DataFrame,
+    max_distance: int,
+    bands: int,
+    bucket_cap: int,
 ) -> DataFrame:
-    """Candidate pairs within Hamming distance ≤ max_distance, exact:
-    banded LSH candidates (pigeonhole-complete while max_distance <
-    bands) verified by a JVM-side popcount. Returns (id_a, id_b,
-    distance) with id_a < id_b, deduped across bands.
-
-    64 must divide into `bands` equal chunks; completeness needs
-    max_distance < bands (t bit flips can ruin at most t bands)."""
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    if max_distance >= bands:
-        raise ValueError(
-            "completeness requires max_distance < bands "
-            f"(got {max_distance} >= {bands})"
-        )
+    """Hamming-ball pairs over DISTINCT (phash, rep_id) rows:
+    pigeonhole-banded candidates verified by a JVM popcount, with the
+    text-LSH giant-bucket star guard (dedup.py:128) on the band key —
+    a band bucket holding more than `bucket_cap` distinct hashes pairs
+    each member with the bucket's min-rep only (linear output,
+    connectivity preserved through the rep) instead of emitting the
+    full O(s²) clique from one task."""
     width = 64 // bands
     mask = (1 << width) - 1
-    banded = hashes.select(
-        "media_id",
+    from pyspark.sql.window import Window
+
+    banded = distinct_hashes.select(
+        "rep_id",
         "phash",
         F.explode(
             F.array(
@@ -152,27 +169,158 @@ def near_image_dups(
                 ]
             )
         ).alias("b"),
-    ).select("media_id", "phash", "b.band_idx", "b.band_bits")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
+    ).select("rep_id", "phash", "b.band_idx", "b.band_bits")
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_bits"))
+    )
+    # snapshot: the self-join would otherwise replay the upstream DAG
+    # (typically a full codec decode) once per branch; eager
+    # localCheckpoint is freed with the result, no CacheManager pin
+    sized = sized.localCheckpoint()
+    dist = F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash"))).alias(
+        "distance"
+    )
+    small = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    pairs_small = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l.rep_id") < F.col("r.rep_id")),
+        )
+        .select(
+            F.col("l.phash").alias("phash_a"),
+            F.col("r.phash").alias("phash_b"),
+            dist,
+        )
+    )
+    giant = sized.filter(F.col("bsz") > bucket_cap).drop("bsz")
+    reps = (
+        giant.groupBy("band_idx", "band_bits")
+        .agg(F.min_by(F.struct("rep_id", "phash"), "rep_id").alias("m"))
+        .select("band_idx", "band_bits", F.col("m.rep_id").alias("brep_id"),
+                F.col("m.phash").alias("brep_hash"))
+    )
+    pairs_giant = (
+        giant.alias("l")
+        .join(F.broadcast(reps), ["band_idx", "band_bits"])
+        .filter(F.col("l.rep_id") > F.col("brep_id"))
+        .select(
+            F.col("brep_hash").alias("phash_a"),
+            F.col("l.phash").alias("phash_b"),
+            F.bit_count(
+                F.col("brep_hash").bitwiseXOR(F.col("l.phash"))
+            ).alias("distance"),
+        )
+    )
+    return (
+        pairs_small.union(pairs_giant)
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
+def near_image_dups(
+    hashes: DataFrame,
+    max_distance: int = 6,
+    bands: int = 8,
+    group_cap: int = 64,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_distance: (id_a, id_b,
+    distance) with id_a < id_b, deduped across bands.
+
+    Flood-guarded (the text-LSH lessons of dedup.py:128 applied to the
+    perceptual join — blank/placeholder images are THE most duplicated
+    objects in a web scrape, and an unguarded banded self-join over 10 M
+    copies of one tracking pixel emits 5·10¹³ candidate rows from one
+    key):
+
+    1. identical phashes collapse to ONE representative before banding
+       (the exact-dup groups never enter the pair join at member level);
+    2. the banded join over distinct hashes carries the `bucket_cap`
+       star guard — flooded band buckets pair members with the bucket
+       rep only;
+    3. pairs expand back to members with a `group_cap` star policy:
+       groups of ≤ group_cap identical images expand fully (exact
+       member-level semantics, unchanged vs the unguarded join), larger
+       groups are represented by rep-to-member star edges (distance 0)
+       plus the rep's cross-group pairs — output linear in group size,
+       connectivity identical for connected-components clustering.
+
+    64 must divide into `bands` equal chunks; completeness needs
+    max_distance < bands (t bit flips can ruin at most t bands)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_distance >= bands:
+        raise ValueError(
+            "completeness requires max_distance < bands "
+            f"(got {max_distance} >= {bands})"
+        )
+    hashes = hashes.select("media_id", "phash").filter(
+        F.col("phash").isNotNull()
+    )
+    groups = hashes.groupBy("phash").agg(
+        F.min("media_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("gsz"),
+    )
+    # snapshot once: members/distinct-hash branches below otherwise
+    # replay the upstream decode per consumer
+    groups = groups.localCheckpoint()
+    members = hashes.join(groups, "phash")  # (phash, media_id, rep_id, gsz)
+
+    # cross-group pairs at distinct-hash level, then expanded: small
+    # groups contribute every member, giant groups their rep only
+    hash_pairs = _banded_hash_pairs(
+        groups.select("rep_id", "phash"), max_distance, bands, bucket_cap
+    )
+    kept = members.filter(
+        (F.col("gsz") <= group_cap) | (F.col("media_id") == F.col("rep_id"))
+    ).select("phash", "media_id")
+    cross = (
+        hash_pairs.join(
+            kept.withColumnRenamed("media_id", "ma"),
+            F.col("phash_a") == F.col("phash"),
+        )
+        .drop("phash")
+        .join(
+            kept.withColumnRenamed("media_id", "mb"),
+            F.col("phash_b") == F.col("phash"),
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "distance",
+        )
+    )
+
+    # within-group pairs (distance 0): full clique while ≤ group_cap,
+    # star through the min-id rep beyond it
+    small_m = members.filter(F.col("gsz") <= group_cap).select(
+        "phash", "media_id"
+    )
+    intra_small = (
+        small_m.alias("l")
+        .join(
+            small_m.alias("r"),
+            (F.col("l.phash") == F.col("r.phash"))
             & (F.col("l.media_id") < F.col("r.media_id")),
         )
         .select(
             F.col("l.media_id").alias("id_a"),
             F.col("r.media_id").alias("id_b"),
-            F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash"))).alias(
-                "distance"
-            ),
+            F.lit(0).alias("distance"),
         )
-        .filter(F.col("distance") <= max_distance)
-        .distinct()
     )
-    return pairs
+    intra_giant = members.filter(
+        (F.col("gsz") > group_cap) & (F.col("media_id") != F.col("rep_id"))
+    ).select(
+        F.col("rep_id").alias("id_a"),
+        F.col("media_id").alias("id_b"),
+        F.lit(0).alias("distance"),
+    )
+    return cross.union(intra_small).union(intra_giant).distinct()
 
 
 VFRAME_SCHEMA = StructType(
