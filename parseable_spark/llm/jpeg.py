@@ -32,6 +32,7 @@ multimodal requirement.
 from __future__ import annotations
 
 import struct
+from collections import OrderedDict
 
 import numpy as np
 
@@ -148,7 +149,13 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
     return codes
 
 
-_FAST_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+# LRU-bounded: real web JPEGs commonly carry per-image optimized
+# Huffman tables (libjpeg/mozjpeg optimize_coding), so an unbounded
+# cache keyed by full DHT contents grows ~1 MB per distinct image in a
+# long-lived executor worker. A few dozen entries covers the standard
+# Annex K tables plus the working set of any one batch.
+_FAST_LUT_CAP = 32
+_FAST_LUT_CACHE: OrderedDict[tuple, tuple[list[int], list[int]]] = OrderedDict()
 
 
 def _build_fast_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
@@ -163,6 +170,7 @@ def _build_fast_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[i
     key = (tuple(bits), tuple(vals))
     hit = _FAST_LUT_CACHE.get(key)
     if hit is not None:
+        _FAST_LUT_CACHE.move_to_end(key)
         return hit
     sym = np.zeros(1 << 16, dtype=np.int16)
     ln = np.zeros(1 << 16, dtype=np.int8)
@@ -178,6 +186,8 @@ def _build_fast_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[i
         code <<= 1
     out = (sym.tolist(), ln.tolist())  # list indexing beats np scalar ops
     _FAST_LUT_CACHE[key] = out
+    while len(_FAST_LUT_CACHE) > _FAST_LUT_CAP:
+        _FAST_LUT_CACHE.popitem(last=False)
     return out
 
 

@@ -359,6 +359,18 @@ def iframe_index(payload: bytes) -> list[dict]:
     return out
 
 
+def _intra_dequant(level: int, qscale: int, wq_i: int) -> int:
+    """Intra AC reconstruction per ISO 11172-2 2.4.4.1: dequantize with
+    integer TRUNCATION (toward zero — Python's // floors toward -inf
+    and would land negative coefficients 2 quantizer steps off), then
+    oddification (mismatch control), then the ±2048 clamp."""
+    prod = 2 * level * qscale * wq_i
+    val = prod // 16 if prod >= 0 else -((-prod) // 16)
+    if val % 2 == 0:
+        val -= 1 if val > 0 else -1
+    return max(-2048, min(2047, val))
+
+
 def _decode_block(br: _BR, pred: int, qscale: int, dc_decode: dict[str, int]) -> tuple[np.ndarray, int]:
     """One intra block → (8×8 spatial plane, new DC predictor)."""
     size, _ = br.read_vlc(dc_decode, 8, "dct_dc_size")
@@ -395,11 +407,7 @@ def _decode_block(br: _BR, pred: int, qscale: int, dc_decode: dict[str, int]) ->
         i += run + 1
         if i > 63:
             raise ValueError("AC run past block end")
-        # intra dequant + oddification (mismatch control) + clamp
-        val = (2 * level * qscale * wq[i]) // 16
-        if val % 2 == 0:
-            val -= 1 if val > 0 else -1
-        zz[i] = max(-2048, min(2047, val))
+        zz[i] = _intra_dequant(level, qscale, wq[i])
     blk = zz[UNZIGZAG].reshape(8, 8).astype(np.float64)
     return _D.T @ blk @ _D, qdc
 

@@ -108,8 +108,19 @@ def curate_corpus(
     if history_bloom is not None:
         from . import bloom as B
 
-        geo = bloom_geometry or {}
-        tagged = B.bloom_probe(base, history_bloom, text_col, **geo)
+        # geometry is MANDATORY with a history filter: probing bitmaps
+        # built under any other (num_shards, bits_per_shard,
+        # num_hashes) silently mis-reads them and virtually every true
+        # duplicate tests definitely-new — the exact failure
+        # StreamingBloomGate pins geometry on disk to prevent
+        if bloom_geometry is None:
+            raise ValueError(
+                "history_bloom requires bloom_geometry (the exact "
+                "num_shards/bits_per_shard/num_hashes the index was "
+                "built with); probing under mismatched geometry "
+                "silently defeats the gate"
+            )
+        tagged = B.bloom_probe(base, history_bloom, text_col, **bloom_geometry)
         hist_ids = tagged.filter(F.col("maybe_member")).select(id_col)
         drops.append(_drops(hist_ids, id_col, "in_history"))
         base = base.join(hist_ids, id_col, "left_anti")
@@ -162,9 +173,18 @@ def curate_corpus(
         stripped = D.strip_duplicate_spans(
             base, id_col, text_col, min_tokens=strip_spans_min_tokens
         )
-        base = base.drop(text_col).join(
-            stripped.select(id_col, F.col("clean_text").alias(text_col)),
-            id_col,
+        # LEFT join: strip_duplicate_spans emits no row for documents
+        # with zero normalized tokens (whitespace/punctuation-only
+        # text), and an inner join would silently drop them with no
+        # audit entry — they survive as the empty token stream instead
+        base = (
+            base.drop(text_col)
+            .join(
+                stripped.select(id_col, F.col("clean_text").alias(text_col)),
+                id_col,
+                "left",
+            )
+            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
         )
 
     # 4. PII redaction — rewrite in place, not drop (the same codegen'd

@@ -204,9 +204,16 @@ class TenantManager:
             return self._apis[tenant_id]
 
     def delete_tenant(self, tenant_id: str) -> None:
-        """In-memory removal: users, sessions, streams, views
-        (reference delete_tenant drops the per-tenant maps but leaves
-        storage; src/parseable/mod.rs:1238-1263)."""
+        """Drop the tenant's in-memory state — users, sessions,
+        streams, views (reference delete_tenant drops the per-tenant
+        maps but leaves stream storage; src/parseable/mod.rs:1238-1263)
+        — AND tombstone its registration durably: ``tenant.json`` is
+        deleted through the metastore seam so ``_load_tenants`` cannot
+        silently resurrect the tenant (with all its users and API keys)
+        on restart. Stream data under the tenant root is retained,
+        matching the reference's leave-storage semantics."""
+        from .metastore import get_metastore
+
         with self._lock:
             if tenant_id == DEFAULT_TENANT:
                 raise ValueError("cannot delete the default tenant")
@@ -217,6 +224,7 @@ class TenantManager:
             for name in list(api._stores):
                 api.engine.deregister_stream(name)
             api.scheduler.stop()
+            get_metastore().delete_prefix(self._meta_path(tenant_id))
 
     def api_for(self, tenant_id: str):
         api = self._apis.get(tenant_id)

@@ -134,7 +134,10 @@ class TestCodec:
                         level = max(-255, min(255, level))
                         if level == 0:
                             continue
-                        val = (2 * level * q * wq[i]) // 16
+                        # spec dequant truncates toward zero (11172-2
+                        # 2.4.4.1), not floor
+                        prod = 2 * level * q * wq[i]
+                        val = prod // 16 if prod >= 0 else -((-prod) // 16)
                         if val % 2 == 0:
                             val -= 1 if val > 0 else -1
                         rec[i] = max(-2048, min(2047, val))
@@ -145,6 +148,21 @@ class TestCodec:
             planes.append(rec_plane)
         want = ycbcr_to_rgb(np.stack(planes, axis=-1))
         assert np.array_equal(got, want)
+
+    def test_intra_dequant_truncates_toward_zero(self):
+        """ISO 11172-2 2.4.4.1: integer division in the intra dequant
+        truncates toward zero. Floor division lands negative
+        coefficients 2 steps off: true quotient -36.5 must reconstruct
+        -35 (trunc -36, oddified toward zero), never -37 (ADVICE r4)."""
+        # 2*level*qscale*wq = 2*(-4)*1*73 = -584; -584/16 = -36.5
+        assert mpeg1._intra_dequant(-4, 1, 73) == -35
+        assert mpeg1._intra_dequant(4, 1, 73) == 35  # symmetric
+        # exact quotients: only oddification applies (-8 -> -7)
+        assert mpeg1._intra_dequant(-2, 2, 16) == -7
+        assert mpeg1._intra_dequant(2, 2, 16) == 7
+        # clamp still applies
+        assert mpeg1._intra_dequant(255, 31, 255) == 2047
+        assert mpeg1._intra_dequant(-255, 31, 255) == -2048
 
     def test_snippets_equal_full_decode(self):
         enc = mpeg1.encode_mpeg1(_frames(3), qscale=8)

@@ -334,6 +334,39 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="non-baseline"):
             jpeg.decode_jpeg(seg)
 
+    def test_fast_lut_cache_is_lru_bounded(self):
+        """Per-image optimized Huffman tables (libjpeg optimize_coding)
+        mean a heterogeneous corpus feeds the LUT cache a distinct key
+        per image; unbounded, a long-lived executor worker accrues
+        ~1 MB per entry until OOM (ADVICE r4). The cache must cap at
+        _FAST_LUT_CAP with LRU eviction and still return correct
+        tables after eviction."""
+        from parseable_spark.llm import jpeg
+
+        jpeg._FAST_LUT_CACHE.clear()
+        # synthesize distinct valid (bits, vals) tables: one code of
+        # length 1 with a varying symbol value
+        def table(sym):
+            bits = [1] + [0] * 15
+            return bits, [sym]
+
+        first = jpeg._build_fast_lut(*table(0))
+        for s in range(1, jpeg._FAST_LUT_CAP + 10):
+            jpeg._build_fast_lut(*table(s))
+        assert len(jpeg._FAST_LUT_CACHE) == jpeg._FAST_LUT_CAP
+        # the oldest entries were evicted, the newest retained
+        assert (tuple(table(0)[0]), (0,)) not in jpeg._FAST_LUT_CACHE
+        assert (tuple(table(0)[0]), (jpeg._FAST_LUT_CAP + 9,)) in jpeg._FAST_LUT_CACHE
+        # rebuilt-after-eviction output identical to the original
+        sym, ln = jpeg._build_fast_lut(*table(0))
+        assert sym == first[0] and ln == first[1]
+        # LRU: a cache hit refreshes recency
+        jpeg._build_fast_lut(*table(0))  # now newest
+        for s in range(1000, 1000 + jpeg._FAST_LUT_CAP - 1):
+            jpeg._build_fast_lut(*table(s))
+        assert (tuple(table(0)[0]), (0,)) in jpeg._FAST_LUT_CACHE
+        jpeg._FAST_LUT_CACHE.clear()
+
 
 class TestJpegSparkPath:
     def test_jpeg_media_features_and_resize(self, spark):

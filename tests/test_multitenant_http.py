@@ -340,11 +340,12 @@ def test_engine_level_view_isolation(mt, tenants_ready):
     globex_api.engine.deregister_stream("gonly")
 
 
-def test_delete_tenant_in_memory_removal(mt, tenants_ready):
-    _, mgr, base, _ = mt
+def test_delete_tenant_durable_across_restart(mt, tenants_ready, spark):
+    api, mgr, base, root = mt
     adm = _basic(*ADMIN)
     st, _ = _req("PUT", f"{base}/api/v1/tenants/temp1", {}, adm)
     assert st == 200
+    assert os.path.isfile(os.path.join(root, "_tenants", "temp1", "tenant.json"))
     st, _ = _req("DELETE", f"{base}/api/v1/tenants/temp1", None, adm)
     assert st == 200
     st, out = _req("GET", f"{base}/api/v1/logstream", None,
@@ -352,3 +353,15 @@ def test_delete_tenant_in_memory_removal(mt, tenants_ready):
     assert st == 404 and "Tenant not found" in out["error"]
     st, _ = _req("DELETE", f"{base}/api/v1/tenants/temp1", None, adm)
     assert st == 404
+    # the registration tombstone is durable: tenant.json is gone and a
+    # fresh manager over the same root does NOT resurrect the tenant
+    # (ADVICE r4: delete used to be in-memory only, so restart silently
+    # re-registered the tenant with all users and API keys intact)
+    assert not os.path.exists(
+        os.path.join(root, "_tenants", "temp1", "tenant.json")
+    )
+    api2 = ParseableAPI(spark, root, auth=ADMIN)
+    mgr2 = TenantManager(api2, multi_tenant=True)
+    assert "temp1" not in [t["tenantId"] for t in mgr2.list_tenants()]
+    for t in [x["tenantId"] for x in mgr2.list_tenants()]:
+        mgr2.delete_tenant(t)

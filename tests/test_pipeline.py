@@ -206,3 +206,50 @@ def test_r4_stages_off_by_default_is_r3_behavior(corpus):
     res = curate_corpus(df, compute_summary=True)
     assert "in_history" not in res.summary
     assert "high_perplexity" not in res.summary
+
+
+def test_token_less_survivor_not_silently_dropped(spark):
+    """strip_duplicate_spans emits no row for documents with zero
+    normalized tokens; the rejoin must be a LEFT join so punctuation-
+    only survivors stay in the corpus (as the empty token stream)
+    instead of vanishing with no audit entry (ADVICE r4)."""
+    from parseable_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu alpha beta gamma delta epsilon zeta"),
+        (1, " " * 24),  # whitespace-only: zero normalized tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    res = curate_corpus(
+        df,
+        min_words=0,
+        min_chars=10,
+        min_stopword_ratio=0.0,
+        strip_spans_min_tokens=5,
+        compute_summary=True,
+    )
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    dropped = {
+        r["doc_id"] for r in res.decisions.collect() if not r["kept"]
+    }
+    # every input doc is accounted for exactly once
+    assert set(kept) | dropped == {0, 1} and not (set(kept) & dropped)
+    assert 1 in kept and kept[1] == ""  # survived as the empty stream
+
+
+def test_history_bloom_requires_geometry(spark):
+    """Probing a history filter under defaulted geometry silently
+    defeats the gate (every true duplicate tests definitely-new), so
+    curate_corpus must refuse history_bloom without bloom_geometry."""
+    from parseable_spark.llm import bloom as B
+    from parseable_spark.llm.pipeline import curate_corpus
+
+    df = spark.createDataFrame(
+        [(0, "some document text here for the gate")],
+        "doc_id bigint, text string",
+    )
+    geo = {"num_shards": 4, "bits_per_shard": 1 << 12, "num_hashes": 3}
+    hist = B.bloom_build(df, "text", **geo)
+    with pytest.raises(ValueError, match="bloom_geometry"):
+        curate_corpus(df, history_bloom=hist)
