@@ -15,12 +15,20 @@ Two tiers:
    uses). `synthesize_real_media` builds payloads whose ground-truth
    features are analytic functions of doc_id, so the DuckDB oracle can
    verify the decoded VALUES, not just row counts (q35/q42).
-2. The original deterministic fakes (`_fake_decode`, `resize_images`,
-   `sample_frames`) remain only for container formats that genuinely
-   need full codec stacks (now ONLY inter-frame-coded modern codecs:
-   H.264/MP4 et al.) — the Spark plumbing (schema contracts,
-   Arrow-batched mapInPandas, modality pruning) is identical either
-   way.
+2. An ENV-GATED native backend seam (`PARSEABLE_SPARK_NATIVE_CODECS`,
+   default auto): when Pillow / PyAV are importable, formats the pure
+   decoders cannot express (PNG/GIF/WebP images, H.264/MP4 video) are
+   decoded natively, and JPEG decode is routed natively for
+   libjpeg-turbo throughput (the pure decoder stays the spec-exact
+   fallback and the correctness oracle). When no native backend exists
+   — this container ships none — those formats FAIL LOUDLY with the
+   backend name and env var in the message; nothing falls back to a
+   fake silently.
+3. The original deterministic fakes (`_fake_decode`, `resize_images`,
+   `sample_frames`) remain ONLY as Spark-plumbing exercisers (schema
+   contracts, Arrow-batched mapInPandas, modality pruning). They are
+   not reachable from the curation pipeline or any registry query —
+   tests/test_multimodal_codecs.py pins that.
 """
 
 from __future__ import annotations
@@ -300,8 +308,93 @@ def encode_bmp_pixels(rgb) -> bytes:
     return header + info + pixels
 
 
+# --- native codec backend seam (env-gated; VERDICT r4 next-5) ---------------
+# Resolution order per format:
+#   bmp / mpeg1      pure decoder (spec-exact, authoritative)
+#   jpeg             native backend when available (libjpeg-turbo
+#                    throughput class — the pure decoder's ~1 MP/s/core
+#                    is the named 100 TB bottleneck), pure fallback
+#   png / gif / webp / h264 / mp4
+#                    native backend REQUIRED; loud failure otherwise —
+#                    never a silent fake
+# PARSEABLE_SPARK_NATIVE_CODECS=0|false|off disables native entirely
+# (pure decoders + loud failure for native-only formats).
+
+_NATIVE_UNSET = object()
+_native_image_backend: object = _NATIVE_UNSET  # callable | None once resolved
+_native_video_backend: object = _NATIVE_UNSET
+
+
+def native_codecs_enabled() -> bool:
+    import os
+
+    return os.environ.get(
+        "PARSEABLE_SPARK_NATIVE_CODECS", "auto"
+    ).lower() not in ("0", "false", "off")
+
+
+def _resolve_native_image_backend():
+    """Pillow-backed payload→(H, W, 3) RGB uint8, resolved once per
+    Python worker; None when Pillow is not importable or native codecs
+    are disabled by env."""
+    global _native_image_backend
+    if _native_image_backend is _NATIVE_UNSET:
+        _native_image_backend = None
+        if native_codecs_enabled():
+            try:
+                import io
+
+                import numpy as np
+                from PIL import Image
+
+                def _pil_decode(payload: bytes):
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        return np.asarray(im.convert("RGB"))
+
+                _native_image_backend = _pil_decode
+            except ImportError:
+                pass
+    return _native_image_backend
+
+
+def _resolve_native_video_backend():
+    """PyAV-backed payload→(keyframe pixel arrays, ms per frame),
+    resolved once per worker; None when unavailable/disabled."""
+    global _native_video_backend
+    if _native_video_backend is _NATIVE_UNSET:
+        _native_video_backend = None
+        if native_codecs_enabled():
+            try:
+                import io
+
+                import av  # noqa: F401
+
+                def _av_keyframes(payload: bytes):
+                    frames = []
+                    with av.open(io.BytesIO(bytes(payload))) as c:
+                        stream = c.streams.video[0]
+                        stream.codec_context.skip_frame = "NONKEY"
+                        rate = float(stream.average_rate or 25)
+                        for frame in c.decode(stream):
+                            frames.append(frame.to_ndarray(format="rgb24"))
+                    return frames, max(int(1000 / max(rate, 1)), 1)
+
+                _native_video_backend = _av_keyframes
+            except ImportError:
+                pass
+    return _native_video_backend
+
+
+# formats only a native backend can decode, by magic
+_NATIVE_ONLY_IMAGE_MAGIC = (
+    (b"\x89PNG", "png"),
+    (b"GIF8", "gif"),
+)
+
+
 def sniff_image_format(payload: bytes) -> str:
-    """'bmp' | 'jpeg' | 'mpeg1' by magic bytes — image operators are
+    """'bmp' | 'jpeg' | 'mpeg1' (pure decoders) or 'png' | 'gif' |
+    'webp' (native-backend-only) by magic bytes — image operators are
     format-agnostic; the payload says what it is ('mpeg1' = a
     self-contained single-keyframe MPEG-1 snippet from
     mpeg1.extract_iframe_payloads)."""
@@ -311,13 +404,26 @@ def sniff_image_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"\x00\x00\x01\xb3":
         return "mpeg1"
-    raise ValueError("unrecognized image payload (not BMP, JPEG, or MPEG-1)")
+    for magic, name in _NATIVE_ONLY_IMAGE_MAGIC:
+        if payload[: len(magic)] == magic:
+            return name
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    raise ValueError(
+        "unrecognized image payload (not BMP, JPEG, MPEG-1, PNG, GIF, "
+        "or WebP)"
+    )
 
 
 def decode_image_pixels(payload: bytes):
-    """Any supported image payload → (H, W, 3) RGB uint8 (format
-    dispatch by magic: real BMP parse, real baseline-JPEG decode, or a
-    real MPEG-1 I-frame decode for keyframe snippets)."""
+    """Any supported image payload → (H, W, 3) RGB uint8.
+
+    Format dispatch by magic: pure spec decoders for BMP/MPEG-1, the
+    native backend (Pillow, when importable and not disabled via
+    PARSEABLE_SPARK_NATIVE_CODECS) preferred for JPEG with the pure
+    T.81 decoder as fallback, and native REQUIRED for PNG/GIF/WebP —
+    those fail loudly when no backend exists rather than degrading to
+    a fake."""
     fmt = sniff_image_format(payload)
     if fmt == "bmp":
         return decode_bmp_pixels(payload)
@@ -328,9 +434,23 @@ def decode_image_pixels(payload: bytes):
         if not frames:
             raise ValueError("MPEG-1 snippet contains no I-frame")
         return frames[0][1]
-    from parseable_spark.llm import jpeg
+    native = _resolve_native_image_backend()
+    if fmt == "jpeg":
+        if native is not None:
+            return native(payload)
+        from parseable_spark.llm import jpeg
 
-    return jpeg.decode_jpeg(payload)
+        return jpeg.decode_jpeg(payload)
+    # png / gif / webp: native-only
+    if native is None:
+        raise ValueError(
+            f"{fmt.upper()} decode requires the native codec backend "
+            "(Pillow); it is not importable in this environment and "
+            "there is deliberately NO fake fallback. Install Pillow or "
+            "re-encode to BMP/baseline-JPEG. "
+            "(PARSEABLE_SPARK_NATIVE_CODECS gates the backend.)"
+        )
+    return native(payload)
 
 
 def decode_image(payload: bytes) -> dict:
@@ -442,6 +562,21 @@ def split_video_frames(payload: bytes) -> tuple[list[bytes], int]:
         return meta["frames"], ms
     if mpeg1.is_mpeg1(payload):
         return mpeg1.extract_iframe_payloads(payload)
+    if payload[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV): inter-frame codecs
+        native = _resolve_native_video_backend()
+        if native is None:
+            raise ValueError(
+                "MP4/H.264 keyframe extraction requires the native "
+                "codec backend (PyAV); it is not importable in this "
+                "environment and there is deliberately NO fake "
+                "fallback. Remux to MPEG-1 or MJPEG-AVI, or install "
+                "PyAV. (PARSEABLE_SPARK_NATIVE_CODECS gates the "
+                "backend.)"
+            )
+        frames, ms = native(payload)
+        # re-encode keyframes as BMP so every downstream operator
+        # (decode_image_pixels, pHash) stays container-agnostic
+        return [encode_bmp_pixels(f) for f in frames], ms
     return split_bmp_stream(payload), VIDEO_FRAME_MS
 
 

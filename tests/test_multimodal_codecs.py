@@ -522,3 +522,102 @@ class TestAviMjpeg:
         for r in by_id[1]:
             want = (60 + 40 * r["frame_idx"]) % 256
             assert abs(r["mean_r"] - want) < 3
+
+
+class TestNativeBackendSeam:
+    """Env-gated native codec dispatch (VERDICT r4 next-5): native-only
+    formats fail LOUDLY without a backend, route through it when one is
+    installed, and the fakes stay unreachable from curation code."""
+
+    PNG = b"\x89PNG\r\n\x1a\n" + bytes(32)
+    MP4 = bytes(4) + b"ftypisom" + bytes(32)
+
+    @pytest.fixture(autouse=True)
+    def _reset_backends(self):
+        from parseable_spark.llm import multimodal as M
+
+        yield
+        M._native_image_backend = M._NATIVE_UNSET
+        M._native_video_backend = M._NATIVE_UNSET
+
+    def test_native_only_image_fails_loudly_without_backend(self):
+        from parseable_spark.llm import multimodal as M
+
+        assert M.sniff_image_format(self.PNG) == "png"
+        with pytest.raises(ValueError, match="Pillow.*NO fake"):
+            M.decode_image_pixels(self.PNG)
+
+    def test_mp4_fails_loudly_without_backend(self):
+        from parseable_spark.llm import multimodal as M
+
+        with pytest.raises(ValueError, match="PyAV.*NO fake"):
+            M.split_video_frames(self.MP4)
+
+    def test_jpeg_prefers_native_backend_when_installed(self):
+        import numpy as np
+
+        from parseable_spark.llm import jpeg
+        from parseable_spark.llm import multimodal as M
+
+        img = np.full((9, 11, 3), 77, dtype=np.uint8)
+        payload = jpeg.encode_jpeg(img, quality=90)
+        pure = M.decode_image_pixels(payload)  # no backend -> pure T.81
+        calls = []
+
+        def fake_native(p):
+            calls.append(bytes(p[:2]))
+            return jpeg.decode_jpeg(p)  # stands in for libjpeg-turbo
+
+        M._native_image_backend = fake_native
+        via_native = M.decode_image_pixels(payload)
+        assert calls == [b"\xff\xd8"]  # dispatched through the backend
+        assert np.array_equal(pure, via_native)
+        # PNG now decodes through the backend instead of raising
+        M._native_image_backend = lambda p: np.zeros((2, 2, 3), np.uint8)
+        assert M.decode_image_pixels(self.PNG).shape == (2, 2, 3)
+        # BMP/MPEG-1 stay on the authoritative pure decoders
+        bmp = M.encode_bmp_pixels(img)
+        M._native_image_backend = lambda p: (_ for _ in ()).throw(
+            AssertionError("BMP must not reach the native backend")
+        )
+        assert np.array_equal(M.decode_image_pixels(bmp), img)
+
+    def test_mp4_routes_through_native_video_backend(self):
+        import numpy as np
+
+        from parseable_spark.llm import multimodal as M
+
+        kf = np.full((6, 8, 3), 123, dtype=np.uint8)
+        M._native_video_backend = lambda p: ([kf], 40)
+        frames, ms = M.split_video_frames(self.MP4)
+        assert ms == 40 and len(frames) == 1
+        # keyframes are re-encoded BMP: container-agnostic downstream
+        assert np.array_equal(M.decode_image_pixels(frames[0]), kf)
+
+    def test_env_kill_switch_disables_native(self, monkeypatch):
+        from parseable_spark.llm import multimodal as M
+
+        monkeypatch.setenv("PARSEABLE_SPARK_NATIVE_CODECS", "0")
+        assert not M.native_codecs_enabled()
+        M._native_image_backend = M._NATIVE_UNSET
+        assert M._resolve_native_image_backend() is None
+        monkeypatch.setenv("PARSEABLE_SPARK_NATIVE_CODECS", "auto")
+        assert M.native_codecs_enabled()
+
+    def test_fakes_unreachable_from_curation_and_registry(self):
+        """The deterministic fakes are plumbing exercisers only: no
+        curation-pipeline or registry-query source references them."""
+        import pathlib
+
+        root = pathlib.Path("/root/repo/parseable_spark")
+        banned = ("_fake_decode(", "extract_features(", "resize_images(",
+                  "sample_frames(")  # call-sites; docstring mentions OK
+        offenders = []
+        for path in list(root.rglob("*.py")):
+            if path.name == "multimodal.py":
+                continue
+            src = path.read_text()
+            for b in banned:
+                if b in src:
+                    offenders.append((str(path), b))
+        assert offenders == []
