@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option map handed to `format("kafka")` — pure so the
+    contract is testable without the connector jar (the option names
+    are the spark-sql-kafka public surface; a typo here is invisible
+    until a real cluster run, hence the pin test)."""
+    options = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        options["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return options
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -32,16 +54,20 @@ def kafka_source(
     fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """readStream over Kafka (requires the spark-sql-kafka package on
-    the cluster; raises AnalysisException where it isn't deployed)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    the cluster — `kafka_wire.SPARK_SQL_KAFKA_PACKAGE` is the exact
+    --packages pin for this pyspark build; raises AnalysisException
+    where it isn't deployed). For jar-less environments,
+    `kafka_wire.kafka_batch_df` consumes over the wire protocol
+    directly into the same downstream shape."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topics,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

@@ -1,0 +1,191 @@
+"""Kafka protocol-level e2e (VERDICT r4 next-6).
+
+The native spark-sql-kafka connector jar is not bundled with pyspark
+and cannot be fetched in this environment, so the wrapper in
+streaming/kafka.py could never be driven past its option map. These
+tests close the gap at the wire level: a real TCP round-trip through
+the public Kafka protocol (RecordBatch v2 + ApiVersions/Metadata/
+ListOffsets/Fetch/Produce), ending in the SAME parse_kafka_envelope
+DataFrame code the native connector feeds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from parseable_spark.streaming import kafka_wire as kw
+from parseable_spark.streaming.kafka import (
+    kafka_reader_options,
+    parse_kafka_envelope,
+)
+
+
+class TestPrimitives:
+    def test_crc32c_known_vector(self):
+        # RFC 3720 B.4 check value
+        assert kw.crc32c(b"123456789") == 0xE3069283
+        assert kw.crc32c(b"") == 0
+
+    def test_varint_zigzag_roundtrip(self):
+        for v in (0, 1, -1, 63, -64, 64, 300, -300, 2**31, -(2**31), 2**40):
+            w = kw._Writer()
+            w.varint(v)
+            assert kw._Reader(bytes(w.buf)).varint() == v
+        # spec zigzag examples: 0->0, -1->1, 1->2, -2->3
+        for v, z in ((0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03")):
+            w = kw._Writer()
+            w.varint(v)
+            assert bytes(w.buf) == z
+
+
+class TestRecordBatchV2:
+    def _records(self):
+        return [
+            kw.WireRecord(7, 1700000000000, b"k0", b"v0", [("h", b"x")]),
+            kw.WireRecord(8, 1700000000123, None, b"v1", []),
+            kw.WireRecord(9, 1700000000456, b"k2", None, []),
+        ]
+
+    def test_roundtrip_exact(self):
+        batch = kw.encode_record_batch(7, self._records())
+        out = kw.decode_record_batches(batch)
+        assert out == self._records()
+
+    def test_layout_fields(self):
+        import struct
+
+        batch = kw.encode_record_batch(7, self._records())
+        base_offset, batch_len = struct.unpack_from(">qi", batch, 0)
+        assert base_offset == 7
+        assert batch_len == len(batch) - 12  # bytes after the length field
+        assert batch[16] == 2  # magic v2 at offset 8+4+4
+
+    def test_crc_tamper_detected(self):
+        batch = bytearray(kw.encode_record_batch(7, self._records()))
+        batch[-1] ^= 0x01
+        with pytest.raises(ValueError, match="CRC32C"):
+            kw.decode_record_batches(bytes(batch))
+
+    def test_compressed_batch_rejected_loudly(self):
+        import struct
+
+        batch = bytearray(kw.encode_record_batch(0, self._records()))
+        # set attribute bit 0 (gzip) and re-CRC so only compression trips
+        attr_pos = 8 + 4 + 4 + 1 + 4
+        struct.pack_into(">h", batch, attr_pos, 1)
+        struct.pack_into(">I", batch, 17, kw.crc32c(bytes(batch[attr_pos:])))
+        with pytest.raises(ValueError, match="compressed"):
+            kw.decode_record_batches(bytes(batch))
+
+
+class TestBrokerEndToEnd:
+    def test_produce_fetch_roundtrip_over_tcp(self):
+        with kw.MiniKafkaBroker() as broker:
+            broker.create_topic("logs", partitions=2)
+            assert kw.api_versions(broker.bootstrap)[kw.API_FETCH] == (4, 4)
+            base = kw.wire_produce(
+                broker.bootstrap,
+                "logs",
+                0,
+                [(b"a", b'{"n":1}', 1000), (None, b'{"n":2}', 2000)],
+            )
+            assert base == 0
+            # second batch appends after the first
+            assert (
+                kw.wire_produce(broker.bootstrap, "logs", 0, [(b"c", b"x", 3000)])
+                == 2
+            )
+            kw.wire_produce(broker.bootstrap, "logs", 1, [(b"p1", b"y", 1500)])
+            rows = kw.consume_all(broker.bootstrap, "logs")
+            assert [(r["partition"], r["offset"]) for r in rows] == [
+                (0, 0),
+                (0, 1),
+                (0, 2),
+                (1, 0),
+            ]
+            assert rows[0]["value"] == b'{"n":1}' and rows[1]["key"] is None
+            assert rows[0]["timestamp_ms"] == 1000
+
+    def test_unknown_topic_error_surfaces(self):
+        with kw.MiniKafkaBroker() as broker:
+            broker.create_topic("real")
+            with pytest.raises(ValueError, match="metadata error 3"):
+                kw.consume_all(broker.bootstrap, "ghost")
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("level", StringType(), True),
+        StructField("msg", StringType(), True),
+        StructField("n", LongType(), True),
+        StructField("p_timestamp", TimestampNTZType(), True),
+    ]
+)
+
+
+class TestSparkEndToEnd:
+    def test_wire_to_typed_events(self, spark):
+        """Socket → protocol → connector-shaped DataFrame →
+        parse_kafka_envelope: the full path the native connector would
+        drive, with real bytes on a real TCP socket."""
+        with kw.MiniKafkaBroker() as broker:
+            broker.create_topic("applogs")
+            msgs = [
+                (
+                    str(i).encode(),
+                    (
+                        '{"level":"info","msg":"m%d","n":%d}' % (i, i)
+                    ).encode(),
+                    1_700_000_000_000 + i * 1000,
+                )
+                for i in range(5)
+            ]
+            kw.wire_produce(broker.bootstrap, "applogs", 0, msgs)
+            df = kw.kafka_batch_df(spark, broker.bootstrap, "applogs")
+            assert [f.name for f in df.schema.fields] == [
+                "key",
+                "value",
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+                "timestampType",
+            ]
+            events = parse_kafka_envelope(df, EVENT_SCHEMA).orderBy(
+                "p_kafka_offset"
+            )
+            rows = events.collect()
+            assert [r["msg"] for r in rows] == [f"m{i}" for i in range(5)]
+            assert [r["n"] for r in rows] == list(range(5))
+            assert all(r["p_kafka_topic"] == "applogs" for r in rows)
+            # payload carries no p_timestamp -> kafka create-time fills it
+            assert rows[1]["p_timestamp"].second - rows[0]["p_timestamp"].second in (1, -59)
+
+
+class TestConnectorContract:
+    def test_reader_option_map_is_the_public_surface(self):
+        opts = kafka_reader_options(
+            "b1:9092,b2:9092", "t1,t2", "earliest", 50_000, True
+        )
+        assert opts == {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "subscribe": "t1,t2",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "true",
+            "maxOffsetsPerTrigger": "50000",
+        }
+        assert "maxOffsetsPerTrigger" not in kafka_reader_options("b", "t")
+
+    def test_package_pin_tracks_pyspark_build(self):
+        import pyspark
+
+        assert kw.SPARK_SQL_KAFKA_PACKAGE == (
+            f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+        )
