@@ -2593,6 +2593,27 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         return api.check_auth(hdr)
 
+    def _tenant_key(self) -> str | None:
+        """Session key for per-tenant generator state: None for the
+        default tenant (the reference's Option<String> keying)."""
+        from .rbac import DEFAULT_TENANT
+
+        return None if self.tenant == DEFAULT_TENANT else self.tenant
+
+    def _otel_generator(self):
+        """One OtelDemoGenerator per server (the reference's
+        OTEL_GENERATOR static), held on the default-tenant API object
+        and keyed by tenant inside."""
+        from .demo_data import OtelDemoGenerator
+
+        root = type(self).api
+        with root._lock:
+            gen = getattr(root, "_otel_demo_gen", None)
+            if gen is None:
+                gen = OtelDemoGenerator()
+                root._otel_demo_gen = gen
+        return gen
+
     def _resolve_tenant(self) -> None:
         """Route the request to its tenant's ParseableAPI instance.
 
@@ -2973,6 +2994,36 @@ class _Handler(BaseHTTPRequestHandler):
                     else self.api.cluster_metrics()
                 )
                 self._respond_json(200, payload)
+                return
+            if path == "/api/v1/demodata":
+                # GET /api/v1/demodata?action=... (demo_data.rs:39-82):
+                # 400 on missing/unknown params, spawn-and-202 otherwise
+                from .demo_data import DEMO_STREAM, run_demo_action
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                if not qp:
+                    raise ApiError(400, "missing query parameter")
+                action = qp.get("action")
+                if action is None:
+                    raise ApiError(400, "missing query parameter 'action'")
+                if action not in ("ingest", "filters", "alerts", "dashboards"):
+                    raise ApiError(400, f"invalid demodata action {action!r}")
+                self._allow(Action.INGEST, DEMO_STREAM)
+                run_demo_action(self.api, action)
+                self._respond_json(202, {"status": "accepted"})
+                return
+            if path == "/api/v1/otel_generator":
+                from .rbac import Action
+
+                if not self._authorized():
+                    return
+                self._allow(Action.INGEST)
+                self._respond_json(
+                    200, self._otel_generator().status(self._tenant_key())
+                )
                 return
             if path == "/api/v1/about":
                 # payload shape per handlers/http/about.rs:48-119
@@ -3360,6 +3411,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self.api.delete_alert(parts[3])
                 self._respond_json(200, {"status": f"deleted alert {parts[3]}"})
                 return
+            if path == "/api/v1/otel_generator":
+                from .rbac import Action
+
+                self._allow(Action.INGEST)
+                self._respond_json(
+                    200, self._otel_generator().stop(self._tenant_key())
+                )
+                return
             route = self._logstream_route(path)
             if route is None or not route[0]:
                 self._respond_json(404, {"error": f"no route {path}"})
@@ -3562,6 +3621,40 @@ class _Handler(BaseHTTPRequestHandler):
                 self._allow(Action.MANAGE)
                 alert_id = parsed.path.split("/")[4]
                 self._respond_json(200, self.api.evaluate_alert(alert_id))
+            elif parsed.path == "/api/v1/otel_generator":
+                # POST /api/v1/otel_generator {durationSecs}
+                # (otel_generator.rs start_otel_generator): 400 out of
+                # range, 409 already running, 202 accepted
+                from .demo_data import MAX_DURATION_SECS
+                from .rbac import Action
+
+                self._allow(Action.INGEST)
+                body = self._json_body() or {}
+                duration = body.get("durationSecs", body.get("duration_secs"))
+                if duration is not None:
+                    duration = _int_arg(duration, "durationSecs", 0)
+                    if duration == 0 or duration > MAX_DURATION_SECS:
+                        raise ApiError(
+                            400,
+                            "durationSecs must be between 1 and "
+                            f"{MAX_DURATION_SECS}",
+                        )
+                api = self.api
+                result = self._otel_generator().start(
+                    lambda kind, stream, payload: api.ingest_otel(
+                        kind, stream, payload, None
+                    ),
+                    f"http://{self.headers.get('Host', 'localhost')}",
+                    duration,
+                    self._tenant_key(),
+                )
+                if result["status"] == "started":
+                    self._respond_json(
+                        202,
+                        {"status": "accepted", "message": result["message"]},
+                    )
+                else:
+                    self._respond_json(409, {"error": result["message"]})
             else:
                 self._respond_json(404, {"error": f"no route {parsed.path}"})
         except ApiError as e:
