@@ -154,10 +154,10 @@ def near_audio_dups(
     bucket_cap: int = 64,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over the fingerprint — delegates to
-    the hash-agnostic banded join in imagehash (pigeonhole-complete
-    while max_distance < bands), inheriting its identical-hash
-    collapse + band-bucket star guards (a silence-clip flood is the
-    audio twin of the blank-image flood)."""
+    the hash-agnostic superblock-banded join in imagehash (pigeonhole-
+    complete while max_distance <= bands - 2), inheriting its
+    identical-hash collapse + band-bucket star guards (a silence-clip
+    flood is the audio twin of the blank-image flood)."""
     from parseable_spark.llm.imagehash import near_image_dups
 
     return near_image_dups(

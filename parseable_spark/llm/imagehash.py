@@ -11,11 +11,14 @@ few bits; different pictures land ~32 bits apart.
 Dedup shapes, mirroring the text-side split in dedup.py:
 - exact perceptual dup: groupBy(phash) — one shuffle, no pairs
   (simhash16's shape).
-- near-dup within Hamming ≤ t: split the 64 bits into `bands` chunks;
-  by pigeonhole any pair within t < bands bits shares ≥1 exact chunk,
-  so candidates come from a self-join on (band_idx, band_bits) —
-  LSH-style one-shuffle candidate generation, verified exactly with a
-  JVM-side popcount on XOR. No all-pairs work anywhere.
+- near-dup within Hamming ≤ t: split the 64 bits into `bands` blocks
+  and band on every PAIR of blocks (superblock keys, 2×width bits);
+  by pigeonhole any pair within t ≤ bands-2 bits shares ≥1 exact
+  block-pair, so candidates come from a self-join on
+  (band_idx, band_bits) — LSH-style one-shuffle candidate generation,
+  verified exactly with a JVM-side popcount on XOR. No all-pairs work
+  anywhere; identical hashes collapse to a representative first and
+  flooded buckets degrade to star topology (linear output).
 
 The decode runs inside one Arrow-batched mapInPandas over the real
 codecs (BMP/baseline-JPEG/MPEG-1 I-frame via
@@ -142,17 +145,35 @@ def _banded_hash_pairs(
     bands: int,
     bucket_cap: int,
 ) -> DataFrame:
-    """Hamming-ball pairs over DISTINCT (phash, rep_id) rows:
-    pigeonhole-banded candidates verified by a JVM popcount, with the
-    text-LSH giant-bucket star guard (dedup.py:128) on the band key —
-    a band bucket holding more than `bucket_cap` distinct hashes pairs
-    each member with the bucket's min-rep only (linear output,
-    connectivity preserved through the rep) instead of emitting the
-    full O(s²) clique from one task."""
+    """Hamming-ball pairs over DISTINCT (phash, rep_id) rows via
+    SUPERBLOCK banding: split the hash into `bands` base blocks, band
+    on every PAIR of blocks concatenated (C(bands,2) keys of 2×width
+    bits). If two hashes differ by ≤ bands-2 bits, at least two blocks
+    are untouched on both, so some block-pair matches exactly —
+    pigeonhole-complete, verified by a JVM popcount.
+
+    Why pairs and not single blocks (the r4 shape): single 8-bit
+    blocks have a 256-value key space, so at ≥~20k distinct hashes
+    EVERY band bucket floods (measured: median bucket 78 at 20k) —
+    quadratic candidates unguarded, collapsed recall guarded. The
+    16-bit pair keys give 65 536 values per band; buckets stay sparse
+    to tens of millions of distinct hashes, the Manku et al. (WWW'07)
+    multi-table design. Cost: 28 banding rows per hash instead of 8 —
+    bought back ~256× in candidate-pair volume at scale.
+
+    The text-LSH giant-bucket star guard (dedup.py:128) still backstops
+    adversarial key floods: a bucket holding more than `bucket_cap`
+    distinct hashes pairs members with the bucket's min-rep only
+    (linear output, connectivity preserved through the rep)."""
     width = 64 // bands
     mask = (1 << width) - 1
     from pyspark.sql.window import Window
 
+    block = [
+        F.shiftrightunsigned("phash", i * width).bitwiseAND(F.lit(mask))
+        for i in range(bands)
+    ]
+    pairs_ij = [(i, j) for i in range(bands) for j in range(i + 1, bands)]
     banded = distinct_hashes.select(
         "rep_id",
         "phash",
@@ -160,12 +181,12 @@ def _banded_hash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned("phash", i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_bits"),
+                        F.lit(p).alias("band_idx"),
+                        (
+                            block[i] * F.lit(mask + 1) + block[j]
+                        ).alias("band_bits"),
                     )
-                    for i in range(bands)
+                    for p, (i, j) in enumerate(pairs_ij)
                 ]
             )
         ).alias("b"),
@@ -249,14 +270,15 @@ def near_image_dups(
        plus the rep's cross-group pairs — output linear in group size,
        connectivity identical for connected-components clustering.
 
-    64 must divide into `bands` equal chunks; completeness needs
-    max_distance < bands (t bit flips can ruin at most t bands)."""
+    64 must divide into `bands` equal blocks; superblock completeness
+    needs max_distance ≤ bands - 2 (t bit flips can dirty at most t
+    blocks, and a matching PAIR of clean blocks must survive)."""
     if 64 % bands:
         raise ValueError("bands must divide 64")
-    if max_distance >= bands:
+    if max_distance > bands - 2:
         raise ValueError(
-            "completeness requires max_distance < bands "
-            f"(got {max_distance} >= {bands})"
+            "completeness requires max_distance <= bands - 2 "
+            f"(got {max_distance} > {bands - 2})"
         )
     hashes = hashes.select("media_id", "phash").filter(
         F.col("phash").isNotNull()
