@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm import dedup, multimodal, sampling, similarity, text
+from ..llm import bloom, dedup, multimodal, sampling, similarity, text
 from ..tables import load_table
 from . import register
 
@@ -232,7 +232,9 @@ def q17_contamination(spark, sf_dir):
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text)
     )
-    SELECT d.doc_id, md5(d.text) AS digest, g.keep_id, g.n_copies, s.simhash
+    SELECT d.doc_id, md5(d.text) AS digest, g.keep_id, g.n_copies, s.simhash,
+           d.text IN (SELECT text FROM documents WHERE doc_id % 8 = 0)
+               AS in_history
     FROM documents d
     JOIN g ON md5(d.text) = g.digest
     JOIN sim s ON s.doc_id = d.doc_id
@@ -242,18 +244,37 @@ def q17_contamination(spark, sf_dir):
         "content-digest groups (keep-min-id + copy count; one shuffle on "
         "digest) and the 16-bit SimHash (per-word hash → per-bit majority "
         "vote; near-dups collide on the fingerprint, no pairwise work). "
-        "(r2 names: q24 + q27.)"
+        "Since r5 the row also hash-gates the sharded Bloom history gate "
+        "(llm/bloom.py): in_history probes a filter built over the "
+        "doc_id%8==0 slice; the oracle is the EXACT membership anti-join, "
+        "so the hash match proves the gate's no-false-negative contract "
+        "AND zero false positives at this geometry (16 shards x 8 MiBit "
+        "x 7 hashes for <=10k history keys: per-probe FPP ~1e-23, so the "
+        "exact equivalence is deterministic on any driver SF). "
+        "(r2 names: q24 + q27; r4 verdict next-8.)"
     ),
 )
 def q24_dedup_exact_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select("doc_id", F.md5("text").alias("digest"))
+    per_doc = docs.select("doc_id", "text", F.md5("text").alias("digest"))
     groups = dedup.exact_dedup(docs)
     sims = dedup.simhash16(docs)
+    geo = {"num_shards": 16, "bits_per_shard": 1 << 23, "num_hashes": 7}
+    history = bloom.bloom_build(
+        docs.filter(F.col("doc_id") % 8 == 0), "text", **geo
+    )
+    gated = bloom.bloom_probe(per_doc, history, "text", **geo)
     return (
-        per_doc.join(groups, "digest")
+        gated.join(groups, "digest")
         .join(sims, "doc_id")
-        .select("doc_id", "digest", "keep_id", "n_copies", "simhash")
+        .select(
+            "doc_id",
+            "digest",
+            "keep_id",
+            "n_copies",
+            "simhash",
+            F.col("maybe_member").alias("in_history"),
+        )
     )
 
 

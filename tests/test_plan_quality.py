@@ -15,8 +15,13 @@ from parseable_spark.queries import registry
 from tests.conftest import SF_SMALL
 
 # queries whose plans legitimately contain an Arrow-batched Python
-# stage (the multimodal decode kernels; the ingest normalization kernel)
+# stage (the multimodal decode kernels; the ingest normalization
+# kernel; q24's sharded-Bloom cogroup probe, whose vectorized
+# bitmap-gather kernel IS the operator under test — it shows up as
+# FlatMapCoGroupsInPandas, listed here so the allowance is explicit
+# rather than slipping past the MapInPandas substring check)
 PANDAS_OK = {
+    "q24_dedup_exact_simhash",
     "q35_multimodal_features",
     "q42_multimodal_frames",
     "q49_distributed_ingest",
@@ -40,9 +45,11 @@ def test_no_row_python_in_plan(name, spark):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} has row-Python in the plan"
     if name not in PANDAS_OK:
-        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-            f"{name} unexpectedly routes through Python"
-        )
+        assert (
+            "MapInPandas" not in plan
+            and "ArrowEvalPython" not in plan
+            and "InPandas" not in plan
+        ), f"{name} unexpectedly routes through Python"
 
 
 @pytest.mark.parametrize(
