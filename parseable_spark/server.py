@@ -3471,13 +3471,47 @@ class _Handler(BaseHTTPRequestHandler):
                 otel_stream = self.headers.get(STREAM_NAME_HEADER, "")
                 if otel_stream:
                     self._allow(Action.INGEST, otel_stream)
+                # Content-Type dispatch (ingest_utils.rs:130-180). OSS
+                # rejects x-protobuf; we decode it (otlp_proto.py —
+                # deliberate beyond-OSS: protobuf is the OTLP default
+                # encoding). Missing header stays lenient-JSON for the
+                # pre-r5 clients of this server.
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/x-protobuf":
+                    from .ingest.otlp_proto import ProtoDecodeError, decode_otlp
+
+                    self._body_consumed = True
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length) if length else b""
+                    try:
+                        payload = decode_otlp(kind, raw)
+                    except ProtoDecodeError as e:
+                        raise ApiError(400, f"malformed OTLP protobuf: {e}") from e
+                elif ctype in ("", "application/json"):
+                    payload = self._json_body()
+                else:
+                    raise ApiError(
+                        400,
+                        f"Unsupported Content-Type: {ctype}. Expected "
+                        "application/json or application/x-protobuf",
+                    )
                 n = self.api.ingest_otel(
                     kind,
                     otel_stream,
-                    self._json_body(),
+                    payload,
                     self._custom_fields(),
                 )
-                self._respond_json(200, {"status": "ok", "records": n})
+                if ctype == "application/x-protobuf":
+                    # OTLP/HTTP success: an empty Export*ServiceResponse
+                    # (zero bytes IS the valid serialization — no
+                    # partial_success field set) with matching type
+                    self._drain_body()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-protobuf")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                else:
+                    self._respond_json(200, {"status": "ok", "records": n})
             elif parsed.path == "/api/v1/ingest":
                 self._handle_ingest()
             elif parsed.path == "/api/v1/query":

@@ -48,6 +48,14 @@ class StreamStore:
     hot_tier: "HotTier | None" = None  # optional local cache (hottier.py)
     _staging: list[PreparedBatch] = field(default_factory=list)
     _pending_ingestion_bytes: int = 0
+    # staging_df memo: (n_batches, schema fingerprint) -> DataFrame.
+    # createDataFrame converts every row driver-side (GIL-bound Python
+    # work) — without this, EVERY query over a stream with staged data
+    # re-pays that conversion per batch; under concurrent tenants it
+    # serializes them (measured: tools/tenant_contention_probe.py).
+    # Batches are immutable once staged and the registry only grows,
+    # so (count, fields) keys the cache exactly.
+    _staging_cache: tuple[tuple, DataFrame] | None = None
 
     def __post_init__(self):
         if self.stream is None:
@@ -110,11 +118,19 @@ class StreamStore:
         memtable, stream_schema_provider.rs:292-350, 780-789)."""
         if not self._staging:
             return None
+        key = (
+            len(self._staging),
+            tuple(sorted(self.stream.registry.fields.items())),
+        )
+        if self._staging_cache is not None and self._staging_cache[0] == key:
+            return self._staging_cache[1]
         batches = [to_dataframe(self.spark, b) for b in self._staging]
         df = batches[0]
         for b in batches[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
-        return df.orderBy(F.desc(self.time_col))
+        df = df.orderBy(F.desc(self.time_col))
+        self._staging_cache = (key, df)
+        return df
 
     def flush(self) -> int:
         """Staging → sorted partitioned parquet + manifest commit (the
@@ -145,6 +161,7 @@ class StreamStore:
         self.stats.save(self.stats_path)
         self._pending_ingestion_bytes = 0
         self._staging.clear()
+        self._staging_cache = None
         return n
 
     # --- scan ------------------------------------------------------------
