@@ -383,6 +383,46 @@ class S3Metastore(Metastore):
             self.client.delete_objects(keys)
 
 
+def s3_config_from_env(env: dict[str, str] | None = None) -> S3Config:
+    """The reference's ``s3-store`` mode configuration, same env vars
+    (s3.rs:88-150): P_S3_URL / P_S3_REGION / P_S3_BUCKET required,
+    P_S3_ACCESS_KEY + P_S3_SECRET_KEY together or neither,
+    P_S3_PATH_STYLE truthy-string optional (default true, like the
+    reference's default)."""
+    import os
+
+    e = os.environ if env is None else env
+    missing = [k for k in ("P_S3_URL", "P_S3_REGION", "P_S3_BUCKET") if not e.get(k)]
+    if missing:
+        raise ValueError(f"s3-store mode requires env: {', '.join(missing)}")
+    ak, sk = e.get("P_S3_ACCESS_KEY", ""), e.get("P_S3_SECRET_KEY", "")
+    if bool(ak) != bool(sk):
+        raise ValueError("P_S3_ACCESS_KEY and P_S3_SECRET_KEY must be set together")
+    return S3Config(
+        endpoint_url=e["P_S3_URL"],
+        bucket=e["P_S3_BUCKET"],
+        region=e["P_S3_REGION"],
+        access_key=ak,
+        secret_key=sk,
+        use_path_style=e.get("P_S3_PATH_STYLE", "true").lower() != "false",
+    )
+
+
+def use_s3_storage(root: str, cfg: S3Config | None = None) -> dict[str, str]:
+    """Boot-time wiring for s3-store mode: install the S3 metastore
+    over ``root`` (all metadata JSON now lives in the bucket) and
+    return the s3a conf the deployment must apply for the parquet data
+    plane. The caller decides where data goes — on a jar-less local
+    run, parquet stays on the local root and only metadata is remote
+    (a valid hybrid); with hadoop-aws present, point the root at
+    ``data_root_uri(cfg)`` and apply the returned conf."""
+    from ..metastore import set_metastore
+
+    cfg = cfg or s3_config_from_env()
+    set_metastore(S3Metastore(S3Client(cfg), root))
+    return s3a_spark_conf(cfg)
+
+
 # ---------------------------------------------------------------------------
 # Data plane: Spark s3a conf mapping + loud capability check
 # ---------------------------------------------------------------------------

@@ -236,6 +236,48 @@ def test_full_lifecycle_through_s3_metastore(spark, tmp_path, mini, client):
         set_metastore(prev)
 
 
+def test_s3_config_from_env_reference_rules(mini):
+    from parseable_spark.storage.objectstore import s3_config_from_env
+
+    env = {
+        "P_S3_URL": mini.endpoint_url,
+        "P_S3_REGION": "us-east-1",
+        "P_S3_BUCKET": "parseable",
+        "P_S3_ACCESS_KEY": "AKIDTEST",
+        "P_S3_SECRET_KEY": CREDS["AKIDTEST"],
+    }
+    cfg = s3_config_from_env(env)
+    assert cfg.bucket == "parseable" and cfg.use_path_style
+    with pytest.raises(ValueError, match="P_S3_URL"):
+        s3_config_from_env({"P_S3_REGION": "r", "P_S3_BUCKET": "b"})
+    with pytest.raises(ValueError, match="set together"):
+        s3_config_from_env({**env, "P_S3_SECRET_KEY": ""})
+    assert not s3_config_from_env({**env, "P_S3_PATH_STYLE": "false"}).use_path_style
+
+
+def test_use_s3_storage_boot_wiring(mini):
+    from parseable_spark.metastore import get_metastore, set_metastore
+    from parseable_spark.storage.objectstore import use_s3_storage
+
+    cfg = S3Config(
+        endpoint_url=mini.endpoint_url,
+        bucket="parseable",
+        access_key="AKIDTEST",
+        secret_key=CREDS["AKIDTEST"],
+    )
+    prev = set_metastore(get_metastore())  # snapshot current
+    try:
+        conf = use_s3_storage("/boot_root", cfg)
+        assert conf["spark.hadoop.fs.s3a.endpoint"] == mini.endpoint_url
+        ms = get_metastore()
+        assert isinstance(ms, S3Metastore)
+        ms.put_json("/boot_root/x.json", {"ok": 1})
+        assert ms.get_json("/boot_root/x.json") == {"ok": 1}
+        ms.delete_prefix("/boot_root")
+    finally:
+        set_metastore(prev)
+
+
 # -- data plane plumbing ---------------------------------------------------
 
 
