@@ -47,6 +47,7 @@ CURRENT_VERSIONS: dict[str, int] = {
     "stats": 2,
     "tenant": 2,
     "stream_schema": 2,  # SchemaRegistry stream.json (schema_migration.rs)
+    "hottier": 2,  # <stream>/hottier.json (hottier.rs StreamHotTier)
 }
 
 # legacy list-shaped artifacts get enveloped under this key at v2

@@ -200,6 +200,20 @@ class ParseableAPI:
             stored_ret = load_versioned("retention", os.path.join(sdir, "retention.json"))
             if stored_ret is not None:
                 self._retention[name] = stored_ret["tasks"]
+            stored_ht = load_versioned("hottier", os.path.join(sdir, "hottier.json"))
+            if stored_ht is not None:
+                # reattach the persisted hot tier and re-sync (reference
+                # boot: hottier_runtime + spawn_stream_task for every
+                # hot-tier stream, hottier.rs:374-554); cached files
+                # still on disk are re-indexed by HotTier.__post_init__
+                from .storage.hottier import HotTier
+
+                store = self._stores[name]
+                store.hot_tier = HotTier(
+                    cache_dir=os.path.join(sdir, "hottier"),
+                    size_limit=int(stored_ht["size"]),
+                )
+                store.hot_tier.backfill(store.manifest, store.time_col)
 
     SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
 
@@ -2204,35 +2218,67 @@ class ParseableAPI:
         except (ValueError, KeyError) as e:
             raise ApiError(400, f"unparseable hot-tier size {v!r}") from e
 
-    def put_hot_tier(self, name: str, body: dict[str, Any]) -> None:
+    def put_hot_tier(self, name: str, body: dict[str, Any]) -> dict[str, Any]:
+        """Set/resize a stream's hot tier (logstream.rs:421-492):
+        internal streams rejected, size validated against current
+        usage AND the disk-capacity threshold, config persisted
+        (hottier.json through the metastore seam, so it survives
+        restart), then committed history is synced in newest-first —
+        the reference's spawn_stream_task, run inline here."""
         import os
 
-        from .storage.hottier import HotTier
+        from .migration import save_versioned
+        from .storage.hottier import HotTier, HotTierError, validate_disk_capacity
 
         store = self._store_or_404(name)
+        if name.startswith("pstats"):
+            # reference: StreamType::Internal → 400 (logstream.rs:444-449)
+            raise ApiError(400, "Hot tier can not be updated for internal stream")
         if "size" not in (body or {}):
             raise ApiError(400, "hot-tier body needs a size")
         size = self._parse_size(body["size"])
         with self._lock:
-            if store.hot_tier is None:
+            try:
+                existing = store.hot_tier
+                if existing is not None:
+                    existing.validate_resize(size)
+                others = sum(
+                    s.hot_tier.size_limit
+                    for n, s in self._stores.items()
+                    if n != name and getattr(s, "hot_tier", None) is not None
+                )
+                validate_disk_capacity(
+                    store.stream_dir,
+                    size - (existing.size_limit if existing else 0),
+                    other_hot_tier_bytes=others,
+                )
+            except HotTierError as e:
+                raise ApiError(400, str(e)) from e
+            if existing is None:
                 store.hot_tier = HotTier(
                     cache_dir=os.path.join(store.stream_dir, "hottier"),
                     size_limit=size,
                 )
             else:
-                store.hot_tier.size_limit = size
+                existing.size_limit = size
+            store.hot_tier.backfill(store.manifest, store.time_col)
+            meta = store.hot_tier.meta()
+            save_versioned(
+                "hottier", os.path.join(store.stream_dir, "hottier.json"), meta
+            )
+        return meta
 
     def get_hot_tier(self, name: str) -> dict[str, Any]:
         store = self._store_or_404(name)
         if store.hot_tier is None:
             raise ApiError(404, f"hot tier not enabled for stream {name}")
-        return {
-            "size": store.hot_tier.size_limit,
-            "usedSize": store.hot_tier.used_bytes(),
-        }
+        return store.hot_tier.meta()
 
     def delete_hot_tier(self, name: str) -> None:
+        import os
         import shutil
+
+        from .metastore import get_metastore
 
         store = self._store_or_404(name)
         if store.hot_tier is None:
@@ -2240,6 +2286,9 @@ class ParseableAPI:
         with self._lock:
             shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
             store.hot_tier = None
+            get_metastore().delete_prefix(
+                os.path.join(store.stream_dir, "hottier.json")
+            )
 
     # -- users + RBAC (rbac.rs, role.rs:195-330) -----------------------------
     @staticmethod

@@ -18,8 +18,19 @@ assumption that queries skew recent.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
+
+# reference StreamHotTier version stamp (hottier.rs:236)
+CURRENT_HOT_TIER_VERSION = "v2"
+
+# reference P_MAX_DISK_USAGE_PERCENT default (cli.rs:410-421)
+DEFAULT_MAX_DISK_USAGE_PERCENT = 80.0
+
+
+class HotTierError(ValueError):
+    """Rejected hot-tier configuration (maps to HTTP 400)."""
 
 
 @dataclass
@@ -95,3 +106,107 @@ class HotTier:
         branch split of stream_schema_provider.rs:232-289; misses stay
         remote — correctness never depends on the cache)."""
         return [self.lookup(p) or p for p in remote_paths]
+
+    # --- reference StreamHotTier surface (hottier.rs:240-250, 674-717) ---
+    def available_bytes(self) -> int:
+        return max(self.size_limit - self.used_bytes(), 0)
+
+    def oldest_entry(self) -> str | None:
+        """Timestamp string of the oldest cached time bucket, from the
+        mirrored date=/hour=/minute= layout (the reference's
+        get_oldest_date_time_entry, hottier.rs:1469-1517, which walks
+        its date-sorted local dirs the same way)."""
+        if not self._sizes:
+            return None
+        p = min(self._sizes)  # lexicographic == chronological (layout)
+        m = re.search(
+            r"date=(\d{4}-\d{2}-\d{2})(?:/hour=(\d{2}))?(?:/minute=(\d{2}))?", p
+        )
+        if not m:
+            return None
+        return (
+            f"{m.group(1)}T{m.group(2) or '00'}:{m.group(3) or '00'}:00.000Z"
+        )
+
+    def meta(self) -> dict:
+        """The reference's StreamHotTier response shape — what
+        GET /logstream/{stream}/hottier returns (hottier.rs:674-717
+        recomputes used/available/oldest from the runtime state on
+        every read, exactly as here)."""
+        used = self.used_bytes()
+        return {
+            "version": CURRENT_HOT_TIER_VERSION,
+            "size": self.size_limit,
+            "used_size": used,
+            "available_size": max(self.size_limit - used, 0),
+            "oldest_date_time_entry": self.oldest_entry(),
+        }
+
+    def validate_resize(self, new_size: int) -> None:
+        """Reject shrinking below current usage (hottier.rs:606-664
+        validate_hot_tier_size: 'the existing used size is larger than
+        the requested size')."""
+        used = self.used_bytes()
+        if new_size < used:
+            raise HotTierError(
+                f"hot tier size {new_size} is below the {used} bytes "
+                "already in use; evict by deleting the hot tier first"
+            )
+
+    def backfill(self, manifest, time_col: str) -> int:
+        """Manifest-driven sync: pull committed history into the tier
+        NEWEST-first until the quota is reached (the reference's
+        per-stream sync task — fetch_hot_tier_dates walks dates in
+        reverse order and downloads manifest-listed files until
+        available_size runs out, hottier.rs:797-1010, 1351-1418).
+
+        Unlike ``add`` (the flush-time fill, where fresh data evicts
+        the oldest buckets), backfill never evicts: candidates are
+        visited newest-first, so anything already cached is at least
+        as hot as the candidate — when a file no longer fits, the sync
+        is done. Returns the number of files pulled."""
+        files = sorted(
+            manifest.files,
+            key=lambda f: (f.time_bounds(time_col) or ("", ""))[1],
+            reverse=True,
+        )
+        added = 0
+        for f in files:
+            if self.lookup(f.file_path) is not None:
+                continue
+            if not os.path.exists(f.file_path):
+                continue  # remote-only file in a hybrid layout: skip
+            if f.file_size > self.available_bytes():
+                break
+            if self.add(f.file_path) is not None:
+                added += 1
+        return added
+
+
+def validate_disk_capacity(
+    cache_root: str,
+    additional_bytes: int,
+    other_hot_tier_bytes: int = 0,
+    max_disk_usage_percent: float | None = None,
+) -> None:
+    """The reference's disk-capacity gate (hottier.rs:606-664 +
+    is_disk_available :1435-1467): the requested quota, on top of
+    current disk usage and every OTHER stream's hot-tier allocation,
+    must stay under P_MAX_DISK_USAGE_PERCENT of the volume (default
+    80%, cli.rs:410-421)."""
+    if max_disk_usage_percent is None:
+        max_disk_usage_percent = float(
+            os.environ.get(
+                "P_MAX_DISK_USAGE_PERCENT", DEFAULT_MAX_DISK_USAGE_PERCENT
+            )
+        )
+    os.makedirs(cache_root, exist_ok=True)
+    du = shutil.disk_usage(cache_root)
+    threshold = du.total * max_disk_usage_percent / 100.0
+    projected = (du.total - du.free) + additional_bytes + other_hot_tier_bytes
+    if projected > threshold:
+        raise HotTierError(
+            f"hot tier size would push disk usage to {projected} bytes, "
+            f"over the {max_disk_usage_percent:.1f}% threshold "
+            f"({int(threshold)} of {du.total} bytes)"
+        )

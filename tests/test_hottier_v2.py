@@ -1,0 +1,153 @@
+"""Hot-tier manager parity (reference src/hottier.rs): persisted
+per-stream config, manifest-driven newest-first backfill, size/disk
+validation, StreamHotTier v2 metadata."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from parseable_spark.ingest.events import StreamConfig
+from parseable_spark.server import ApiError, ParseableAPI
+from parseable_spark.storage.hottier import (
+    HotTier,
+    HotTierError,
+    validate_disk_capacity,
+)
+from parseable_spark.storage.store import StreamStore
+
+
+def _store_with_minutes(spark, root, minutes=(1, 2, 3)):
+    """One committed parquet file per minute bucket (distinct
+    p_timestamps → distinct minute= partition dirs)."""
+    store = StreamStore(spark, str(root), StreamConfig(name="s1"))
+    for m in minutes:
+        store.ingest(
+            [{"msg": f"m{m}", "v": m}],
+            p_timestamp=datetime(2024, 1, 15, 10, m, tzinfo=timezone.utc),
+        )
+    store.flush()
+    return store
+
+
+class TestBackfill:
+    def test_newest_first_until_quota(self, spark, tmp_path):
+        """Reference sync walks dates newest-first and stops when
+        available_size runs out (hottier.rs:797-1010) — with room for
+        one file, only the NEWEST minute is cached."""
+        store = _store_with_minutes(spark, tmp_path)
+        files = sorted(
+            store.manifest.files,
+            key=lambda f: f.time_bounds(store.time_col)[1],
+        )
+        assert len(files) == 3
+        newest = files[-1]
+        ht = HotTier(
+            cache_dir=str(tmp_path / "ht"), size_limit=newest.file_size + 1
+        )
+        added = ht.backfill(store.manifest, store.time_col)
+        assert added == 1
+        assert ht.lookup(newest.file_path) is not None
+        for older in files[:-1]:
+            assert ht.lookup(older.file_path) is None
+        # oldest cached bucket == the newest minute
+        assert ht.oldest_entry() == "2024-01-15T10:03:00.000Z"
+
+    def test_backfill_is_idempotent_and_fills_all(self, spark, tmp_path):
+        store = _store_with_minutes(spark, tmp_path)
+        ht = HotTier(cache_dir=str(tmp_path / "ht"), size_limit=1 << 30)
+        assert ht.backfill(store.manifest, store.time_col) == 3
+        assert ht.backfill(store.manifest, store.time_col) == 0  # cached
+        meta = ht.meta()
+        assert meta["version"] == "v2"
+        assert meta["used_size"] == sum(f.file_size for f in store.manifest.files)
+        assert meta["available_size"] == (1 << 30) - meta["used_size"]
+        assert meta["oldest_date_time_entry"] == "2024-01-15T10:01:00.000Z"
+
+
+class TestValidation:
+    def test_resize_below_used_rejected(self, spark, tmp_path):
+        store = _store_with_minutes(spark, tmp_path)
+        ht = HotTier(cache_dir=str(tmp_path / "ht"), size_limit=1 << 30)
+        ht.backfill(store.manifest, store.time_col)
+        used = ht.used_bytes()
+        assert used > 0
+        with pytest.raises(HotTierError):
+            ht.validate_resize(used - 1)
+        ht.validate_resize(used)  # exactly-used is allowed
+
+    def test_disk_capacity_threshold(self, tmp_path):
+        # a ~0% ceiling is always already exceeded by the volume itself
+        with pytest.raises(HotTierError):
+            validate_disk_capacity(
+                str(tmp_path), 1 << 20, max_disk_usage_percent=0.000001
+            )
+        # a 100% ceiling admits a tiny tier
+        validate_disk_capacity(str(tmp_path), 1, max_disk_usage_percent=100.0)
+
+
+class TestApiSurface:
+    def test_put_backfills_persists_and_survives_restart(self, spark, tmp_path):
+        api = ParseableAPI(spark, str(tmp_path))
+        store = api.get_or_create_stream("applogs")
+        for m in (1, 2):
+            store.ingest(
+                [{"msg": f"m{m}"}],
+                p_timestamp=datetime(2024, 1, 15, 10, m, tzinfo=timezone.utc),
+            )
+        store.flush()
+
+        meta = api.put_hot_tier("applogs", {"size": 10_000_000})
+        # committed history was synced immediately (spawn_stream_task)
+        assert meta["used_size"] == sum(f.file_size for f in store.manifest.files)
+        assert meta["oldest_date_time_entry"] == "2024-01-15T10:01:00.000Z"
+        assert (tmp_path / "applogs" / "hottier.json").exists()
+
+        # restart on the same root: config reloads, cache re-attaches
+        api2 = ParseableAPI(spark, str(tmp_path))
+        got = api2.get_hot_tier("applogs")
+        assert got["size"] == 10_000_000
+        assert got["used_size"] == meta["used_size"]
+        # scans resolve to the local tier copies
+        st2 = api2._stores["applogs"]
+        local = st2.hot_tier.resolve([f.file_path for f in st2.manifest.files])
+        assert all(p.startswith(st2.hot_tier.cache_dir) for p in local)
+
+        # delete removes the persisted config too
+        api2.delete_hot_tier("applogs")
+        assert not (tmp_path / "applogs" / "hottier.json").exists()
+        api3 = ParseableAPI(spark, str(tmp_path))
+        with pytest.raises(ApiError) as ei:
+            api3.get_hot_tier("applogs")
+        assert ei.value.status == 404
+
+    def test_shrink_below_used_is_400(self, spark, tmp_path):
+        api = ParseableAPI(spark, str(tmp_path))
+        store = api.get_or_create_stream("applogs")
+        store.ingest([{"msg": "x"}])
+        store.flush()
+        api.put_hot_tier("applogs", {"size": 10_000_000})
+        used = store.hot_tier.used_bytes()
+        assert used > 0
+        with pytest.raises(ApiError) as ei:
+            api.put_hot_tier("applogs", {"size": used - 1})
+        assert ei.value.status == 400
+        assert store.hot_tier.size_limit == 10_000_000  # unchanged
+
+    def test_internal_stream_rejected(self, spark, tmp_path):
+        api = ParseableAPI(spark, str(tmp_path))
+        api.get_or_create_stream("pstats_x")
+        with pytest.raises(ApiError) as ei:
+            api.put_hot_tier("pstats_x", {"size": 1 << 20})
+        assert ei.value.status == 400
+        assert "internal" in str(ei.value).lower()
+
+    def test_disk_threshold_is_400(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setenv("P_MAX_DISK_USAGE_PERCENT", "0.000001")
+        api = ParseableAPI(spark, str(tmp_path))
+        api.get_or_create_stream("applogs")
+        with pytest.raises(ApiError) as ei:
+            api.put_hot_tier("applogs", {"size": 1 << 30})
+        assert ei.value.status == 400
+        assert "threshold" in str(ei.value)

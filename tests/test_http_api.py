@@ -438,7 +438,14 @@ def test_hot_tier_endpoints(spark, tmp_path):
 
         _req("PUT", base + "/api/v1/logstream/hotlogs/hottier", {"size": "1 GiB"})
         _, got = _req("GET", base + "/api/v1/logstream/hotlogs/hottier")
-        assert got == {"size": 1024**3, "usedSize": 0}
+        # reference StreamHotTier v2 shape (hottier.rs:236-250)
+        assert got == {
+            "version": "v2",
+            "size": 1024**3,
+            "used_size": 0,
+            "available_size": 1024**3,
+            "oldest_date_time_entry": None,
+        }
 
         # resize with raw bytes
         _req("PUT", base + "/api/v1/logstream/hotlogs/hottier", {"size": 4096})
