@@ -55,7 +55,11 @@ def build_data(out_dir: str, n: int) -> None:
         shutil.rmtree(out)
     out.mkdir(parents=True)
     spark = get_spark("memory-probe-build")
-    for t, keys in (("documents", ["doc_id"]), ("events", ["event_id", "user_id"])):
+    for t, keys in (
+        ("documents", ["doc_id"]),
+        ("events", ["event_id", "user_id"]),
+        ("embeddings", ["vec_id"]),
+    ):
         df = load_table(spark, SF_DIR, t)
         offsets = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
         span = None
@@ -87,6 +91,10 @@ PROBE_QUERIES = (
     "q25_dedup_minhash_verified",
     "q47_window_frames",
     "strip_duplicate_spans",  # r4: token-explode × per-doc windows
+    # r5 (VERDICT r4 next-3): the COMPOSED pipeline with every r4 stage
+    # enabled — shared scans and co-resident stage state the per-op
+    # probes never exercise together
+    "curate_corpus_full",
 )
 
 
@@ -115,13 +123,49 @@ def child(data_dir: str, mem: str, query: str) -> None:
     from parseable_spark.tables import load_table
 
     if query == "strip_duplicate_spans":
-        df = strip_duplicate_spans(
-            load_table(spark, data_dir, "documents"), min_tokens=8
+        dfs = [
+            strip_duplicate_spans(
+                load_table(spark, data_dir, "documents"), min_tokens=8
+            )
+        ]
+    elif query == "curate_corpus_full":
+        # every optional stage ON: history-bloom gate (built over a 1/8
+        # "previously ingested" slice), CCNet perplexity scoring under a
+        # target-corpus LM, LSH near-dup + Jaccard verify, repeated-span
+        # strip, PII redaction, semantic dedup over the replicated
+        # embeddings (identical-vector mega-clusters — the giant-cluster
+        # guard's worst case), and temperature-mixture by source domain
+        from parseable_spark.llm import bloom as B
+        from parseable_spark.llm import lm as L
+        from parseable_spark.llm.pipeline import curate_corpus
+
+        docs = load_table(spark, data_dir, "documents")
+        emb = load_table(spark, data_dir, "embeddings")
+        geo = {"num_shards": 16, "bits_per_shard": 1 << 20, "num_hashes": 7}
+        history = B.bloom_build(
+            docs.filter("doc_id % 8 = 0"), "text", **geo
+        ).localCheckpoint()
+        lm_counts = L.ngram_counts(
+            docs.filter("doc_id % 16 = 1"), order=2, min_count=2
+        ).localCheckpoint()
+        res = curate_corpus(
+            docs,
+            embeddings=emb,
+            domain_col="source",
+            history_bloom=history,
+            bloom_geometry=geo,
+            lm_counts=lm_counts,
+            max_pseudo_ppl=1e9,  # filter RUNS (scores everything), keeps all
+            strip_spans_min_tokens=10,
+            mixture_temperature=0.7,
+            compute_summary=False,
         )
+        dfs = [res.kept, res.decisions]
     else:
-        df = entry.queries()[query](spark, data_dir)
+        dfs = [entry.queries()[query](spark, data_dir)]
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    for df in dfs:
+        df.write.format("noop").mode("overwrite").save()
     results = {query: {"wall_s": round(time.perf_counter() - t0, 2)}}
 
     # spill/shuffle accounting from the UI REST API (the same numbers
