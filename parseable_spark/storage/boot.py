@@ -1,0 +1,72 @@
+"""Storage-mode boot dispatch — the reference's CLI storage
+subcommands (src/cli.rs:76-89: ``local-store`` / ``s3-store`` /
+``blob-store`` / ``gcs-store``) mapped onto the metastore seam +
+data-plane conf helpers.
+
+``boot_storage(mode, root)`` wires the chosen backend's metastore and
+returns the ``spark.hadoop.*`` conf a deployment applies for the
+parquet data plane (empty for local-store). GCS rides the S3 module:
+Cloud Storage's XML API accepts AWS Signature V4 with HMAC service
+keys (the documented interoperability mode), which is also how the
+reference points object_store's S3 dialect at
+``https://storage.googleapis.com`` when given a custom endpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def gcs_config_from_env(env: dict[str, str] | None = None):
+    """``gcs-store`` configuration (reference src/storage/gcs.rs:79-108:
+    P_GCS_URL defaulting to the public endpoint + P_GCS_BUCKET), with
+    HMAC interop keys (P_GCS_HMAC_KEY / P_GCS_HMAC_SECRET) standing in
+    for the service-account flow the container cannot run."""
+    from .objectstore import S3Config
+
+    e = os.environ if env is None else env
+    if not e.get("P_GCS_BUCKET"):
+        raise ValueError("gcs-store mode requires env: P_GCS_BUCKET")
+    ak, sk = e.get("P_GCS_HMAC_KEY", ""), e.get("P_GCS_HMAC_SECRET", "")
+    if bool(ak) != bool(sk):
+        raise ValueError(
+            "P_GCS_HMAC_KEY and P_GCS_HMAC_SECRET must be set together"
+        )
+    return S3Config(
+        endpoint_url=e.get("P_GCS_URL", "https://storage.googleapis.com"),
+        bucket=e["P_GCS_BUCKET"],
+        region="auto",
+        access_key=ak,
+        secret_key=sk,
+        use_path_style=True,
+    )
+
+
+def boot_storage(mode: str, root: str) -> dict[str, str]:
+    """Install the metastore for a reference storage mode; returns the
+    Spark data-plane conf to apply (may be empty). Unknown modes fail
+    loud with the valid set, like clap would."""
+    if mode == "local-store":
+        from ..metastore import FilesystemMetastore, set_metastore
+
+        set_metastore(FilesystemMetastore())
+        return {}
+    if mode == "s3-store":
+        from .objectstore import use_s3_storage
+
+        return use_s3_storage(root)
+    if mode == "blob-store":
+        from .azureblob import use_azure_storage
+
+        return use_azure_storage(root)
+    if mode == "gcs-store":
+        from ..metastore import set_metastore
+        from .objectstore import S3Client, S3Metastore, s3a_spark_conf
+
+        cfg = gcs_config_from_env()
+        set_metastore(S3Metastore(S3Client(cfg), root))
+        return s3a_spark_conf(cfg)
+    raise ValueError(
+        f"unknown storage mode {mode!r}; expected one of "
+        "local-store, s3-store, blob-store, gcs-store"
+    )

@@ -30,9 +30,10 @@ the part that remains OURS:
   (docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html)
   and ``MiniS3Server`` is an in-process server that VERIFIES each
   request's signature by recomputation before acting — so the e2e
-  tests prove the bytes on the wire, not a mock. Azure/GCS: GCS
-  interop mode speaks this same protocol (different endpoint); Azure
-  Blob needs its own signer and stays out of scope, documented here.
+  tests prove the bytes on the wire, not a mock. GCS interop mode
+  speaks this same protocol against its public endpoint (wired by
+  storage/boot.py ``gcs-store``); Azure Blob has its own Shared Key
+  signer in storage/azureblob.py.
 
 Scope notes (loud, deliberate): single-object PUT only (metadata JSON
 is small; parquet uploads are s3a's job, so client-side multipart is
