@@ -238,24 +238,61 @@ class StreamStore:
         return self.manifest.total_rows() + sum(len(b.records) for b in self._staging)
 
     # --- compaction -------------------------------------------------------
-    def compact(self, min_files: int = 2) -> int:
-        """Rewrite partition dirs holding ≥ min_files small parquet files
-        into one sorted file each (the reference's compaction collapses
+    def compact(
+        self,
+        min_files: int = 2,
+        level: str = "minute",
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Rewrite groups of ≥ min_files small parquet files into
+        target-sized sorted files (the reference's compaction collapses
         per-minute staging files the same way, streams.rs:922-1107; at
         cluster scale this is the OPTIMIZE job that keeps file counts —
         and thus planning time and task counts — bounded as minutes
         accumulate). Manifest entries for rewritten files are replaced.
-        Returns number of partitions compacted."""
+        Returns number of groups compacted.
+
+        ``level`` widens the rollup bucket: "minute" (default) merges
+        within one partition dir; "hour"/"day" merge across minute
+        (and hour) dirs — per-minute compaction alone still leaves
+        1,440 files/stream/day forever, so a periodic hour- or
+        day-level pass is what actually bounds file counts at 100 TB.
+        Scans never read partition values from paths (the registry
+        schema is pinned and the time column lives in the data), so a
+        rolled-up file under date=/hour=/ prunes and reads exactly
+        like its minute-level sources; custom partition segments are
+        preserved in the group key so rollup never merges across
+        them. Groups whose combined size reaches ``target_file_bytes``
+        split into ceil(total/target) output files."""
+        import math
         from collections import defaultdict
+
+        drop = {
+            "minute": (),
+            "hour": ("minute=",),
+            "day": ("minute=", "hour="),
+        }[level]
+
+        def group_dir(path: str) -> str:
+            head, tail = os.path.split(os.path.dirname(path))
+            kept = []
+            while tail:
+                if not any(tail.startswith(p) for p in drop):
+                    kept.append(tail)
+                head, tail = os.path.split(head)
+            return os.path.join(head, *reversed(kept))
 
         by_dir: dict[str, list] = defaultdict(list)
         for f in self.manifest.files:
-            by_dir[os.path.dirname(f.file_path)].append(f)
+            by_dir[group_dir(f.file_path)].append(f)
         compacted = 0
         for d, files in by_dir.items():
             if len(files) < min_files:
                 continue
             paths = [f.file_path for f in files]
+            n_out = max(1, math.ceil(sum(f.file_size for f in files) / target_file_bytes))
+            if n_out >= len(files):
+                continue  # already at target size; rewriting gains nothing
             # registry schema, not first-file inference: files written
             # before a schema-evolution step lack the newer columns, and
             # an inferred read would DROP those columns from the rewrite
@@ -279,7 +316,7 @@ class StreamStore:
             else:
                 sort_key = F.desc(self.time_col)
             (
-                df.coalesce(1)
+                df.coalesce(n_out)
                 .sortWithinPartitions(sort_key)
                 .write.mode("overwrite")
                 .option("compression", "zstd")
@@ -288,8 +325,20 @@ class StreamStore:
             new_files = glob(os.path.join(tmp, "*.parquet"))
             for p in paths:
                 os.remove(p)
+                # local-FS checksum sibling (.name.crc) would keep the
+                # dir alive and re-fail reads of a recreated name
+                crc = os.path.join(
+                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
                 if self.hot_tier is not None:
                     self.hot_tier.invalidate(p)
+                # drop minute/hour dirs a rollup emptied
+                parent = os.path.dirname(p)
+                while parent != d and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
             moved = []
             for i, p in enumerate(new_files):
                 dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")

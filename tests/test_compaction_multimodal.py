@@ -46,6 +46,71 @@ class TestCompaction:
         store.flush()
         assert store.compact() == 0
 
+    def test_hour_level_rollup(self, spark, tmp_path):
+        """Per-minute compaction still leaves one file per minute;
+        level='hour' merges across the minute dirs of one hour (the
+        pass that bounds file counts at scale), removes the emptied
+        minute dirs, and leaves scans/pruning identical."""
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        base = datetime(2026, 8, 1, 10, 0)
+        for m in (1, 2, 3):
+            store.ingest(
+                [{"status": f"m{m}", "n": float(m)}],
+                p_timestamp=base.replace(minute=m),
+            )
+        # and one file in a DIFFERENT hour, which must not merge in
+        store.ingest([{"status": "h11"}], p_timestamp=base.replace(hour=11))
+        store.flush()
+        assert len(store.manifest.files) == 4
+        before_rows = store.count_fast_path()
+
+        assert store.compact(level="minute") == 0  # one file per minute
+        assert store.compact(level="hour") == 1  # merges the 3, not h11
+        assert len(store.manifest.files) == 2
+        rolled = [f for f in store.manifest.files if "hour=10" in f.file_path]
+        assert len(rolled) == 1
+        assert "minute=" not in rolled[0].file_path
+        import os
+
+        hour_dir = os.path.dirname(rolled[0].file_path)
+        assert not [d for d in os.listdir(hour_dir) if d.startswith("minute=")]
+        assert store.count_fast_path() == before_rows
+        # scan + time pruning still correct (stats carry the time col)
+        df = store.scan(
+            start=base, end=base.replace(minute=59), now=base + timedelta(days=1)
+        )
+        assert {r["status"] for r in df.collect()} == {"m1", "m2", "m3"}
+        pruned = store.manifest.prune_paths(
+            store.time_col,
+            base.replace(hour=11).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            base.replace(hour=12).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+        )
+        assert pruned == [f.file_path for f in store.manifest.files
+                          if "hour=11" in f.file_path]
+
+    def test_rollup_respects_target_size(self, spark, tmp_path):
+        """Groups already at target size are not rewritten — a rollup
+        pass over mostly-compacted history must not re-churn it."""
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        base = datetime(2026, 8, 1, 10, 0)
+        for m in (1, 2):
+            store.ingest(
+                [{"status": f"m{m}"}], p_timestamp=base.replace(minute=m)
+            )
+        store.flush()
+        assert len(store.manifest.files) == 2
+        # tiny target: ceil(total/1) ≥ 2 output files → rewriting gains
+        # nothing, group skipped
+        assert store.compact(level="hour", target_file_bytes=1) == 0
+        assert len(store.manifest.files) == 2
+        # real target: merged to one hour-level file
+        assert store.compact(level="hour") == 1
+        assert len(store.manifest.files) == 1
+        df = store.scan(
+            start=base, end=base + timedelta(hours=1), now=base + timedelta(days=1)
+        )
+        assert {r["status"] for r in df.collect()} == {"m1", "m2"}
+
 
 class TestMultimodal:
     def test_resize_clamps_and_preserves_aspect(self, spark):
