@@ -353,8 +353,21 @@ def test_concurrent_cross_tenant_queries_stay_isolated(mt, tenants_ready):
 
     api, mgr, base, root = mt
     creds = tenants_ready
-    expected = {"acme": ("info", 4), "globex": ("warn", 7)}
     sql = "SELECT level, COUNT(*) AS c FROM applogs GROUP BY level"
+    # snapshot each tenant's current truth sequentially first (earlier
+    # tests in this module legitimately ingest more rows); the
+    # concurrency phase then asserts every response equals ITS
+    # tenant's snapshot — no ingest happens while threads run
+    expected = {}
+    for tid in ("acme", "globex"):
+        st, rows = _req(
+            "POST", f"{base}/api/v1/query", {"query": sql, **_range()},
+            {**_basic(*creds[tid]), "x-p-tenant": tid},
+        )
+        assert st == 200 and len(rows) == 1, (tid, rows)
+        expected[tid] = (rows[0]["level"], rows[0]["c"])
+    assert expected["acme"][0] == "info" and expected["globex"][0] == "warn"
+    assert expected["acme"][1] != expected["globex"][1]  # distinguishable
     errors: list[str] = []
 
     def worker(tid: str, n: int) -> None:
