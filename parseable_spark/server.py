@@ -2204,6 +2204,27 @@ class ParseableAPI:
                 for n, tasks in configs.items()
             }
 
+    def run_compaction(
+        self,
+        level: str = "hour",
+        min_files: int = 2,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, int]:
+        """OPTIMIZE pass over every stream (beyond-reference: the
+        reference's per-minute files stay as written; at 100 TB the
+        file count is what bloats planning and task counts, so a
+        periodic rollup is the missing maintenance op). Schedule
+        alongside run_retention; per-stream compacted-group counts."""
+        with self._lock:
+            stores = dict(self._stores)
+        return {
+            n: s.compact(
+                min_files=min_files, level=level,
+                target_file_bytes=target_file_bytes,
+            )
+            for n, s in stores.items()
+        }
+
     # -- hot tier (logstream.rs:421-560) -------------------------------------
     @staticmethod
     def _parse_size(v: Any) -> int:

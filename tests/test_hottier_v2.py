@@ -151,3 +151,32 @@ class TestApiSurface:
             api.put_hot_tier("applogs", {"size": 1 << 30})
         assert ei.value.status == 400
         assert "threshold" in str(ei.value)
+
+
+def test_run_compaction_all_streams(spark, tmp_path):
+    """API-level OPTIMIZE pass: hour-level rollup across every stream,
+    counts reported per stream; query results unchanged."""
+    from datetime import timedelta
+
+    api = ParseableAPI(spark, str(tmp_path))
+    for name in ("a", "b"):
+        st = api.get_or_create_stream(name)
+        for m in (1, 2):
+            st.ingest(
+                [{"msg": f"{name}{m}"}],
+                p_timestamp=datetime(2024, 1, 15, 10, m, tzinfo=timezone.utc),
+            )
+        st.flush()
+    out = api.run_compaction(level="hour")
+    assert out == {"a": 1, "b": 1}
+    for name in ("a", "b"):
+        st = api._stores[name]
+        assert len(st.manifest.files) == 1
+        df = st.scan(
+            start=datetime(2024, 1, 15),
+            end=datetime(2024, 1, 16),
+            now=datetime(2024, 1, 16),
+        )
+        assert df.count() == 2
+    # idempotent second pass
+    assert api.run_compaction(level="hour") == {"a": 0, "b": 0}
