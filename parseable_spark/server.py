@@ -205,7 +205,15 @@ class ParseableAPI:
                 # reattach the persisted hot tier and re-sync (reference
                 # boot: hottier_runtime + spawn_stream_task for every
                 # hot-tier stream, hottier.rs:374-554); cached files
-                # still on disk are re-indexed by HotTier.__post_init__
+                # still on disk are re-indexed by HotTier.__post_init__.
+                # The sync itself runs on a background thread like the
+                # reference's spawned task — a cold cache with a large
+                # quota must not block server construction on bulk
+                # copies (review finding); scans fall back to remote
+                # paths until files land.
+                import threading
+                from types import SimpleNamespace
+
                 from .storage.hottier import HotTier
 
                 store = self._stores[name]
@@ -213,7 +221,15 @@ class ParseableAPI:
                     cache_dir=os.path.join(sdir, "hottier"),
                     size_limit=int(stored_ht["size"]),
                 )
-                store.hot_tier.backfill(store.manifest, store.time_col)
+                snap = SimpleNamespace(files=list(store.manifest.files))
+                t = threading.Thread(
+                    target=store.hot_tier.backfill,
+                    args=(snap, store.time_col),
+                    daemon=True,
+                    name=f"hottier-sync-{name}",
+                )
+                store._hottier_sync = t  # joinable (tests/ops drain)
+                t.start()
 
     SESSION_EXPIRY_SECONDS = 3600  # reference EXPIRY_DURATION (1 h)
 
@@ -2214,16 +2230,27 @@ class ParseableAPI:
         reference's per-minute files stay as written; at 100 TB the
         file count is what bloats planning and task counts, so a
         periodic rollup is the missing maintenance op). Schedule
-        alongside run_retention; per-stream compacted-group counts."""
+        alongside run_retention; per-stream compacted-group counts.
+
+        Each stream compacts UNDER the API lock (compact rewrites the
+        manifest + data files, and every ingest/flush/query mutation
+        path runs under this lock — a concurrent flush would otherwise
+        glob the live .compact.tmp output as new manifest entries;
+        review finding). The lock is released between streams so
+        requests interleave."""
         with self._lock:
-            stores = dict(self._stores)
-        return {
-            n: s.compact(
-                min_files=min_files, level=level,
-                target_file_bytes=target_file_bytes,
-            )
-            for n, s in stores.items()
-        }
+            names = list(self._stores)
+        out: dict[str, int] = {}
+        for n in names:
+            with self._lock:
+                s = self._stores.get(n)
+                if s is None:
+                    continue  # deleted since listing
+                out[n] = s.compact(
+                    min_files=min_files, level=level,
+                    target_file_bytes=target_file_bytes,
+                )
+        return out
 
     # -- hot tier (logstream.rs:421-560) -------------------------------------
     @staticmethod
@@ -2282,8 +2309,16 @@ class ParseableAPI:
                 )
             else:
                 existing.size_limit = size
-            store.hot_tier.backfill(store.manifest, store.time_col)
-            meta = store.hot_tier.meta()
+            ht = store.hot_tier
+            files = list(store.manifest.files)
+        # the history sync copies real bytes — run it OUTSIDE the global
+        # API lock so other streams'/tenants' requests keep flowing
+        # (review finding; the reference spawns it as a task)
+        from types import SimpleNamespace
+
+        ht.backfill(SimpleNamespace(files=files), store.time_col)
+        with self._lock:
+            meta = ht.meta()
             save_versioned(
                 "hottier", os.path.join(store.stream_dir, "hottier.json"), meta
             )

@@ -165,10 +165,13 @@ class AzureBlobClient:
         url = self._base + path
         if params:
             url += "?" + urllib.parse.urlencode(params)
+        from email.utils import formatdate
+
         headers = {
-            "x-ms-date": datetime.now(timezone.utc).strftime(
-                "%a, %d %b %Y %H:%M:%S GMT"
-            ),
+            # RFC 1123 via email.utils — strftime %a/%b are
+            # locale-dependent and a non-C LC_TIME would break auth
+            # against the real service (review finding)
+            "x-ms-date": formatdate(usegmt=True),
             "x-ms-version": API_VERSION,
             **{k.lower(): v for k, v in (extra_headers or {}).items()},
         }
@@ -242,10 +245,17 @@ class AzureBlobClient:
             self.delete_blob(k)
 
     def list_blobs(
-        self, prefix: str = "", delimiter: str = "", max_results: int = 1000
+        self,
+        prefix: str = "",
+        delimiter: str = "",
+        max_results: int = 1000,
+        paged: bool = True,
     ) -> tuple[list[str], list[str]]:
         """All (blob names, blob prefixes) under ``prefix``, paging
-        through NextMarker."""
+        through NextMarker. ``paged=False`` issues exactly ONE request
+        (first page only) — the existence-probe shape, where paging to
+        exhaustion would turn one question into N round trips (review
+        finding)."""
         names: list[str] = []
         prefixes: list[str] = []
         marker = ""
@@ -267,7 +277,7 @@ class AzureBlobClient:
             for p in doc.iter("BlobPrefix"):
                 prefixes.append(p.findtext("Name"))
             marker = doc.findtext("NextMarker") or ""
-            if not marker:
+            if not marker or not paged:
                 return names, prefixes
 
     def check(self) -> None:
@@ -316,7 +326,9 @@ class AzureMetastore(Metastore):
         key = self._key(path)
         if self.client.head_blob(key):
             return True
-        names, _ = self.client.list_blobs(prefix=key + "/", max_results=1)
+        names, _ = self.client.list_blobs(
+            prefix=key + "/", max_results=1, paged=False
+        )
         return bool(names)
 
     def list_dirs(self, path: str) -> list[str]:

@@ -28,9 +28,13 @@ def gcs_config_from_env(env: dict[str, str] | None = None):
     if not e.get("P_GCS_BUCKET"):
         raise ValueError("gcs-store mode requires env: P_GCS_BUCKET")
     ak, sk = e.get("P_GCS_HMAC_KEY", ""), e.get("P_GCS_HMAC_SECRET", "")
-    if bool(ak) != bool(sk):
+    if not (ak and sk):
+        # fail LOUD at boot: a credential-less signing client would
+        # boot fine and then 403 on the first metastore op (review
+        # finding) — this backend has no anonymous mode
         raise ValueError(
-            "P_GCS_HMAC_KEY and P_GCS_HMAC_SECRET must be set together"
+            "gcs-store mode requires env: P_GCS_HMAC_KEY and "
+            "P_GCS_HMAC_SECRET (HMAC interop keys)"
         )
     return S3Config(
         endpoint_url=e.get("P_GCS_URL", "https://storage.googleapis.com"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 from dataclasses import dataclass, field
 
 # reference StreamHotTier version stamp (hottier.rs:236)
@@ -38,6 +39,14 @@ class HotTier:
     cache_dir: str
     size_limit: int  # bytes
     _sizes: dict[str, int] = field(default_factory=dict)  # local -> bytes
+    # backfill may run on a background sync thread while flush-fill and
+    # scan-resolve run on request threads; one lock covers the
+    # size-accounting + evict decisions (a file is only registered in
+    # _sizes after its copy completes, so resolve can never return a
+    # half-copied file)
+    _mu: threading.RLock = field(
+        default_factory=threading.RLock, repr=False, compare=False
+    )
 
     def __post_init__(self) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -73,17 +82,18 @@ class HotTier:
     def add(self, remote_path: str) -> str | None:
         """Pull one parquet file into the hot tier; returns the local
         path, or None when the file exceeds the whole quota."""
-        local = self._local_path(remote_path)
-        if local in self._sizes:
+        with self._mu:
+            local = self._local_path(remote_path)
+            if local in self._sizes:
+                return local
+            size = os.path.getsize(remote_path)
+            if size > self.size_limit:
+                return None
+            self._evict_until(size)
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            shutil.copyfile(remote_path, local)
+            self._sizes[local] = size
             return local
-        size = os.path.getsize(remote_path)
-        if size > self.size_limit:
-            return None
-        self._evict_until(size)
-        os.makedirs(os.path.dirname(local), exist_ok=True)
-        shutil.copyfile(remote_path, local)
-        self._sizes[local] = size
-        return local
 
     def lookup(self, remote_path: str) -> str | None:
         local = self._local_path(remote_path)
@@ -94,12 +104,13 @@ class HotTier:
         compaction); without this, dead entries occupy quota forever
         and eviction chews through live recent buckets instead
         (review finding)."""
-        local = self._local_path(remote_path)
-        if self._sizes.pop(local, None) is not None:
-            try:
-                os.remove(local)
-            except OSError:
-                pass
+        with self._mu:
+            local = self._local_path(remote_path)
+            if self._sizes.pop(local, None) is not None:
+                try:
+                    os.remove(local)
+                except OSError:
+                    pass
 
     def resolve(self, remote_paths: list[str]) -> list[str]:
         """Swap each path for its hot-tier copy when cached (the scan

@@ -286,10 +286,15 @@ class S3Client:
                 raise S3Error(st, out.decode(errors="replace"))
 
     def list_objects(
-        self, prefix: str = "", delimiter: str = "", max_keys: int = 1000
+        self,
+        prefix: str = "",
+        delimiter: str = "",
+        max_keys: int = 1000,
+        paged: bool = True,
     ) -> tuple[list[str], list[str]]:
         """All (keys, common_prefixes) under ``prefix``, paging through
-        continuation tokens."""
+        continuation tokens. ``paged=False`` issues exactly one request
+        (existence-probe shape; review finding on the Azure twin)."""
         keys: list[str] = []
         prefixes: list[str] = []
         token: str | None = None
@@ -312,7 +317,7 @@ class S3Client:
             prefixes.extend(
                 p.findtext(f"{ns}Prefix") for p in doc.iter(f"{ns}CommonPrefixes")
             )
-            if doc.findtext(f"{ns}IsTruncated") != "true":
+            if doc.findtext(f"{ns}IsTruncated") != "true" or not paged:
                 return keys, prefixes
             token = doc.findtext(f"{ns}NextContinuationToken")
             if not token:
@@ -367,7 +372,9 @@ class S3Metastore(Metastore):
         key = self._key(path)
         if self.client.head_object(key):
             return True
-        keys, _ = self.client.list_objects(prefix=key + "/", max_keys=1)
+        keys, _ = self.client.list_objects(
+            prefix=key + "/", max_keys=1, paged=False
+        )
         return bool(keys)
 
     def list_dirs(self, path: str) -> list[str]:

@@ -223,7 +223,25 @@ class StreamStore:
         the reference's legacy listing table globs `date=/hour=/minute=`
         prefixes (src/query/listing_table_builder.rs:46-148). Spark's
         partition discovery does the same from the directory layout; the
-        time predicate then prunes partition dirs natively."""
+        time predicate then prunes partition dirs natively.
+
+        Hour/day-level rollup (compact) leaves files at mixed directory
+        depths, which partition discovery rejects ('conflicting
+        partition column names'); legacy roots are always uniform, but
+        when this is pointed at a rolled-up layout, fall back to a
+        recursive listing — no derived partition columns, time pruning
+        rides the data's own time column instead."""
+        files = glob(
+            os.path.join(self.data_dir, "date=*", "**", "*.parquet"),
+            recursive=True,
+        )
+        depths = {os.path.relpath(p, self.data_dir).count(os.sep) for p in files}
+        if len(depths) > 1:
+            return (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")
+                .parquet(self.data_dir)
+            )
         return (
             self.spark.read.option("basePath", self.data_dir)
             # files predate/postdate schema evolution steps; union their
@@ -323,6 +341,16 @@ class StreamStore:
                 .parquet(tmp)
             )
             new_files = glob(os.path.join(tmp, "*.parquet"))
+            # place outputs BEFORE deleting inputs: a failed move then
+            # leaves originals + manifest intact (extra compacted-* files
+            # are orphans the manifest never references)
+            os.makedirs(d, exist_ok=True)  # synthesized rollup group dir
+            moved = []
+            for i, p in enumerate(new_files):
+                dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")
+                shutil.move(p, dest)
+                moved.append(dest)
+            shutil.rmtree(tmp)
             for p in paths:
                 os.remove(p)
                 # local-FS checksum sibling (.name.crc) would keep the
@@ -334,17 +362,18 @@ class StreamStore:
                     os.remove(crc)
                 if self.hot_tier is not None:
                     self.hot_tier.invalidate(p)
-                # drop minute/hour dirs a rollup emptied
+                # drop minute/hour dirs a rollup emptied; with custom
+                # deeper layouts the chain may never pass through d, so
+                # bound the walk at the stream data root as well
                 parent = os.path.dirname(p)
-                while parent != d and not os.listdir(parent):
+                while (
+                    parent != d
+                    and parent != self.data_dir
+                    and os.path.isdir(parent)
+                    and not os.listdir(parent)
+                ):
                     os.rmdir(parent)
                     parent = os.path.dirname(parent)
-            moved = []
-            for i, p in enumerate(new_files):
-                dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")
-                shutil.move(p, dest)
-                moved.append(dest)
-            shutil.rmtree(tmp)
             self.manifest.files = [
                 f for f in self.manifest.files if f.file_path not in set(paths)
             ]

@@ -357,12 +357,17 @@ def test_boot_storage_mode_dispatch(mini, monkeypatch):
         assert isinstance(get_metastore(), S3Metastore)
         assert conf["spark.hadoop.fs.s3a.endpoint"] == "https://storage.googleapis.com"
 
-        cfg = gcs_config_from_env({"P_GCS_BUCKET": "b"})
+        cfg = gcs_config_from_env(
+            {"P_GCS_BUCKET": "b", "P_GCS_HMAC_KEY": "k", "P_GCS_HMAC_SECRET": "s"}
+        )
         assert cfg.endpoint_url == "https://storage.googleapis.com"
         with pytest.raises(ValueError, match="P_GCS_BUCKET"):
             gcs_config_from_env({})
-        with pytest.raises(ValueError, match="set together"):
+        # credential-less boot must fail loud, not 403 at first use
+        with pytest.raises(ValueError, match="HMAC"):
             gcs_config_from_env({"P_GCS_BUCKET": "b", "P_GCS_HMAC_KEY": "k"})
+        with pytest.raises(ValueError, match="HMAC"):
+            gcs_config_from_env({"P_GCS_BUCKET": "b"})
 
         with pytest.raises(ValueError, match="unknown storage mode"):
             boot_storage("floppy-store", "/r")

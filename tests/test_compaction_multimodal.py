@@ -88,6 +88,22 @@ class TestCompaction:
         assert pruned == [f.file_path for f in store.manifest.files
                           if "hour=11" in f.file_path]
 
+    def test_legacy_scan_survives_mixed_depth_rollup(self, spark, tmp_path):
+        """Hour-rollup leaves hour-level files next to untouched
+        minute-level files in OTHER hours; partition discovery rejects
+        that ('conflicting partition column names'), so legacy_scan
+        must detect mixed depth and fall back to a recursive listing
+        (review finding)."""
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="s1"))
+        base = datetime(2026, 8, 1, 10, 0)
+        for m in (1, 2):
+            store.ingest([{"status": f"m{m}"}], p_timestamp=base.replace(minute=m))
+        store.ingest([{"status": "h11"}], p_timestamp=base.replace(hour=11))
+        store.flush()
+        assert store.compact(level="hour") == 1  # mixed depths now
+        df = store.legacy_scan()
+        assert {r["status"] for r in df.collect()} == {"m1", "m2", "h11"}
+
     def test_rollup_respects_target_size(self, spark, tmp_path):
         """Groups already at target size are not rewritten — a rollup
         pass over mostly-compacted history must not re-churn it."""

@@ -104,8 +104,11 @@ class TestApiSurface:
         assert meta["oldest_date_time_entry"] == "2024-01-15T10:01:00.000Z"
         assert (tmp_path / "applogs" / "hottier.json").exists()
 
-        # restart on the same root: config reloads, cache re-attaches
+        # restart on the same root: config reloads, cache re-attaches;
+        # the re-sync runs on a background thread (reference
+        # spawn_stream_task) — drain it for a deterministic assert
         api2 = ParseableAPI(spark, str(tmp_path))
+        api2._stores["applogs"]._hottier_sync.join(timeout=30)
         got = api2.get_hot_tier("applogs")
         assert got["size"] == 10_000_000
         assert got["used_size"] == meta["used_size"]
