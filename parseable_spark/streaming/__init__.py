@@ -20,6 +20,7 @@ from .sketches import (
     query_sketch_cube,
     sketch_cube_batch_writer,
 )
+from .curator import StreamingCurator
 from .dedup_index import StreamingBloomGate, StreamingDedupIndex
 from .stateful import alert_state_machine
 
@@ -28,6 +29,7 @@ __all__ = [
     "LiveTail",
     "Message",
     "StreamingBloomGate",
+    "StreamingCurator",
     "StreamingDedupIndex",
     "alert_state_machine",
     "compact_sketch_cube",

@@ -1,0 +1,167 @@
+"""Streaming corpus curation — the micro-batch face of
+``llm/pipeline.curate_corpus``.
+
+Batch curation re-reads the whole corpus; at 100 TB/day of crawl the
+pipeline must instead curate each micro-batch INCREMENTALLY against
+rolling state. This composes the pieces the streaming package already
+proves individually:
+
+- ``StreamingBloomGate`` (dedup_index.py): exact-membership history —
+  a new batch is probed against everything ever committed without
+  re-scanning history (constant-size bitmap index, versioned commits,
+  replay-safe);
+- the batch quality/perplexity/near-dup gates from ``llm/`` applied
+  WITHIN the surviving slice of each batch (in-batch near-dups are by
+  far the densest — crawl frontiers emit the same page repeatedly in
+  a short window; cross-batch exact repeats are caught by the Bloom
+  gate, and cross-batch NEAR dups can be layered on with
+  ``StreamingDedupIndex`` where that cost is warranted).
+
+Each batch appends two partitioned logs (idempotent under replay —
+dynamic partition overwrite keyed by batch_id, same discipline as the
+gate's survivor log):
+
+- ``kept/batch_id=N``: (id, text) documents that passed every gate;
+- ``decisions/batch_id=N``: (id, reason) one row per dropped
+  document — the audit contract of curate_corpus, streamed.
+
+Reasons are exclusive and ordered (first failing gate wins):
+``in_history_or_exact`` → ``low_quality`` → ``high_perplexity`` →
+``near_duplicate``.
+
+Wire it as ``writeStream.foreachBatch(curator.batch_writer())`` or
+drive ``process_batch`` directly (the e2e test does both the replay
+and equivalence checks this way).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup_index import StreamingBloomGate
+
+
+class StreamingCurator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_words: int = 5,
+        min_chars: int = 64,
+        min_stopword_ratio: float = 0.05,
+        near_dup_threshold: float = 0.4,
+        lm_counts: DataFrame | None = None,
+        max_pseudo_ppl: float | None = None,
+        num_shards: int = 16,
+        bits_per_shard: int = 1 << 20,
+        num_hashes: int = 7,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.min_words = min_words
+        self.min_chars = min_chars
+        self.min_stopword_ratio = min_stopword_ratio
+        self.near_dup_threshold = near_dup_threshold
+        self.lm_counts = lm_counts
+        self.max_pseudo_ppl = max_pseudo_ppl
+        self.gate = StreamingBloomGate(
+            spark,
+            os.path.join(base_dir, "history"),
+            id_col=id_col,
+            key_col=text_col,
+            num_shards=num_shards,
+            bits_per_shard=bits_per_shard,
+            num_hashes=num_hashes,
+        )
+
+    # -- per-batch body ----------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..llm import dedup as D
+        from ..llm import text as T
+
+        batch = batch_df.select(self.id_col, self.text_col)
+        if not batch.head(1):
+            return
+        # snapshot of this batch's ids: decisions are derived by set
+        # difference at each gate (exclusive first-failure reasons)
+        batch = batch.localCheckpoint()  # one computation, many consumers
+
+        # 1. history + in-batch exact dedup (the gate commits the new
+        # bloom version; its survivor log is this batch's fresh slice,
+        # re-read so replays see the committed bytes, not a recompute)
+        self.gate.process_batch(batch, batch_id)
+        fresh = (
+            self.spark.read.parquet(os.path.join(self.gate.base_dir, "passed"))
+            .filter(F.col("batch_id") == int(batch_id))
+            .select(self.id_col, self.text_col)
+            .localCheckpoint()
+        )
+        drops = [
+            batch.join(fresh, self.id_col, "left_anti")
+            .select(self.id_col)
+            .withColumn("reason", F.lit("in_history_or_exact"))
+        ]
+        base = fresh
+
+        # 2. quality gate
+        q = T.quality_features(base, self.id_col, self.text_col)
+        bad = q.filter(
+            (F.col("n_words") < self.min_words)
+            | (F.col("n_chars") < self.min_chars)
+            | (F.col("stopword_ratio") < self.min_stopword_ratio)
+        ).select(self.id_col)
+        drops.append(bad.withColumn("reason", F.lit("low_quality")))
+        base = base.join(bad, self.id_col, "left_anti")
+
+        # 3. (optional) CCNet perplexity under the target-corpus LM
+        if self.lm_counts is not None and self.max_pseudo_ppl is not None:
+            from ..llm import lm as L
+
+            scored = L.stupid_backoff_scores(
+                base, self.lm_counts, self.id_col, self.text_col
+            )
+            ppl_bad = scored.filter(
+                F.col("pseudo_ppl") > self.max_pseudo_ppl
+            ).select(self.id_col)
+            drops.append(ppl_bad.withColumn("reason", F.lit("high_perplexity")))
+            base = base.join(ppl_bad, self.id_col, "left_anti")
+
+        # 4. in-batch verified near-dups (min-id canonical survives)
+        cands = D.minhash_lsh_candidates(base, self.id_col, self.text_col)
+        verified = D.jaccard_verify(
+            base, cands, self.id_col, self.text_col,
+            threshold=self.near_dup_threshold,
+        )
+        near = verified.select(F.col("id_b").alias(self.id_col)).distinct()
+        drops.append(near.withColumn("reason", F.lit("near_duplicate")))
+        base = base.join(near, self.id_col, "left_anti")
+
+        whole_drops = drops[0]
+        for d in drops[1:]:
+            whole_drops = whole_drops.unionByName(d)
+        for df, sub in ((base, "kept"), (whole_drops, "decisions")):
+            (
+                df.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(os.path.join(self.base_dir, sub))
+            )
+
+    def batch_writer(self) -> Callable[[DataFrame, int], None]:
+        return self.process_batch
+
+    # -- read sides --------------------------------------------------------
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base_dir, "kept"))
+
+    def decisions(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base_dir, "decisions"))

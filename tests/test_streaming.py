@@ -715,3 +715,138 @@ def test_streaming_bloom_gate_geometry_persists_across_restart(spark, tmp_path):
     g2.process_batch(b1, 1)
     passed = sorted(r["doc_id"] for r in g2.passed().collect())
     assert passed == [0, 1, 3]  # the repeat is still recognized
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the tired dog "
+    "sleeps by the warm fire all night long in the quiet house"
+)
+NEAR_A = (
+    "a stitch in time saves nine and the early bird catches the worm while "
+    "the patient gardener waters every plant in the morning sun"
+)
+NEAR_B = (
+    "a stitch in time saves nine and the early bird catches the worm while "
+    "the patient gardener waters every plant in the evening sun"
+)
+SHORT = "tiny"
+
+
+def test_streaming_curator_end_to_end(spark, tmp_path):
+    """StreamingCurator: micro-batch curation against rolling history —
+    exclusive per-reason audit, min-id canonicals, replay idempotent."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"), num_shards=4, bits_per_shard=1 << 14
+    )
+    b0 = spark.createDataFrame(
+        [(0, GOOD), (1, SHORT), (2, GOOD)], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, GOOD), (4, NEAR_A), (5, NEAR_B)], "doc_id bigint, text string"
+    )
+    cur.process_batch(b0, 0)
+    cur.process_batch(b1, 1)
+
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0, 4}  # GOOD's min id, NEAR pair's min id
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {
+        1: "low_quality",
+        2: "in_history_or_exact",  # in-batch exact dup of 0
+        3: "in_history_or_exact",  # cross-batch repeat of GOOD
+        5: "near_duplicate",       # in-batch near dup of 4
+    }
+    # every input doc is accounted for exactly once (kept xor dropped)
+    assert kept | set(reasons) == {0, 1, 2, 3, 4, 5}
+    assert not (kept & set(reasons))
+
+    # replay batch 1 (at-least-once redelivery): same bytes
+    kept_once = sorted(map(tuple, cur.kept().collect()))
+    dec_once = sorted(map(tuple, cur.decisions().collect()))
+    cur.process_batch(b1, 1)
+    assert sorted(map(tuple, cur.kept().collect())) == kept_once
+    assert sorted(map(tuple, cur.decisions().collect())) == dec_once
+    assert cur.gate.latest_version() == 2
+
+
+def test_streaming_curator_perplexity_gate(spark, tmp_path):
+    """The optional CCNet gate routes by pseudo-ppl under a target LM:
+    threshold at the midpoint of the two measured scores keeps the
+    in-domain doc and drops the out-of-domain one."""
+    from parseable_spark.llm import lm
+    from parseable_spark.streaming import StreamingCurator
+
+    target = spark.createDataFrame(
+        [(i, GOOD) for i in range(8)], "doc_id bigint, text string"
+    )
+    counts = lm.ngram_counts(target, order=2, min_count=1)
+    in_domain = (10, GOOD.replace("quick", "swift"))
+    out_domain = (
+        11,
+        "zyx wvu tsr qpo nml kji hgf edc the bax zyw vut srq pon mlk jih "
+        "gfe dcb axz ywv uts rqp onm lkj ihg fed cba the xzy wvy",
+    )
+    docs = spark.createDataFrame(
+        [in_domain, out_domain], "doc_id bigint, text string"
+    )
+    scored = {
+        r["doc_id"]: r["pseudo_ppl"]
+        for r in lm.stupid_backoff_scores(docs, counts).collect()
+    }
+    assert scored[11] > scored[10]
+    mid = (scored[10] + scored[11]) / 2
+    cur = StreamingCurator(
+        spark,
+        str(tmp_path / "c"),
+        lm_counts=counts,
+        max_pseudo_ppl=mid,
+        num_shards=4,
+        bits_per_shard=1 << 14,
+    )
+    cur.process_batch(docs, 0)
+    assert {r["doc_id"] for r in cur.kept().collect()} == {10}
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {11: "high_perplexity"}
+
+
+def test_streaming_curator_via_structured_streaming(spark, tmp_path):
+    """Wiring proof: a real readStream file source driving
+    foreachBatch(curator.batch_writer()), one file per trigger."""
+    import time
+
+    from parseable_spark.streaming import StreamingCurator
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, GOOD), (1, SHORT)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, GOOD), (3, NEAR_A)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"), num_shards=4, bits_per_shard=1 << 14
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cur.batch_writer())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):  # the last commit can lag the query handle
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0, 3}  # 1 low quality, 2 history repeat of 0
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {1: "low_quality", 2: "in_history_or_exact"}
