@@ -34,6 +34,11 @@ from typing import Any, Callable
 DEMO_STREAM = "demodata"
 DEMO_ACTIONS = ("ingest", "filters", "alerts", "dashboards", "all")
 
+# serializes background demo jobs process-wide: the by-name idempotence
+# of each action reads existing artifacts before creating, so two
+# concurrent jobs must not interleave that read-then-create
+_DEMO_JOB_LOCK = threading.Lock()
+
 OTEL_STREAMS = {
     "logs": "otel-demo-logs",
     "metrics": "otel-demo-metrics",
@@ -152,8 +157,13 @@ def _run_filters(api, stream: str) -> int:
          f'SELECT * FROM {stream} WHERE "url.path" IS NOT NULL LIMIT 500',
          "url.path"),
     ]
+    # idempotent by name: a re-invoked demo action must not accumulate
+    # duplicate filter documents (review finding)
+    existing = {f.get("filterName") for f in api.list_filters()}
     n = 0
     for name, desc, q in sql_filters:
+        if name in existing:
+            continue
         api.save_filter(
             {
                 "filterName": name,
@@ -164,6 +174,8 @@ def _run_filters(api, stream: str) -> int:
         )
         n += 1
     for name, desc, q, group_by in saved_filters:
+        if name in existing:
+            continue
         api.save_filter(
             {
                 "filterName": name,
@@ -179,15 +191,24 @@ def _run_filters(api, stream: str) -> int:
 
 def _run_alerts(api, stream: str) -> int:
     api.get_or_create_stream(stream)
-    target = api.create_target(
-        {
-            "type": "webhook",
-            "name": "Demo Webhook",
-            "endpoint": "https://hooks.slack.com/services/demo/demo/demo",
-            "skipTlsCheck": False,
-        }
+    # idempotent by name: reuse the existing demo target and skip
+    # already-created alert titles — each re-invocation must not add
+    # another scheduled alert to the evaluator forever (review finding)
+    target = next(
+        (t for t in api.targets.list() if t.get("name") == "Demo Webhook"),
+        None,
     )
+    if target is None:
+        target = api.create_target(
+            {
+                "type": "webhook",
+                "name": "Demo Webhook",
+                "endpoint": "https://hooks.slack.com/services/demo/demo/demo",
+                "skipTlsCheck": False,
+            }
+        )
     tid = target.get("id") or target.get("targetId")
+    existing_titles = {a.get("title") for a in api.list_alerts()}
     alerts = [
         ("Demo error spike", "count", ">", 100.0,
          {"column": "severity_text", "operator": "=", "value": "ERROR"}),
@@ -195,6 +216,8 @@ def _run_alerts(api, stream: str) -> int:
     ]
     n = 0
     for title, agg, op, threshold, condition in alerts:
+        if title in existing_titles:
+            continue
         body: dict[str, Any] = {
             "title": title,
             "stream": stream,
@@ -214,6 +237,19 @@ def _run_alerts(api, stream: str) -> int:
 
 
 def _run_dashboards(api, stream: str) -> str:
+    # idempotent by title (create_dashboard rejects duplicate titles,
+    # which previously made a re-run die silently in the background
+    # thread — review finding)
+    existing = next(
+        (
+            d
+            for d in api.list_dashboards()
+            if d.get("title") == "Demo Dashboard"
+        ),
+        None,
+    )
+    if existing is not None:
+        return existing["dashboardId"]
     d = api.create_dashboard("demo", {"title": "Demo Dashboard", "tags": ["demo", "oss"]})
     did = d["dashboardId"]
     tiles = [
@@ -259,14 +295,29 @@ def run_demo_action(
         raise ValueError(f"unknown demodata action {action!r}")
 
     def job() -> None:
-        if action in ("ingest", "all"):
-            _run_ingest(api, stream, records, batch_size)
-        if action in ("filters", "all"):
-            _run_filters(api, stream)
-        if action in ("alerts", "all"):
-            _run_alerts(api, stream)
-        if action in ("dashboards", "all"):
-            _run_dashboards(api, stream)
+        # the HTTP client already got its 202 — failures here must land
+        # in the log, not vanish with the daemon thread (review
+        # finding; the reference captures and logs the demo script's
+        # output the same way)
+        import logging
+
+        try:
+            # serialize demo jobs: two concurrent invocations would both
+            # read empty existing-artifact sets and double-create,
+            # defeating the by-name idempotence (caught live in verify)
+            with _DEMO_JOB_LOCK:
+                if action in ("ingest", "all"):
+                    _run_ingest(api, stream, records, batch_size)
+                if action in ("filters", "all"):
+                    _run_filters(api, stream)
+                if action in ("alerts", "all"):
+                    _run_alerts(api, stream)
+                if action in ("dashboards", "all"):
+                    _run_dashboards(api, stream)
+        except Exception:  # noqa: BLE001
+            logging.getLogger(__name__).exception(
+                "demodata action %r failed after 202", action
+            )
 
     if not background:
         job()

@@ -119,10 +119,20 @@ def _skip(buf: bytes, i: int, wt: int) -> int:
     return i
 
 
-def decode_message(buf: bytes, message: str) -> dict[str, Any]:
+_MAX_NEST_DEPTH = 64  # AnyValue→kvlist→AnyValue chains are ~4 bytes/level
+# on the wire, so unbounded recursion lets a KB-sized crafted body blow
+# the Python stack (RecursionError → 500 instead of the 400 contract);
+# real OTLP payloads nest a handful of levels
+
+
+def decode_message(buf: bytes, message: str, _depth: int = 0) -> dict[str, Any]:
     """Wire bytes → dict with OTLP/JSON field names, per the schema
     tables below. Repeated fields accumulate lists; packed repeated
     scalars (wire type 2 carrying a numeric kind) are unpacked."""
+    if _depth > _MAX_NEST_DEPTH:
+        raise ProtoDecodeError(
+            f"message nesting exceeds {_MAX_NEST_DEPTH} levels"
+        )
     fields = MESSAGES[message]
     out: dict[str, Any] = {}
     i = 0
@@ -144,7 +154,7 @@ def decode_message(buf: bytes, message: str) -> dict[str, Any]:
         if kind in MESSAGES:  # nested message
             ln, i = _varint(buf, i)
             _need(ln)
-            values.append(decode_message(buf[i : i + ln], kind))
+            values.append(decode_message(buf[i : i + ln], kind, _depth + 1))
             i += ln
         elif wt == 2 and _SCALAR_WIRETYPE[kind] != 2:  # packed scalars
             ln, i = _varint(buf, i)

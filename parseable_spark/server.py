@@ -749,8 +749,15 @@ class ParseableAPI:
                 raise ApiError(404, f"no alert {alert_id}")
             sa = self._alerts[alert_id]
         a = sa.alert
+        with self._lock:
+            title = (self._alert_bodies.get(alert_id) or {}).get("title")
         return {
             "id": alert_id,
+            # reference alert JSON carries the user-facing title
+            # (alerts/mod.rs AlertConfig); it was already persisted in
+            # the stored body, just never surfaced
+            "title": title
+            or f"{a.aggregate}({a.agg_column or '*'}) on {a.stream}",
             "stream": a.stream,
             "aggregate": a.aggregate,
             "aggregateColumn": a.agg_column,
@@ -2549,10 +2556,28 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     # -- helpers -------------------------------------------------------------
-    def _json_body(self) -> Any:
+    def _raw_body(self) -> bytes:
+        """Read the request body once (keep-alive bookkeeping lives
+        here), transparently inflating Content-Encoding: gzip — the
+        OTel Collector's otlphttp exporter compresses by default
+        (review finding)."""
         self._body_consumed = True
         length = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(length) if length else b""
+        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+        if raw and enc == "gzip":
+            import gzip
+
+            try:
+                raw = gzip.decompress(raw)
+            except OSError as e:
+                raise ApiError(400, f"bad gzip body: {e}") from e
+        elif enc and enc != "identity":
+            raise ApiError(400, f"unsupported Content-Encoding: {enc}")
+        return raw
+
+    def _json_body(self) -> Any:
+        raw = self._raw_body()
         if not raw:
             return None
         try:
@@ -3116,7 +3141,15 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ApiError(400, "missing query parameter 'action'")
                 if action not in ("ingest", "filters", "alerts", "dashboards"):
                     raise ApiError(400, f"invalid demodata action {action!r}")
-                self._allow(Action.INGEST, DEMO_STREAM)
+                # per-artifact RBAC: the non-ingest actions create
+                # MANAGE-gated objects (targets/alerts/filters/
+                # dashboards), exactly like their dedicated routes — an
+                # ingest-only principal must not mint webhook targets
+                # through the demo door (review finding)
+                if action == "ingest":
+                    self._allow(Action.INGEST, DEMO_STREAM)
+                else:
+                    self._allow(Action.MANAGE)
                 run_demo_action(self.api, action)
                 self._respond_json(202, {"status": "accepted"})
                 return
@@ -3585,9 +3618,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if ctype == "application/x-protobuf":
                     from .ingest.otlp_proto import ProtoDecodeError, decode_otlp
 
-                    self._body_consumed = True
-                    length = int(self.headers.get("Content-Length") or 0)
-                    raw = self.rfile.read(length) if length else b""
+                    raw = self._raw_body()
                     try:
                         payload = decode_otlp(kind, raw)
                     except ProtoDecodeError as e:
@@ -3772,7 +3803,7 @@ class _Handler(BaseHTTPRequestHandler):
                 duration = body.get("durationSecs", body.get("duration_secs"))
                 if duration is not None:
                     duration = _int_arg(duration, "durationSecs", 0)
-                    if duration == 0 or duration > MAX_DURATION_SECS:
+                    if duration < 1 or duration > MAX_DURATION_SECS:
                         raise ApiError(
                             400,
                             "durationSecs must be between 1 and "

@@ -546,7 +546,12 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
 
 class _Conn:
     def __init__(self, bootstrap: str, client_id: str = "parseable-spark"):
-        host, port = bootstrap.rsplit(":", 1)
+        # kafka.bootstrap.servers is a comma list everywhere else in
+        # the public surface — connect to the first entry like a real
+        # client's bootstrap phase (review finding: rsplit on the whole
+        # string produced host 'b1:9092,b2')
+        first = bootstrap.split(",")[0].strip()
+        host, port = first.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=30)
         self.client_id = client_id
         self._corr = 0

@@ -160,6 +160,33 @@ class TestDemodataRoute:
         names = {f["filterName"] for f in api.list_filters()}
         assert "error_logs" in names and "service_errors" in names
 
+    def test_repeat_actions_are_idempotent(self, served):
+        """Re-invoking the demo actions must not accumulate duplicate
+        targets / scheduled alerts / filters / dashboards (review
+        finding)."""
+        api, base = served
+        for action in ("filters", "alerts", "dashboards"):
+            st, _ = _req("GET", f"{base}/api/v1/demodata?action={action}")
+            assert st == 202
+        assert _wait(lambda: len(api.list_dashboards()) >= 1)
+        import time
+
+        time.sleep(1.0)  # let the background jobs drain
+        n_filters = len(api.list_filters())
+        n_alerts = len(api.list_alerts())
+        n_targets = len([t for t in api.targets.list()
+                         if t.get("name") == "Demo Webhook"])
+        n_dash = len(api.list_dashboards())
+        for action in ("filters", "alerts", "dashboards"):
+            _req("GET", f"{base}/api/v1/demodata?action={action}")
+        time.sleep(1.5)
+        assert len(api.list_filters()) == n_filters
+        assert len(api.list_alerts()) == n_alerts
+        assert len([t for t in api.targets.list()
+                    if t.get("name") == "Demo Webhook"]) == n_targets
+        assert len(api.list_dashboards()) == n_dash
+        assert n_targets == 1
+
 
 class TestOtelGeneratorRoute:
     def test_http_lifecycle_and_ingestion(self, served):
@@ -195,7 +222,7 @@ class TestOtelGeneratorRoute:
 
     def test_duration_validation(self, served):
         _, base = served
-        for bad in (0, dd.MAX_DURATION_SECS + 1):
+        for bad in (0, -1, dd.MAX_DURATION_SECS + 1):
             st, out = _req(
                 "POST", f"{base}/api/v1/otel_generator", {"durationSecs": bad}
             )

@@ -906,6 +906,11 @@ def test_rbac_data_routes_require_grants(spark, tmp_path):
         denied("PUT", "/api/v1/logstream/s1/retention",
                [{"description": "d", "action": "delete", "duration": "30d"}], reader)
         denied("PUT", "/api/v1/logstream/s1/hottier", {"size": "1GiB"}, reader)
+        # demodata per-action RBAC: the non-ingest actions create
+        # MANAGE-gated artifacts, so an ingest-only principal is 403
+        # (review finding: privilege escalation via the demo door)
+        denied("GET", "/api/v1/demodata?action=alerts", None, ing)
+        denied("GET", "/api/v1/demodata?action=filters", None, reader)
     finally:
         srv.shutdown()
 

@@ -189,3 +189,14 @@ class TestConnectorContract:
         assert kw.SPARK_SQL_KAFKA_PACKAGE == (
             f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
         )
+
+
+def test_bootstrap_accepts_comma_list():
+    """kafka.bootstrap.servers is a comma list on the public surface;
+    the wire client must bootstrap from the first entry (review
+    finding: rsplit over the whole string produced host 'b1:9092,b2')."""
+    with kw.MiniKafkaBroker() as broker:
+        broker.create_topic("logs", partitions=1)
+        kw.wire_produce(broker.bootstrap, "logs", 0, [(b"k", b"v", 1000)])
+        rows = kw.consume_all(f"{broker.bootstrap},unreachable:19092", "logs")
+        assert [r["value"] for r in rows] == [b"v"]

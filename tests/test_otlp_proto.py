@@ -415,3 +415,75 @@ def test_http_protobuf_ingest_e2e(spark, tmp_path_factory):
 
 
 import urllib.error  # noqa: E402  (used in the e2e above)
+
+
+def test_nesting_depth_is_bounded():
+    """AnyValue→kvlist→AnyValue chains are ~10 bytes/level on the wire;
+    unbounded recursion would RecursionError (500) instead of the 400
+    contract (review finding)."""
+    import pytest
+
+    from parseable_spark.ingest.otlp_proto import ProtoDecodeError, decode_message
+
+    # AnyValue{kvlist_value{values{value{<next level>}}}}
+    def any_value(depth: int) -> bytes:
+        inner = b""
+        for _ in range(depth):
+            kv = b"\x12" + _ld(inner)          # KeyValue.value (field 2)
+            kvlist = b"\x0a" + _ld(kv)          # KeyValueList.values (field 1)
+            inner = b"\x32" + _ld(kvlist)       # AnyValue.kvlist_value (field 6)
+        return inner
+
+    def _ld(b: bytes) -> bytes:
+        out, n = bytearray(), len(b)
+        while True:
+            out.append((n & 0x7F) | (0x80 if n > 0x7F else 0))
+            n >>= 7
+            if not n:
+                return bytes(out) + b
+
+    assert decode_message(any_value(10), "AnyValue") is not None
+    with pytest.raises(ProtoDecodeError, match="nesting"):
+        decode_message(any_value(200), "AnyValue")
+
+
+def test_http_protobuf_gzip_ingest(spark, tmp_path_factory):
+    """The OTel Collector's otlphttp exporter gzips by default; the
+    route must inflate Content-Encoding: gzip before decoding (review
+    finding). A tampered gzip body is 400, not 500."""
+    import gzip
+
+    from parseable_spark.server import ParseableAPI, serve_background
+
+    api = ParseableAPI(spark, str(tmp_path_factory.mktemp("otlp_gz")))
+    srv, base = serve_background(api)
+    try:
+        req = urllib.request.Request(
+            base + "/v1/logs",
+            data=gzip.compress(_logs_wire()),
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "gzip",
+                "x-p-stream": "otelgz",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+        assert api._stores["otelgz"].count_fast_path() == 1
+
+        bad = urllib.request.Request(
+            base + "/v1/logs",
+            data=b"\x1f\x8bnot really gzip",
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "gzip",
+                "x-p-stream": "otelgz",
+            },
+        )
+        import pytest
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
