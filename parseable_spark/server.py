@@ -2259,6 +2259,47 @@ class ParseableAPI:
                 )
         return out
 
+    def start_maintenance(
+        self, interval_s: float = 86400.0, compact_level: str = "hour"
+    ) -> None:
+        """In-process maintenance scheduler — the reference runs its
+        retention task inside the server on a daily cadence
+        (retention.rs:58-91 init_scheduler, 00:00 slot); this runs
+        run_retention + run_compaction every ``interval_s`` on a
+        daemon thread. Failures are logged and the loop continues (one
+        bad stream must not stop the fleet's retention forever)."""
+        import logging
+        import threading
+
+        if getattr(self, "_maint_stop", None) is not None:
+            return  # already running
+
+        stop = threading.Event()
+        log = logging.getLogger(__name__)
+
+        def loop() -> None:
+            while not stop.wait(interval_s):
+                try:
+                    self.run_retention()
+                except Exception:  # noqa: BLE001
+                    log.exception("maintenance retention failed")
+                try:
+                    self.run_compaction(level=compact_level)
+                except Exception:  # noqa: BLE001
+                    log.exception("maintenance compaction failed")
+
+        t = threading.Thread(target=loop, name="maintenance", daemon=True)
+        self._maint_stop = stop
+        self._maint_thread = t
+        t.start()
+
+    def stop_maintenance(self) -> None:
+        stop = getattr(self, "_maint_stop", None)
+        if stop is not None:
+            stop.set()
+            self._maint_thread.join(timeout=10)
+            self._maint_stop = None
+
     # -- hot tier (logstream.rs:421-560) -------------------------------------
     @staticmethod
     def _parse_size(v: Any) -> int:

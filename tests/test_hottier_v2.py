@@ -183,3 +183,53 @@ def test_run_compaction_all_streams(spark, tmp_path):
         assert df.count() == 2
     # idempotent second pass
     assert api.run_compaction(level="hour") == {"a": 0, "b": 0}
+
+
+def test_maintenance_scheduler_runs_retention_and_compaction(spark, tmp_path):
+    """In-process maintenance cadence (reference retention.rs:58-91
+    runs retention inside the server daily): both jobs fire on the
+    interval; a short interval makes it observable."""
+    import time
+
+    api = ParseableAPI(spark, str(tmp_path))
+    st = api.get_or_create_stream("m")
+    # two minute-files in one hour (compactable), one ancient date
+    # (retainable under a 30d task)
+    for m in (1, 2):
+        st.ingest([{"msg": f"m{m}"}],
+                  p_timestamp=datetime(2020, 1, 1, 10, m, tzinfo=timezone.utc))
+    st.flush()
+    api.put_retention("m", [
+        {"description": "d", "action": "delete", "duration": "30d"}
+    ])
+    n_before = len(st.manifest.files)
+    assert n_before == 2
+    api.start_maintenance(interval_s=0.3)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and st.manifest.files:
+            time.sleep(0.2)
+        # retention removed the 2020 partition entirely (30d window)
+        assert st.manifest.files == []
+        assert st.count_fast_path() == 0
+    finally:
+        api.stop_maintenance()
+    # compaction leg: fresh recent data, no retention config
+    api2 = ParseableAPI(spark, str(tmp_path / "c"))
+    st2 = api2.get_or_create_stream("m2")
+    from datetime import datetime as dt, timedelta
+
+    now = dt.now(timezone.utc)
+    base = now.replace(minute=10, second=0, microsecond=0)
+    for m in (10, 11):
+        st2.ingest([{"msg": f"m{m}"}], p_timestamp=base.replace(minute=m))
+    st2.flush()
+    assert len(st2.manifest.files) == 2
+    api2.start_maintenance(interval_s=0.3)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and len(st2.manifest.files) != 1:
+            time.sleep(0.2)
+        assert len(st2.manifest.files) == 1  # hour-rolled
+    finally:
+        api2.stop_maintenance()
