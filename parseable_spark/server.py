@@ -2239,24 +2239,25 @@ class ParseableAPI:
         periodic rollup is the missing maintenance op). Schedule
         alongside run_retention; per-stream compacted-group counts.
 
-        Each stream compacts UNDER the API lock (compact rewrites the
-        manifest + data files, and every ingest/flush/query mutation
-        path runs under this lock — a concurrent flush would otherwise
-        glob the live .compact.tmp output as new manifest entries;
-        review finding). The lock is released between streams so
-        requests interleave."""
+        The bulk read-sort-write runs WITHOUT the API lock (tmp output
+        lives outside data_dir, so a concurrent flush's glob cannot
+        see it); only the per-group file swap + manifest update takes
+        the lock (StreamStore.compact swap_lock) — daily maintenance
+        on a big stream must not stall every request behind bulk I/O
+        (review finding)."""
         with self._lock:
             names = list(self._stores)
         out: dict[str, int] = {}
         for n in names:
             with self._lock:
                 s = self._stores.get(n)
-                if s is None:
-                    continue  # deleted since listing
-                out[n] = s.compact(
-                    min_files=min_files, level=level,
-                    target_file_bytes=target_file_bytes,
-                )
+            if s is None:
+                continue  # deleted since listing
+            out[n] = s.compact(
+                min_files=min_files, level=level,
+                target_file_bytes=target_file_bytes,
+                swap_lock=self._lock,
+            )
         return out
 
     def start_maintenance(
@@ -2277,16 +2278,23 @@ class ParseableAPI:
         stop = threading.Event()
         log = logging.getLogger(__name__)
 
+        def tick() -> None:
+            try:
+                self.run_retention()
+            except Exception:  # noqa: BLE001
+                log.exception("maintenance retention failed")
+            try:
+                self.run_compaction(level=compact_level)
+            except Exception:  # noqa: BLE001
+                log.exception("maintenance compaction failed")
+
         def loop() -> None:
+            # first run immediately: with the daily default, a process
+            # restarted more often than the interval would otherwise
+            # NEVER run retention (review finding)
+            tick()
             while not stop.wait(interval_s):
-                try:
-                    self.run_retention()
-                except Exception:  # noqa: BLE001
-                    log.exception("maintenance retention failed")
-                try:
-                    self.run_compaction(level=compact_level)
-                except Exception:  # noqa: BLE001
-                    log.exception("maintenance compaction failed")
+                tick()
 
         t = threading.Thread(target=loop, name="maintenance", daemon=True)
         self._maint_stop = stop
@@ -2608,11 +2616,21 @@ class _Handler(BaseHTTPRequestHandler):
         enc = (self.headers.get("Content-Encoding") or "").strip().lower()
         if raw and enc == "gzip":
             import gzip
+            import io
+            import zlib
 
+            # bounded inflate: gzip amplifies ~1000:1, so a small body
+            # must not be allowed to expand into an arbitrary bytes
+            # object (review finding); EOFError/zlib.error are the
+            # truncated/corrupt-stream exceptions and are NOT OSError
+            limit = 256 << 20
             try:
-                raw = gzip.decompress(raw)
-            except OSError as e:
+                with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gz:
+                    raw = gz.read(limit + 1)
+            except (OSError, EOFError, zlib.error) as e:
                 raise ApiError(400, f"bad gzip body: {e}") from e
+            if len(raw) > limit:
+                raise ApiError(413, "decompressed body exceeds 256 MiB")
         elif enc and enc != "identity":
             raise ApiError(400, f"unsupported Content-Encoding: {enc}")
         return raw

@@ -86,18 +86,26 @@ class HotTier:
             local = self._local_path(remote_path)
             if local in self._sizes:
                 return local
-            size = os.path.getsize(remote_path)
-            if size > self.size_limit:
+            try:
+                size = os.path.getsize(remote_path)
+                if size > self.size_limit:
+                    return None
+                self._evict_until(size)
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                shutil.copyfile(remote_path, local)
+            except FileNotFoundError:
+                # retention/compaction deleted the source between the
+                # caller's existence check and the copy — a cache fill
+                # must degrade to a miss, not kill the sync thread
+                # (review finding)
                 return None
-            self._evict_until(size)
-            os.makedirs(os.path.dirname(local), exist_ok=True)
-            shutil.copyfile(remote_path, local)
             self._sizes[local] = size
             return local
 
     def lookup(self, remote_path: str) -> str | None:
-        local = self._local_path(remote_path)
-        return local if local in self._sizes else None
+        with self._mu:
+            local = self._local_path(remote_path)
+            return local if local in self._sizes else None
 
     def invalidate(self, remote_path: str) -> None:
         """Drop a cached copy whose remote file was deleted (retention/

@@ -229,12 +229,19 @@ class StreamStore:
         depths, which partition discovery rejects ('conflicting
         partition column names'); legacy roots are always uniform, but
         when this is pointed at a rolled-up layout, fall back to a
-        recursive listing — no derived partition columns, time pruning
-        rides the data's own time column instead."""
-        files = glob(
-            os.path.join(self.data_dir, "date=*", "**", "*.parquet"),
-            recursive=True,
-        )
+        recursive listing — no derived date/hour/minute partition
+        columns in that mode (callers filter on the data's own time
+        column, which is always present). Depth detection reads the
+        in-memory manifest when there is one; only true legacy roots
+        (no manifest) pay a filesystem walk (review finding: at
+        per-minute file counts a Python glob per call is not free)."""
+        if self.manifest.files:
+            files = [f.file_path for f in self.manifest.files]
+        else:
+            files = glob(
+                os.path.join(self.data_dir, "date=*", "**", "*.parquet"),
+                recursive=True,
+            )
         depths = {os.path.relpath(p, self.data_dir).count(os.sep) for p in files}
         if len(depths) > 1:
             return (
@@ -261,6 +268,7 @@ class StreamStore:
         min_files: int = 2,
         level: str = "minute",
         target_file_bytes: int = 128 << 20,
+        swap_lock=None,
     ) -> int:
         """Rewrite groups of ≥ min_files small parquet files into
         target-sized sorted files (the reference's compaction collapses
@@ -281,9 +289,21 @@ class StreamStore:
         like its minute-level sources; custom partition segments are
         preserved in the group key so rollup never merges across
         them. Groups whose combined size reaches ``target_file_bytes``
-        split into ceil(total/target) output files."""
+        split into ceil(total/target) output files.
+
+        ``swap_lock`` splits the work into a bulk phase and a swap
+        phase: the Spark read-sort-write runs to a tmp dir OUTSIDE
+        data_dir with NO lock held (so a server's request traffic is
+        not stalled behind bulk I/O — review finding), and only the
+        file swap + manifest update runs under the lock, re-verifying
+        first that every input is still in the manifest (a concurrent
+        retention may have deleted the group). Without a lock the two
+        phases simply run back to back."""
+        import contextlib
         import math
         from collections import defaultdict
+
+        lock = swap_lock if swap_lock is not None else contextlib.nullcontext()
 
         drop = {
             "minute": (),
@@ -300,11 +320,13 @@ class StreamStore:
                 head, tail = os.path.split(head)
             return os.path.join(head, *reversed(kept))
 
+        with lock:
+            snapshot_files = list(self.manifest.files)
         by_dir: dict[str, list] = defaultdict(list)
-        for f in self.manifest.files:
+        for f in snapshot_files:
             by_dir[group_dir(f.file_path)].append(f)
         compacted = 0
-        for d, files in by_dir.items():
+        for gi, (d, files) in enumerate(by_dir.items()):
             if len(files) < min_files:
                 continue
             paths = [f.file_path for f in files]
@@ -317,7 +339,9 @@ class StreamStore:
             # (silent data loss — review finding); the registry schema
             # nulls them instead, same as scan()
             df = self._parquet_df(paths)
-            tmp = d + ".compact.tmp"
+            # tmp OUTSIDE data_dir: flush's recursive glob over data_dir
+            # must never see in-flight compaction outputs
+            tmp = os.path.join(self.stream_dir, ".compact_tmp", f"g{gi}")
             # compaction is the layout pass: z-order-configured streams
             # get a Morton sort inside the compacted file (tight
             # row-group stats on every clustered column — entity+time
@@ -341,50 +365,70 @@ class StreamStore:
                 .parquet(tmp)
             )
             new_files = glob(os.path.join(tmp, "*.parquet"))
-            # place outputs BEFORE deleting inputs: a failed move then
-            # leaves originals + manifest intact (extra compacted-* files
-            # are orphans the manifest never references)
-            os.makedirs(d, exist_ok=True)  # synthesized rollup group dir
-            moved = []
-            for i, p in enumerate(new_files):
-                dest = os.path.join(d, f"compacted-{i}-{os.path.basename(p)}")
-                shutil.move(p, dest)
-                moved.append(dest)
-            shutil.rmtree(tmp)
-            for p in paths:
-                os.remove(p)
-                # local-FS checksum sibling (.name.crc) would keep the
-                # dir alive and re-fail reads of a recreated name
-                crc = os.path.join(
-                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
+            with lock:
+                # re-verify under the lock: a concurrent retention (or
+                # another compaction) may have removed group members
+                # since the snapshot — swapping then would resurrect
+                # deleted data and orphan the manifest
+                current = {f.file_path for f in self.manifest.files}
+                if not all(p in current for p in paths):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    continue
+                # place outputs BEFORE deleting inputs: a failed move
+                # then leaves originals + manifest intact (extra
+                # compacted-* files are orphans the manifest never
+                # references)
+                os.makedirs(d, exist_ok=True)  # synthesized rollup dir
+                moved = []
+                for i, p in enumerate(new_files):
+                    dest = os.path.join(
+                        d, f"compacted-{i}-{os.path.basename(p)}"
+                    )
+                    shutil.move(p, dest)
+                    moved.append(dest)
+                shutil.rmtree(tmp)
+                for p in paths:
+                    os.remove(p)
+                    # local-FS checksum sibling (.name.crc) would keep
+                    # the dir alive and re-fail reads of a recreated name
+                    crc = os.path.join(
+                        os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                    )
+                    if os.path.exists(crc):
+                        os.remove(crc)
+                    if self.hot_tier is not None:
+                        self.hot_tier.invalidate(p)
+                    # drop minute/hour dirs a rollup emptied; with custom
+                    # deeper layouts the chain may never pass through d,
+                    # so bound the walk at the stream data root as well
+                    parent = os.path.dirname(p)
+                    while (
+                        parent != d
+                        and parent != self.data_dir
+                        and os.path.isdir(parent)
+                        and not os.listdir(parent)
+                    ):
+                        os.rmdir(parent)
+                        parent = os.path.dirname(parent)
+                self.manifest.files = [
+                    f
+                    for f in self.manifest.files
+                    if f.file_path not in set(paths)
+                ]
+                for p in moved:
+                    self.manifest.add_file(p)
+                compacted += 1
+        with lock:
+            if compacted:
+                self.manifest.save(self.manifest_path)
+                self.snapshot = Snapshot()
+                self.snapshot.add_manifest(
+                    self.manifest_path, self.manifest, self.time_col
                 )
-                if os.path.exists(crc):
-                    os.remove(crc)
-                if self.hot_tier is not None:
-                    self.hot_tier.invalidate(p)
-                # drop minute/hour dirs a rollup emptied; with custom
-                # deeper layouts the chain may never pass through d, so
-                # bound the walk at the stream data root as well
-                parent = os.path.dirname(p)
-                while (
-                    parent != d
-                    and parent != self.data_dir
-                    and os.path.isdir(parent)
-                    and not os.listdir(parent)
-                ):
-                    os.rmdir(parent)
-                    parent = os.path.dirname(parent)
-            self.manifest.files = [
-                f for f in self.manifest.files if f.file_path not in set(paths)
-            ]
-            for p in moved:
-                self.manifest.add_file(p)
-            compacted += 1
-        if compacted:
-            self.manifest.save(self.manifest_path)
-            self.snapshot = Snapshot()
-            self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
-            self.snapshot.save(self.snapshot_path)
+                self.snapshot.save(self.snapshot_path)
+        shutil.rmtree(
+            os.path.join(self.stream_dir, ".compact_tmp"), ignore_errors=True
+        )
         return compacted
 
     # --- retention --------------------------------------------------------

@@ -160,8 +160,24 @@ class StreamingCurator:
         return self.process_batch
 
     # -- read sides --------------------------------------------------------
+    def _read_log(self, sub: str, empty_schema: str) -> DataFrame:
+        """A batch where NOTHING was dropped (or nothing kept) writes a
+        partition dir holding only _SUCCESS; parquet schema inference
+        then fails exactly when curation is going well (review
+        finding) — fall back to an empty frame of the log's shape."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(os.path.join(self.base_dir, sub))
+        except AnalysisException:
+            return self.spark.createDataFrame([], empty_schema)
+
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base_dir, "kept"))
+        return self._read_log(
+            "kept", f"{self.id_col} bigint, {self.text_col} string, batch_id int"
+        )
 
     def decisions(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base_dir, "decisions"))
+        return self._read_log(
+            "decisions", f"{self.id_col} bigint, reason string, batch_id int"
+        )

@@ -547,12 +547,21 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
 class _Conn:
     def __init__(self, bootstrap: str, client_id: str = "parseable-spark"):
         # kafka.bootstrap.servers is a comma list everywhere else in
-        # the public surface — connect to the first entry like a real
-        # client's bootstrap phase (review finding: rsplit on the whole
-        # string produced host 'b1:9092,b2')
-        first = bootstrap.split(",")[0].strip()
-        host, port = first.rsplit(":", 1)
-        self.sock = socket.create_connection((host, int(port)), timeout=30)
+        # the public surface; a real client's bootstrap phase tries
+        # each entry until one connects (review finding: a dead first
+        # broker must not fail the whole consume)
+        last_err: Exception | None = None
+        for entry in bootstrap.split(","):
+            host, port = entry.strip().rsplit(":", 1)
+            try:
+                self.sock = socket.create_connection(
+                    (host, int(port)), timeout=30
+                )
+                break
+            except OSError as e:
+                last_err = e
+        else:
+            raise last_err or ValueError(f"empty bootstrap {bootstrap!r}")
         self.client_id = client_id
         self._corr = 0
 

@@ -200,3 +200,13 @@ def test_bootstrap_accepts_comma_list():
         kw.wire_produce(broker.bootstrap, "logs", 0, [(b"k", b"v", 1000)])
         rows = kw.consume_all(f"{broker.bootstrap},unreachable:19092", "logs")
         assert [r["value"] for r in rows] == [b"v"]
+
+
+def test_bootstrap_fails_over_past_dead_first_entry():
+    """A dead FIRST broker must not fail the consume when a later
+    entry is alive (review finding): bootstrap tries entries in turn."""
+    with kw.MiniKafkaBroker() as broker:
+        broker.create_topic("logs", partitions=1)
+        kw.wire_produce(broker.bootstrap, "logs", 0, [(b"k", b"v", 1000)])
+        rows = kw.consume_all(f"127.0.0.1:1,{broker.bootstrap}", "logs")
+        assert [r["value"] for r in rows] == [b"v"]

@@ -487,3 +487,31 @@ def test_http_protobuf_gzip_ingest(spark, tmp_path_factory):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_gzip_truncated_stream_is_400(spark, tmp_path_factory):
+    """EOFError/zlib.error from a truncated-but-valid-header gzip body
+    are not OSError — they must still map to 400, not 500 (review
+    finding)."""
+    import gzip
+
+    from parseable_spark.server import ParseableAPI, serve_background
+
+    api = ParseableAPI(spark, str(tmp_path_factory.mktemp("otlp_trunc")))
+    srv, base = serve_background(api)
+    try:
+        whole = gzip.compress(b'{"resourceLogs": []}' * 50)
+        req = urllib.request.Request(
+            base + "/v1/logs",
+            data=whole[: len(whole) // 2],  # valid header, truncated stream
+            headers={
+                "Content-Type": "application/json",
+                "Content-Encoding": "gzip",
+                "x-p-stream": "t",
+            },
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

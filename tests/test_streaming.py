@@ -850,3 +850,20 @@ def test_streaming_curator_via_structured_streaming(spark, tmp_path):
     assert kept == {0, 3}  # 1 low quality, 2 history repeat of 0
     reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
     assert reasons == {1: "low_quality", 2: "in_history_or_exact"}
+
+
+def test_streaming_curator_all_pass_batch_reads_cleanly(spark, tmp_path):
+    """A batch where nothing is dropped writes a decisions partition
+    holding only _SUCCESS; the read side must return an empty frame,
+    not die on schema inference (review finding)."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"), num_shards=4, bits_per_shard=1 << 14
+    )
+    cur.process_batch(
+        spark.createDataFrame([(0, GOOD)], "doc_id bigint, text string"), 0
+    )
+    assert {r["doc_id"] for r in cur.kept().collect()} == {0}
+    assert cur.decisions().count() == 0
+    assert set(cur.decisions().columns) == {"doc_id", "reason", "batch_id"}
