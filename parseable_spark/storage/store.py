@@ -340,8 +340,14 @@ class StreamStore:
             # nulls them instead, same as scan()
             df = self._parquet_df(paths)
             # tmp OUTSIDE data_dir: flush's recursive glob over data_dir
-            # must never see in-flight compaction outputs
-            tmp = os.path.join(self.stream_dir, ".compact_tmp", f"g{gi}")
+            # must never see in-flight compaction outputs; unique name
+            # so two concurrent passes (scheduler + manual) never share
+            # a tmp dir — the loser aborts at the swap verify
+            import uuid as _uuid
+
+            tmp = os.path.join(
+                self.stream_dir, ".compact_tmp", f"g{gi}-{_uuid.uuid4().hex[:8]}"
+            )
             # compaction is the layout pass: z-order-configured streams
             # get a Morton sort inside the compacted file (tight
             # row-group stats on every clustered column — entity+time
