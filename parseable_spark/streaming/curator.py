@@ -14,8 +14,13 @@ proves individually:
   WITHIN the surviving slice of each batch (in-batch near-dups are by
   far the densest — crawl frontiers emit the same page repeatedly in
   a short window; cross-batch exact repeats are caught by the Bloom
-  gate, and cross-batch NEAR dups can be layered on with
-  ``StreamingDedupIndex`` where that cost is warranted).
+  gate);
+- optionally (``near_dup_history=True``) cross-batch NEAR dedup via
+  the rolling ``StreamingDedupIndex``: banded signatures persist,
+  candidate pairs against all history cost one incremental probe, and
+  because the historical side's text lives in this curator's own
+  ``kept/`` log, candidates are verified with exact Jaccard before
+  dropping (reason ``near_duplicate_history``).
 
 Each batch appends two partitioned logs (idempotent under replay —
 dynamic partition overwrite keyed by batch_id, same discipline as the
@@ -42,7 +47,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_index import StreamingBloomGate
+from .dedup_index import StreamingBloomGate, StreamingDedupIndex
 
 
 class StreamingCurator:
@@ -58,6 +63,7 @@ class StreamingCurator:
         near_dup_threshold: float = 0.4,
         lm_counts: DataFrame | None = None,
         max_pseudo_ppl: float | None = None,
+        near_dup_history: bool = False,
         num_shards: int = 16,
         bits_per_shard: int = 1 << 20,
         num_hashes: int = 7,
@@ -80,6 +86,24 @@ class StreamingCurator:
             num_shards=num_shards,
             bits_per_shard=bits_per_shard,
             num_hashes=num_hashes,
+        )
+        # optional stage 5: cross-batch NEAR dedup against the rolling
+        # LSH index. Candidate pairs come from the persisted banded
+        # signatures (StreamingDedupIndex); the historical side's TEXT
+        # lives in this curator's own kept/ log, so candidates are
+        # verified with exact Jaccard before dropping — same precision
+        # as the in-batch stage. (A doc dropped at this stage still
+        # enters the signature index; its canonical historical rep is
+        # in kept/, so future look-alikes verify through the rep.)
+        self.lsh = (
+            StreamingDedupIndex(
+                spark,
+                os.path.join(base_dir, "lsh"),
+                id_col=id_col,
+                text_col=text_col,
+            )
+            if near_dup_history
+            else None
         )
 
     # -- per-batch body ----------------------------------------------------
@@ -143,6 +167,60 @@ class StreamingCurator:
         near = verified.select(F.col("id_b").alias(self.id_col)).distinct()
         drops.append(near.withColumn("reason", F.lit("near_duplicate")))
         base = base.join(near, self.id_col, "left_anti")
+
+        # 5. (optional) cross-batch near-dups vs the rolling LSH index
+        if self.lsh is not None:
+            self.lsh.process_batch(base, batch_id)
+            pairs = (
+                self.lsh.candidates()
+                .filter(F.col("batch_id") == int(batch_id))
+                .select("id_a", "id_b")
+            )
+            ids = base.select(F.col(self.id_col).alias("_bid"))
+            # cross pairs: exactly ONE endpoint is in this batch — the
+            # other is historical (in-batch pairs were handled, with
+            # verification, by stage 4)
+            cross = (
+                pairs.join(
+                    ids.withColumnRenamed("_bid", "id_a"), "id_a", "left_semi"
+                )
+                .join(ids.withColumnRenamed("_bid", "id_b"), "id_b", "left_anti")
+                .select(
+                    F.col("id_b").alias("hist"), F.col("id_a").alias("new")
+                )
+                .unionByName(
+                    pairs.join(
+                        ids.withColumnRenamed("_bid", "id_b"), "id_b", "left_semi"
+                    )
+                    .join(
+                        ids.withColumnRenamed("_bid", "id_a"), "id_a", "left_anti"
+                    )
+                    .select(
+                        F.col("id_a").alias("hist"), F.col("id_b").alias("new")
+                    )
+                )
+            )
+            hist_docs = self.kept().join(
+                cross.select(F.col("hist").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_semi",
+            ).select(self.id_col, self.text_col)
+            xverified = D.jaccard_verify(
+                base.unionByName(hist_docs),
+                cross.select(
+                    F.col("hist").alias("id_a"), F.col("new").alias("id_b")
+                ),
+                self.id_col,
+                self.text_col,
+                threshold=self.near_dup_threshold,
+            )
+            xnear = xverified.select(
+                F.col("id_b").alias(self.id_col)
+            ).distinct()
+            drops.append(
+                xnear.withColumn("reason", F.lit("near_duplicate_history"))
+            )
+            base = base.join(xnear, self.id_col, "left_anti")
 
         whole_drops = drops[0]
         for d in drops[1:]:

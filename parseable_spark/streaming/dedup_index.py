@@ -182,8 +182,20 @@ class StreamingDedupIndex:
 
     # -- reads -----------------------------------------------------------
     def candidates(self) -> DataFrame:
-        """All candidate pairs found so far (id_a, id_b, batch_id)."""
-        return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))
+        """All candidate pairs found so far (id_a, id_b, batch_id).
+
+        A batch with no candidates writes only _SUCCESS under its
+        partition; when EVERY batch so far is pair-free, parquet
+        schema inference has nothing to read — return the empty shape
+        instead of raising (review finding on the curator's logs)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, batch_id int"
+            )
 
 
 class StreamingBloomGate:

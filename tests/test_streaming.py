@@ -867,3 +867,34 @@ def test_streaming_curator_all_pass_batch_reads_cleanly(spark, tmp_path):
     assert {r["doc_id"] for r in cur.kept().collect()} == {0}
     assert cur.decisions().count() == 0
     assert set(cur.decisions().columns) == {"doc_id", "reason", "batch_id"}
+
+
+def test_streaming_curator_cross_batch_near_dups(spark, tmp_path):
+    """near_dup_history=True: a later batch's near-variant of an
+    earlier batch's kept doc is dropped (verified against the kept
+    text, reason near_duplicate_history); unrelated docs survive;
+    replay is idempotent."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark,
+        str(tmp_path / "c"),
+        near_dup_history=True,
+        num_shards=4,
+        bits_per_shard=1 << 14,
+    )
+    b0 = spark.createDataFrame([(0, NEAR_A)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(1, NEAR_B), (2, GOOD)], "doc_id bigint, text string"
+    )
+    cur.process_batch(b0, 0)
+    cur.process_batch(b1, 1)
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0, 2}
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {1: "near_duplicate_history"}
+    # replay batch 1: same bytes
+    kept_once = sorted(map(tuple, cur.kept().collect()))
+    cur.process_batch(b1, 1)
+    assert sorted(map(tuple, cur.kept().collect())) == kept_once
+    assert {r["doc_id"]: r["reason"] for r in cur.decisions().collect()} == reasons
