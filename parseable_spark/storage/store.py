@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 from glob import glob
@@ -432,9 +433,25 @@ class StreamStore:
                     self.manifest_path, self.manifest, self.time_col
                 )
                 self.snapshot.save(self.snapshot_path)
-        shutil.rmtree(
-            os.path.join(self.stream_dir, ".compact_tmp"), ignore_errors=True
-        )
+        # clean ONLY leftovers no live pass owns: per-group tmp dirs are
+        # removed eagerly above (success and abort paths), so anything
+        # still present belongs either to a CONCURRENT pass (scheduler +
+        # manual — removing it would yank its output mid-move) or to a
+        # crashed one. Age-gate on mtime keeps the two apart; the bare
+        # rmdir reaps the root only once it is empty.
+        tmp_root = os.path.join(self.stream_dir, ".compact_tmp")
+        try:
+            now_s = time.time()
+            for name in os.listdir(tmp_root):
+                sub = os.path.join(tmp_root, name)
+                try:
+                    if now_s - os.path.getmtime(sub) > 3600:
+                        shutil.rmtree(sub, ignore_errors=True)
+                except OSError:
+                    pass
+            os.rmdir(tmp_root)
+        except OSError:
+            pass
         return compacted
 
     # --- retention --------------------------------------------------------

@@ -92,9 +92,9 @@ class StreamingCurator:
         # signatures (StreamingDedupIndex); the historical side's TEXT
         # lives in this curator's own kept/ log, so candidates are
         # verified with exact Jaccard before dropping — same precision
-        # as the in-batch stage. (A doc dropped at this stage still
-        # enters the signature index; its canonical historical rep is
-        # in kept/, so future look-alikes verify through the rep.)
+        # as the in-batch stage. Only FINAL survivors are folded into
+        # the index (probe_batch/fold_batch split), so indexed ⊆ kept
+        # and every future candidate's historical text is retrievable.
         self.lsh = (
             StreamingDedupIndex(
                 spark,
@@ -170,7 +170,15 @@ class StreamingCurator:
 
         # 5. (optional) cross-batch near-dups vs the rolling LSH index
         if self.lsh is not None:
-            self.lsh.process_batch(base, batch_id)
+            # probe-only: candidates for the WHOLE surviving slice, but
+            # nothing is folded into the index until the batch's final
+            # survivors are known (below) — so every indexed doc has
+            # canonical text in kept/ and every future candidate pair
+            # is Jaccard-verifiable. Folding the pre-drop slice would
+            # leave stage-5 losers in the index with no retrievable
+            # text: a later look-alike's pair against such a doc would
+            # vanish in the verify join and slip through.
+            self.lsh.probe_batch(base, batch_id)
             pairs = (
                 self.lsh.candidates()
                 .filter(F.col("batch_id") == int(batch_id))
@@ -225,6 +233,7 @@ class StreamingCurator:
         whole_drops = drops[0]
         for d in drops[1:]:
             whole_drops = whole_drops.unionByName(d)
+        base = base.localCheckpoint()  # consumed by the kept write + fold
         for df, sub in ((base, "kept"), (whole_drops, "decisions")):
             (
                 df.withColumn("batch_id", F.lit(int(batch_id)))
@@ -233,6 +242,13 @@ class StreamingCurator:
                 .partitionBy("batch_id")
                 .parquet(os.path.join(self.base_dir, sub))
             )
+        if self.lsh is not None:
+            # fold ONLY the final survivors, after kept/ is durable, so
+            # the on-disk invariant `indexed ⊆ kept` holds at every
+            # point (a crash between the writes replays the batch: the
+            # probe's prior-version discipline reads the pre-state
+            # index regardless of whether this fold committed)
+            self.lsh.fold_batch(base, batch_id)
 
     def batch_writer(self) -> Callable[[DataFrame, int], None]:
         return self.process_batch

@@ -107,52 +107,46 @@ class StreamingDedupIndex:
         return sorted(out)
 
     # -- per-micro-batch processing --------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: emit candidate pairs for the batch (within
-        the batch + against all history), then fold the batch into a
-        new index version.
-
-        Idempotent under foreachBatch's at-least-once redelivery: the
-        index version is DERIVED from the batch id (v{batch_id+1}), the
-        previous index is the newest committed version strictly at or
-        below batch_id (so a replay reads the same pre-state even when
-        its own version was already written), the version write is an
-        overwrite, and the pairs write overwrites exactly its own
-        batch_id partition (dynamic partition overwrite)."""
-        docs = batch_df.select(self.id_col, self.text_col)
-        if not docs.head(1):
-            return
-        prior = [v for v in self._committed_versions() if v <= int(batch_id)]
-        idx = (
-            self.spark.read.parquet(
-                os.path.join(self.base_dir, "index", f"v{prior[-1]}")
-            )
-            if prior
-            else None
-        )
-        kw = dict(
+    def _kw(self) -> dict:
+        return dict(
             id_col=self.id_col,
             text_col=self.text_col,
             num_hashes=self.num_hashes,
             rows_per_band=self.rows_per_band,
             shingle_n=self.shingle_n,
         )
+
+    def _prior_index(self, batch_id: int) -> DataFrame | None:
+        """Newest committed index version at or below batch_id — a
+        replay reads the same pre-state even when its own version was
+        already written."""
+        prior = [v for v in self._committed_versions() if v <= int(batch_id)]
+        if not prior:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.base_dir, "index", f"v{prior[-1]}")
+        )
+
+    def probe_batch(
+        self, batch_df: DataFrame, batch_id: int, new_banded: DataFrame | None = None
+    ) -> None:
+        """Emit candidate pairs for the batch (within the batch +
+        against all history) into the pairs log — WITHOUT folding the
+        batch into the index. Idempotent: overwrites exactly its own
+        batch_id partition (dynamic partition overwrite)."""
+        docs = batch_df.select(self.id_col, self.text_col)
+        if not docs.head(1):
+            return
+        idx = self._prior_index(batch_id)
         if idx is None:
             pairs = minhash_lsh_candidates(
-                docs, bucket_cap=self.bucket_cap, **kw
+                docs, bucket_cap=self.bucket_cap, **self._kw()
             )
-            new_index = build_lsh_index(docs, **kw)
         else:
-            from ..llm.dedup import banded_rows
-
-            # band the batch ONCE; both the candidate probe and the
-            # index merge consume the same checkpointed rows (no double
-            # text scan; first-batch helpers band internally)
-            banded = banded_rows(docs, **kw).localCheckpoint()
             pairs = incremental_lsh_candidates(
-                docs, idx, bucket_cap=self.bucket_cap, new_banded=banded, **kw
+                docs, idx, bucket_cap=self.bucket_cap, new_banded=new_banded,
+                **self._kw(),
             )
-            new_index = merge_lsh_index(idx, docs, new_banded=banded, **kw)
         from pyspark.sql import functions as F
 
         (
@@ -162,19 +156,56 @@ class StreamingDedupIndex:
             .partitionBy("batch_id")
             .parquet(os.path.join(self.base_dir, "pairs"))
         )
+
+    def fold_batch(
+        self, batch_df: DataFrame, batch_id: int, new_banded: DataFrame | None = None
+    ) -> None:
+        """Fold docs into a new index version v{batch_id+1}. The docs
+        need not be the probed set — the curator probes the whole batch
+        but folds only the SURVIVORS, so every indexed doc has
+        retrievable canonical text. Idempotent: the version is derived
+        from the batch id and never rewritten in place (on a replay
+        after the checkpoint failed to commit, LATEST may already point
+        here and an overwrite would delete files under a live reader —
+        review finding). Content is a pure function of
+        (prev index, docs), so the committed version IS this rewrite's
+        output."""
+        docs = batch_df.select(self.id_col, self.text_col)
+        if not docs.head(1):
+            return
+        idx = self._prior_index(batch_id)
+        if idx is None:
+            new_index = build_lsh_index(docs, **self._kw())
+        else:
+            new_index = merge_lsh_index(
+                idx, docs, new_banded=new_banded, **self._kw()
+            )
         version = int(batch_id) + 1
         if version not in self._committed_versions():
-            # never rewrite an already-committed version in place: on a
-            # replay after the checkpoint failed to commit, LATEST may
-            # already point here and an overwrite would delete files
-            # under a live reader (review finding). Content is a pure
-            # function of (prev index, batch), so the committed version
-            # IS this rewrite's output.
             new_index.write.mode("overwrite").parquet(
                 os.path.join(self.base_dir, "index", f"v{version}")
             )
         if version > (self.latest_version() or 0):
             self._commit_version(version)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: emit candidate pairs for the batch (within
+        the batch + against all history), then fold the batch into a
+        new index version. See probe_batch/fold_batch for the replay
+        discipline; standalone use folds the SAME docs it probes."""
+        docs = batch_df.select(self.id_col, self.text_col)
+        if not docs.head(1):
+            return
+        banded = None
+        if self._prior_index(batch_id) is not None:
+            from ..llm.dedup import banded_rows
+
+            # band the batch ONCE; both the candidate probe and the
+            # index merge consume the same checkpointed rows (no double
+            # text scan; first-batch helpers band internally)
+            banded = banded_rows(docs, **self._kw()).localCheckpoint()
+        self.probe_batch(docs, batch_id, new_banded=banded)
+        self.fold_batch(docs, batch_id, new_banded=banded)
 
     def batch_writer(self) -> Callable[[DataFrame, int], None]:
         """Hook for `streaming.ingest.foreach_batch_sink`."""

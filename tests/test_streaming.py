@@ -898,3 +898,48 @@ def test_streaming_curator_cross_batch_near_dups(spark, tmp_path):
     cur.process_batch(b1, 1)
     assert sorted(map(tuple, cur.kept().collect())) == kept_once
     assert {r["doc_id"]: r["reason"] for r in cur.decisions().collect()} == reasons
+
+
+def test_streaming_curator_index_holds_only_survivors(spark, tmp_path):
+    """Stage-5 losers must NOT be folded into the rolling LSH index
+    (indexed ⊆ kept): a doc dropped as near_duplicate_history has no
+    text in kept/, so any future candidate pair against it would be
+    unverifiable and silently slip through the Jaccard join. The fix
+    probes the whole batch but folds only final survivors — a THIRD
+    batch's variant still verifies (and drops) through the kept rep."""
+    from parseable_spark.streaming import StreamingCurator
+
+    near_c = (
+        "a stitch in time saves nine and the early bird catches the worm "
+        "while the patient gardener waters every plant in the winter sun"
+    )
+    cur = StreamingCurator(
+        spark,
+        str(tmp_path / "c"),
+        near_dup_history=True,
+        num_shards=4,
+        bits_per_shard=1 << 14,
+    )
+    cur.process_batch(
+        spark.createDataFrame([(0, NEAR_A)], "doc_id bigint, text string"), 0
+    )
+    cur.process_batch(
+        spark.createDataFrame(
+            [(1, NEAR_B), (2, GOOD)], "doc_id bigint, text string"
+        ),
+        1,
+    )
+    kept_ids = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept_ids == {0, 2}
+    indexed = {r["doc_id"] for r in cur.lsh.index_df().select("doc_id").collect()}
+    assert indexed <= kept_ids, f"index holds non-kept docs: {indexed - kept_ids}"
+    # third-batch variant: its candidate pair lands on KEPT doc 0 (the
+    # canonical rep), whose text is retrievable — verified and dropped
+    cur.process_batch(
+        spark.createDataFrame([(3, near_c)], "doc_id bigint, text string"), 2
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons[3] == "near_duplicate_history"
+    assert {r["doc_id"] for r in cur.kept().collect()} == {0, 2}
+    indexed = {r["doc_id"] for r in cur.lsh.index_df().select("doc_id").collect()}
+    assert indexed <= {0, 2}
