@@ -126,8 +126,14 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     bucket_cap: int = 64,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    Pass `banded` (from `banded_rows`) to reuse bands a caller already
+    computed — the shingle→minhash scan is the expensive kernel and
+    callers like the streaming curator consume the same bands three
+    times per batch (in-batch candidates, history probe, index fold).
 
     One shuffle on band hash; no all-pairs join. Band-hash key
     cardinality grows with corpus size, so partitions stay balanced —
@@ -150,7 +156,11 @@ def minhash_lsh_candidates(
     recovers the cluster). Deterministic (min-id rep, no RNG), so the
     output is stable run-to-run at any cap.
     """
-    melted = banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    melted = (
+        banded.select(id_col, "band_idx", "band_hash")
+        if banded is not None
+        else banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    )
     from pyspark.sql.window import Window
 
     # Bucket size via an unordered partitioned window — same shuffle key
@@ -242,6 +252,7 @@ def build_lsh_index(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH signature index of a corpus:
     (id, band_idx, band_hash, bsz, rep_id) — banded minhash rows plus
@@ -251,12 +262,18 @@ def build_lsh_index(
     At 100 TB this is THE dedup artifact to keep: ~num_bands narrow
     rows per document, written partitioned/bucketed by band_hash so an
     increment's probe join co-locates without shuffling the index.
+    Pass `banded` to reuse bands already computed for the same docs.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "band_hash")
+    melted = (
+        banded.select(id_col, "band_idx", "band_hash")
+        if banded is not None
+        else banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    )
     return (
-        banded_rows(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+        melted
         .withColumn("bsz", F.count(F.lit(1)).over(w))
         .withColumn("rep_id", F.min(id_col).over(w))
     )

@@ -122,6 +122,10 @@ class ParseableAPI:
         self._api_keys: dict[str, dict[str, Any]] = {}
         self._query_count = 0
         self._query_seconds = 0.0
+        # multi-tenant hook (tenants.TenantManager): total hot-tier
+        # quota bytes allocated by OTHER tenants' APIs on this volume,
+        # counted by put_hot_tier's disk-capacity gate
+        self._peer_hottier_bytes: Any = None  # Callable[[], int] | None
         if oidc is not None:
             from .oidc import DiscoveredClient
 
@@ -2351,6 +2355,12 @@ class ParseableAPI:
                     for n, s in self._stores.items()
                     if n != name and getattr(s, "hot_tier", None) is not None
                 )
+                # multi-tenant: every tenant's API caches onto the SAME
+                # volume — count their allocations too, or N tenants
+                # each pass the gate alone while jointly blowing the
+                # threshold (review finding; TenantManager wires this)
+                if self._peer_hottier_bytes is not None:
+                    others += self._peer_hottier_bytes()
                 validate_disk_capacity(
                     store.stream_dir,
                     size - (existing.size_limit if existing else 0),
@@ -2367,17 +2377,30 @@ class ParseableAPI:
                 existing.size_limit = size
             ht = store.hot_tier
             files = list(store.manifest.files)
-        # the history sync copies real bytes — run it OUTSIDE the global
-        # API lock so other streams'/tenants' requests keep flowing
-        # (review finding; the reference spawns it as a task)
-        from types import SimpleNamespace
-
-        ht.backfill(SimpleNamespace(files=files), store.time_col)
-        with self._lock:
+            # persist the config BEFORE the sync: only `size` is read
+            # back on boot, and a client that times out mid-backfill
+            # must not lose the accepted configuration
             meta = ht.meta()
             save_versioned(
                 "hottier", os.path.join(store.stream_dir, "hottier.json"), meta
             )
+        # the history sync copies real bytes — run it on a background
+        # thread like the boot path (the reference's spawn_stream_task):
+        # inline it and a 500 GB stream blocks the HTTP request for
+        # minutes, the client times out, and retries stack concurrent
+        # backfills (review finding). Scans fall back to remote paths
+        # until files land; GET /hottier shows used_size growing.
+        import threading
+        from types import SimpleNamespace
+
+        t = threading.Thread(
+            target=ht.backfill,
+            args=(SimpleNamespace(files=files), store.time_col),
+            daemon=True,
+            name=f"hottier-sync-{name}",
+        )
+        store._hottier_sync = t  # joinable (tests/ops drain)
+        t.start()
         return meta
 
     def get_hot_tier(self, name: str) -> dict[str, Any]:
@@ -2396,6 +2419,11 @@ class ParseableAPI:
         if store.hot_tier is None:
             raise ApiError(404, f"hot tier not enabled for stream {name}")
         with self._lock:
+            # close() waits out any in-flight backfill copy and turns
+            # the sync thread's further add() calls into no-ops — so
+            # the rmtree below cannot race a copier that would
+            # resurrect the deleted cache dir (review finding)
+            store.hot_tier.close()
             shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
             store.hot_tier = None
             get_metastore().delete_prefix(

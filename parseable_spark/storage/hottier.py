@@ -47,6 +47,10 @@ class HotTier:
     _mu: threading.RLock = field(
         default_factory=threading.RLock, repr=False, compare=False
     )
+    # set by close(): the tier was deleted while a background backfill
+    # may still be copying — add() becomes a no-op so the sync thread
+    # cannot resurrect the removed cache dir (review finding)
+    _closed: bool = field(default=False, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -57,7 +61,12 @@ class HotTier:
 
     # --- bookkeeping ----------------------------------------------------
     def used_bytes(self) -> int:
-        return sum(self._sizes.values())
+        # under _mu: the background backfill thread inserts into _sizes
+        # concurrently, and sum(dict.values()) over a mutating dict
+        # raises RuntimeError (review finding — "one lock covers the
+        # size-accounting" must include the readers)
+        with self._mu:
+            return sum(self._sizes.values())
 
     def _local_path(self, remote_path: str) -> str:
         # mirror the partition-dir layout so eviction order == time order
@@ -83,6 +92,8 @@ class HotTier:
         """Pull one parquet file into the hot tier; returns the local
         path, or None when the file exceeds the whole quota."""
         with self._mu:
+            if self._closed:
+                return None
             local = self._local_path(remote_path)
             if local in self._sizes:
                 return local
@@ -135,9 +146,10 @@ class HotTier:
         mirrored date=/hour=/minute= layout (the reference's
         get_oldest_date_time_entry, hottier.rs:1469-1517, which walks
         its date-sorted local dirs the same way)."""
-        if not self._sizes:
-            return None
-        p = min(self._sizes)  # lexicographic == chronological (layout)
+        with self._mu:
+            if not self._sizes:
+                return None
+            p = min(self._sizes)  # lexicographic == chronological (layout)
         m = re.search(
             r"date=(\d{4}-\d{2}-\d{2})(?:/hour=(\d{2}))?(?:/minute=(\d{2}))?", p
         )
@@ -191,6 +203,8 @@ class HotTier:
         )
         added = 0
         for f in files:
+            if self._closed:
+                break  # tier deleted mid-sync; stop copying
             if self.lookup(f.file_path) is not None:
                 continue
             if not os.path.exists(f.file_path):
@@ -200,6 +214,15 @@ class HotTier:
             if self.add(f.file_path) is not None:
                 added += 1
         return added
+
+    def close(self) -> None:
+        """Mark the tier deleted. Taking _mu first waits out any
+        in-flight add() copy; afterwards every add()/backfill() is a
+        no-op, so the caller can safely rmtree the cache dir without a
+        background sync thread recreating it."""
+        with self._mu:
+            self._closed = True
+            self._sizes.clear()
 
 
 def validate_disk_capacity(

@@ -237,12 +237,23 @@ class StreamStore:
         (no manifest) pay a filesystem walk (review finding: at
         per-minute file counts a Python glob per call is not free)."""
         if self.manifest.files:
+            # read EXACTLY the manifest's files, not the directory: a
+            # compaction pass with a tombstone grace window leaves
+            # swapped-out inputs on disk (readable by in-flight
+            # queries) that a dir-level read would double-count
             files = [f.file_path for f in self.manifest.files]
-        else:
-            files = glob(
-                os.path.join(self.data_dir, "date=*", "**", "*.parquet"),
-                recursive=True,
-            )
+            depths = {
+                os.path.relpath(p, self.data_dir).count(os.sep) for p in files
+            }
+            reader = self.spark.read.option("mergeSchema", "true")
+            if len(depths) == 1:
+                # uniform depth: basePath derives the partition columns
+                reader = reader.option("basePath", self.data_dir)
+            return reader.parquet(*files)
+        files = glob(
+            os.path.join(self.data_dir, "date=*", "**", "*.parquet"),
+            recursive=True,
+        )
         depths = {os.path.relpath(p, self.data_dir).count(os.sep) for p in files}
         if len(depths) > 1:
             return (
@@ -270,6 +281,7 @@ class StreamStore:
         level: str = "minute",
         target_file_bytes: int = 128 << 20,
         swap_lock=None,
+        tombstone_grace_seconds: float = 330.0,
     ) -> int:
         """Rewrite groups of ≥ min_files small parquet files into
         target-sized sorted files (the reference's compaction collapses
@@ -299,12 +311,26 @@ class StreamStore:
         file swap + manifest update runs under the lock, re-verifying
         first that every input is still in the manifest (a concurrent
         retention may have deleted the group). Without a lock the two
-        phases simply run back to back."""
+        phases simply run back to back.
+
+        ``tombstone_grace_seconds``: swapped-out input files are not
+        deleted immediately — scan() resolves concrete paths under the
+        API lock but the Spark job OPENS them after the lock is
+        released (the split-phase design above), so deleting at swap
+        time intermittently 500s in-flight queries on busy streams
+        every maintenance window (review finding). Instead inputs are
+        tombstoned (dropped from the manifest — invisible to every new
+        scan and to flush's before/after glob diff) and physically
+        reaped at the START of a later pass once older than the grace
+        (default 330 s > the 300 s query timeout: nothing planned
+        against the old manifest can still be running). Pass 0 to
+        delete inline (tests / single-writer offline jobs)."""
         import contextlib
         import math
         from collections import defaultdict
 
         lock = swap_lock if swap_lock is not None else contextlib.nullcontext()
+        self._reap_tombstones(lock, tombstone_grace_seconds)
 
         drop = {
             "minute": (),
@@ -394,29 +420,14 @@ class StreamStore:
                     shutil.move(p, dest)
                     moved.append(dest)
                 shutil.rmtree(tmp)
-                for p in paths:
-                    os.remove(p)
-                    # local-FS checksum sibling (.name.crc) would keep
-                    # the dir alive and re-fail reads of a recreated name
-                    crc = os.path.join(
-                        os.path.dirname(p), f".{os.path.basename(p)}.crc"
-                    )
-                    if os.path.exists(crc):
-                        os.remove(crc)
-                    if self.hot_tier is not None:
-                        self.hot_tier.invalidate(p)
-                    # drop minute/hour dirs a rollup emptied; with custom
-                    # deeper layouts the chain may never pass through d,
-                    # so bound the walk at the stream data root as well
-                    parent = os.path.dirname(p)
-                    while (
-                        parent != d
-                        and parent != self.data_dir
-                        and os.path.isdir(parent)
-                        and not os.listdir(parent)
-                    ):
-                        os.rmdir(parent)
-                        parent = os.path.dirname(parent)
+                if tombstone_grace_seconds > 0:
+                    # defer the physical delete: the manifest drop below
+                    # hides the inputs from every future reader; a
+                    # query already mid-flight keeps readable files
+                    self._append_tombstones(paths)
+                else:
+                    for p in paths:
+                        self._delete_data_file(p, stop_dir=d)
                 self.manifest.files = [
                     f
                     for f in self.manifest.files
@@ -424,15 +435,21 @@ class StreamStore:
                 ]
                 for p in moved:
                     self.manifest.add_file(p)
-                compacted += 1
-        with lock:
-            if compacted:
+                # persist PER GROUP, inside this group's lock hold: a
+                # later group's unlocked bulk phase can raise (e.g. a
+                # concurrent retention deleted its inputs) and the
+                # exception propagates out of compact() — an end-of-pass
+                # save would then leave the on-disk manifest referencing
+                # this group's already-deleted originals (review
+                # finding). A handful of extra json writes per rollup is
+                # noise next to the parquet rewrite.
                 self.manifest.save(self.manifest_path)
                 self.snapshot = Snapshot()
                 self.snapshot.add_manifest(
                     self.manifest_path, self.manifest, self.time_col
                 )
                 self.snapshot.save(self.snapshot_path)
+                compacted += 1
         # clean ONLY leftovers no live pass owns: per-group tmp dirs are
         # removed eagerly above (success and abort paths), so anything
         # still present belongs either to a CONCURRENT pass (scheduler +
@@ -453,6 +470,78 @@ class StreamStore:
         except OSError:
             pass
         return compacted
+
+    # --- compaction tombstones -------------------------------------------
+    # Operational state (like .compact_tmp), not a metadata artifact:
+    # losing the file merely leaks already-dereferenced parquet bytes
+    # until a manual sweep, never affects correctness.
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.stream_dir, ".compact_tombstones.json")
+
+    def _append_tombstones(self, paths: list[str]) -> None:
+        try:
+            with open(self._tombstone_path) as f:
+                tombs = json.load(f)
+        except (FileNotFoundError, ValueError):
+            tombs = []
+        now_s = time.time()
+        tombs.extend({"path": p, "ts": now_s} for p in paths)
+        tmp = self._tombstone_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tombs, f)
+        os.replace(tmp, self._tombstone_path)
+
+    def _delete_data_file(self, p: str, stop_dir: str | None = None) -> None:
+        """Physically remove one swapped-out parquet + its local-FS
+        checksum sibling, drop any hot-tier copy, and prune partition
+        dirs the removal emptied (bounded at the stream data root)."""
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass  # already gone; manifest no longer references it
+        crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        if self.hot_tier is not None:
+            self.hot_tier.invalidate(p)
+        parent = os.path.dirname(p)
+        while (
+            parent != stop_dir
+            and parent != self.data_dir
+            and os.path.isdir(parent)
+            and not os.listdir(parent)
+        ):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+
+    def _reap_tombstones(self, lock, grace_seconds: float) -> None:
+        """Delete tombstoned inputs older than the grace window (run at
+        the start of each compaction pass — by then no query planned
+        against the pre-swap manifest can still be executing)."""
+        with lock:
+            try:
+                with open(self._tombstone_path) as f:
+                    tombs = json.load(f)
+            except (FileNotFoundError, ValueError):
+                return
+            now_s = time.time()
+            keep = []
+            for t in tombs:
+                if now_s - t["ts"] < grace_seconds:
+                    keep.append(t)
+                    continue
+                self._delete_data_file(t["path"])
+            if keep:
+                tmp = self._tombstone_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(keep, f)
+                os.replace(tmp, self._tombstone_path)
+            else:
+                try:
+                    os.remove(self._tombstone_path)
+                except FileNotFoundError:
+                    pass
 
     # --- retention --------------------------------------------------------
     def apply_retention(self, days: int, now: datetime | None = None) -> int:

@@ -41,6 +41,7 @@ and equivalence checks this way).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
@@ -158,8 +159,18 @@ class StreamingCurator:
             drops.append(ppl_bad.withColumn("reason", F.lit("high_perplexity")))
             base = base.join(ppl_bad, self.id_col, "left_anti")
 
-        # 4. in-batch verified near-dups (min-id canonical survives)
-        cands = D.minhash_lsh_candidates(base, self.id_col, self.text_col)
+        # 4. in-batch verified near-dups (min-id canonical survives).
+        # Band ONCE: the same banded rows feed the in-batch candidates,
+        # the stage-5 history probe, and the survivors-only index fold
+        # — without sharing, each consumer would re-run the
+        # shingle→minhash text scan, the most expensive kernel in the
+        # loop (review finding).
+        banded = D.banded_rows(
+            base, self.id_col, self.text_col
+        ).localCheckpoint()
+        cands = D.minhash_lsh_candidates(
+            base, self.id_col, self.text_col, banded=banded
+        )
         verified = D.jaccard_verify(
             base, cands, self.id_col, self.text_col,
             threshold=self.near_dup_threshold,
@@ -178,7 +189,7 @@ class StreamingCurator:
             # leave stage-5 losers in the index with no retrievable
             # text: a later look-alike's pair against such a doc would
             # vanish in the verify join and slip through.
-            self.lsh.probe_batch(base, batch_id)
+            self.lsh.probe_batch(base, batch_id, new_banded=banded)
             pairs = (
                 self.lsh.candidates()
                 .filter(F.col("batch_id") == int(batch_id))
@@ -235,35 +246,63 @@ class StreamingCurator:
             whole_drops = whole_drops.unionByName(d)
         base = base.localCheckpoint()  # consumed by the kept write + fold
         for df, sub in ((base, "kept"), (whole_drops, "decisions")):
+            stamped = df.withColumn("batch_id", F.lit(int(batch_id)))
             (
-                df.withColumn("batch_id", F.lit(int(batch_id)))
+                stamped
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(os.path.join(self.base_dir, sub))
             )
+            self._save_log_schema(sub, stamped)
         if self.lsh is not None:
             # fold ONLY the final survivors, after kept/ is durable, so
             # the on-disk invariant `indexed ⊆ kept` holds at every
             # point (a crash between the writes replays the batch: the
             # probe's prior-version discipline reads the pre-state
-            # index regardless of whether this fold committed)
-            self.lsh.fold_batch(base, batch_id)
+            # index regardless of whether this fold committed). Reuse
+            # the stage-4 bands, narrowed to the survivor ids.
+            surv_banded = banded.join(
+                base.select(self.id_col), self.id_col, "left_semi"
+            )
+            self.lsh.fold_batch(base, batch_id, new_banded=surv_banded)
 
     def batch_writer(self) -> Callable[[DataFrame, int], None]:
         return self.process_batch
 
     # -- read sides --------------------------------------------------------
+    def _save_log_schema(self, sub: str, df: DataFrame) -> None:
+        """Persist the log's REAL schema next to it (atomic replace) so
+        the empty-log fallback below reproduces the actual id type —
+        a hardcoded `bigint` would type-clash with string doc ids in
+        any later union/join (review finding). Written per batch
+        (idempotent, content-stable) rather than once, so replays and
+        restarts self-heal a missing sidecar."""
+        path = os.path.join(self.base_dir, f"_{sub}_schema.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(df.schema.json())
+        os.replace(tmp, path)
+
     def _read_log(self, sub: str, empty_schema: str) -> DataFrame:
         """A batch where NOTHING was dropped (or nothing kept) writes a
         partition dir holding only _SUCCESS; parquet schema inference
         then fails exactly when curation is going well (review
-        finding) — fall back to an empty frame of the log's shape."""
+        finding) — fall back to an empty frame of the log's shape,
+        preferring the persisted sidecar schema (exact types) over the
+        default-typed `empty_schema` string."""
         from pyspark.errors import AnalysisException
 
         try:
             return self.spark.read.parquet(os.path.join(self.base_dir, sub))
         except AnalysisException:
+            sidecar = os.path.join(self.base_dir, f"_{sub}_schema.json")
+            if os.path.exists(sidecar):
+                from pyspark.sql.types import StructType
+
+                with open(sidecar) as f:
+                    schema = StructType.fromJson(json.loads(f.read()))
+                return self.spark.createDataFrame([], schema)
             return self.spark.createDataFrame([], empty_schema)
 
     def kept(self) -> DataFrame:

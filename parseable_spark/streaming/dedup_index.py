@@ -140,7 +140,7 @@ class StreamingDedupIndex:
         idx = self._prior_index(batch_id)
         if idx is None:
             pairs = minhash_lsh_candidates(
-                docs, bucket_cap=self.bucket_cap, **self._kw()
+                docs, bucket_cap=self.bucket_cap, banded=new_banded, **self._kw()
             )
         else:
             pairs = incremental_lsh_candidates(
@@ -149,13 +149,24 @@ class StreamingDedupIndex:
             )
         from pyspark.sql import functions as F
 
+        stamped = pairs.withColumn("batch_id", F.lit(int(batch_id)))
         (
-            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            stamped
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(os.path.join(self.base_dir, "pairs"))
         )
+        # persist the real schema for the all-batches-pair-free read
+        # fallback (id type follows the doc id column — hardcoding
+        # bigint breaks string-id corpora; review finding)
+        import json as _json
+
+        sidecar = os.path.join(self.base_dir, "_pairs_schema.json")
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(stamped.schema.json())
+        os.replace(tmp, sidecar)
 
     def fold_batch(
         self, batch_df: DataFrame, batch_id: int, new_banded: DataFrame | None = None
@@ -175,7 +186,7 @@ class StreamingDedupIndex:
             return
         idx = self._prior_index(batch_id)
         if idx is None:
-            new_index = build_lsh_index(docs, **self._kw())
+            new_index = build_lsh_index(docs, banded=new_banded, **self._kw())
         else:
             new_index = merge_lsh_index(
                 idx, docs, new_banded=new_banded, **self._kw()
@@ -224,6 +235,16 @@ class StreamingDedupIndex:
         try:
             return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))
         except AnalysisException:
+            sidecar = os.path.join(self.base_dir, "_pairs_schema.json")
+            if os.path.exists(sidecar):
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                with open(sidecar) as f:
+                    return self.spark.createDataFrame(
+                        [], StructType.fromJson(_json.loads(f.read()))
+                    )
             return self.spark.createDataFrame(
                 [], "id_a bigint, id_b bigint, batch_id int"
             )

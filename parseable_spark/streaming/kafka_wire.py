@@ -552,13 +552,19 @@ class _Conn:
         # broker must not fail the whole consume)
         last_err: Exception | None = None
         for entry in bootstrap.split(","):
-            host, port = entry.strip().rsplit(":", 1)
+            # parse INSIDE the try: a malformed entry ("nohost", "",
+            # trailing comma) must count as a failed broker and fall
+            # through to the next one, not crash the failover loop with
+            # an unpack/int ValueError (review finding)
+            if not entry.strip():
+                continue
             try:
+                host, port = entry.strip().rsplit(":", 1)
                 self.sock = socket.create_connection(
                     (host, int(port)), timeout=30
                 )
                 break
-            except OSError as e:
+            except (OSError, ValueError) as e:
                 last_err = e
         else:
             raise last_err or ValueError(f"empty bootstrap {bootstrap!r}")

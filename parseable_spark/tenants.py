@@ -136,8 +136,27 @@ class TenantManager:
         self._apis: dict[str, Any] = {DEFAULT_TENANT: default_api}
         self._meta: dict[str, TenantMeta] = {}
         self._lock = threading.RLock()
+        # all tenants' hot tiers cache onto ONE volume: each API's
+        # disk-capacity gate must count every OTHER tenant's quota
+        # (server.put_hot_tier; review finding)
+        default_api._peer_hottier_bytes = self._peer_hottier_bytes_fn(
+            default_api
+        )
         if self.multi_tenant:
             self._load_tenants()
+
+    def _peer_hottier_bytes_fn(self, owner_api):
+        def total() -> int:
+            with self._lock:
+                return sum(
+                    s.hot_tier.size_limit
+                    for api in self._apis.values()
+                    if api is not owner_api
+                    for s in api._stores.values()
+                    if getattr(s, "hot_tier", None) is not None
+                )
+
+        return total
 
     # -- storage layout -------------------------------------------------------
     def tenant_root(self, tenant_id: str) -> str:
@@ -159,7 +178,7 @@ class TenantManager:
         # the server's built-in credential pair acts as the reference's
         # SuperAdmin across every tenant (middleware.rs:359); tenant
         # users are created through the tenant's own RBAC routes
-        return ParseableAPI(
+        api = ParseableAPI(
             self.default_api.spark,
             self.tenant_root(tenant_id),
             time_col=self.default_api.time_col,
@@ -167,6 +186,8 @@ class TenantManager:
             oidc=None,
             tenant=tenant_id,
         )
+        api._peer_hottier_bytes = self._peer_hottier_bytes_fn(api)
+        return api
 
     def _load_tenants(self) -> None:
         """Boot-time discovery (reference load_tenants,

@@ -73,7 +73,15 @@ class TestCompaction:
         import os
 
         hour_dir = os.path.dirname(rolled[0].file_path)
+        # default tombstone grace: swapped-out minute files stay on disk
+        # (an in-flight query that resolved them pre-swap keeps reading)
+        # but are OUT of the manifest — invisible to new scans
+        assert [d for d in os.listdir(hour_dir) if d.startswith("minute=")]
+        assert os.path.exists(store._tombstone_path)
+        # a later pass past the grace window reaps them + the empty dirs
+        assert store.compact(level="hour", tombstone_grace_seconds=0) == 0
         assert not [d for d in os.listdir(hour_dir) if d.startswith("minute=")]
+        assert not os.path.exists(store._tombstone_path)
         assert store.count_fast_path() == before_rows
         # scan + time pruning still correct (stats carry the time col)
         df = store.scan(

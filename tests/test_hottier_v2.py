@@ -4,6 +4,7 @@ validation, StreamHotTier v2 metadata."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 import pytest
@@ -99,10 +100,17 @@ class TestApiSurface:
         store.flush()
 
         meta = api.put_hot_tier("applogs", {"size": 10_000_000})
-        # committed history was synced immediately (spawn_stream_task)
-        assert meta["used_size"] == sum(f.file_size for f in store.manifest.files)
-        assert meta["oldest_date_time_entry"] == "2024-01-15T10:01:00.000Z"
+        # PUT returns immediately; the history sync runs on a background
+        # thread (the reference's spawn_stream_task — review finding:
+        # inline backfill blocks the HTTP request for the whole copy).
+        # The config is persisted before the sync starts.
+        assert meta["size"] == 10_000_000
         assert (tmp_path / "applogs" / "hottier.json").exists()
+        store._hottier_sync.join(timeout=30)
+        synced = api.get_hot_tier("applogs")
+        assert synced["used_size"] == sum(f.file_size for f in store.manifest.files)
+        assert synced["oldest_date_time_entry"] == "2024-01-15T10:01:00.000Z"
+        meta = synced
 
         # restart on the same root: config reloads, cache re-attaches;
         # the re-sync runs on a background thread (reference
@@ -131,6 +139,7 @@ class TestApiSurface:
         store.ingest([{"msg": "x"}])
         store.flush()
         api.put_hot_tier("applogs", {"size": 10_000_000})
+        store._hottier_sync.join(timeout=30)
         used = store.hot_tier.used_bytes()
         assert used > 0
         with pytest.raises(ApiError) as ei:
@@ -233,3 +242,71 @@ def test_maintenance_scheduler_runs_retention_and_compaction(spark, tmp_path):
         assert len(st2.manifest.files) == 1  # hour-rolled
     finally:
         api2.stop_maintenance()
+
+
+class TestReviewRegressions:
+    def test_delete_hot_tier_stops_backfill_thread(self, spark, tmp_path):
+        """DELETE must close() the tier BEFORE rmtree so a mid-sync
+        backfill thread cannot resurrect the deleted cache dir (review
+        finding: the copier kept filling up to the full quota after the
+        API reported the tier disabled)."""
+        api = ParseableAPI(spark, str(tmp_path))
+        store = api.get_or_create_stream("applogs")
+        for m in range(1, 6):
+            store.ingest(
+                [{"msg": "x" * 2000}],
+                p_timestamp=datetime(2024, 1, 15, 10, m, tzinfo=timezone.utc),
+            )
+            store.flush()
+        api.put_hot_tier("applogs", {"size": 10_000_000})
+        t = store._hottier_sync
+        cache_dir = store.hot_tier.cache_dir if store.hot_tier else None
+        # delete immediately — the sync thread may be mid-copy
+        api.delete_hot_tier("applogs")
+        t.join(timeout=30)
+        assert not t.is_alive()
+        assert not os.path.exists(cache_dir)
+
+    def test_closed_tier_add_is_noop(self, tmp_path):
+        from parseable_spark.storage.hottier import HotTier
+
+        src = tmp_path / "remote.parquet"
+        src.write_bytes(b"x" * 128)
+        ht = HotTier(cache_dir=str(tmp_path / "cache"), size_limit=1 << 20)
+        ht.close()
+        assert ht.add(str(src)) is None
+        assert ht.used_bytes() == 0
+
+    def test_disk_gate_counts_peer_tenant_allocations(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Multi-tenant: every tenant caches onto the same volume, so
+        one tenant's disk-capacity gate must count the quotas the OTHER
+        tenants already allocated (review finding: N tenants could each
+        pass the gate alone while jointly exceeding the threshold)."""
+        import shutil as _shutil
+
+        from parseable_spark.tenants import TenantManager
+
+        api = ParseableAPI(spark, str(tmp_path))
+        mgr = TenantManager(api, multi_tenant=True)
+        t1 = mgr.add_tenant("t1")
+        s1 = t1.get_or_create_stream("logs")
+        s1.ingest([{"msg": "x"}])
+        s1.flush()
+        # hand t1 an allocation the size of the whole volume (bypassing
+        # its own gate) — the DEFAULT tenant's next request must see it
+        from parseable_spark.storage.hottier import HotTier
+
+        total = _shutil.disk_usage(str(tmp_path)).total
+        s1.hot_tier = HotTier(
+            cache_dir=os.path.join(s1.stream_dir, "hottier"), size_limit=total
+        )
+        api.get_or_create_stream("applogs")
+        with pytest.raises(ApiError) as ei:
+            api.put_hot_tier("applogs", {"size": 1 << 20})
+        assert ei.value.status == 400
+        assert "threshold" in str(ei.value)
+        # without the peer allocation the same request is fine
+        s1.hot_tier = None
+        api.put_hot_tier("applogs", {"size": 1 << 20})
