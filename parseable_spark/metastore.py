@@ -57,6 +57,84 @@ class Metastore(ABC):
         """Drop every artifact at or under the path (stream deletion)."""
 
 
+class KeyMappedMetastore(Metastore):
+    """Shared five-primitive implementation for object-store backends
+    whose single-object PUT is atomic (readers see old or new bytes,
+    never torn — S3 and Azure Blob both guarantee this, satisfying
+    put_json's contract without the filesystem tmp+rename dance).
+
+    Local-style artifact paths under ``root`` map to bucket keys under
+    ``key_prefix``; subclasses supply only the transport verbs
+    (_get/_put/_head/_list/_delete_many), so the mapping and the
+    exists/list_dirs/delete_prefix semantics cannot drift between
+    backends (review finding: S3Metastore and AzureMetastore were
+    line-for-line copies)."""
+
+    def __init__(self, root: str, key_prefix: str = "meta"):
+        self.root = root.rstrip("/")
+        self.prefix = key_prefix.strip("/")
+
+    # -- transport verbs (subclass-provided) -----------------------------
+    def _get(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def _put(self, key: str, body: bytes) -> None:
+        raise NotImplementedError
+
+    def _head(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def _list(
+        self, prefix: str, delimiter: str | None = None,
+        max_n: int | None = None, paged: bool = True,
+    ) -> tuple[list[str], list[str]]:
+        """(object keys, common prefixes) under `prefix`."""
+        raise NotImplementedError
+
+    def _delete_many(self, keys: list[str]) -> None:
+        raise NotImplementedError
+
+    # -- shared implementation -------------------------------------------
+    def _key(self, path: str) -> str:
+        p = path.replace("\\", "/").rstrip("/")
+        if p == self.root:
+            rel = ""
+        elif p.startswith(self.root + "/"):
+            rel = p[len(self.root) + 1 :]
+        else:
+            raise ValueError(f"path {path!r} outside metastore root {self.root!r}")
+        return f"{self.prefix}/{rel}" if rel else self.prefix
+
+    def get_json(self, path: str) -> Any | None:
+        raw = self._get(self._key(path))
+        return None if raw is None else json.loads(raw)
+
+    def put_json(self, path: str, obj: Any, indent: int | None = None) -> None:
+        body = json.dumps(obj, indent=indent, sort_keys=indent is not None)
+        self._put(self._key(path), body.encode("utf-8"))
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        if self._head(key):
+            return True
+        # single-page probe: any one key under the prefix proves a "dir"
+        keys, _ = self._list(key + "/", max_n=1, paged=False)
+        return bool(keys)
+
+    def list_dirs(self, path: str) -> list[str]:
+        key = self._key(path)
+        _, prefixes = self._list(key + "/", delimiter="/")
+        return sorted(p[len(key) + 1 :].rstrip("/") for p in prefixes)
+
+    def delete_prefix(self, path: str) -> None:
+        key = self._key(path)
+        keys, _ = self._list(key + "/")
+        if self._head(key):
+            keys.append(key)
+        if keys:
+            self._delete_many(keys)
+
+
 class FilesystemMetastore(Metastore):
     """Default backend: artifacts live next to the data they describe,
     exactly the r1–r3 on-disk layout."""

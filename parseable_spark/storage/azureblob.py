@@ -49,7 +49,7 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
-from ..metastore import Metastore
+from ..metastore import KeyMappedMetastore
 
 API_VERSION = "2021-08-06"  # x-ms-version pinned by the client
 
@@ -294,54 +294,35 @@ class AzureBlobClient:
 # ---------------------------------------------------------------------------
 
 
-class AzureMetastore(Metastore):
-    """The five metastore primitives over Azure Blob. Put Blob is
-    atomic per blob (readers see old or new), satisfying put_json's
-    contract. Same path→key mapping as S3Metastore."""
+class AzureMetastore(KeyMappedMetastore):
+    """Azure Blob transport verbs for the shared key-mapped metastore
+    (mapping + primitive semantics live in ``KeyMappedMetastore`` so
+    they cannot drift from the S3 backend's; Put Blob is atomic per
+    blob, satisfying put_json's contract)."""
 
     def __init__(self, client: AzureBlobClient, root: str, key_prefix: str = "meta"):
+        super().__init__(root, key_prefix)
         self.client = client
-        self.root = root.rstrip("/")
-        self.prefix = key_prefix.strip("/")
 
-    def _key(self, path: str) -> str:
-        p = path.replace("\\", "/").rstrip("/")
-        if p == self.root:
-            rel = ""
-        elif p.startswith(self.root + "/"):
-            rel = p[len(self.root) + 1 :]
-        else:
-            raise ValueError(f"path {path!r} outside metastore root {self.root!r}")
-        return f"{self.prefix}/{rel}" if rel else self.prefix
+    def _get(self, key: str) -> bytes | None:
+        return self.client.get_blob(key)
 
-    def get_json(self, path: str) -> Any | None:
-        raw = self.client.get_blob(self._key(path))
-        return None if raw is None else json.loads(raw)
+    def _put(self, key: str, body: bytes) -> None:
+        self.client.put_blob(key, body)
 
-    def put_json(self, path: str, obj: Any, indent: int | None = None) -> None:
-        body = json.dumps(obj, indent=indent, sort_keys=indent is not None)
-        self.client.put_blob(self._key(path), body.encode("utf-8"))
+    def _head(self, key: str) -> bool:
+        return self.client.head_blob(key)
 
-    def exists(self, path: str) -> bool:
-        key = self._key(path)
-        if self.client.head_blob(key):
-            return True
-        names, _ = self.client.list_blobs(
-            prefix=key + "/", max_results=1, paged=False
+    def _list(self, prefix, delimiter=None, max_n=None, paged=True):
+        return self.client.list_blobs(
+            prefix=prefix,
+            delimiter=delimiter or "",
+            max_results=max_n if max_n is not None else 1000,
+            paged=paged,
         )
-        return bool(names)
 
-    def list_dirs(self, path: str) -> list[str]:
-        key = self._key(path)
-        _, prefixes = self.client.list_blobs(prefix=key + "/", delimiter="/")
-        return sorted(p[len(key) + 1 :].rstrip("/") for p in prefixes)
-
-    def delete_prefix(self, path: str) -> None:
-        key = self._key(path)
-        names, _ = self.client.list_blobs(prefix=key + "/")
-        if self.client.head_blob(key):
-            names.append(key)
-        self.client.delete_blobs(names)
+    def _delete_many(self, keys: list[str]) -> None:
+        self.client.delete_blobs(keys)
 
 
 def azure_config_from_env(env: dict[str, str] | None = None) -> AzureBlobConfig:
@@ -545,29 +526,11 @@ class MiniAzureServer:
                 max_results = int(q.get("maxresults", "5000"))
                 after = q.get("marker", "")
                 names = sorted(k for k in store if k.startswith(prefix) and k > after)
-                blobs: list[str] = []
-                prefixes: list[str] = []
-                n = 0
-                truncated, marker = False, ""
-                for k in names:
-                    if n >= max_results:
-                        truncated = True
-                        break
-                    if delim:
-                        rest = k[len(prefix) :]
-                        if delim in rest:
-                            p = prefix + rest.split(delim, 1)[0] + delim
-                            if p not in prefixes:
-                                prefixes.append(p)
-                                n += 1
-                                # resume AFTER every key under this
-                                # common prefix (page break inside the
-                                # group must not re-emit it)
-                                marker = p + chr(0x10FFFF)
-                            continue
-                    blobs.append(k)
-                    n += 1
-                    marker = k
+                from .objectstore import paginate_listing
+
+                blobs, prefixes, truncated, marker = paginate_listing(
+                    names, prefix, delim, max_results
+                )
                 from xml.sax.saxutils import escape
 
                 xml = ["<EnumerationResults><Blobs>"]

@@ -58,7 +58,7 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Iterable
 
-from ..metastore import Metastore
+from ..metastore import KeyMappedMetastore
 
 # ---------------------------------------------------------------------------
 # AWS Signature Version 4 — from the published algorithm. S3 uses
@@ -338,57 +338,35 @@ class S3Client:
 # ---------------------------------------------------------------------------
 
 
-class S3Metastore(Metastore):
-    """The five metastore primitives over S3. ``root`` is the engine's
-    local-style storage root; artifact paths under it map to bucket
-    keys under ``key_prefix``. S3 PUT is atomic (readers see old or new
-    object, never torn), satisfying put_json's contract without the
-    filesystem tmp+rename dance."""
+class S3Metastore(KeyMappedMetastore):
+    """S3 transport verbs for the shared key-mapped metastore (the
+    path→key mapping and primitive semantics live in
+    ``KeyMappedMetastore`` so they cannot drift from the Azure
+    backend's)."""
 
     def __init__(self, client: S3Client, root: str, key_prefix: str = "meta"):
+        super().__init__(root, key_prefix)
         self.client = client
-        self.root = root.rstrip("/")
-        self.prefix = key_prefix.strip("/")
 
-    def _key(self, path: str) -> str:
-        p = path.replace("\\", "/").rstrip("/")
-        if p == self.root:
-            rel = ""
-        elif p.startswith(self.root + "/"):
-            rel = p[len(self.root) + 1 :]
-        else:
-            raise ValueError(f"path {path!r} outside metastore root {self.root!r}")
-        return f"{self.prefix}/{rel}" if rel else self.prefix
+    def _get(self, key: str) -> bytes | None:
+        return self.client.get_object(key)
 
-    def get_json(self, path: str) -> Any | None:
-        raw = self.client.get_object(self._key(path))
-        return None if raw is None else json.loads(raw)
+    def _put(self, key: str, body: bytes) -> None:
+        self.client.put_object(key, body)
 
-    def put_json(self, path: str, obj: Any, indent: int | None = None) -> None:
-        body = json.dumps(obj, indent=indent, sort_keys=indent is not None)
-        self.client.put_object(self._key(path), body.encode("utf-8"))
+    def _head(self, key: str) -> bool:
+        return self.client.head_object(key)
 
-    def exists(self, path: str) -> bool:
-        key = self._key(path)
-        if self.client.head_object(key):
-            return True
-        keys, _ = self.client.list_objects(
-            prefix=key + "/", max_keys=1, paged=False
+    def _list(self, prefix, delimiter=None, max_n=None, paged=True):
+        return self.client.list_objects(
+            prefix=prefix,
+            delimiter=delimiter or "",
+            max_keys=max_n if max_n is not None else 1000,
+            paged=paged,
         )
-        return bool(keys)
 
-    def list_dirs(self, path: str) -> list[str]:
-        key = self._key(path)
-        _, prefixes = self.client.list_objects(prefix=key + "/", delimiter="/")
-        return sorted(p[len(key) + 1 :].rstrip("/") for p in prefixes)
-
-    def delete_prefix(self, path: str) -> None:
-        key = self._key(path)
-        keys, _ = self.client.list_objects(prefix=key + "/")
-        if self.client.head_object(key):
-            keys.append(key)
-        if keys:
-            self.client.delete_objects(keys)
+    def _delete_many(self, keys: list[str]) -> None:
+        self.client.delete_objects(keys)
 
 
 def s3_config_from_env(env: dict[str, str] | None = None) -> S3Config:
@@ -482,6 +460,40 @@ def require_s3a(spark) -> None:
 # ---------------------------------------------------------------------------
 # Mini S3 server (test double) — verifies SigV4 on every request
 # ---------------------------------------------------------------------------
+
+
+def paginate_listing(
+    sorted_names: list[str], prefix: str, delim: str, max_n: int
+) -> tuple[list[str], list[str], bool, str]:
+    """Shared delimiter-grouping pagination for the mini object-store
+    servers (S3 ListObjectsV2 and Azure List Blobs implement the same
+    algorithm with different wire framing — review finding: keep ONE
+    copy). ``sorted_names`` must already be filtered to the prefix and
+    past the resume marker. Returns (entries, common_prefixes,
+    truncated, resume_marker); the marker resumes AFTER every key under
+    an emitted common prefix, so a page break inside a group cannot
+    re-emit it on the next page."""
+    entries: list[str] = []
+    prefixes: list[str] = []
+    n = 0
+    truncated, marker = False, ""
+    for k in sorted_names:
+        if n >= max_n:
+            truncated = True
+            break
+        if delim:
+            rest = k[len(prefix) :]
+            if delim in rest:
+                p = prefix + rest.split(delim, 1)[0] + delim
+                if p not in prefixes:
+                    prefixes.append(p)
+                    n += 1
+                    marker = p + chr(0x10FFFF)
+                continue
+        entries.append(k)
+        n += 1
+        marker = k
+    return entries, prefixes, truncated, marker
 
 
 class MiniS3Server:
@@ -615,29 +627,10 @@ class MiniS3Server:
                 if "continuation-token" in q:
                     after = base64.b64decode(q["continuation-token"]).decode()
                 names = sorted(k for k in store if k.startswith(prefix) and k > after)
-                contents: list[str] = []
-                prefixes: list[str] = []
-                n = 0
-                truncated, token = False, ""
-                for k in names:
-                    if n >= max_keys:
-                        truncated = True
-                        break
-                    if delim:
-                        rest = k[len(prefix) :]
-                        if delim in rest:
-                            p = prefix + rest.split(delim, 1)[0] + delim
-                            if p not in prefixes:
-                                prefixes.append(p)
-                                n += 1
-                                # resume AFTER every key under this common
-                                # prefix, so a page break inside the group
-                                # cannot re-emit it on the next page
-                                token = p + chr(0x10FFFF)
-                            continue
-                    contents.append(k)
-                    n += 1
-                    token = k
+                contents, prefixes, truncated, token = paginate_listing(
+                    names, prefix, delim, max_keys
+                )
+                n = len(contents) + len(prefixes)
                 xml = ["<ListBucketResult>"]
                 for k in contents:
                     xml.append(
