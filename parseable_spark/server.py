@@ -2297,13 +2297,37 @@ class ParseableAPI:
             # restarted more often than the interval would otherwise
             # NEVER run retention (review finding)
             tick()
-            while not stop.wait(interval_s):
-                tick()
+            # between full passes, reap compaction tombstones on a short
+            # sub-tick — with only the daily cadence, swapped-out inputs
+            # would sit on disk for a whole interval after their 330 s
+            # grace expired (up to a day of pre-rollup small files,
+            # ~100% overhead on fresh partitions)
+            sub = min(600.0, interval_s)
+            elapsed = 0.0
+            while not stop.wait(sub):
+                elapsed += sub
+                if elapsed >= interval_s:
+                    elapsed = 0.0
+                    tick()
+                else:
+                    try:
+                        self.reap_tombstones()
+                    except Exception:  # noqa: BLE001
+                        log.exception("maintenance tombstone reap failed")
 
         t = threading.Thread(target=loop, name="maintenance", daemon=True)
         self._maint_stop = stop
         self._maint_thread = t
         t.start()
+
+    def reap_tombstones(self, grace_seconds: float = 330.0) -> None:
+        """Physically delete compaction-tombstoned files past their
+        grace window across every stream (cheap no-op when no
+        tombstone file exists)."""
+        with self._lock:
+            stores = list(self._stores.values())
+        for s in stores:
+            s._reap_tombstones(self._lock, grace_seconds)
 
     def stop_maintenance(self) -> None:
         stop = getattr(self, "_maint_stop", None)

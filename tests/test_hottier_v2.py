@@ -310,3 +310,27 @@ class TestReviewRegressions:
         # without the peer allocation the same request is fine
         s1.hot_tier = None
         api.put_hot_tier("applogs", {"size": 1 << 20})
+
+
+def test_reap_tombstones_across_streams(spark, tmp_path):
+    """Between daily maintenance passes, the sub-tick reap deletes
+    compaction-tombstoned inputs once past their grace (without it,
+    swapped-out small files sat on disk a whole interval)."""
+    api = ParseableAPI(spark, str(tmp_path))
+    st = api.get_or_create_stream("a")
+    for i in range(3):
+        st.ingest(
+            [{"msg": f"x{i}"}],
+            p_timestamp=datetime(2024, 1, 15, 10, 1, tzinfo=timezone.utc),
+        )
+        st.flush()
+    old_paths = [f.file_path for f in st.manifest.files]
+    assert api.run_compaction(level="minute") == {"a": 1}
+    # default grace: inputs tombstoned, still on disk
+    assert all(os.path.exists(p) for p in old_paths)
+    assert os.path.exists(st._tombstone_path)
+    api.reap_tombstones(grace_seconds=0)
+    assert not any(os.path.exists(p) for p in old_paths)
+    assert not os.path.exists(st._tombstone_path)
+    # idempotent no-op when nothing is tombstoned
+    api.reap_tombstones(grace_seconds=0)
