@@ -44,7 +44,7 @@ from urllib.parse import parse_qs, quote as _urlquote, urlparse
 from .ingest.events import DEFAULT_TIMESTAMP_KEY, StreamConfig
 from .query.engine import QueryEngine
 from .query.response import ndjson_lines, query_response
-from .storage.store import StreamStore
+from .storage.store import TOMBSTONE_GRACE_SECONDS, StreamStore
 
 TIME_ELAPSED_HEADER = "p-time-elapsed"  # query.rs:61
 STREAM_NAME_HEADER = "x-p-stream"  # handlers/mod.rs:29
@@ -2303,11 +2303,16 @@ class ParseableAPI:
             # grace expired (up to a day of pre-rollup small files,
             # ~100% overhead on fresh partitions)
             sub = min(600.0, interval_s)
-            elapsed = 0.0
-            while not stop.wait(sub):
-                elapsed += sub
-                if elapsed >= interval_s:
-                    elapsed = 0.0
+            # wall-clock deadline, not wait-count: sub-tick work time and
+            # interval_s not divisible by sub must not stretch the full-pass
+            # period (review finding: interval_s=601 ran every ~1200 s)
+            deadline = time.monotonic() + interval_s
+            while True:
+                remaining = deadline - time.monotonic()
+                if stop.wait(min(sub, max(remaining, 0.0))):
+                    return
+                if time.monotonic() >= deadline:
+                    deadline = time.monotonic() + interval_s
                     tick()
                 else:
                     try:
@@ -2320,14 +2325,25 @@ class ParseableAPI:
         self._maint_thread = t
         t.start()
 
-    def reap_tombstones(self, grace_seconds: float = 330.0) -> None:
+    def reap_tombstones(
+        self, grace_seconds: float = TOMBSTONE_GRACE_SECONDS
+    ) -> None:
         """Physically delete compaction-tombstoned files past their
         grace window across every stream (cheap no-op when no
-        tombstone file exists)."""
+        tombstone file exists). One stream's reap failure (e.g. a
+        permission error on a stale file) must not starve the others —
+        the sub-tick retries forever, so an unguarded loop would leave
+        every stream after the failing one unreaped indefinitely."""
+        import logging
+
         with self._lock:
-            stores = list(self._stores.values())
-        for s in stores:
-            s._reap_tombstones(self._lock, grace_seconds)
+            stores = list(self._stores.items())
+        log = logging.getLogger(__name__)
+        for name, s in stores:
+            try:
+                s._reap_tombstones(self._lock, grace_seconds)
+            except Exception:  # noqa: BLE001
+                log.exception("tombstone reap failed for stream %s", name)
 
     def stop_maintenance(self) -> None:
         stop = getattr(self, "_maint_stop", None)

@@ -38,6 +38,12 @@ from .writer import write_stream_batch
 
 STAGING_WINDOW_SECONDS = 300  # reference stream_schema_provider.rs:936-958
 
+# Must stay > the 300 s per-query timeout (query/engine.py): nothing
+# planned against a pre-swap manifest can still be reading a tombstoned
+# file once the grace expires. Shared by StreamStore.compact and the
+# server's sub-tick reap so the invariant is retuned in ONE place.
+TOMBSTONE_GRACE_SECONDS = 330.0
+
 
 @dataclass
 class StreamStore:
@@ -281,7 +287,7 @@ class StreamStore:
         level: str = "minute",
         target_file_bytes: int = 128 << 20,
         swap_lock=None,
-        tombstone_grace_seconds: float = 330.0,
+        tombstone_grace_seconds: float = TOMBSTONE_GRACE_SECONDS,
     ) -> int:
         """Rewrite groups of ≥ min_files small parquet files into
         target-sized sorted files (the reference's compaction collapses

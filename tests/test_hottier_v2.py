@@ -317,20 +317,62 @@ def test_reap_tombstones_across_streams(spark, tmp_path):
     compaction-tombstoned inputs once past their grace (without it,
     swapped-out small files sat on disk a whole interval)."""
     api = ParseableAPI(spark, str(tmp_path))
-    st = api.get_or_create_stream("a")
-    for i in range(3):
-        st.ingest(
-            [{"msg": f"x{i}"}],
-            p_timestamp=datetime(2024, 1, 15, 10, 1, tzinfo=timezone.utc),
-        )
-        st.flush()
-    old_paths = [f.file_path for f in st.manifest.files]
-    assert api.run_compaction(level="minute") == {"a": 1}
+    streams = {}
+    for name in ("a", "b"):
+        st = api.get_or_create_stream(name)
+        for i in range(3):
+            st.ingest(
+                [{"msg": f"{name}{i}"}],
+                p_timestamp=datetime(2024, 1, 15, 10, 1, tzinfo=timezone.utc),
+            )
+            st.flush()
+        streams[name] = (st, [f.file_path for f in st.manifest.files])
+    assert api.run_compaction(level="minute") == {"a": 1, "b": 1}
     # default grace: inputs tombstoned, still on disk
-    assert all(os.path.exists(p) for p in old_paths)
-    assert os.path.exists(st._tombstone_path)
+    for st, old_paths in streams.values():
+        assert all(os.path.exists(p) for p in old_paths)
+        assert os.path.exists(st._tombstone_path)
     api.reap_tombstones(grace_seconds=0)
-    assert not any(os.path.exists(p) for p in old_paths)
-    assert not os.path.exists(st._tombstone_path)
+    for st, old_paths in streams.values():
+        assert not any(os.path.exists(p) for p in old_paths)
+        assert not os.path.exists(st._tombstone_path)
     # idempotent no-op when nothing is tombstoned
     api.reap_tombstones(grace_seconds=0)
+
+
+def test_reap_tombstones_isolates_stream_failures(spark, tmp_path):
+    """A persistently-failing stream must not starve the reap of every
+    stream after it — the sub-tick retries forever, so without per-store
+    isolation one PermissionError would leak the others' swapped-out
+    files indefinitely."""
+    api = ParseableAPI(spark, str(tmp_path))
+    streams = {}
+    for name in ("a", "b"):
+        st = api.get_or_create_stream(name)
+        for i in range(3):
+            st.ingest(
+                [{"msg": f"{name}{i}"}],
+                p_timestamp=datetime(2024, 1, 15, 10, 1, tzinfo=timezone.utc),
+            )
+            st.flush()
+        streams[name] = (st, [f.file_path for f in st.manifest.files])
+    assert api.run_compaction(level="minute") == {"a": 1, "b": 1}
+
+    st_a = streams["a"][0]
+    orig = st_a._reap_tombstones
+
+    def boom(lock, grace):
+        raise PermissionError("disk says no")
+
+    st_a._reap_tombstones = boom
+    try:
+        api.reap_tombstones(grace_seconds=0)  # must not raise
+    finally:
+        st_a._reap_tombstones = orig
+    # stream b (iterated after a) was still reaped
+    st_b, old_b = streams["b"]
+    assert not any(os.path.exists(p) for p in old_b)
+    assert not os.path.exists(st_b._tombstone_path)
+    # stream a recovers on the next sub-tick
+    api.reap_tombstones(grace_seconds=0)
+    assert not any(os.path.exists(p) for p in streams["a"][1])

@@ -33,15 +33,14 @@ def main() -> None:
     n_batches = int(args[0]) if args else 8
     near_hist = "--near-dup-history" in sys.argv
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from parseable_spark.session import get_spark
+
+    # the shared builder: driver memory, UTC, AQE confs, core-count-sized
+    # shuffle partitions — probe numbers must be comparable to the other
+    # tools/, which all run under this profile
+    spark = get_spark("curator-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
