@@ -64,9 +64,15 @@ class ScheduledAlert:
     # state machine keep running) until `muted_until` (None = indefinite)
     notification_state: str = "notify"
     muted_until: datetime | None = None
-    _last_eval: float = 0.0
+    # None = never evaluated (immediately due). 0.0 would be compared
+    # against time.monotonic() — seconds since boot on Linux — so a
+    # fresh alert on a recently-booted host sat idle until uptime
+    # reached eval_frequency_s (review finding).
+    _last_eval: float | None = None
 
     def due(self, monotonic_now: float) -> bool:
+        if self._last_eval is None:
+            return True
         return monotonic_now - self._last_eval >= self.eval_frequency_s
 
     def notifications_muted(self, now: datetime | None = None) -> bool:
@@ -92,9 +98,14 @@ class ScheduledAlert:
         targets on state transition (or every trigger when
         repeat_notifications), unless notifications are muted."""
         prev = self.alert.state
-        row = engine.query(
+        # engine.execute, not query().collect(): the deadline + job-group
+        # cancel means one hung Spark job (executor loss, shuffle fetch
+        # stall) raises here and is retried next tick instead of blocking
+        # the single scheduler thread — and thus every other alert —
+        # forever (review finding)
+        row = engine.execute(
             self.alert.to_sql(), self.eval_start, "now", now=now
-        ).collect()[0]
+        )[0]
         value = float(row["agg_value"] or 0.0)
         state = self.alert.update_state(value)
         transition = state != prev

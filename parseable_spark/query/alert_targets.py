@@ -147,12 +147,30 @@ class NotificationTarget:
         self._repeat_thread: threading.Thread | None = None
         self._repeat_generation = 0
         self._stop = threading.Event()
+        # dispatch-time egress gate (set by the server): re-authorizes
+        # the destination against the CURRENT outbound policy on every
+        # send. Creation-time-only validation was a DNS-rebinding TOCTOU
+        # — register a benign hostname, flip its record to
+        # 169.254.169.254, wait for an alert to fire (review finding).
+        # Raising callables veto the send; None = no policy configured.
+        self.policy_gate: Callable[[], None] | None = None
 
     # -- wire format (subclass responsibility) ------------------------------
     def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
         raise NotImplementedError
 
     def _send(self, ctx: Context) -> None:
+        gate = self.policy_gate
+        if gate is not None:
+            try:
+                gate()
+            except Exception as e:  # noqa: BLE001 — veto, never raise
+                log.error(
+                    "outbound policy vetoed dispatch to target %s: %s",
+                    self.name,
+                    e,
+                )
+                return
         body, headers = self.payload(ctx)
         self.transport.post(self.endpoint, body, headers)
 
@@ -164,22 +182,29 @@ class NotificationTarget:
         target.rs:354-386); defaults to the context's state frozen at
         call time."""
         get_state = get_state or (lambda: ctx.alert_state)
+        # decide under the lock, SEND outside it: the HTTP post blocks
+        # up to its timeout, and holding the lock through it serialized
+        # repeat threads and stalled the scheduler's evaluation loop
+        # behind one dead webhook (review finding)
+        do_send = False
         with self._lock:
             self.state.alert_state = ctx.alert_state
             if ctx.alert_state is AlertState.TRIGGERED:
                 if not self.state.timed_out:
-                    self._send(ctx)
                     self.state.timed_out = True
                     self.state.awaiting_resolve = True
                     self._spawn_repeat_task(ctx, get_state)
+                    do_send = True
             elif ctx.alert_state is AlertState.NOT_TRIGGERED:
                 if self.state.timed_out:
                     if self.state.awaiting_resolve:
                         self.state.awaiting_resolve = False
                     else:
                         return  # further resolves suppressed in-window
-                self._send(ctx)
+                do_send = True
             # Disabled: no notification (an eval should not have run)
+        if do_send:
+            self._send(ctx)
 
     def _spawn_repeat_task(
         self, ctx: Context, get_state: Callable[[], AlertState]
@@ -194,21 +219,33 @@ class NotificationTarget:
         gen = self._repeat_generation
 
         def loop() -> None:
+            # the timeout window always spans at least ONE interval: with
+            # the default times=1 the old sends-remaining loop condition
+            # was immediately false and the trailing reset fired at once,
+            # so the documented suppress-duplicates window had zero
+            # length and a flapping alert notified on every evaluation
+            # (review finding)
             sends_left = None if times is INFINITE else max(times - 1, 0)
-            while sends_left is None or sends_left > 0:
+            while True:
                 if self._stop.wait(interval):
                     break
+                do_send = False
                 with self._lock:
                     if gen != self._repeat_generation:
                         return  # superseded by a newer cycle
+                    if sends_left is not None and sends_left <= 0:
+                        break  # budget spent; window ends this interval
                     if get_state() is AlertState.TRIGGERED:
                         self.state.awaiting_resolve = True
-                        self._send(ctx)
+                        do_send = True
                         if sends_left is not None:
                             sends_left -= 1
                     else:
                         self.state.timed_out = False
                         break
+                if do_send:
+                    # outside the lock — see call()
+                    self._send(ctx)
             with self._lock:
                 if gen == self._repeat_generation:
                     self.state = TimeoutState()
@@ -364,10 +401,23 @@ class TargetRegistry:
             return [t.mask() for t in self._targets.values()]
 
     def delete(self, target_id: str, alert_target_ids: Callable[[], list[str]] | None = None) -> NotificationTarget:
-        in_use = set(alert_target_ids()) if alert_target_ids else set()
+        """Pop-first, then check in-use: the in-use callable takes the
+        server's lock, so calling it under ours would invert lock order;
+        computing it BEFORE the pop (the old shape) let a concurrent
+        alert creation race past the guard. Popping first makes the
+        window safe — a create racing the delete either resolved the
+        target before the pop (we re-insert and refuse) or fails its
+        get() with invalid-target-id. The popped target is close()d so
+        its repeat thread cannot keep POSTing to the removed endpoint
+        (review finding)."""
         with self._lock:
-            if target_id in in_use:
-                raise TargetInUseError(target_id)
             if target_id not in self._targets:
                 raise KeyError(f"invalid target id {target_id}")
-            return self._targets.pop(target_id)
+            target = self._targets.pop(target_id)
+        in_use = set(alert_target_ids()) if alert_target_ids else set()
+        if target_id in in_use:
+            with self._lock:
+                self._targets[target_id] = target
+            raise TargetInUseError(target_id)
+        target.close()
+        return target

@@ -34,6 +34,8 @@ _OPS = {
 
 _AGGS = {"count", "count distinct", "sum", "min", "max", "avg"}
 
+_THRESHOLD_OPS = (">", ">=", "<", "<=", "=", "!=")
+
 
 def _quote_val(v) -> str:
     if isinstance(v, str):
@@ -69,12 +71,22 @@ class Condition:
         s = str(self.value) if self.value is not None else ""
         esc = s.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
         return tmpl.format(
-            col=self.column,
+            col=_backtick(self.column),
             val=_quote_val(self.value),
             like=f"'%{esc}%'",
             prefix=f"'{esc}%'",
             suffix=f"'%{esc}'",
         )
+
+
+def _backtick(name: str) -> str:
+    """Backtick each dot-segment of a validated identifier. The
+    identifier regex already bans backticks/quotes/spaces, but a legal
+    match like ``a--`` would otherwise open a SQL line comment when
+    interpolated bare, and dash columns (``x-p-env``) would parse as
+    subtraction — backticking makes both resolve (or fail) as the one
+    column name the user actually typed (review finding)."""
+    return ".".join(f"`{p}`" for p in str(name).split("."))
 
 
 @dataclass
@@ -84,11 +96,21 @@ class ConditionGroup:
     logic: str = "AND"  # or "OR"
     children: list = field(default_factory=list)  # Condition | ConditionGroup
 
+    def __post_init__(self) -> None:
+        # the logic string is interpolated between conditions verbatim;
+        # anything but AND/OR is a SQL injection vector through the
+        # alerts and /counts APIs (review finding)
+        if str(self.logic).upper() not in ("AND", "OR"):
+            raise ValueError(f"condition group operator must be AND or OR: {self.logic!r}")
+
     def to_sql(self) -> str:
         if not self.children:
             return "TRUE"
+        logic = str(self.logic).upper()
+        if logic not in ("AND", "OR"):  # mutated after construction
+            raise ValueError(f"condition group operator must be AND or OR: {self.logic!r}")
         parts = [c.to_sql() for c in self.children]
-        joined = f" {self.logic.upper()} ".join(
+        joined = f" {logic} ".join(
             f"({p})" if isinstance(c, ConditionGroup) else p
             for c, p in zip(self.children, parts)
         )
@@ -126,22 +148,34 @@ class Alert:
     def __post_init__(self) -> None:
         _validate_identifier(self.agg_column, "aggregate column")
         _validate_identifier(self.stream, "stream name")
+        # threshold_op/threshold are interpolated into HAVING by
+        # grouped_alert_sql and looked up in update_state — an
+        # unvalidated op was a 200-on-create/KeyError-on-every-eval
+        # trap, and a non-numeric threshold a SQL vector (review)
+        if self.threshold_op not in _THRESHOLD_OPS:
+            raise ValueError(
+                f"threshold operator not in whitelist: {self.threshold_op!r}"
+            )
+        self.threshold = float(self.threshold)
 
     def agg_sql(self) -> str:
         a = self.aggregate.lower()
         if a not in _AGGS:
             raise ValueError(f"aggregate not in whitelist: {self.aggregate}")
+        col = self.agg_column if self.agg_column == "*" else _backtick(self.agg_column)
         if a == "count distinct":
-            return f"count(DISTINCT {self.agg_column})"
-        return f"{a}({self.agg_column})"
+            return f"count(DISTINCT {col})"
+        return f"{a}({col})"
 
     def to_sql(self) -> str:
         where = f" WHERE {self.conditions.to_sql()}" if self.conditions else ""
-        return f"SELECT {self.agg_sql()} AS agg_value FROM {self.stream}{where}"
+        return f"SELECT {self.agg_sql()} AS agg_value FROM {_backtick(self.stream)}{where}"
 
     def evaluate(self, engine, start: str, end: str, now=None) -> AlertState:
-        """Run the rolling-window aggregate and update state."""
-        row = engine.query(self.to_sql(), start, end, now=now).collect()[0]
+        """Run the rolling-window aggregate and update state (under the
+        engine's per-query deadline — a hung job must raise, not wedge
+        the caller's thread)."""
+        row = engine.execute(self.to_sql(), start, end, now=now)[0]
         return self.update_state(row["agg_value"] or 0.0)
 
     def update_state(self, value) -> AlertState:
@@ -173,8 +207,11 @@ def grouped_alert_sql(
     """Grouped alert evaluation (one threshold check per group)."""
     _validate_identifier(group_col, "group column")
     where = f" WHERE {conditions.to_sql()}" if conditions else ""
-    agg = Alert(stream, aggregate, agg_column, threshold_op, threshold).agg_sql()
+    alert = Alert(stream, aggregate, agg_column, threshold_op, threshold)
+    agg = alert.agg_sql()
+    gcol = _backtick(group_col)
     return (
-        f"SELECT {group_col}, round({agg}, {ndigits}) AS agg_value FROM {stream}{where} "
-        f"GROUP BY {group_col} HAVING {agg} {threshold_op} {threshold}"
+        f"SELECT {gcol}, round({agg}, {ndigits}) AS agg_value "
+        f"FROM {_backtick(stream)}{where} "
+        f"GROUP BY {gcol} HAVING {agg} {alert.threshold_op} {alert.threshold}"
     )

@@ -39,14 +39,43 @@ _VIEW_OWNER: dict[str, "QueryEngine"] = {}  # view name → owning engine
 _TIME_PRED_TMPL = (
     # a leading dot is ALLOWED (qualified refs like app.p_timestamp are
     # the user constraining time — treating them as unconstrained would
-    # double-filter to the intersection of both windows; review finding)
-    r'(?<![\w"]){col}(?![\w."])\s*(?:=|!=|<>|<=?|>=?|(?i:\s+BETWEEN\b))'
-    r"|(?:=|!=|<>|<=?|>=?)\s*{col}(?![\w.\"])"
+    # double-filter to the intersection of both windows; review finding).
+    # Group 1 captures the qualifier (if any) so the caller can scope a
+    # qualified constraint to ONE stream instead of suppressing
+    # injection for every stream sharing the column name.
+    r'(?:(\w+)\.)?(?<![\w"]){col}(?![\w."])\s*(?:=|!=|<>|<=?|>=?|(?i:\s+BETWEEN\b))'
+    r"|(?:=|!=|<>|<=?|>=?)\s*(?:(\w+)\.)?{col}(?![\w.\"])"
 )
 
 
-def references_time_col(sql: str, time_col: str) -> bool:
-    return re.search(_TIME_PRED_TMPL.format(col=re.escape(time_col)), sql) is not None
+def references_time_col(
+    sql: str,
+    time_col: str,
+    stream: str | None = None,
+    known_streams: set[str] | None = None,
+) -> bool:
+    """Does the SQL already constrain ``time_col`` — for ``stream``, if
+    given? An unqualified predicate counts for every stream. A
+    qualified one (``a.p_timestamp >= ...``) counts only for stream
+    ``a``: before this scoping, constraining one stream's time column
+    suppressed time-filter injection for every OTHER stream sharing the
+    column name, scanning them over full history (review finding). A
+    qualifier that is not a registered stream name is an alias we can't
+    resolve — conservatively counts (suppressing injection is the
+    double-filter-safe direction). String literals are blanked first so
+    ``WHERE msg = 'p_timestamp > 5'`` doesn't match."""
+    sql = re.sub(r"''|'[^']*'", "''", sql)
+    pat = _TIME_PRED_TMPL.format(col=re.escape(time_col))
+    for m in re.finditer(pat, sql):
+        qualifier = m.group(1) or m.group(2)
+        if qualifier is None or stream is None:
+            return True
+        q = qualifier.lower()
+        if q == stream.lower():
+            return True
+        if known_streams is not None and q not in known_streams:
+            return True  # unresolvable alias — assume it's this stream
+    return False
 
 
 def extract_table_names(sql: str, spark=None) -> list[str]:
@@ -209,7 +238,9 @@ class QueryEngine:
                     # engine may have left a same-named view installed),
                     # time-filtered unless the user constrains time
                     df, tcol = self._streams[key]
-                    if lo is not None and not references_time_col(sql, tcol):
+                    if lo is not None and not references_time_col(
+                        sql, tcol, stream=key, known_streams=set(canon)
+                    ):
                         df = df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}")
                     df.createOrReplaceTempView(key)
                     continue

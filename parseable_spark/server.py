@@ -571,9 +571,11 @@ class ParseableAPI:
                 Condition(c["column"], c["operator"], c.get("value"))
                 for c in (cfg.get("conditionConfig") or cfg.get("condition_config") or [])
             ]
-        except ValueError as e:  # invalid column identifier → 400
+            # group construction validates the logic operator (AND/OR
+            # whitelist — anything else is a SQL injection attempt)
+            return ConditionGroup(cfg.get("operator", "AND"), children)
+        except ValueError as e:  # invalid column/operator → 400
             raise ApiError(400, str(e)) from e
-        return ConditionGroup(cfg.get("operator", "AND"), children)
 
     def _build_target(self, body: dict[str, Any]):
         """Typed target from {name, type, endpoint, ...} — shared by the
@@ -594,18 +596,44 @@ class ParseableAPI:
             interval_s=float(nc.get("interval", 60)), times=nc.get("times", 1)
         )
         if kind == "slack":
-            return SlackTarget(name, endpoint, notification=notification)
-        if kind == "webhook":
-            return WebhookTarget(
+            t = SlackTarget(name, endpoint, notification=notification)
+        elif kind == "webhook":
+            t = WebhookTarget(
                 name, endpoint, notification=notification,
                 headers=body.get("headers") or {},
             )
-        if kind == "alertManager":
+        elif kind == "alertManager":
             auth = None
             if body.get("username"):
                 auth = (body["username"], body.get("password") or "")
-            return AlertManagerTarget(name, endpoint, auth=auth)
-        raise ApiError(400, f"unknown target type {kind!r}")
+            t = AlertManagerTarget(name, endpoint, auth=auth)
+        else:
+            raise ApiError(400, f"unknown target type {kind!r}")
+        # re-authorize the destination on EVERY dispatch against the
+        # policy active at send time: creation-time-only checking was a
+        # DNS-rebinding TOCTOU, and a later policy tightening must bind
+        # existing targets too (review finding)
+        t.policy_gate = lambda: self._recheck_target_policy(body)
+        return t
+
+    def _recheck_target_policy(self, body: dict[str, Any]) -> None:
+        """Dispatch-time egress gate: same prepare_target screen as
+        creation, against the CURRENT policy (re-resolves DNS, so a
+        record flipped to a private address after creation is caught).
+        No-op until an admin configures a policy."""
+        from .query.outbound_policy import prepare_target
+
+        with self._lock:
+            policy = self._target_policy
+        if policy is None:
+            return
+        prepare_target(
+            body.get("endpoint") or "",
+            (body.get("type") or "").strip(),
+            policy,
+            skip_tls_check=bool(body.get("skipTlsCheck", False)),
+            headers=body.get("headers") or None,
+        )
 
     def get_target_policy(self) -> dict[str, Any]:
         """GET /api/v1/alert-target-policy (alert_target_policy.rs:15):

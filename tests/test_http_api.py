@@ -367,7 +367,7 @@ def test_alerts_and_targets_http_e2e(spark, tmp_path):
         deadline = __import__("time").monotonic() + 5
         while not received and __import__("time").monotonic() < deadline:
             __import__("time").sleep(0.05)
-        assert len(received) == 1 and "max(value) > 90.0" in received[0]
+        assert len(received) == 1 and "max(`value`) > 90.0" in received[0]
 
         # in-use target delete → 409
         with pytest.raises(urllib.error.HTTPError) as ei:

@@ -132,7 +132,7 @@ class TestAlerts:
         )
         sql = g.to_sql()
         assert sql == (
-            "(level = 'error' AND status > 499) OR message LIKE '%time''out%'"
+            "(`level` = 'error' AND `status` > 499) OR `message` LIKE '%time''out%'"
         )
 
     def test_operator_whitelist(self):
