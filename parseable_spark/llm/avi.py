@@ -79,10 +79,11 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
     if not is_avi(payload):
         raise ValueError("not an AVI payload")
     fps, width, height = None, None, None
+    cur_stream: bytes | None = None  # fccType of the latest strh seen
     frames: list[bytes] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal fps, width, height
+        nonlocal fps, width, height, cur_stream
         pos = lo
         while pos + 8 <= hi:
             cid = payload[pos : pos + 4]
@@ -91,10 +92,16 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
             body_hi = min(body_lo + csize, hi)
             if cid == b"LIST":
                 walk(body_lo + 4, body_hi)  # skip list type word
-            elif cid == b"strh" and payload[body_lo : body_lo + 4] == b"vids":
-                scale, rate = struct.unpack_from("<II", payload, body_lo + 20)
-                fps = rate // max(scale, 1)
-            elif cid == b"strf" and width is None:
+            elif cid == b"strh":
+                # remember the stream type so the FOLLOWING strf is
+                # associated with it — an audio strl preceding the
+                # video strl (common muxer output) must not have its
+                # WAVEFORMATEX misread as BITMAPINFOHEADER
+                cur_stream = payload[body_lo : body_lo + 4]
+                if cur_stream == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, body_lo + 20)
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf" and cur_stream == b"vids" and width is None:
                 _sz, w, h = struct.unpack_from("<Iii", payload, body_lo)
                 width, height = w, abs(h)
             elif cid in (b"00dc", b"00db"):

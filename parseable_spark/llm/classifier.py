@@ -125,5 +125,13 @@ def quality_classifier(
 
     feats = text.doc_features(docs).join(docs.select("doc_id", label_col), "doc_id")
     feature_cols = ["n_chars", "n_words", "avg_word_len", "stopword_ratio", "n_punct"]
-    model = logreg_fit(feats, feature_cols, label_col, lr=lr, iters=iters)
+    # materialize the d+2-column training projection ONCE: logreg_fit
+    # issues ~iters+1 aggregates, and an un-snapshotted plan would
+    # replay the full doc_features projection (word split, language
+    # scores, md5 fingerprints the trainer never reads) plus the join
+    # per iteration. localCheckpoint is reference-counted and freed
+    # with the frame (no CacheManager pin); the returned scored frame
+    # stays lazy — scoring remains one un-materialized pass.
+    train = feats.select(label_col, *feature_cols).localCheckpoint()
+    model = logreg_fit(train, feature_cols, label_col, lr=lr, iters=iters)
     return model, feats.withColumn("quality_score", model.score_col())

@@ -74,6 +74,14 @@ def minhash_signatures(
     exact Jaccard verification); one digest per shingle instead of K
     keeps the scan cheap. groupBy-min is a codegen'd partial aggregate.
     """
+    if not 1 <= num_hashes <= 8:
+        # md5 hex is 32 chars = eight 4-char windows; substring past
+        # char 32 silently yields '' for every document, which would
+        # put the whole corpus in one bucket for the affected bands
+        raise ValueError(
+            f"num_hashes must be in [1, 8] (one md5 = eight 16-bit "
+            f"windows), got {num_hashes}"
+        )
     h = F.md5(F.col("shingle"))
     return shingles.groupBy(id_col).agg(
         *[F.min(F.substring(h, 1 + 4 * k, 4)).alias(f"mh{k}") for k in range(num_hashes)]
@@ -312,26 +320,18 @@ def incremental_lsh_candidates(
             new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
         ).localCheckpoint()  # consumed by three branches; freed with result
 
-    # -- new ↔ new (identical machinery to the full pipeline) ----------
-    from pyspark.sql.window import Window
-
-    sized = new_banded.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-    )
-    small = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz")
-    a, b = small.alias("a"), small.alias("b")
-    nn_small = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    giant = sized.filter(F.col("bsz") > bucket_cap).drop("bsz")
-    reps = giant.groupBy("band_idx", "band_hash").agg(F.min(id_col).alias("rep"))
-    nn_giant = (
-        giant.join(reps, ["band_idx", "band_hash"])
-        .filter(F.col(id_col) > F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    # -- new ↔ new: literally the full pipeline's guarded self-join,
+    # reused via banded= (a drifted inline copy of the star guard had
+    # lost the pre-join snapshot, replaying the banding DAG per side)
+    nn = minhash_lsh_candidates(
+        new_docs,
+        id_col,
+        text_col,
+        num_hashes,
+        rows_per_band,
+        shingle_n,
+        bucket_cap=bucket_cap,
+        banded=new_banded,
     )
 
     # -- new ↔ old (probe the index; new side broadcast) ---------------
@@ -357,8 +357,7 @@ def incremental_lsh_candidates(
     )
 
     return (
-        nn_small.union(nn_giant)
-        .union(no_small)
+        nn.union(no_small)
         .union(no_giant)
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()

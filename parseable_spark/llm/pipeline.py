@@ -257,6 +257,14 @@ def curate_corpus(
 
     summary: dict[str, Any] = {}
     if compute_summary:
+        # snapshot the (narrow: id, kept, reason) audit table before
+        # aggregating it: the summary collect() executes the whole
+        # curation lineage — bloom probe, quality features, LM scoring,
+        # PII regexes — and without the checkpoint the caller's first
+        # read of `decisions` would execute it all AGAIN. kept's text
+        # is stage-mutated (span strip, redaction) so its lineage is
+        # deliberately left lazy: one pass when the caller writes it.
+        decisions = decisions.localCheckpoint()
         rows = decisions.groupBy("drop_reason").count().collect()
         summary = {
             (r["drop_reason"] or "kept"): r["count"] for r in rows

@@ -28,10 +28,18 @@ from pyspark.sql import functions as F
 
 
 def _threshold_hex(rate: float) -> str:
-    """Rate → 2-char lowercase hex bound; row kept iff prefix < bound."""
+    """Rate → 2-char lowercase hex bound; row kept iff prefix < bound.
+
+    Quantized to /256: a rate that rounds to 256 quanta keeps
+    everything, so it must return the above-any-hex sentinel — NOT
+    format(256, "02x") == "100", whose 3 chars break the 2-char
+    lexicographic compare ("ff" < "100" is False; only "0x"/"10"
+    buckets ≈ 6.6% would survive a requested ~99.9% keep rate).
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(round(rate * 256), "02x") if rate < 1.0 else "zz"  # > any hex
+    q = round(rate * 256)
+    return format(q, "02x") if q < 256 else "zz"  # "zz" > any hex
 
 
 def _bucket(id_col: str) -> Column:
@@ -298,9 +306,21 @@ def epoch_shuffle(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    keyed = df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
-    ).withColumn("ord", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
-    return keyed.repartition(n_shards, "shard").sortWithinPartitions(
-        "shard", "ord", id_col
+    # Exact 1:1 shard→partition by construction: F.hash IS the Murmur3
+    # (seed 42) that HashPartitioning applies to the repartition key, so
+    # defining shard = pmod(hash(key), n) and repartitioning by that key
+    # lands every shard in its own partition. (Hash-partitioning the
+    # shard VALUES instead collided them balls-in-bins style — ~1/e of
+    # output partitions empty, others holding 2-3 shards — and range
+    # partitioning's sampled boundaries merge adjacent shards.)
+    hkey = F.xxhash64(F.col(id_col), F.lit(seed))
+    keyed = (
+        df.withColumn("_h", hkey)
+        .withColumn("shard", F.pmod(F.hash(F.col("_h")), F.lit(n_shards)))
+        .withColumn("ord", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+    )
+    return (
+        keyed.repartition(n_shards, "_h")
+        .sortWithinPartitions("shard", "ord", id_col)
+        .drop("_h")
     )

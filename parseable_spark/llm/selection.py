@@ -78,28 +78,47 @@ def dsir_log_ratios(
     buckets: int = 10_000,
     smoothing: float = 1.0,
 ) -> DataFrame:
-    """Fit both multinomials and emit the B-row importance table:
-    (bucket, log_ratio) with log_ratio = log p̂_target[b] − log p̂_raw[b],
-    Laplace-smoothed so never-seen buckets stay finite. Buckets unseen
-    in BOTH corpora are omitted (their smoothed ratio is exactly 0)."""
+    """Fit both multinomials and emit the DENSE B-row importance table:
+    (bucket, log_ratio) for every bucket in [0, B), with log_ratio =
+    log p̂_target[b] − log p̂_raw[b], Laplace-smoothed so never-seen
+    buckets stay finite. Dense on purpose: a bucket unseen in both
+    corpora has smoothed ratio log((raw_total+sB)/(tgt_total+sB)) —
+    NOT 0 when the corpus totals differ — so omitting it and letting
+    the scorer default to 0 would bias every document by
+    n_unseen_features × that constant whenever the scored docs are not
+    the fitted raw pool (incremental scoring). B is bounded (10⁴
+    default), so dense still broadcasts."""
 
-    def fit(df: DataFrame, name: str) -> DataFrame:
+    def fit(df: DataFrame, name: str) -> tuple[DataFrame, int]:
         feats = hashed_feature_rows(
             df.select(F.monotonically_increasing_id().alias("_id"), text_col),
             "_id",
             text_col,
             buckets,
         )
-        cnt = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias(f"cnt_{name}"))
-        total = feats.count()
+        # one scan: the corpus total is the sum of the (≤ B-row)
+        # bucket aggregate, not a second pass over the feature DAG
+        cnt = (
+            feats.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"cnt_{name}"))
+            .localCheckpoint()
+        )
+        total = cnt.agg(F.sum(f"cnt_{name}")).first()[0] or 0
         return cnt, total
 
     tgt, tgt_total = fit(target, "t")
     rw, raw_total = fit(raw, "r")
-    joined = tgt.join(rw, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
-        F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+    all_buckets = target.sparkSession.range(buckets).select(
+        F.col("id").alias("bucket")
+    )
+    joined = (
+        all_buckets.join(tgt, "bucket", "left")
+        .join(rw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+        )
     )
     log_p = F.log((F.col("cnt_t") + F.lit(smoothing))) - F.lit(
         math.log(tgt_total + smoothing * buckets)
@@ -119,11 +138,14 @@ def dsir_log_weights(
     ndigits: int = 6,
 ) -> DataFrame:
     """Per-document log importance weight: Σ over the doc's hashed
-    n-grams of log_ratio[bucket] (features absent from the table
-    contribute 0, matching their smoothed ratio). Returns
+    n-grams of log_ratio[bucket]. The dsir_log_ratios table is dense
+    over [0, B) so every probe hits; the coalesce(0) is a neutral
+    fallback only for externally-built sparse tables. Token-less
+    documents get (n_features=0, log_weight=0) — the empty product is
+    weight 1, so they stay selectable. Returns
     (id, n_features, log_weight)."""
     feats = hashed_feature_rows(docs, id_col, text_col, buckets)
-    return (
+    agg = (
         feats.join(F.broadcast(log_ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
@@ -131,6 +153,15 @@ def dsir_log_weights(
             F.round(
                 F.sum(F.coalesce("log_ratio", F.lit(0.0))), ndigits
             ).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).cast("bigint").alias("n_features"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
 

@@ -150,29 +150,81 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     num_planes: int = 8,
     ndigits: int = 4,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate vector pairs via bucketed self-join + cosine filter.
 
     The join key is the LSH bucket, so only same-bucket pairs are
     compared (the near-dup pairs we care about collide by construction).
+
+    `bucket_cap` is the duplicate-flood guard every near-dup operator
+    in this repo carries (text LSH `bucket_cap`, image/audio banding,
+    video `hub_cap`): a corpus of s identical/near-identical embeddings
+    (boilerplate docs embedded alike) lands in ONE bucket and the
+    unguarded self-join emits s(s-1)/2 pairs from a single key —
+    quadratic output plus one-task skew. Buckets past the cap switch to
+    a star topology (every member vs the bucket's min-id rep only):
+    linear output, cluster connectivity preserved through the rep.
+    Pass None for the exact all-pairs shape (the oracle-checked q30
+    registry row does, matching its SQL mirror — same documented
+    divergence as q25).
     """
     with_bucket = embeddings.select(
         F.col(id_col),
         as_double_array(vec_col).alias("v"),
         sign_lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
     )
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), ndigits).alias("cosine_sim"),
+
+    def score(paired: DataFrame) -> DataFrame:
+        return paired.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), ndigits).alias("cosine_sim"),
+        )
+
+    if bucket_cap is None:
+        a = with_bucket.alias("a")
+        b = with_bucket.alias("b")
+        pairs = score(
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+        )
+        return pairs.filter(F.col("cosine_sim") >= threshold)
+
+    from pyspark.sql.window import Window
+
+    # same shuffle key as the self-join; snapshot so the join branches
+    # don't replay the bucketing scan (freed with the result)
+    sized = with_bucket.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).localCheckpoint()
+    small = sized.filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    pairs_small = score(
+        small.alias("a").join(
+            small.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
     )
-    return pairs.filter(F.col("cosine_sim") >= threshold)
+    giant = sized.filter(F.col("bsz") > bucket_cap).drop("bsz")
+    reps = giant.groupBy("bucket").agg(
+        F.min_by(F.struct(F.col(id_col), F.col("v")), F.col(id_col)).alias("m")
+    ).select(
+        "bucket", F.col(f"m.{id_col}").alias("rep_id"), F.col("m.v").alias("rep_v")
+    )
+    pairs_giant = (
+        giant.join(F.broadcast(reps), "bucket")
+        .filter(F.col(id_col) > F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.round(cosine(F.col("rep_v"), F.col("v")), ndigits).alias("cosine_sim"),
+        )
+    )
+    return pairs_small.union(pairs_giant).filter(F.col("cosine_sim") >= threshold)
 
 
 def ivf_ann_hierarchical(

@@ -463,7 +463,10 @@ def q29_ann_lsh_bucket(spark, sf_dir):
 )
 def q30_embedding_near_dups(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.3)
+    # bucket_cap=None: the oracle's SQL mirror is the exact all-pairs
+    # bucketed join; the production default (cap=64 star guard) is the
+    # deployable shape — same documented divergence as q25.
+    return similarity.embedding_near_dups(emb, threshold=0.3, bucket_cap=None)
 
 
 def _text_features_oracle() -> str:

@@ -479,6 +479,40 @@ class TestAviMjpeg:
         with pytest.raises(ValueError):
             avi.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")  # no frames
 
+    def test_audio_strl_before_video_strl(self):
+        """Spec-valid muxer layout with the audio stream list FIRST:
+        the audio strf (WAVEFORMATEX) must not be misparsed as the
+        video BITMAPINFOHEADER (which yielded width=nSamplesPerSec,
+        height=nAvgBytesPerSec garbage)."""
+        import struct as _s
+
+        from parseable_spark.llm import avi
+
+        frames = self._frames(2)
+        payload = bytearray(avi.encode_avi_mjpeg(frames, 16, 8, fps=10))
+        # build an audio strl: strh(auds) + strf(WAVEFORMATEX 8kHz mono)
+        strh_auds = _s.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, 8000, 0, 16000, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+        )
+        wavefmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strl = avi._list(
+            b"strl",
+            avi._chunk(b"strh", strh_auds) + avi._chunk(b"strf", wavefmt),
+        )
+        # splice it INSIDE hdrl, before the video strl
+        hdrl_at = payload.find(b"hdrl")
+        video_strl_at = payload.find(b"LIST", hdrl_at)
+        payload[video_strl_at:video_strl_at] = strl
+        # fix the hdrl LIST size and the RIFF size
+        _s.pack_into("<I", payload, hdrl_at - 4,
+                     _s.unpack_from("<I", payload, hdrl_at - 4)[0] + len(strl))
+        _s.pack_into("<I", payload, 4, len(payload) - 8)
+        meta = avi.decode_avi_mjpeg(bytes(payload))
+        assert (meta["width"], meta["height"]) == (16, 8)
+        assert meta["frames"] == frames
+
     def test_avi_video_through_spark_operators(self, spark):
         """AVI/MJPEG videos flow through extract_real_features and
         sample_frames_real (container sniffed per row; same operators

@@ -48,6 +48,28 @@ class TestEpochShuffle:
             keys = [(r["shard"], r["ord"], r["doc_id"]) for r in rs]
             assert keys == sorted(keys)
 
+    def test_one_shard_per_partition(self, spark):
+        """Range partitioning gives the advertised 1:1 shard→partition
+        layout; hash partitioning collided shards balls-in-bins style
+        (~1/e of output partitions empty, others holding 2-3 shards)."""
+        from parseable_spark.llm.sampling import epoch_shuffle
+        from pyspark.sql import functions as F
+
+        out = epoch_shuffle(self._docs(spark, n=800), seed=5, n_shards=8)
+        pairs = (
+            out.withColumn("pid", F.spark_partition_id())
+            .select("pid", "shard")
+            .distinct()
+            .collect()
+        )
+        shards_per_pid: dict[int, set] = {}
+        for r in pairs:
+            shards_per_pid.setdefault(r["pid"], set()).add(r["shard"])
+        # every populated partition holds exactly one shard, and all 8
+        # shards land in distinct partitions (no empties at n=800)
+        assert all(len(s) == 1 for s in shards_per_pid.values())
+        assert len(shards_per_pid) == 8
+
     def test_validation(self, spark):
         import pytest
         from parseable_spark.llm.sampling import epoch_shuffle

@@ -45,8 +45,30 @@ def test_threshold_hex_quantization():
     assert _threshold_hex(0.5) == "80"
     assert _threshold_hex(0.125) == "20"
     assert _threshold_hex(1.0) == "zz"  # sorts above any hex prefix
+    # rates in [255.5/256, 1.0) round to 256 quanta == keep-all; they
+    # must hit the "zz" sentinel, NOT format as the 3-char "100" that
+    # breaks the 2-char lexicographic compare ("ff" < "100" is False,
+    # so rate=0.999 silently kept only the ~6.6% of "0x"/"10" buckets)
+    assert _threshold_hex(0.999) == "zz"
+    assert _threshold_hex(0.9981) == "zz"
+    assert _threshold_hex(0.997) == "ff"  # 255 quanta: still a hex bound
     with pytest.raises(ValueError):
         _threshold_hex(1.5)
+
+
+def test_hash_sample_near_one_rate_keeps_nearly_everything(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, rate=0.999, id_col="doc_id").count() == 2000
+    # hash_split with a ~0.999 cumulative bound must not shrink train
+    from parseable_spark.llm.sampling import hash_split
+
+    split = hash_split(df, {"train": 0.999, "test": 0.001}, id_col="doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # 0.999 rounds to the full 256 quanta: train absorbs everything
+    assert counts.get("train", 0) == 2000
 
 
 def test_hash_sample_uniform_rate_and_determinism(spark):

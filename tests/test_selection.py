@@ -83,7 +83,11 @@ class TestRatiosAndWeights:
             rc.update(bucket_of[g] for g in _grams(t))
         t_total, r_total = sum(tc.values()), sum(rc.values())
         got = {r["bucket"]: r["log_ratio"] for r in ratios.collect()}
-        assert set(got) == set(tc) | set(rc)
+        # dense table: every bucket in [0, B), including those unseen
+        # in both corpora (their smoothed ratio is the totals constant,
+        # not 0 — the sparse-table-plus-default-0 shape under-weighted
+        # unseen features whenever corpus totals differ)
+        assert set(got) == set(range(B))
         for b in got:
             exp = math.log(tc.get(b, 0) + SMOOTH) - math.log(t_total + SMOOTH * B) - (
                 math.log(rc.get(b, 0) + SMOOTH) - math.log(r_total + SMOOTH * B)
@@ -101,6 +105,49 @@ class TestRatiosAndWeights:
             exp = sum(lr.get(bucket_of[g], 0.0) for g in grams)
             assert got[doc_id]["n_features"] == len(grams)
             assert got[doc_id]["log_weight"] == pytest.approx(exp, abs=1e-5), doc_id
+
+    def test_unseen_features_get_totals_constant_not_zero(
+        self, spark, raw_df, target_df, ratios, bucket_of
+    ):
+        """Scoring docs OUTSIDE the fitted pool (incremental scoring):
+        a gram unseen in both corpora contributes the true smoothed
+        log((raw_total+sB)/(tgt_total+sB)), not 0."""
+        tc, rc = Counter(), Counter()
+        for t in TARGET:
+            tc.update(bucket_of[g] for g in _grams(t))
+        for _, t in RAW:
+            rc.update(bucket_of[g] for g in _grams(t))
+        t_total, r_total = sum(tc.values()), sum(rc.values())
+        new = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["x1"], "text": ["zzqx vvkw bbnm"]})
+        )
+        got = selection.dsir_log_weights(new, ratios, buckets=B).collect()[0]
+        lr = {r["bucket"]: r["log_ratio"] for r in ratios.collect()}
+        grams = _grams("zzqx vvkw bbnm")
+        bx = {
+            r["g"]: r["b"]
+            for r in spark.createDataFrame(pd.DataFrame({"g": grams}))
+            .select("g", F.pmod(F.xxhash64("g"), F.lit(B)).alias("b"))
+            .collect()
+        }
+        exp = sum(lr[bx[g]] for g in grams)
+        assert got["log_weight"] == pytest.approx(exp, abs=1e-5)
+        # sanity: at least the genuinely-unseen buckets carry the
+        # constant, not zero (totals differ in this fixture)
+        const = math.log(r_total + SMOOTH * B) - math.log(t_total + SMOOTH * B)
+        unseen = [b for b in range(B) if b not in tc and b not in rc]
+        assert unseen and all(
+            lr[b] == pytest.approx(const, abs=1e-9) for b in unseen
+        )
+
+    def test_featureless_doc_survives_with_weight_zero(self, spark, ratios):
+        empty = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["e1"], "text": ["   "]})
+        )
+        got = selection.dsir_log_weights(empty, ratios, buckets=B).collect()[0]
+        assert got["n_features"] == 0 and got["log_weight"] == 0.0
+        picked = selection.dsir_resample(empty, ratios, k=1, buckets=B).collect()
+        assert [r["doc_id"] for r in picked] == ["e1"]
 
     def test_on_target_weighs_more(self, raw_df, ratios):
         w = {
