@@ -97,9 +97,12 @@ def node_action(port: int, name: str, timeout: float = 2.0) -> dict:
     if _flight is None:
         raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
     client = _flight.connect(f"grpc://localhost:{port}")
-    opts = _flight.FlightCallOptions(timeout=timeout)
-    results = list(client.do_action(_flight.Action(name, b""), options=opts))
-    return json.loads(results[0].body.to_pybytes()) if results else {}
+    try:
+        opts = _flight.FlightCallOptions(timeout=timeout)
+        results = list(client.do_action(_flight.Action(name, b""), options=opts))
+        return json.loads(results[0].body.to_pybytes()) if results else {}
+    finally:
+        client.close()
 
 
 def fetch(port: int, query: str, start: str | None = None, end: str | None = None):
@@ -108,13 +111,18 @@ def fetch(port: int, query: str, start: str | None = None, end: str | None = Non
     if _flight is None:
         raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
     client = _flight.connect(f"grpc://localhost:{port}")
-    ticket_body = {"query": query}
-    if start is not None:
-        ticket_body["startTime"] = start
-    if end is not None:
-        ticket_body["endTime"] = end
-    ticket = _flight.Ticket(json.dumps(ticket_body).encode("utf-8"))
-    return client.do_get(ticket).read_all()
+    try:
+        ticket_body = {"query": query}
+        if start is not None:
+            ticket_body["startTime"] = start
+        if end is not None:
+            ticket_body["endTime"] = end
+        ticket = _flight.Ticket(json.dumps(ticket_body).encode("utf-8"))
+        return client.do_get(ticket).read_all()
+    finally:
+        # the querier fan-out calls this once per ingestor per fresh
+        # query — an abandoned client leaks a gRPC channel until GC
+        client.close()
 
 
 # --- querier → ingestor fan-out (airplane.rs:155-184) -----------------------
@@ -169,11 +177,22 @@ def fetch_fresh_events(spark, ingestor_ports, stream_name: str, start: str, end:
         return None
     merged = pa.concat_tables(tables, promote_options="default")
     pdf = merged.to_pandas()
-    return (
-        spark.createDataFrame(pdf, schema=schema)
-        if schema is not None
-        else spark.createDataFrame(pdf)
-    )
+    if schema is None:
+        return spark.createDataFrame(pdf)
+    # createDataFrame(pdf, schema) zips pandas columns to schema fields
+    # POSITIONALLY — an ingestor whose stream just committed a new or
+    # reordered field (exactly the fresh-events case this fan-out
+    # exists for) would silently land field B's values in column C, or
+    # crash the whole querier query on an Arrow cast. Align by NAME:
+    # fields the ingestor doesn't have yet become nulls; drift-only
+    # columns the local view doesn't know are dropped (the caller's
+    # unionByName would drop them anyway).
+    names = [f.name for f in schema.fields]
+    for n in names:
+        if n not in pdf.columns:
+            pdf[n] = None
+    pdf = pdf[names]
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def querier_query(

@@ -136,6 +136,11 @@ def infer_schema_distributed(
             t == base
             or t == sc.NULL
             or (base == sc.FLOAT64 and t in (sc.INT64, sc.UINT64))
+            # a committed UINT64 base (e.g. __series_hash_u64) holds raw
+            # ints — value_compatible_with_type agrees and phase 2
+            # coerces them; without this case every distributed OTel
+            # ingest committed a spurious all-null *_int64 sibling
+            or (base == sc.UINT64 and t == sc.INT64)
             or (base == sc.UTF8 and t == sc.TIMESTAMP_MS)  # ts values are strings
             # a TIMESTAMP base only exists when EVERY partition's strings
             # parsed as datetimes (any plain string would have promoted
@@ -164,6 +169,18 @@ def infer_schema_distributed(
         for t in types:
             if not _values_fit(t, base):
                 updates.setdefault(f"{k}_{sc._SUFFIX[t]}", _coerced_of(t))
+    if config.static_schema_flag:
+        # driver parity (prepare_batch, events.py): static streams
+        # reject fields outside the declared schema BEFORE any merge —
+        # typed-sibling names land here too, since a renamed sibling is
+        # never declared. Without this gate a single drifted event
+        # silently evolved the "static" schema.
+        unknown = sorted(k for k in updates if k not in registry.fields)
+        if unknown:
+            raise ValueError(
+                f"static schema mismatch for stream {config.name!r}: "
+                f"fields {unknown} are not in the declared schema"
+            )
     registry.merge(updates)
     return registry
 
@@ -175,10 +192,27 @@ def normalize_distributed(
     config: StreamConfig,
     json_col: str = "value",
     p_timestamp: datetime | None = None,
+    reference_ts: datetime | None = None,
+    now: datetime | None = None,
 ) -> DataFrame:
     """Phase 2: emit typed rows in the committed layout. Unknown fields
     (not in the registry after phase 1) are dropped, like the driver
-    path drops all-null untyped fields."""
+    path drops all-null untyped fields.
+
+    Driver parity for user time partitions: each record's p_timestamp
+    is its OWN validated event time (prepare_batch semantics), and the
+    reference's age limits are enforced — against `reference_ts` when
+    the caller carries the stream's anchor (the chunk-age window), else
+    against the `time_partition_limit_days` cutoff from `now`. The
+    driver path's "first event of the batch anchors the reference" rule
+    is inherently sequential; distributed, every record is checked
+    against the stateless cutoff instead (callers that track an anchor
+    pass `reference_ts`). A violating record raises in its task, like
+    a driver-path batch rejection."""
+    from datetime import timedelta
+
+    from .events import _parse_event_time
+
     committed = dict(registry.fields)
     out_schema = batch_spark_schema(registry, meta_fields=False)
     col_names = [f.name for f in out_schema.fields]
@@ -186,6 +220,19 @@ def normalize_distributed(
     if ts.tzinfo is not None:
         ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
     ts = ts.replace(microsecond=ts.microsecond // 1000 * 1000)
+    # resolve the validation window DRIVER-side so every executor
+    # enforces the same cutoff
+    tp = config.time_partition
+    cutoff: datetime | None = None
+    oldest: datetime | None = None
+    if tp:
+        anchor = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        if anchor.tzinfo is not None:
+            anchor = anchor.astimezone(timezone.utc).replace(tzinfo=None)
+        if reference_ts is not None:
+            oldest = reference_ts - timedelta(hours=config.max_chunk_age_hours)
+        else:
+            cutoff = anchor - timedelta(days=config.time_partition_limit_days)
 
     def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,9 +240,24 @@ def normalize_distributed(
             records, _, _ = _normalize_records(bodies, committed, config)
             cols: dict[str, list[Any]] = {c: [] for c in col_names}
             for rec in records:
+                rec_ts = ts
+                if tp:
+                    dt = _parse_event_time(rec.get(tp), tp)
+                    if cutoff is not None and dt < cutoff:
+                        raise ValueError(
+                            f"field {tp!r} timestamp {dt.isoformat()} is older "
+                            f"than the {config.time_partition_limit_days}-day limit"
+                        )
+                    if oldest is not None and dt < oldest:
+                        raise ValueError(
+                            f"field {tp!r} timestamp {dt.isoformat()} is more "
+                            f"than {config.max_chunk_age_hours}h older than the "
+                            f"stream reference"
+                        )
+                    rec_ts = dt.replace(microsecond=dt.microsecond // 1000 * 1000)
                 for c in col_names:
                     if c == DEFAULT_TIMESTAMP_KEY:
-                        cols[c].append(ts)
+                        cols[c].append(rec_ts)
                     else:
                         t = committed.get(c)
                         v = rec.get(c)

@@ -132,7 +132,19 @@ def _coerce_value(v: Any, t: str) -> Any:
         return float(v)
     if t == sc.TIMESTAMP_MS:
         if isinstance(v, str):
-            dt = datetime.fromisoformat(v.replace("Z", "+00:00").replace("z", "+00:00"))
+            try:
+                dt = datetime.fromisoformat(
+                    v.replace("Z", "+00:00").replace("z", "+00:00")
+                )
+            except ValueError:
+                # the schema layer classifies RFC2822 strings as
+                # TIMESTAMP_MS too (parses_as_datetime); coercion must
+                # accept everything classification accepts or a typed
+                # batch is rejected (driver path) / kills the
+                # mapInPandas task (distributed path)
+                from email.utils import parsedate_to_datetime
+
+                dt = parsedate_to_datetime(v)
             if dt.tzinfo is not None:
                 dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
             # millisecond precision, like the reference's Timestamp(ms)

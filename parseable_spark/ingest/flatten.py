@@ -163,7 +163,11 @@ def validate_custom_partition(record: dict[str, Any], custom_partition: str | No
             raise FieldError(f"Ingestion failed as field {field} is an array")
         if isinstance(v, str) and "." in v:
             raise FieldError(f"Ingestion failed as field {field} contains a period in the value")
-        if isinstance(v, float) and not float(v).is_integer():
+        if isinstance(v, float):
+            # ALL floats stringify with a period (str(3.0) == "3.0" —
+            # and serde f64 in the reference likewise), so integral
+            # floats must be rejected too or the forbidden '.' lands in
+            # the partition value/path
             raise FieldError(f"Ingestion failed as field {field} contains a period in the value")
 
 

@@ -160,8 +160,6 @@ class StreamingDedupIndex:
         # persist the real schema for the all-batches-pair-free read
         # fallback (id type follows the doc id column — hardcoding
         # bigint breaks string-id corpora; review finding)
-        import json as _json
-
         sidecar = os.path.join(self.base_dir, "_pairs_schema.json")
         tmp = sidecar + ".tmp"
         with open(tmp, "w") as f:

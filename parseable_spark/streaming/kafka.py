@@ -92,7 +92,9 @@ def parse_kafka_envelope(
         F.col("offset").alias("p_kafka_offset"),
         F.col("timestamp").alias("_kafka_ts"),
     )
-    cols = [F.col(f"event.{f.name}").alias(f.name) for f in schema.fields]
+    # backtick the field: OTel-style dotted names (service.name) would
+    # otherwise parse as nested struct access and fail analysis
+    cols = [F.col(f"event.`{f.name}`").alias(f.name) for f in schema.fields]
     out = parsed.select(
         *cols, "p_kafka_topic", "p_kafka_partition", "p_kafka_offset", "_kafka_ts"
     )

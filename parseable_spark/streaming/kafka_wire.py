@@ -516,7 +516,16 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
                 records = decode_record_batches(record_set)
                 with state.lock:
                     log = state.logs.setdefault((t, pid), [])
-                    state.topics.setdefault(t, pid + 1)
+                    # auto-create must GROW the advertised partition
+                    # count: setdefault pinned it to the first produce's
+                    # pid+1, hiding later higher partitions from
+                    # Metadata (consume_all silently lost their records)
+                    state.topics[t] = max(state.topics.get(t, 0), pid + 1)
+                    # materialize empty logs for every advertised
+                    # partition (create_topic does), so ListOffsets on a
+                    # gap partition answers offset 0, not UNKNOWN_TOPIC
+                    for p in range(state.topics[t]):
+                        state.logs.setdefault((t, p), [])
                     base = log[-1].offset + 1 if log else 0
                     for i, r in enumerate(records):
                         log.append(
@@ -588,6 +597,11 @@ class _Conn:
             raise ConnectionError("broker closed connection")
         (n,) = struct.unpack(">i", head)
         resp = _recv_exact(self.sock, n)
+        if resp is None:
+            # truncated body must surface as the same ConnectionError
+            # the missing-header branch raises — failover callers catch
+            # ConnectionError, not the TypeError _Reader(None) would hit
+            raise ConnectionError("broker closed connection mid-response")
         rd = _Reader(resp)
         corr = rd.i32()
         if corr != self._corr:

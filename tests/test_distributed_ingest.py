@@ -152,3 +152,71 @@ def test_cross_partition_type_conflict_loses_no_values(spark, tmp_path):
     got_ints = sorted(r[sib] for r in out if r[sib] is not None)
     assert got_strings == [f"s{i}" for i in range(3)]
     assert got_ints == [float(i) for i in range(4)]  # nothing lost
+
+
+def test_static_schema_rejects_unknown_fields_distributed(spark):
+    """Driver parity: a static stream must reject (not silently evolve
+    on) events carrying undeclared fields — distributed phase 1 now
+    enforces the same is_schema_matching gate as prepare_batch."""
+    reg = sc.SchemaRegistry()
+    reg.merge({"status": sc.UTF8, "latency": sc.FLOAT64})
+    cfg = StreamConfig(name="s", static_schema_flag=True)
+    ok = _raw_df(spark, [{"status": "ok", "latency": 1}])
+    infer_schema_distributed(ok, reg, cfg)  # declared fields pass
+    assert set(reg.fields) == {"status", "latency"}
+    drifted = _raw_df(spark, [{"status": "ok", "latency": 1, "extra": 7}])
+    with pytest.raises(ValueError, match="static schema mismatch"):
+        infer_schema_distributed(drifted, reg, cfg)
+    assert "extra" not in reg.fields  # rejection committed nothing
+
+
+def test_time_partition_stamps_event_time_distributed(spark):
+    """p_timestamp must be each record's OWN event time on a user
+    time-partition stream (was the fixed ingest ts), and stale events
+    must be rejected."""
+    from datetime import timedelta, timezone
+
+    from parseable_spark.ingest.events import DEFAULT_TIMESTAMP_KEY
+
+    now = datetime(2026, 8, 15, 12, 0)
+    fresh = [
+        {"ev_ts": "2026-08-14T10:00:00Z", "v": 1},
+        {"ev_ts": "2026-08-13T09:30:00Z", "v": 2},
+    ]
+    cfg = StreamConfig(name="s", time_partition="ev_ts")
+    reg = sc.SchemaRegistry()
+    raw = _raw_df(spark, fresh)
+    infer_schema_distributed(raw, reg, cfg)
+    out = normalize_distributed(spark, raw, reg, cfg, now=now)
+    got = {r["v"]: r[DEFAULT_TIMESTAMP_KEY] for r in out.collect()}
+    assert got[1] == datetime(2026, 8, 14, 10, 0)
+    assert got[2] == datetime(2026, 8, 13, 9, 30)
+    # a record older than the 30-day limit fails the job (driver parity)
+    stale = [{"ev_ts": "2020-01-01T00:00:00Z", "v": 3}]
+    raw_stale = _raw_df(spark, stale)
+    reg2 = sc.SchemaRegistry()
+    infer_schema_distributed(raw_stale, reg2, cfg)
+    with pytest.raises(Exception, match="older than the 30-day limit"):
+        normalize_distributed(spark, raw_stale, reg2, cfg, now=now).collect()
+    # chunk-age window against a caller-carried stream anchor
+    ref = datetime(2026, 8, 14, 10, 0)
+    old = [{"ev_ts": "2026-08-12T09:00:00Z", "v": 4}]  # >24h before ref
+    raw_old = _raw_df(spark, old)
+    reg3 = sc.SchemaRegistry()
+    infer_schema_distributed(raw_old, reg3, cfg)
+    with pytest.raises(Exception, match="older than the stream reference"):
+        normalize_distributed(
+            spark, raw_old, reg3, cfg, now=now, reference_ts=ref
+        ).collect()
+
+
+def test_uint64_base_accepts_raw_ints_without_sibling(spark):
+    """A committed UINT64 column (e.g. __series_hash_u64) ingesting raw
+    ints must NOT commit a spurious *_int64 sibling."""
+    reg = sc.SchemaRegistry()
+    reg.merge({"__series_hash_u64": sc.UINT64})
+    cfg = StreamConfig(name="s")
+    raw = _raw_df(spark, [{"__series_hash_u64": 12345678901234567890}])
+    infer_schema_distributed(raw, reg, cfg)
+    assert "__series_hash_u64" in reg.fields
+    assert not [k for k in reg.fields if k.endswith("_int64")], reg.fields

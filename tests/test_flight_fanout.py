@@ -118,3 +118,38 @@ def test_past_window_skips_rpc_entirely(spark, tmp_path):
         now=NOW,
     ).collect()
     assert rows[0]["n"] == 1
+
+
+def test_fetch_fresh_events_aligns_columns_by_name(spark, monkeypatch):
+    """createDataFrame(pdf, schema) zips pandas columns to schema
+    fields POSITIONALLY — an ingestor with a reordered or drifted
+    schema (a fresh, not-yet-synced field) must be aligned by NAME:
+    reordered values land in the right columns, unknown-to-local drift
+    columns are dropped, locally-known-but-missing fields become null."""
+    import pyarrow as pa
+
+    from parseable_spark import flight as fl_mod
+
+    local_df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id bigint, name string, score double"
+    )
+
+    # ingestor returns columns REORDERED plus a drift-only column,
+    # and is missing 'score' entirely
+    drifted = pa.table(
+        {
+            "name": ["x", "y"],
+            "drift_col": [9, 9],
+            "id": [10, 11],
+        }
+    )
+    monkeypatch.setattr(fl_mod, "fetch", lambda *a, **k: drifted)
+    out = fl_mod.fetch_fresh_events(
+        spark, [1234], "s", "start", "end", schema=local_df.schema
+    )
+    rows = sorted(out.collect(), key=lambda r: r["id"])
+    assert out.columns == ["id", "name", "score"]
+    assert [(r["id"], r["name"], r["score"]) for r in rows] == [
+        (10, "x", None),
+        (11, "y", None),
+    ]

@@ -75,7 +75,12 @@ class TestFlatten:
             fl.flatten_json_body({"host": "a.b"}, custom_partition="host")
         with pytest.raises(fl.FieldError):
             fl.flatten_json_body({"host": 1.5}, custom_partition="host")
+        # integral floats stringify with a period too ("3.0") and must
+        # be rejected like the reference's to_string().contains('.')
+        with pytest.raises(fl.FieldError):
+            fl.flatten_json_body({"host": 3.0}, custom_partition="host")
         assert fl.flatten_json_body({"host": "web1"}, custom_partition="host")
+        assert fl.flatten_json_body({"host": 3}, custom_partition="host")
 
 
 class TestSchema:
@@ -209,3 +214,23 @@ def test_rejected_batch_commits_no_schema(spark):
     )
     assert stream.registry.fields.get("login_time") == "utf8"
     assert all("login_time_utf8" not in r for r in out.records)
+
+
+def test_rfc2822_timestamp_batch_coerces():
+    """parses_as_datetime classifies RFC2822 strings as TIMESTAMP_MS;
+    coercion must accept them too (fromisoformat alone rejected the
+    batch the schema layer deliberately typed as timestamp)."""
+    from datetime import datetime
+
+    from parseable_spark.ingest import schema as sc
+    from parseable_spark.ingest.events import Stream, StreamConfig, prepare_batch
+
+    stream = Stream(StreamConfig(name="rfc"))
+    out = prepare_batch(
+        [{"date": "Tue, 01 Jul 2003 10:52:37 +0200", "n": 1}],
+        stream.registry,
+        stream.config,
+    )
+    assert stream.registry.fields["date"] == sc.TIMESTAMP_MS
+    # normalized to naive UTC, millisecond precision
+    assert out.records[0]["date"] == datetime(2003, 7, 1, 8, 52, 37)

@@ -11,6 +11,8 @@ DataFrame code the native connector feeds.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 import pytest
 from pyspark.sql.types import (
     LongType,
@@ -168,6 +170,36 @@ class TestSparkEndToEnd:
             # payload carries no p_timestamp -> kafka create-time fills it
             assert rows[1]["p_timestamp"].second - rows[0]["p_timestamp"].second in (1, -59)
 
+    def test_envelope_handles_dotted_field_names(self, spark):
+        """OTel-style dotted names (service.name) must not be parsed as
+        nested struct access — the un-backticked F.col('event.service.name')
+        failed analysis."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("service.name", StringType()),
+                StructField("msg", StringType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                (
+                    b"k",
+                    b'{"service.name":"api","msg":"hello"}',
+                    "t",
+                    0,
+                    0,
+                    datetime(2026, 8, 15, 10, 0),
+                    0,
+                )
+            ],
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp, timestampType int",
+        )
+        rows = parse_kafka_envelope(df, schema).collect()
+        assert rows[0]["service.name"] == "api" and rows[0]["msg"] == "hello"
+
 
 class TestConnectorContract:
     def test_reader_option_map_is_the_public_surface(self):
@@ -210,3 +242,28 @@ def test_bootstrap_fails_over_past_dead_first_entry():
         kw.wire_produce(broker.bootstrap, "logs", 0, [(b"k", b"v", 1000)])
         rows = kw.consume_all(f"127.0.0.1:1,{broker.bootstrap}", "logs")
         assert [r["value"] for r in rows] == [b"v"]
+
+
+class TestProduceAutoCreate:
+    def test_multi_partition_autocreate_loses_nothing(self):
+        """Produce to partitions 0 then 1 WITHOUT create_topic: the
+        advertised partition count must grow (setdefault pinned it to
+        the first produce's pid+1, silently hiding partition 1 from
+        Metadata and consume_all)."""
+        with kw.MiniKafkaBroker() as broker:
+            kw.wire_produce(broker.bootstrap, "auto", 0, [(b"k0", b"v0", 1)])
+            kw.wire_produce(broker.bootstrap, "auto", 1, [(b"k1", b"v1", 2)])
+            rows = kw.consume_all(broker.bootstrap, "auto")
+            assert [(r["partition"], r["value"]) for r in rows] == [
+                (0, b"v0"),
+                (1, b"v1"),
+            ]
+
+    def test_gap_partitions_answer_empty_not_error(self):
+        """Producing first to a high partition advertises the lower
+        ones too; they must answer offset 0 / empty, not UNKNOWN_TOPIC
+        (which made consume_all raise)."""
+        with kw.MiniKafkaBroker() as broker:
+            kw.wire_produce(broker.bootstrap, "gappy", 3, [(b"k", b"v", 1)])
+            rows = kw.consume_all(broker.bootstrap, "gappy")
+            assert [(r["partition"], r["value"]) for r in rows] == [(3, b"v")]
