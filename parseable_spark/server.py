@@ -2292,15 +2292,49 @@ class ParseableAPI:
             )
         return out
 
+    def run_sync(self) -> dict[str, int]:
+        """Flush every stream's staging memtable to parquet + manifest
+        (the reference's 60 s sync cycle, src/sync.rs:137-257). The
+        bulk write runs outside the API lock (split-phase flush);
+        per-stream failures are isolated. Returns per-stream flushed
+        row counts (streams with empty staging omitted)."""
+        import logging
+
+        with self._lock:
+            stores = list(self._stores.items())
+        log = logging.getLogger(__name__)
+        out: dict[str, int] = {}
+        for name, s in stores:
+            try:
+                n = s.flush(swap_lock=self._lock)
+            except Exception:  # noqa: BLE001
+                log.exception("sync flush failed for stream %s", name)
+                continue
+            if n:
+                out[name] = n
+        return out
+
     def start_maintenance(
-        self, interval_s: float = 86400.0, compact_level: str = "hour"
+        self,
+        interval_s: float = 86400.0,
+        compact_level: str = "hour",
+        sync_interval_s: float = 60.0,
     ) -> None:
         """In-process maintenance scheduler — the reference runs its
         retention task inside the server on a daily cadence
         (retention.rs:58-91 init_scheduler, 00:00 slot); this runs
         run_retention + run_compaction every ``interval_s`` on a
-        daemon thread. Failures are logged and the loop continues (one
-        bad stream must not stop the fleet's retention forever)."""
+        daemon thread, and run_sync (staging → parquet, the reference's
+        60 s sync.rs cycle) on every sub-tick. Failures are logged and
+        the loop continues (one bad stream must not stop the fleet's
+        retention forever).
+
+        The sub-tick cadence is ≤60 s on purpose: scan()'s staging
+        union is gated to the last STAGING_WINDOW_SECONDS (300 s), so
+        acknowledged events are only fully queryable if staging reaches
+        parquet faster than that window — without a sync cadence,
+        events older than 5 minutes silently vanished from bounded
+        queries and a restart lost everything since boot."""
         import logging
         import threading
 
@@ -2325,12 +2359,12 @@ class ParseableAPI:
             # restarted more often than the interval would otherwise
             # NEVER run retention (review finding)
             tick()
-            # between full passes, reap compaction tombstones on a short
-            # sub-tick — with only the daily cadence, swapped-out inputs
-            # would sit on disk for a whole interval after their 330 s
-            # grace expired (up to a day of pre-rollup small files,
-            # ~100% overhead on fresh partitions)
-            sub = min(600.0, interval_s)
+            # between full passes: flush staging (the 60 s sync cycle —
+            # MUST beat the 300 s staging query window) and reap
+            # compaction tombstones — with only the daily cadence,
+            # swapped-out inputs would sit on disk for a whole interval
+            # after their 330 s grace expired
+            sub = min(sync_interval_s, interval_s)
             # wall-clock deadline, not wait-count: sub-tick work time and
             # interval_s not divisible by sub must not stretch the full-pass
             # period (review finding: interval_s=601 ran every ~1200 s)
@@ -2341,8 +2375,16 @@ class ParseableAPI:
                     return
                 if time.monotonic() >= deadline:
                     deadline = time.monotonic() + interval_s
+                    try:
+                        self.run_sync()  # flush before retention/compaction
+                    except Exception:  # noqa: BLE001
+                        log.exception("maintenance sync failed")
                     tick()
                 else:
+                    try:
+                        self.run_sync()
+                    except Exception:  # noqa: BLE001
+                        log.exception("maintenance sync failed")
                     try:
                         self.reap_tombstones()
                     except Exception:  # noqa: BLE001
@@ -2973,7 +3015,13 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.command == "PUT" and len(parts) == 4:
                 body = self._json_body() or {}
                 try:
-                    mgr.add_tenant(parts[3], TenantMeta.from_json(body))
+                    mgr.add_tenant(
+                        parts[3],
+                        TenantMeta.from_json(body),
+                        # explicit opt-in to re-attach a deleted
+                        # tenant's retained storage (see add_tenant)
+                        adopt_existing=bool(body.get("adopt_existing")),
+                    )
                 except ValueError as e:
                     raise ApiError(400, str(e)) from e
                 self._respond_json(200, {"status": f"created tenant {parts[3]}"})

@@ -21,10 +21,18 @@ import os
 import re
 import shutil
 import threading
+import time
 from dataclasses import dataclass, field
 
 # reference StreamHotTier version stamp (hottier.rs:236)
 CURRENT_HOT_TIER_VERSION = "v2"
+
+# Evicted/invalidated cache copies are deleted after this grace, not
+# inline: scan() resolves hot-tier local paths under the API lock but
+# Spark OPENS them after release, so an inline delete intermittently
+# 500s in-flight queries — the same race compaction tombstones guard
+# (storage/store.py TOMBSTONE_GRACE_SECONDS); > the 300 s query timeout.
+EVICT_GRACE_SECONDS = 330.0
 
 # reference P_MAX_DISK_USAGE_PERCENT default (cli.rs:410-421)
 DEFAULT_MAX_DISK_USAGE_PERCENT = 80.0
@@ -52,11 +60,25 @@ class HotTier:
     # cannot resurrect the removed cache dir (review finding)
     _closed: bool = field(default=False, repr=False, compare=False)
 
+    # evicted/invalidated local copies awaiting physical delete:
+    # (path, monotonic deadline). Quota accounting drops them
+    # immediately; disk usage can exceed the quota by at most one
+    # grace window of evictions.
+    _graveyard: list = field(default_factory=list, repr=False, compare=False)
+
     def __post_init__(self) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
         for root, _, names in os.walk(self.cache_dir):
             for n in names:
                 p = os.path.join(root, n)
+                if n.endswith(".tmp-ht"):
+                    # a crash mid-copy left a partial file; add() copies
+                    # to tmp then os.replace's, so finals are complete
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                    continue
                 self._sizes[p] = os.path.getsize(p)
 
     # --- bookkeeping ----------------------------------------------------
@@ -72,20 +94,43 @@ class HotTier:
         # mirror the partition-dir layout so eviction order == time order
         return os.path.join(self.cache_dir, remote_path.lstrip("/").replace(":", "_"))
 
+    def _bury(self, local: str) -> None:
+        """Schedule a cache copy for deferred physical delete (see
+        EVICT_GRACE_SECONDS). Caller holds _mu."""
+        self._graveyard.append((local, time.monotonic() + EVICT_GRACE_SECONDS))
+
+    def _reap_graveyard(self) -> None:
+        """Physically delete buried copies past their grace. Entries
+        whose path was re-added in the meantime are simply dropped —
+        add() overwrites via os.replace, so the live copy stays.
+        Caller holds _mu."""
+        now = time.monotonic()
+        keep = []
+        for p, deadline in self._graveyard:
+            if p in self._sizes:
+                continue  # re-added; cancel the pending delete
+            if deadline <= now:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            else:
+                keep.append((p, deadline))
+        self._graveyard = keep
+
     def _evict_until(self, needed: int) -> None:
         """Oldest-first eviction (lexicographic on the mirrored
         date=/hour=/minute= layout == chronological) until `needed`
-        bytes fit under the quota (hottier.rs:1287-1312)."""
+        bytes fit under the quota (hottier.rs:1287-1312). Evicted
+        copies are buried, not deleted inline — an in-flight query may
+        hold the resolved local path."""
         if needed > self.size_limit:
             return  # won't fit at all; caller falls back to remote
         for p in sorted(self._sizes):
             if self.used_bytes() + needed <= self.size_limit:
                 break
-            try:
-                os.remove(p)
-            except OSError:
-                pass
             self._sizes.pop(p, None)
+            self._bury(p)
 
     # --- cache operations -------------------------------------------------
     def add(self, remote_path: str) -> str | None:
@@ -101,9 +146,16 @@ class HotTier:
                 size = os.path.getsize(remote_path)
                 if size > self.size_limit:
                     return None
+                self._reap_graveyard()
                 self._evict_until(size)
                 os.makedirs(os.path.dirname(local), exist_ok=True)
-                shutil.copyfile(remote_path, local)
+                # tmp + atomic replace: a crash mid-copy must not leave
+                # a truncated parquet at the final path (__post_init__
+                # would register it and every scan of the bucket would
+                # fail on a corrupt footer until manual cleanup)
+                tmp = local + ".tmp-ht"
+                shutil.copyfile(remote_path, tmp)
+                os.replace(tmp, local)
             except FileNotFoundError:
                 # retention/compaction deleted the source between the
                 # caller's existence check and the copy — a cache fill
@@ -126,10 +178,11 @@ class HotTier:
         with self._mu:
             local = self._local_path(remote_path)
             if self._sizes.pop(local, None) is not None:
-                try:
-                    os.remove(local)
-                except OSError:
-                    pass
+                # buried, not removed inline: the deleting pass (e.g.
+                # retention) may race an in-flight query that already
+                # resolved this local path
+                self._bury(local)
+            self._reap_graveyard()
 
     def resolve(self, remote_paths: list[str]) -> list[str]:
         """Swap each path for its hot-tier copy when cached (the scan
@@ -223,6 +276,7 @@ class HotTier:
         with self._mu:
             self._closed = True
             self._sizes.clear()
+            self._graveyard.clear()  # caller rmtrees the whole dir
 
 
 def validate_disk_capacity(

@@ -631,14 +631,21 @@ class MiniS3Server:
                     names, prefix, delim, max_keys
                 )
                 n = len(contents) + len(prefixes)
+                from xml.sax.saxutils import escape
+
                 xml = ["<ListBucketResult>"]
                 for k in contents:
+                    # escape like the Azure twin: '&'/'<' are legal in
+                    # S3 keys and unescaped they break ET.fromstring on
+                    # the client side
                     xml.append(
-                        f"<Contents><Key>{k}</Key>"
+                        f"<Contents><Key>{escape(k)}</Key>"
                         f"<Size>{len(store[k])}</Size></Contents>"
                     )
                 for p in prefixes:
-                    xml.append(f"<CommonPrefixes><Prefix>{p}</Prefix></CommonPrefixes>")
+                    xml.append(
+                        f"<CommonPrefixes><Prefix>{escape(p)}</Prefix></CommonPrefixes>"
+                    )
                 xml.append(f"<KeyCount>{n}</KeyCount>")
                 xml.append(f"<IsTruncated>{str(truncated).lower()}</IsTruncated>")
                 if truncated:

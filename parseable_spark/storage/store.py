@@ -131,44 +131,62 @@ class StreamStore:
         )
         if self._staging_cache is not None and self._staging_cache[0] == key:
             return self._staging_cache[1]
-        batches = [to_dataframe(self.spark, b) for b in self._staging]
-        df = batches[0]
-        for b in batches[1:]:
-            df = df.unionByName(b, allowMissingColumns=True)
-        df = df.orderBy(F.desc(self.time_col))
+        df = self._batches_df(self._staging)
         self._staging_cache = (key, df)
         return df
 
-    def flush(self) -> int:
+    def _batches_df(self, batches) -> DataFrame:
+        dfs = [to_dataframe(self.spark, b) for b in batches]
+        df = dfs[0]
+        for b in dfs[1:]:
+            df = df.unionByName(b, allowMissingColumns=True)
+        return df.orderBy(F.desc(self.time_col))
+
+    def flush(self, swap_lock=None) -> int:
         """Staging → sorted partitioned parquet + manifest commit (the
-        60s/30s sync cycle, src/sync.rs:137-257)."""
-        df = self.staging_df()
-        if df is None:
+        60s/30s sync cycle, src/sync.rs:137-257).
+
+        Split-phase when `swap_lock` (the server's API lock) is given:
+        the staging snapshot is read under the lock, the bulk Spark
+        write runs WITHOUT it (ingest keeps appending concurrently),
+        and the manifest/snapshot/stats commit + removal of exactly the
+        flushed batches retakes it. Batches appended after the snapshot
+        stay staged for the next sync tick — nothing is lost or
+        double-written."""
+        import contextlib
+
+        lock = swap_lock if swap_lock is not None else contextlib.nullcontext()
+        with lock:
+            batches = list(self._staging)
+            pending_bytes = self._pending_ingestion_bytes
+        if not batches:
             return 0
+        df = self._batches_df(batches)
         before = set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True))
         write_stream_batch(df, self.data_dir, time_col=self.time_col)
         new_files = sorted(
             set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True)) - before
         )
-        storage_bytes = 0
-        for p in new_files:
-            storage_bytes += self.manifest.add_file(p).file_size
-            if self.hot_tier is not None:
-                # freshly written files are the hottest — populate the
-                # local tier on upload, evicting the oldest buckets
-                # (reference hot-tier fill path, src/hottier.rs:374+)
-                self.hot_tier.add(p)
-        self.manifest.save(self.manifest_path)
-        self.snapshot = Snapshot()
-        self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
-        self.snapshot.save(self.snapshot_path)
-        self.stream.registry.save(self.schema_path)
-        n = sum(len(b.records) for b in self._staging)
-        self.stats.record_ingest(n, self._pending_ingestion_bytes, storage_bytes)
-        self.stats.save(self.stats_path)
-        self._pending_ingestion_bytes = 0
-        self._staging.clear()
-        self._staging_cache = None
+        with lock:
+            storage_bytes = 0
+            for p in new_files:
+                storage_bytes += self.manifest.add_file(p).file_size
+                if self.hot_tier is not None:
+                    # freshly written files are the hottest — populate the
+                    # local tier on upload, evicting the oldest buckets
+                    # (reference hot-tier fill path, src/hottier.rs:374+)
+                    self.hot_tier.add(p)
+            self.manifest.save(self.manifest_path)
+            self.snapshot = Snapshot()
+            self.snapshot.add_manifest(self.manifest_path, self.manifest, self.time_col)
+            self.snapshot.save(self.snapshot_path)
+            self.stream.registry.save(self.schema_path)
+            n = sum(len(b.records) for b in batches)
+            self.stats.record_ingest(n, pending_bytes, storage_bytes)
+            self.stats.save(self.stats_path)
+            self._pending_ingestion_bytes -= pending_bytes
+            del self._staging[: len(batches)]
+            self._staging_cache = None
         return n
 
     # --- scan ------------------------------------------------------------
@@ -434,10 +452,10 @@ class StreamStore:
                 else:
                     for p in paths:
                         self._delete_data_file(p, stop_dir=d)
+                drop = set(paths)  # hoisted: rebuilding the set per
+                # manifest entry is O(|manifest|x|group|) under the lock
                 self.manifest.files = [
-                    f
-                    for f in self.manifest.files
-                    if f.file_path not in set(paths)
+                    f for f in self.manifest.files if f.file_path not in drop
                 ]
                 for p in moved:
                     self.manifest.add_file(p)
@@ -550,19 +568,40 @@ class StreamStore:
                     pass
 
     # --- retention --------------------------------------------------------
-    def apply_retention(self, days: int, now: datetime | None = None) -> int:
-        """Delete partition dirs older than `days` (retention.rs:58-160)."""
+    def apply_retention(
+        self,
+        days: int,
+        now: datetime | None = None,
+        tombstone_grace_seconds: float = TOMBSTONE_GRACE_SECONDS,
+    ) -> int:
+        """Delete partition dirs older than `days` (retention.rs:58-160).
+
+        The manifest/snapshot drop hides expired partitions from every
+        future reader immediately; the PHYSICAL delete is tombstoned
+        for the grace window (same discipline as compact) — an
+        in-flight query resolved its file paths under the API lock but
+        Spark opens them after release, so an inline rmtree from the
+        maintenance tick intermittently 500'd queries straddling the
+        retention cutoff. Pass 0 to delete inline (tests/manual ops)."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         cutoff = (now - timedelta(days=days)).strftime("%Y-%m-%d")
-        removed = 0
-        for d in glob(os.path.join(self.data_dir, "date=*")):
-            if os.path.basename(d).split("=", 1)[1] < cutoff:
-                shutil.rmtree(d)
-                removed += 1
+        doomed_dirs = [
+            d
+            for d in glob(os.path.join(self.data_dir, "date=*"))
+            if os.path.basename(d).split("=", 1)[1] < cutoff
+        ]
+        removed = len(doomed_dirs)
         if removed:
-            live = set(glob(os.path.join(self.data_dir, "**/*.parquet"), recursive=True))
-            dead = [f for f in self.manifest.files if f.file_path not in live]
-            self.manifest.files = [f for f in self.manifest.files if f.file_path in live]
+            doomed_files = [
+                p
+                for d in doomed_dirs
+                for p in glob(os.path.join(d, "**/*.parquet"), recursive=True)
+            ]
+            doomed_set = set(doomed_files)
+            dead = [f for f in self.manifest.files if f.file_path in doomed_set]
+            self.manifest.files = [
+                f for f in self.manifest.files if f.file_path not in doomed_set
+            ]
             self.manifest.save(self.manifest_path)
             # keep the snapshot in lockstep with the manifest (flush and
             # compact do; a stale snapshot over-counts totals and keeps
@@ -586,4 +625,11 @@ class StreamStore:
             )
             self.stats.record_deletion(ev, ing, st)
             self.stats.save(self.stats_path)
+            if tombstone_grace_seconds > 0:
+                # deferred physical delete; the maintenance sub-tick's
+                # reap prunes the emptied date dirs too
+                self._append_tombstones(doomed_files)
+            else:
+                for d in doomed_dirs:
+                    shutil.rmtree(d)
         return removed

@@ -207,18 +207,55 @@ class TenantManager:
                 validate_tenant_id(tid)
             except ValueError:
                 continue
-            obj = load_versioned("tenant", mpath)
+            try:
+                obj = load_versioned("tenant", mpath)
+            except Exception:  # noqa: BLE001
+                # one torn/hand-edited tenant.json must not abort boot
+                # and take every healthy tenant offline — the contract
+                # says unparseable dirs are skipped, never deleted
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "skipping unparseable tenant metadata %s", mpath
+                )
+                continue
             self._meta[tid] = TenantMeta.from_json(obj or {})
             self._apis[tid] = self._build_api(tid)
 
     # -- lifecycle (reference src/parseable/mod.rs:1178-1263) -----------------
-    def add_tenant(self, tenant_id: str, meta: TenantMeta | None = None):
+    def add_tenant(
+        self,
+        tenant_id: str,
+        meta: TenantMeta | None = None,
+        adopt_existing: bool = False,
+    ):
         if not self.multi_tenant:
             raise ValueError("P_MULTI_TENANCY is set to false")
         validate_tenant_id(tenant_id)
         with self._lock:
             if tenant_id in self._apis:
                 raise ValueError(f"Tenant with id- {tenant_id} already exists")
+            # a retained root WITHOUT tenant.json is a deleted tenant's
+            # remains (delete_tenant tombstones only the registration):
+            # building an API over it would silently resurrect the old
+            # tenant's users, API keys, and streams under the "new" id —
+            # the old credentials would authenticate against it. Require
+            # an explicit opt-in to adopt the retained data.
+            root = self.tenant_root(tenant_id)
+            from .metastore import get_metastore
+
+            ms = get_metastore()
+            if (
+                not adopt_existing
+                and not ms.exists(self._meta_path(tenant_id))
+                and ms.list_dirs(root)
+            ):
+                raise ValueError(
+                    f"tenant id {tenant_id!r} has retained storage from a "
+                    f"deleted tenant (users/API keys/streams would be "
+                    f"resurrected); pass adopt_existing=True to re-attach "
+                    f"it deliberately, or purge {root!r} first"
+                )
             self._meta[tenant_id] = meta or TenantMeta()
             self._persist_meta(tenant_id)
             self._apis[tenant_id] = self._build_api(tenant_id)

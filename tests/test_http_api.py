@@ -2559,3 +2559,50 @@ def test_alert_column_injection_and_cte_shadowing_blocked(spark, tmp_path):
         assert rows == [{"n": len(EVENTS)}]
     finally:
         srv.shutdown()
+
+
+def test_sync_cycle_makes_acknowledged_events_durable(spark, tmp_path):
+    """Review finding (r5): the server never flushed staging on a
+    cadence, so acknowledged events older than the 300 s staging window
+    silently vanished from bounded queries and restarts lost everything
+    since boot. run_sync + the maintenance sub-tick close that."""
+    from datetime import datetime, timedelta
+
+    api = ParseableAPI(spark, str(tmp_path))
+    ts = datetime(2026, 8, 15, 12, 0)
+    api.ingest("slogs", [{"n": 1}, {"n": 2}])
+    # staging only — no parquet yet
+    store = api._stores["slogs"]
+    assert len(store.manifest.files) == 0
+    flushed = api.run_sync()
+    assert flushed == {"slogs": 2}
+    assert len(store.manifest.files) >= 1
+    assert not store._staging  # exactly the flushed batches removed
+    # idempotent: nothing left to sync
+    assert api.run_sync() == {}
+    # a bounded query WELL past the staging window still sees the rows
+    # (pre-fix: fresh=False skipped staging and the manifest was empty)
+    lo = (ts - timedelta(days=1)).isoformat() + "Z"
+    hi = (ts + timedelta(days=1)).isoformat() + "Z"
+    out = api._query_df(
+        {"query": "select count(*) as n from slogs", "startTime": lo, "endTime": hi}
+    )
+    assert out.collect()[0]["n"] == 2
+
+
+def test_maintenance_subtick_runs_sync(spark, tmp_path):
+    """start_maintenance's sub-tick flushes staging without waiting for
+    the (daily) full pass."""
+    import time as _time
+
+    api = ParseableAPI(spark, str(tmp_path))
+    api.ingest("mlogs", [{"n": 1}])
+    store = api._stores["mlogs"]
+    api.start_maintenance(interval_s=3600.0, sync_interval_s=0.2)
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(store.manifest.files) == 0:
+            _time.sleep(0.2)
+        assert len(store.manifest.files) >= 1, "sub-tick sync never flushed"
+    finally:
+        api.stop_maintenance()

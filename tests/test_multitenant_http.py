@@ -421,3 +421,66 @@ def test_delete_tenant_durable_across_restart(mt, tenants_ready, spark):
     assert "temp1" not in [t["tenantId"] for t in mgr2.list_tenants()]
     for t in [x["tenantId"] for x in mgr2.list_tenants()]:
         mgr2.delete_tenant(t)
+
+
+def test_recreating_deleted_id_does_not_resurrect_old_tenant(mt, tenants_ready, spark):
+    """Review finding (r5): delete_tenant retains the storage root, so
+    re-creating the same id silently reloaded the OLD tenant's users,
+    API keys, and streams — old credentials authenticated against the
+    'new' tenant. Re-creation must refuse unless explicitly adopting."""
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/phoenix", {}, adm)
+    assert st == 200
+    # give the tenant a user + a stream so the root has real content
+    st, out = _req(
+        "POST",
+        f"{base}/api/v1/user/zoe",
+        {"grants": [{"privilege": "admin"}]},
+        {**adm, "x-p-tenant": "phoenix"},
+    )
+    assert st == 200
+    st, _ = _req(
+        "POST",
+        f"{base}/api/v1/ingest",
+        [{"m": 1}],
+        {**adm, "x-p-tenant": "phoenix", "x-p-stream": "plogs"},
+    )
+    assert st == 200
+    st, _ = _req("DELETE", f"{base}/api/v1/tenants/phoenix", None, adm)
+    assert st == 200
+    # bare re-create is refused with a purge/adopt hint
+    st, out = _req("PUT", f"{base}/api/v1/tenants/phoenix", {}, adm)
+    assert st == 400 and "retained storage" in out["error"]
+    # explicit adoption re-attaches deliberately
+    st, _ = _req(
+        "PUT", f"{base}/api/v1/tenants/phoenix", {"adopt_existing": True}, adm
+    )
+    assert st == 200
+    mgr.delete_tenant("phoenix")
+
+
+def test_corrupt_tenant_json_skipped_on_boot(mt, tenants_ready, spark, tmp_path):
+    """One torn tenant.json must not abort TenantManager construction
+    and take every healthy tenant offline."""
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/sane1", {}, adm)
+    assert st == 200
+    bad_dir = os.path.join(root, "_tenants", "torn1")
+    os.makedirs(bad_dir, exist_ok=True)
+    with open(os.path.join(bad_dir, "tenant.json"), "w") as f:
+        f.write('{"v": 1, "tru')  # truncated mid-write
+    try:
+        api2 = ParseableAPI(spark, root, auth=ADMIN)
+        mgr2 = TenantManager(api2, multi_tenant=True)  # must not raise
+        ids = [t["tenantId"] for t in mgr2.list_tenants()]
+        assert "torn1" not in ids
+        assert "sane1" in ids  # healthy tenants still load
+        for t in ids:
+            mgr2.delete_tenant(t)
+        mgr.delete_tenant("sane1")
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(bad_dir, ignore_errors=True)

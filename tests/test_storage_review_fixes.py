@@ -169,3 +169,124 @@ def test_fast_count_windowed(spark, tmp_path):
             eng, sql, stores, start=t1, end=t1 + timedelta(microseconds=1)
         ).collect()[0]["n"] == 2
     )
+
+
+class TestHotTierFileLifetime:
+    """r5 review: evicted/invalidated cache copies must outlive
+    in-flight queries (grace), and a crash mid-copy must not leave a
+    truncated parquet that __post_init__ re-registers."""
+
+    def _tier(self, tmp_path, limit=1000):
+        from parseable_spark.storage.hottier import HotTier
+
+        return HotTier(cache_dir=str(tmp_path / "ht"), size_limit=limit)
+
+    def _remote(self, tmp_path, name, size):
+        p = tmp_path / "remote" / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x" * size)
+        return str(p)
+
+    def test_eviction_defers_physical_delete(self, tmp_path):
+        import os
+
+        tier = self._tier(tmp_path, limit=1000)
+        a = tier.add(self._remote(tmp_path, "date=2026-08-01/a.parquet", 600))
+        assert a is not None
+        # b forces eviction of a (oldest) — a must STAY readable
+        b = tier.add(self._remote(tmp_path, "date=2026-08-02/b.parquet", 600))
+        assert b is not None
+        assert tier.lookup(
+            self._remote(tmp_path, "date=2026-08-01/a.parquet", 600)
+        ) is None  # logically evicted (quota freed)
+        assert os.path.exists(a), "evicted copy deleted inline — in-flight reads break"
+        # past the grace, a reap pass removes it
+        tier._graveyard = [(p, 0.0) for p, _ in tier._graveyard]
+        with tier._mu:
+            tier._reap_graveyard()
+        assert not os.path.exists(a)
+
+    def test_invalidate_defers_physical_delete(self, tmp_path):
+        import os
+
+        tier = self._tier(tmp_path)
+        r = self._remote(tmp_path, "date=2026-08-01/a.parquet", 100)
+        local = tier.add(r)
+        tier.invalidate(r)
+        assert tier.lookup(r) is None
+        assert os.path.exists(local)
+
+    def test_readd_during_grace_cancels_pending_delete(self, tmp_path):
+        import os
+
+        tier = self._tier(tmp_path)
+        r = self._remote(tmp_path, "date=2026-08-01/a.parquet", 100)
+        local = tier.add(r)
+        tier.invalidate(r)
+        # re-add before the grace expires: same local path, fresh copy
+        assert tier.add(r) == local
+        tier._graveyard = [(p, 0.0) for p, _ in tier._graveyard]
+        with tier._mu:
+            tier._reap_graveyard()
+        assert os.path.exists(local), "reap deleted a re-added live copy"
+        assert tier.lookup(r) == local
+
+    def test_boot_cleans_partial_copies(self, tmp_path):
+        import os
+
+        from parseable_spark.storage.hottier import HotTier
+
+        cache = tmp_path / "ht"
+        (cache / "date=2026-08-01").mkdir(parents=True)
+        partial = cache / "date=2026-08-01" / "a.parquet.tmp-ht"
+        partial.write_bytes(b"trunc")  # crash mid-copy leftover
+        tier = HotTier(cache_dir=str(cache), size_limit=1000)
+        assert not os.path.exists(partial)
+        assert tier.used_bytes() == 0  # never registered
+
+
+class TestRetentionGrace:
+    def test_retention_tombstones_then_reaps(self, spark, tmp_path):
+        """Expired partitions vanish from the manifest immediately but
+        stay on disk for the grace window (in-flight queries hold
+        resolved paths); the reap pass deletes them and prunes dirs."""
+        import os
+        from datetime import datetime
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="rg"))
+        store.ingest([{"a": 1}], p_timestamp=datetime(2024, 1, 1, 10))
+        store.flush()
+        store.ingest([{"a": 2}], p_timestamp=datetime(2024, 3, 1, 10))
+        store.flush()
+        old_files = [
+            f.file_path
+            for f in store.manifest.files
+            if "date=2024-01-01" in f.file_path
+        ]
+        assert old_files
+        removed = store.apply_retention(30, now=datetime(2024, 3, 10))
+        assert removed == 1
+        assert len(store.manifest.files) == 1
+        assert store.scan().count() == 1  # invisible to readers
+        assert all(os.path.exists(p) for p in old_files)  # grace holds
+        import threading
+
+        store._reap_tombstones(threading.Lock(), grace_seconds=0.0)
+        assert not any(os.path.exists(p) for p in old_files)
+        assert not os.path.isdir(os.path.join(store.data_dir, "date=2024-01-01"))
+
+    def test_zero_grace_deletes_inline(self, spark, tmp_path):
+        import os
+        from datetime import datetime
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.storage.store import StreamStore
+
+        store = StreamStore(spark, str(tmp_path), StreamConfig(name="rg0"))
+        store.ingest([{"a": 1}], p_timestamp=datetime(2024, 1, 1, 10))
+        store.flush()
+        store.apply_retention(30, now=datetime(2024, 3, 10), tombstone_grace_seconds=0)
+        assert not os.path.isdir(os.path.join(store.data_dir, "date=2024-01-01"))
