@@ -462,10 +462,16 @@ def build_otel_batch(sequence: int) -> dict[str, dict[str, Any]]:
             }
         )
         factor = idx + 1
+        # errors_total must be CUMULATIVE like its siblings: it's an
+        # isMonotonic sum with a fixed startTimeUnixNano, so a value
+        # that resets to 0 on non-error ticks reads as a counter reset
+        # and wrecks any rate/delta a consumer computes. Count of error
+        # ticks in sequences 1..sequence (is_error ⇔ (s+idx) % 4 == 0):
+        errors_so_far = (sequence + idx) // 4 - idx // 4
         counters = [
             ("http_requests_total", "Total HTTP requests", sequence * factor),
             ("cache_hits_total", "Total cache hits", sequence * factor * 3),
-            ("errors_total", "Total errors", sequence if is_error else 0),
+            ("errors_total", "Total errors", errors_so_far),
         ]
         metrics = [
             {

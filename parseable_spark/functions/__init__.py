@@ -17,9 +17,13 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def epoch_seconds(ts: Column | str) -> Column:
-    """Whole seconds since epoch for an NTZ timestamp (no TZ dependence)."""
-    c = ts if isinstance(ts, str) else ts._jc.toString()  # column name/expr string
-    return F.expr(f"timestampdiff(SECOND, {_EPOCH_NTZ}, {c})")
+    """Whole seconds since epoch for an NTZ timestamp (no TZ dependence).
+
+    Column inputs are used directly — stringifying via _jc.toString()
+    and re-parsing with F.expr broke on aliased/derived Columns and
+    crashed under Spark Connect (no _jc)."""
+    c = F.expr(ts) if isinstance(ts, str) else ts
+    return F.timestamp_diff("SECOND", F.expr(_EPOCH_NTZ), c)
 
 
 def date_bin(ts: Column | str, bin_seconds: int, anchor_epoch: int = 0) -> Column:
@@ -28,11 +32,14 @@ def date_bin(ts: Column | str, bin_seconds: int, anchor_epoch: int = 0) -> Colum
 
     Reference generates `DATE_BIN('{interval}', ts, TIMESTAMP '…')`
     (src/query/mod.rs:676-679); we return the bin start as epoch seconds
-    to keep cross-engine comparison exact.
+    to keep cross-engine comparison exact. FLOOR, not CAST: truncation
+    toward zero would put timestamps BEFORE the anchor one bin too high
+    (bin start after the timestamp itself) and diverge from both
+    DataFusion and the DuckDB oracle expression.
     """
     e = epoch_seconds(ts)
     return (
-        ((e - F.lit(anchor_epoch)) / F.lit(bin_seconds)).cast("bigint") * bin_seconds
+        F.floor((e - F.lit(anchor_epoch)) / F.lit(bin_seconds)) * bin_seconds
         + anchor_epoch
     ).cast("bigint")
 
@@ -41,7 +48,7 @@ def date_bin_sql(ts_expr: str, bin_seconds: int, anchor_epoch: int = 0) -> str:
     """Spark SQL string form of date_bin (for generated product SQL)."""
     e = f"timestampdiff(SECOND, {_EPOCH_NTZ}, {ts_expr})"
     return (
-        f"(CAST(({e} - {anchor_epoch}) / {bin_seconds} AS BIGINT) "
+        f"(CAST(FLOOR(({e} - {anchor_epoch}) / {bin_seconds}) AS BIGINT) "
         f"* {bin_seconds} + {anchor_epoch})"
     )
 

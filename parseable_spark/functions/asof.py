@@ -131,10 +131,13 @@ def asof_join(
     out = filled.filter(F.col(_SIDE) == 1)
     if tolerance_seconds is not None:
         # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike
-        # (a plain cast-to-long is rejected for NTZ).
+        # (a plain cast-to-long is rejected for NTZ). MICROSECOND, not
+        # SECOND: SECOND truncates sub-second overage, keeping matches
+        # that are up to 1s past the tolerance — the same granularity
+        # trap rangejoin.py:37-40 documents.
         stale: Column = F.col(_RTS).isNull() | (
-            F.expr(f"timestampdiff(SECOND, {_RTS}, __asof_ts)")
-            > F.lit(int(tolerance_seconds))
+            F.expr(f"timestampdiff(MICROSECOND, {_RTS}, __asof_ts)")
+            > F.lit(int(tolerance_seconds) * 1_000_000)
         )
         out = out.select(
             *keys,

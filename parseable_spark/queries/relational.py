@@ -381,11 +381,17 @@ def q11_shipping_priority(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # lineitem streams; the filtered customer⋈orders side is the build
+    # lineitem streams; the filtered customer⋈orders side is the build.
+    # No forced broadcast on customer: the BUILDING segment is ~1/5 of
+    # a table that grows linearly with scale factor, so a broadcast
+    # hint that is right at sf0.1 OOMs executors at 100 TB — AQE picks
+    # broadcast at runtime when the side is actually small and falls
+    # back to a shuffle join when it isn't (only fixed-cardinality
+    # dims like region/nation are safe to force).
     oc = (
         o.filter(F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-03-15 00:00:00'"))
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
     )
@@ -447,14 +453,18 @@ def q12_local_supplier_volume(spark, sf_dir):
         F.col("c_nationkey") == F.col("an"),
         "left_semi",
     )
-    orders_cust = t["orders"].join(
-        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
-    )
+    # ONLY the fixed-cardinality sides (region, nation/asia — 5 and 25
+    # rows at any scale) are force-broadcast. cust (~1/5 of customer)
+    # and supp (supplier x SF) grow linearly with scale factor; forcing
+    # them was the recorded AQE-broadcast OOM hazard in reverse — AQE
+    # broadcasts them at runtime while they're genuinely small and
+    # switches to shuffle joins at corpus scale.
+    orders_cust = t["orders"].join(cust, F.col("c_custkey") == F.col("o_custkey"))
     return (
         t["lineitem"]
         .join(orders_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -758,6 +758,7 @@ class ParseableAPI:
         # SSE push on trigger (alerts/mod.rs:711-751): broadcast to
         # connected sessions whose principal may QUERY the stream;
         # sits in targets so it inherits the notification-mute gate
+        from .rbac import DEFAULT_TENANT
         from .sse import SseAlertTarget
 
         sa.targets.append(
@@ -766,6 +767,9 @@ class ParseableAPI:
                 alert_id,
                 body.get("title") or f"{agg}({body.get('aggregateColumn') or '*'}) on {stream}",
                 allow=lambda p, s=stream: self._principal_can_query(p, s),
+                # payload contract carries tenantId (SSEAlertInfo);
+                # null for the default tenant, like the reference
+                tenant=None if self.tenant == DEFAULT_TENANT else self.tenant,
             )
         )
         with self._lock:

@@ -147,17 +147,19 @@ class SseAlertTarget:
         alert_id: str,
         name: str,
         allow: Callable[[str], bool] | None = None,
+        tenant: str | None = None,
     ) -> None:
         self.broadcaster = broadcaster
         self.alert_id = alert_id
         self.name = name
         self.allow = allow
+        self.tenant = tenant
 
     def notify(self, alert, state, value) -> None:
         if getattr(state, "value", state) != "triggered":
             return
         self.broadcaster.broadcast(
-            alert_event(self.alert_id, "triggered", self.name),
+            alert_event(self.alert_id, "triggered", self.name, tenant=self.tenant),
             allow=self.allow,
         )
 

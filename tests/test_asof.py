@@ -105,3 +105,26 @@ def test_nullable_right_payload_is_row_atomic(spark):
     r = out[0]
     assert r["price"] == 200.0 and r["qty"] is None
     assert r["m_ts"] == datetime(2026, 1, 1, 0, 0, 2)
+
+
+def test_asof_tolerance_subsecond_overage_is_stale(spark):
+    """Review finding (r5): timestampdiff(SECOND) truncated sub-second
+    overage, keeping matches up to 1s past the tolerance. A gap of
+    300.9s against tolerance 300 must null the match."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 8, 13, 12, 5, 0, 900000), "a")],
+        "k bigint, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 8, 13, 12, 0, 0), 10.0)],
+        "k bigint, ts timestamp_ntz, v double",
+    )
+    out = asof_join(left, right, keys=["k"], tolerance_seconds=300).collect()
+    assert out[0]["v"] is None  # 300.9s > 300s — stale
+    # exactly at the bound is still a match
+    left2 = spark.createDataFrame(
+        [(1, datetime(2026, 8, 13, 12, 5, 0), "a")],
+        "k bigint, ts timestamp_ntz, tag string",
+    )
+    out2 = asof_join(left2, right, keys=["k"], tolerance_seconds=300).collect()
+    assert out2[0]["v"] == 10.0

@@ -227,3 +227,25 @@ class TestOtelGeneratorRoute:
                 "POST", f"{base}/api/v1/otel_generator", {"durationSecs": bad}
             )
             assert st == 400 and "durationSecs" in out["error"]
+
+
+def test_errors_total_is_monotonic_cumulative():
+    """Review finding (r5): errors_total is an isMonotonic sum with a
+    fixed start time, so its value must never decrease across
+    sequences — the old `sequence if is_error else 0` reset to 0 on
+    every non-error tick."""
+    from parseable_spark.demo_data import build_otel_batch
+
+    series: dict[int, list[int]] = {}
+    for seq in range(1, 25):
+        batch = build_otel_batch(seq)
+        for pos, rm in enumerate(batch["metrics"]["resourceMetrics"]):
+            for sm in rm["scopeMetrics"]:
+                for m in sm["metrics"]:
+                    if m["name"] == "errors_total":
+                        v = int(m["sum"]["dataPoints"][0]["asInt"])
+                        series.setdefault(pos, []).append(v)
+    assert series
+    for pos, vals in series.items():
+        assert vals == sorted(vals), f"service {pos} not monotonic: {vals}"
+        assert vals[-1] > 0  # errors do accumulate

@@ -124,3 +124,25 @@ def test_null_stratum_rows_respect_their_rate(spark):
     # and through the mixture path: T=1 keeps every nonzero domain
     mixed = mixture_sample(df, "domain", temperature=1.0)
     assert mixed.filter(F.col("domain").isNull()).count() == 200
+
+
+def test_tenant_scoped_alert_carries_tenant_id():
+    """Review finding (r5): SseAlertTarget never passed the alert's
+    tenant, so tenant-scoped alerts broadcast tenantId: null."""
+    import json
+
+    from parseable_spark.sse import SseAlertTarget, SseBroadcaster
+
+    frames = []
+    bc = SseBroadcaster()
+    bc.broadcast = lambda payload, allow=None: frames.append(payload)
+
+    class _S:  # alert state stand-in
+        value = "triggered"
+
+    SseAlertTarget(bc, "a1", "high cpu", tenant="acme").notify(None, _S(), 9.0)
+    SseAlertTarget(bc, "a2", "default alert").notify(None, _S(), 1.0)
+    acme = json.loads(frames[0]) if isinstance(frames[0], str) else frames[0]
+    dflt = json.loads(frames[1]) if isinstance(frames[1], str) else frames[1]
+    assert acme["tenantId"] == "acme"
+    assert dflt["tenantId"] is None
