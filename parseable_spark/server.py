@@ -55,7 +55,10 @@ EXTRACT_LOG_HEADER = "x-p-extract-log"
 # after the header minus the x-p- prefix; at most 10 custom fields,
 # values truncated to 100 chars
 CUSTOM_FIELD_PREFIX = "x-p-"
-IGNORE_HEADERS = {STREAM_NAME_HEADER, LOG_SOURCE_HEADER, EXTRACT_LOG_HEADER}
+# x-p-tenant is routing metadata, not a custom field: without it here,
+# every multi-tenant ingest would grow a 'tenant' column on every
+# record and burn one of the 10 custom-field slots (review finding)
+IGNORE_HEADERS = {STREAM_NAME_HEADER, LOG_SOURCE_HEADER, EXTRACT_LOG_HEADER, "x-p-tenant"}
 MAX_CUSTOM_FIELDS = 10
 MAX_FIELD_VALUE_LENGTH = 100
 OTEL_LOG_SOURCES = {"otel-logs", "otel-metrics", "otel-traces"}
@@ -358,8 +361,17 @@ class ParseableAPI:
                 from .query.outbound_policy import TargetPolicy
 
                 self._target_policy = TargetPolicy.from_dict(cfg["target_policy"])
+            import logging
+
+            _rlog = logging.getLogger(__name__)
             for tid, body in (cfg.get("targets") or {}).items():
-                t = self._build_target(body)
+                try:
+                    t = self._build_target(body)
+                except ApiError:
+                    # a target persisted under older validation rules
+                    # must not brick server startup — skip and log
+                    _rlog.exception("skipping unreplayable target %s", tid)
+                    continue
                 t.id = tid  # preserve the original id across restarts
                 self.targets.update(t)
                 self._target_bodies[tid] = body
@@ -367,7 +379,14 @@ class ParseableAPI:
                 enabled = bool(body.pop("enabled", True))
                 ns = str(body.pop("notification_state", "notify"))
                 muted_raw = body.pop("muted_until", None)
-                created = self.create_alert(body)
+                try:
+                    created = self.create_alert(body)
+                except ApiError:
+                    # e.g. the alert's stream directory was removed
+                    # out-of-band; one bad persisted alert must not
+                    # abort __init__ and brick startup (review finding)
+                    _rlog.exception("skipping unreplayable alert %s", aid)
+                    continue
                 sa = self._alerts.pop(created["id"])
                 self._alert_bodies.pop(created["id"], None)
                 sa.enabled = enabled
@@ -470,8 +489,24 @@ class ParseableAPI:
             raise ApiError(400, "empty startTime")
         if not end:
             raise ApiError(400, "empty endTime")
-        # register the current scan (staging ∪ parquet) of every stream
-        for name, store in self._stores.items():
+        # register the current scan (staging ∪ parquet) of the streams
+        # the SQL actually references — registering all N streams paid
+        # N manifest prunes + N temp-view swaps under the API lock per
+        # query touching one table (review finding). Parser-derived
+        # extraction; anything unresolvable falls back to all streams.
+        from .query.engine import extract_table_names
+
+        canon = {k.lower(): k for k in self._stores}
+        try:
+            referenced = {
+                canon[t.lower()]
+                for t in extract_table_names(sql, spark=self.spark)
+                if t.lower() in canon
+            }
+        except Exception:  # noqa: BLE001 — unparseable SQL: let the
+            referenced = set()  # engine surface the real error below
+        for name in referenced or self._stores:
+            store = self._stores[name]
             self.engine.register_stream(name, store.scan(), time_col=store.time_col)
         try:
             if not self.ingestor_ports:
@@ -545,7 +580,14 @@ class ParseableAPI:
         """Streaming NDJSON lines. Validation and planning run eagerly
         (so a 400 surfaces BEFORE the handler commits to a 200 chunked
         response); the lock is held until the stream is drained — one
-        writer at a time over the shared temp views."""
+        writer at a time over the shared temp views.
+
+        The returned iterator's close() releases the lock even when
+        iteration NEVER STARTED: closing an unstarted generator is a
+        no-op (its finally doesn't run), so a transport failure before
+        the first chunk (client disconnects between headers) would
+        otherwise leave the API lock held forever — wedging every
+        later request (review finding)."""
         self._lock.acquire()
         try:
             df = self._query_df(payload)
@@ -553,13 +595,35 @@ class ParseableAPI:
             self._lock.release()
             raise
 
+        released = False
+
+        def release_once() -> None:
+            nonlocal released
+            if not released:
+                released = True
+                self._lock.release()
+
         def gen() -> Iterator[str]:
             try:
                 yield from ndjson_lines(df, send_null=bool(payload.get("sendNull")))
             finally:
-                self._lock.release()
+                release_once()
 
-        return gen()
+        class _LockedLines:
+            def __init__(self, inner) -> None:
+                self._inner = inner
+
+            def __iter__(self):
+                return self
+
+            def __next__(self) -> str:
+                return next(self._inner)
+
+            def close(self) -> None:
+                self._inner.close()  # runs gen's finally if started
+                release_once()  # and covers the never-started case
+
+        return _LockedLines(gen())
 
     # -- alerts + targets API (alerts.rs:210-612, targets.rs:37-160) ---------
     @staticmethod
@@ -2146,6 +2210,12 @@ class ParseableAPI:
                 self._alert_bodies.pop(aid, None)
                 if sa in self.scheduler._alerts:
                     self.scheduler._alerts.remove(sa)
+            if store.hot_tier is not None:
+                # waits out any in-flight backfill copy and turns later
+                # add()s into no-ops — without this an active backfill
+                # thread recreates cache dirs under the deleted stream's
+                # path after the rmtree (delete_hot_tier does the same)
+                store.hot_tier.close()
             shutil.rmtree(store.stream_dir, ignore_errors=True)
             # the data tree is gone; drop the stream's metadata through
             # the seam too (a non-filesystem metastore keeps it separately)
@@ -2753,6 +2823,15 @@ class _Handler(BaseHTTPRequestHandler):
         OTel Collector's otlphttp exporter compresses by default
         (review finding)."""
         self._body_consumed = True
+        te = (self.headers.get("Transfer-Encoding") or "").strip().lower()
+        if "chunked" in te:
+            # this server reads bodies by Content-Length only; silently
+            # treating a chunked body as empty leaves its bytes in
+            # rfile to be parsed as the NEXT request line — response
+            # desync / request smuggling behind a reusing proxy. Reject
+            # and drop the connection (the unread chunks poison it).
+            self.close_connection = True
+            raise ApiError(411, "chunked transfer encoding not supported; send Content-Length")
         length = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(length) if length else b""
         enc = (self.headers.get("Content-Encoding") or "").strip().lower()
@@ -2793,6 +2872,14 @@ class _Handler(BaseHTTPRequestHandler):
         responses like the 503 resource gate or a 401)."""
         if getattr(self, "_body_consumed", False):
             return
+        te = (self.headers.get("Transfer-Encoding") or "").strip().lower()
+        if "chunked" in te:
+            # can't cheaply skip a chunked body we never decode — drop
+            # the connection after this response instead of letting the
+            # unread chunks desync keep-alive
+            self.close_connection = True
+            self._body_consumed = True
+            return
         length = int(self.headers.get("Content-Length") or 0)
         if length:
             self.rfile.read(length)
@@ -2814,21 +2901,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _respond_chunked(self, lines: Iterator[str], extra: dict[str, str]) -> None:
-        self.send_response(200)
-        self.send_header("Content-Type", "application/x-ndjson")
-        self.send_header("Transfer-Encoding", "chunked")
-        for k, v in extra.items():
-            self.send_header(k, v)
-        self.end_headers()
+        # EVERYTHING under the finally: a client that disconnects before
+        # the first chunk makes send_response/end_headers raise, and the
+        # iterator (which may hold the API lock) must still be closed —
+        # query_ndjson's close() releases the lock even when iteration
+        # never started (review finding)
         try:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            for k, v in extra.items():
+                self.send_header(k, v)
+            self.end_headers()
             for line in lines:
                 chunk = line.encode()
                 self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
         finally:
-            # run the generator's finally NOW (it may hold the API
-            # lock); abandoning it to GC after a client disconnect can
-            # leave the lock held forever (review finding)
             close = getattr(lines, "close", None)
             if close is not None:
                 close()
@@ -2873,6 +2962,10 @@ class _Handler(BaseHTTPRequestHandler):
         return True
 
     def _redirect(self, location: str, cookies: list[str] | None = None) -> None:
+        # belt-and-braces against header injection: callers validate,
+        # but a CR/LF that slips through must never reach send_header
+        if any(ord(ch) < 0x20 or ch == "\x7f" for ch in location):
+            raise ApiError(400, "invalid redirect target")
         self.send_response(307)
         self.send_header("Location", location)
         for c in cookies or []:
@@ -2885,11 +2978,16 @@ class _Handler(BaseHTTPRequestHandler):
         """Only relative paths — an absolute target would be an open
         redirect (is_valid_redirect_url, handlers/http/oidc.rs). "//x"
         AND "/\\x" are both rejected: browsers normalize a leading
-        backslash to "//", re-opening the scheme-relative redirect."""
+        backslash to "//", re-opening the scheme-relative redirect.
+        Control characters (CR/LF above all) are rejected too: the
+        target lands verbatim in the Location header and stdlib
+        send_header does NO validation, so %0d%0a in the query string
+        would inject arbitrary response headers / split the response."""
         return (
             target.startswith("/")
             and len(target) >= 1
             and (len(target) == 1 or target[1] not in ("/", "\\"))
+            and not any(ord(ch) < 0x20 or ch == "\x7f" for ch in target)
         )
 
     def _allow(self, action, stream: str = "*") -> None:
@@ -2901,6 +2999,14 @@ class _Handler(BaseHTTPRequestHandler):
             if msg:
                 raise ApiError(403, msg)
         self.api.authorize(self.principal, action, stream)
+
+    def _can(self, action, stream: str = "*") -> bool:
+        """Boolean form of _allow, for result filtering (stream list)."""
+        try:
+            self._allow(action, stream)
+            return True
+        except ApiError:
+            return False
 
     # -- multi-tenancy (x-p-tenant; middleware.rs:150-260,334-390) -----------
     _INGEST_PATHS = ("/api/v1/ingest", "/v1/logs", "/v1/metrics", "/v1/traces")
@@ -3371,7 +3477,12 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             if path == "/api/v1/about":
-                # payload shape per handlers/http/about.rs:48-119
+                # payload shape per handlers/http/about.rs:48-119;
+                # authenticated scope like the reference — the payload
+                # leaks the storage filesystem path, deployment id, and
+                # hot-tier stream names (review finding)
+                if not self._authorized():
+                    return
                 from . import __version__
 
                 hot = [
@@ -3445,25 +3556,38 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     self._respond_json(200, self.api.get_role(parts[3]))
                 return
+            # read-side MANAGE gates mirror the create/modify/delete
+            # routes: a zero-grant user must not enumerate alert
+            # definitions, notification endpoints, saved filters, or
+            # correlations (review finding — asymmetric authz)
             if parts[:3] == ["api", "v1", "filters"]:
+                from .rbac import Action
+
                 if not self._authorized():
                     return
+                self._allow(Action.MANAGE)
                 if len(parts) == 3:
                     self._respond_json(200, self.api.list_filters())
                 else:
                     self._respond_json(200, self.api.get_filter(parts[3]))
                 return
             if parts[:3] == ["api", "v1", "correlation"]:
+                from .rbac import Action
+
                 if not self._authorized():
                     return
+                self._allow(Action.MANAGE)
                 if len(parts) == 3:
                     self._respond_json(200, self.api.list_correlations())
                 else:
                     self._respond_json(200, self.api.get_correlation(parts[3]))
                 return
             if parts[:3] == ["api", "v1", "targets"]:
+                from .rbac import Action
+
                 if not self._authorized():
                     return
+                self._allow(Action.MANAGE)
                 if len(parts) == 3:
                     self._respond_json(200, self.api.targets.list())
                 else:
@@ -3473,8 +3597,11 @@ class _Handler(BaseHTTPRequestHandler):
                         raise ApiError(404, str(e)) from e
                 return
             if parts[:3] == ["api", "v1", "alerts"]:
+                from .rbac import Action
+
                 if not self._authorized():
                     return
+                self._allow(Action.MANAGE)
                 if len(parts) == 3:
                     self._respond_json(200, self.api.list_alerts())
                 else:
@@ -3487,17 +3614,31 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 return
             name, sub = route
+            from .rbac import Action
+
             if not name:
-                self._respond_json(200, self.api.list_streams())
+                # list only streams the principal may see (reference
+                # filters ListStream results by per-stream permission)
+                streams = [
+                    s
+                    for s in self.api.list_streams()
+                    if self._can(Action.LIST_STREAM, s["name"])
+                ]
+                self._respond_json(200, streams)
             elif sub == "schema":
+                self._allow(Action.QUERY, name)  # reference GetSchema
                 self._respond_json(200, self.api.stream_schema(name))
             elif sub == "stats":
+                self._allow(Action.QUERY, name)  # reference GetStats
                 self._respond_json(200, self.api.stream_stats(name))
             elif sub == "retention":
+                self._allow(Action.MANAGE, name)  # GetRetention-analog
                 self._respond_json(200, self.api.get_retention(name))
             elif sub == "hottier":
+                self._allow(Action.MANAGE, name)
                 self._respond_json(200, self.api.get_hot_tier(name))
             elif sub == "info":
+                self._allow(Action.QUERY, name)  # reference GetStreamInfo
                 self._respond_json(200, self.api.stream_info(name))
             else:
                 self._respond_json(404, {"error": f"no route {path}"})
