@@ -191,6 +191,99 @@ def pack_sequences(
     )
 
 
+def mixture_upsample_rates(
+    domain_counts: Mapping[str, int],
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-domain EXPECTED-COPY rates for temperature-flattened mixing
+    with replacement: E[rows_d] = target · n_d^T / Σ n^T, so rates may
+    exceed 1 (a small domain is visited more than once per epoch —
+    the mT5/XLM-R α-sampling recipe, where downsample-only mixing
+    would starve the big domains instead of repeating the small ones).
+    `target_rows` defaults to the original corpus size. Pure driver
+    arithmetic over the tiny domain-count table."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    if not domain_counts:
+        return {}
+    if any(n < 0 for n in domain_counts.values()):
+        raise ValueError("negative domain count")
+    weights = {d: float(n) ** temperature for d, n in domain_counts.items() if n > 0}
+    wsum = sum(weights.values())
+    if wsum == 0.0:
+        return {d: 0.0 for d in domain_counts}
+    total = float(target_rows if target_rows is not None else sum(domain_counts.values()))
+    rates = {d: total * w / wsum / domain_counts[d] for d, w in weights.items()}
+    for d in domain_counts:
+        rates.setdefault(d, 0.0)
+    return rates
+
+
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic temperature-mixture resampling WITH replacement.
+
+    Each row in domain d is emitted floor(r_d) times plus one extra
+    copy kept by the same /256 hash gate as `hash_sample`, salted by
+    the copy index — so the output is exactly reproducible (no RNG),
+    stable under re-partitioning, and E[copies] = r_d quantized to
+    /256. `copy_col` distinguishes the replicas (training loaders
+    shuffle them apart; `epoch_shuffle` on (id, copy) does it here).
+
+    Plan shape: one scan-local explode of at most ceil(max r_d)+1
+    literals per row and a per-domain CASE predicate — no shuffle, no
+    driver loop over rows. The domain-count aggregate (bounded output)
+    is the only extra job. At 100 TB this is the standard mixing pass:
+    fact-scan-shaped, pushdown-friendly."""
+    import math
+
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_upsample_rates(counts, temperature, target_rows)
+    if not rates:
+        return df.withColumn(copy_col, F.lit(0)).limit(0)
+    max_full = max(int(math.floor(r)) for r in rates.values())
+    # per-domain floor(rate) and fractional-threshold CASE columns
+    full_col = F.lit(0)
+    thr_col = F.lit(_threshold_hex(0.0))
+    for d, r in rates.items():
+        cond = (
+            F.col(domain_col).isNull() if d is None else F.col(domain_col) == d
+        )
+        full_col = F.when(cond, F.lit(int(math.floor(r)))).otherwise(full_col)
+        thr_col = F.when(
+            cond, F.lit(_threshold_hex(min(r - math.floor(r), 1.0)))
+        ).otherwise(thr_col)
+    # copy index 0..max_full: i < floor(r) → full copy; i == floor(r)
+    # → kept iff the copy-salted hash byte clears the fraction gate
+    copies = F.explode(F.sequence(F.lit(0), F.lit(max_full)))
+    salted = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col(copy_col).cast("string")
+            ).cast("binary")
+        ),
+        1,
+        2,
+    )
+    out = df.withColumn(copy_col, copies)
+    return out.filter(
+        (F.col(copy_col) < full_col)
+        | ((F.col(copy_col) == full_col) & (salted < thr_col))
+    )
+
+
 def mixture_rates(
     domain_counts: Mapping[str, int],
     temperature: float = 1.0,

@@ -55,10 +55,22 @@ def build_data(out_dir: str, n: int) -> None:
         shutil.rmtree(out)
     out.mkdir(parents=True)
     spark = get_spark("memory-probe-build")
+    # fixed-size dims copied verbatim: q11/q12's join keys to them
+    # (l_suppkey, nationkey, regionkey) are NOT offset below, so every
+    # replica joins the same dim rows — fact grows xN, dims stay put,
+    # exactly the 100 TB shape
+    for t in ("supplier", "nation", "region"):
+        load_table(spark, SF_DIR, t).write.parquet(f"{out}/{t}.parquet")
     for t, keys in (
         ("documents", ["doc_id"]),
         ("events", ["event_id", "user_id"]),
         ("embeddings", ["vec_id"]),
+        # TPC-H join tables for the q11/q12 capacity children: order
+        # and customer keys offset per replica so orders⋈customer and
+        # lineitem⋈orders match within a replica
+        ("customer", ["c_custkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey"]),
     ):
         df = load_table(spark, SF_DIR, t)
         offsets = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
@@ -95,6 +107,11 @@ PROBE_QUERIES = (
     # enabled — shared scans and co-resident stage state the per-op
     # probes never exercise together
     "curate_corpus_full",
+    # r5 s7: after dropping the forced broadcasts on SF-growing sides,
+    # prove the AQE join plans spill-not-OOM when the would-have-been
+    # broadcast sides (x64 customer/orders) exceed the 1 GB heap
+    "q11_shipping_priority",
+    "q12_local_supplier_volume",
 )
 
 
