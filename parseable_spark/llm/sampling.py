@@ -191,6 +191,29 @@ def pack_sequences(
     )
 
 
+def _validate_mixture_args(
+    temperature: float, target_rows: int | None, domain_counts: Mapping | None = None
+) -> None:
+    """Shared prologue for the mixture planners — cheap, so callers can
+    run it BEFORE triggering the corpus-wide domain-count job."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    if target_rows is not None and target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    if domain_counts is not None and any(n < 0 for n in domain_counts.values()):
+        raise ValueError("negative domain count")
+
+
+def _domain_counts(df: DataFrame, domain_col: str) -> dict:
+    """ONE hash aggregate over domain_col (bounded output, collected)."""
+    return {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def mixture_upsample_rates(
     domain_counts: Mapping[str, int],
     temperature: float = 1.0,
@@ -203,12 +226,9 @@ def mixture_upsample_rates(
     would starve the big domains instead of repeating the small ones).
     `target_rows` defaults to the original corpus size. Pure driver
     arithmetic over the tiny domain-count table."""
-    if not 0.0 < temperature <= 1.0:
-        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    _validate_mixture_args(temperature, target_rows, domain_counts)
     if not domain_counts:
         return {}
-    if any(n < 0 for n in domain_counts.values()):
-        raise ValueError("negative domain count")
     weights = {d: float(n) ** temperature for d, n in domain_counts.items() if n > 0}
     wsum = sum(weights.values())
     if wsum == 0.0:
@@ -237,23 +257,23 @@ def mixture_upsample(
     /256. `copy_col` distinguishes the replicas (training loaders
     shuffle them apart; `epoch_shuffle` on (id, copy) does it here).
 
-    Plan shape: one scan-local explode of at most ceil(max r_d)+1
-    literals per row and a per-domain CASE predicate — no shuffle, no
-    driver loop over rows. The domain-count aggregate (bounded output)
-    is the only extra job. At 100 TB this is the standard mixing pass:
+    Plan shape: one scan-local explode of exactly floor(r_d)+1 copy
+    indices per row (the sequence bound is the PER-DOMAIN CASE column,
+    never a global max — a skewed mixture where one tiny domain repeats
+    10^5 times must not fan every big-domain row out 10^5-wide before
+    the filter) and a per-domain CASE predicate — no shuffle, no driver
+    loop over rows. The domain-count aggregate (bounded output) is the
+    only extra job. At 100 TB this is the standard mixing pass:
     fact-scan-shaped, pushdown-friendly."""
     import math
 
-    counts = {
-        r["d"]: r["n"]
-        for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # validate BEFORE the corpus-wide aggregate: a bad temperature must
+    # raise in microseconds, not after an hours-long scan
+    _validate_mixture_args(temperature, target_rows)
+    counts = _domain_counts(df, domain_col)
     rates = mixture_upsample_rates(counts, temperature, target_rows)
     if not rates:
         return df.withColumn(copy_col, F.lit(0)).limit(0)
-    max_full = max(int(math.floor(r)) for r in rates.values())
     # per-domain floor(rate) and fractional-threshold CASE columns
     full_col = F.lit(0)
     thr_col = F.lit(_threshold_hex(0.0))
@@ -265,13 +285,19 @@ def mixture_upsample(
         thr_col = F.when(
             cond, F.lit(_threshold_hex(min(r - math.floor(r), 1.0)))
         ).otherwise(thr_col)
-    # copy index 0..max_full: i < floor(r) → full copy; i == floor(r)
-    # → kept iff the copy-salted hash byte clears the fraction gate
-    copies = F.explode(F.sequence(F.lit(0), F.lit(max_full)))
+    # copy index 0..floor(r_d): i < floor(r) → full copy; i == floor(r)
+    # → kept iff the copy-salted hash byte clears the fraction gate.
+    # F.concat (not concat_ws): a NULL id must propagate to a NULL
+    # digest and drop the row, matching hash_sample's NULL semantics —
+    # concat_ws would give every NULL-id row the SAME salt, making
+    # their keep/drop decisions perfectly correlated.
+    copies = F.explode(F.sequence(F.lit(0), full_col))
     salted = F.substring(
         F.md5(
-            F.concat_ws(
-                ":", F.col(id_col).cast("string"), F.col(copy_col).cast("string")
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col(copy_col).cast("string"),
             ).cast("binary")
         ),
         1,
@@ -301,12 +327,9 @@ def mixture_rates(
     shape); otherwise rates scale toward `target_rows` total rows.
     Pure driver-side arithmetic over the (tiny) domain-count table.
     """
-    if not 0.0 < temperature <= 1.0:
-        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    _validate_mixture_args(temperature, target_rows, domain_counts)
     if not domain_counts:
         return {}
-    if any(n < 0 for n in domain_counts.values()):
-        raise ValueError("negative domain count")
     weights = {d: float(n) ** temperature for d, n in domain_counts.items() if n > 0}
     wsum = sum(weights.values())
     if wsum == 0.0:
@@ -363,12 +386,8 @@ def mixture_sample(
     count pass is a metadata-cheap columnar scan of one column and the
     sample itself is a pushdown-friendly predicate.
     """
-    counts = {
-        r["d"]: r["n"]
-        for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    _validate_mixture_args(temperature, target_rows)
+    counts = _domain_counts(df, domain_col)
     rates = mixture_rates(counts, temperature, target_rows)
     return hash_sample(
         df, strata_col=domain_col, strata_rates=rates, id_col=id_col

@@ -14,10 +14,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from parseable_spark.llm.sampling import (
-    _threshold_hex,
     mixture_upsample,
     mixture_upsample_rates,
 )
+
+
+def _ref_threshold(rate: float) -> str:
+    """Independent /256 quantization (NOT the module's _threshold_hex,
+    so a regression there is caught rather than mirrored)."""
+    q = round(rate * 256)
+    return "zz" if q >= 256 else format(q, "02x")
 
 
 def _ref_copies(doc_id: str, rate: float) -> list[int]:
@@ -25,7 +31,7 @@ def _ref_copies(doc_id: str, rate: float) -> list[int]:
     copy floor(r) iff md5(f'{id}:{copy}') first byte < /256 threshold."""
     full = int(math.floor(rate))
     out = list(range(full))
-    thr = _threshold_hex(min(rate - full, 1.0))
+    thr = _ref_threshold(min(rate - full, 1.0))
     h = hashlib.md5(f"{doc_id}:{full}".encode()).hexdigest()[:2]
     if h < thr:
         out.append(full)
@@ -123,4 +129,54 @@ def test_validation():
         mixture_upsample_rates({"a": 1}, temperature=0.0)
     with pytest.raises(ValueError):
         mixture_upsample_rates({"a": -1})
+    with pytest.raises(ValueError):
+        mixture_upsample_rates({"a": 1}, target_rows=-5)
     assert mixture_upsample_rates({}) == {}
+
+
+def test_invalid_args_raise_before_the_corpus_scan(spark):
+    """Argument errors must surface BEFORE the domain-count job runs —
+    at 100 TB that job is hours of wasted cluster time."""
+
+    class _Boom:
+        def groupBy(self, *a, **k):  # noqa: N802 — DataFrame shim
+            raise AssertionError("corpus scan ran before validation")
+
+    with pytest.raises(ValueError):
+        mixture_upsample(_Boom(), "domain", temperature=0.0)
+    with pytest.raises(ValueError):
+        mixture_upsample(_Boom(), "domain", target_rows=-1)
+
+
+def test_skewed_mixture_fans_out_per_domain_not_global(spark):
+    """The explode bound is the PER-DOMAIN floor(rate): with a tiny
+    domain repeating ~400x, the big domain's rows must emit <=1 output
+    row each, not be fanned 400-wide first. (The global-max bound OOMed
+    exactly this shape — review finding.)"""
+    df = _corpus(spark, {"big": 2000, "tiny": 2})
+    out = mixture_upsample(df, "domain", temperature=0.1)
+    per_doc = (
+        out.filter(F.col("domain") == "big")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("copy_idx").alias("m"))
+        .agg(F.max("n").alias("n"), F.max("m").alias("m"))
+        .collect()[0]
+    )
+    assert per_doc["n"] <= 1 and (per_doc["m"] or 0) == 0
+    # the tiny domain really did upsample heavily
+    tiny_n = out.filter(F.col("domain") == "tiny").count()
+    assert tiny_n > 100
+
+
+def test_null_ids_are_dropped_by_the_fractional_gate(spark):
+    """A NULL id cannot make a hash decision: in the fractional branch
+    (rate < 1 here for the downsampled big domain) the NULL digest
+    drops the row, matching hash_sample — instead of every NULL-id row
+    sharing one salt and being kept/dropped in perfect correlation."""
+    rows = [(f"doc{i}", "big") for i in range(500)] + [(None, "big")]
+    rows += [(f"t{i}", "tiny") for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "domain"]))
+    out = mixture_upsample(df, "domain", temperature=0.3)
+    assert out.filter(F.col("doc_id").isNull()).count() == 0
+    # rate really was fractional for the big domain (downsampled)
+    assert out.filter(F.col("domain") == "big").count() < 500

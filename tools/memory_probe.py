@@ -55,9 +55,10 @@ def build_data(out_dir: str, n: int) -> None:
         shutil.rmtree(out)
     out.mkdir(parents=True)
     spark = get_spark("memory-probe-build")
-    # fixed-size dims copied verbatim: q11/q12's join keys to them
-    # (l_suppkey, nationkey, regionkey) are NOT offset below, so every
-    # replica joins the same dim rows — fact grows xN, dims stay put,
+    # fixed-size dims copied verbatim for q12 (q11 joins only
+    # customer/orders/lineitem): its keys to them (l_suppkey,
+    # nationkey, regionkey) are NOT offset below, so every replica
+    # joins the same dim rows — fact grows xN, dims stay put,
     # exactly the 100 TB shape
     for t in ("supplier", "nation", "region"):
         load_table(spark, SF_DIR, t).write.parquet(f"{out}/{t}.parquet")
