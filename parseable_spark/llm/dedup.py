@@ -512,6 +512,51 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster verified near-dup pairs and keep the BEST-scoring member
+    of each cluster (ties → min id), not the min-id one — production
+    pipelines keep the longest / highest-quality duplicate, since the
+    min-id member of a boilerplate cluster is an arbitrary draw (the
+    RefinedWeb/FineWeb keep-policy, applied after jaccard_verify or
+    semantic candidates).
+
+    Returns docs + (cluster_id, is_kept): singletons (no pair) keep
+    themselves with cluster_id = own id. Plan: the min-label clustering
+    (bounded rounds over the pair list), one aggregate picking each
+    cluster's max-(score, -id) representative via max_by (partial,
+    map-side combined), one broadcast-size join back — the corpus is
+    scanned once and never shuffled on anything but its id.
+    """
+    labels = connected_components(pairs, max_iterations=max_iterations)
+    scored = docs.join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    # representative = max score, ties → min id. Two narrow partial
+    # aggregates instead of a negated-id struct trick so string ids
+    # work too (the curator supports string-id corpora).
+    narrow = scored.select("cluster_id", id_col, score_col)
+    best = narrow.groupBy("cluster_id").agg(F.max(score_col).alias("_best_s"))
+    reps = (
+        narrow.join(best, "cluster_id")
+        .filter(F.col(score_col) == F.col("_best_s"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    return (
+        scored.join(reps, "cluster_id")
+        .withColumn("is_kept", F.col(id_col) == F.col("rep_id"))
+        .drop("rep_id")
+    )
+
+
 def paragraph_rows(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -90,3 +90,79 @@ class TestDuplicateSpans:
             .toString()
         )
         assert "BatchEvalPython" not in plan
+
+
+class TestDedupKeepBest:
+    """Best-member keep policy: clusters keep the max-score member
+    (ties -> min id), singletons keep themselves."""
+
+    def _run(self, spark, rows, pairs, id_type="bigint"):
+        from parseable_spark.llm.dedup import dedup_keep_best
+
+        docs = spark.createDataFrame(
+            rows, f"doc_id {id_type}, text string, score double"
+        )
+        p = spark.createDataFrame(pairs, f"id_a {id_type}, id_b {id_type}")
+        return {
+            r["doc_id"]: (r["cluster_id"], r["is_kept"])
+            for r in dedup_keep_best(docs, p, "score").collect()
+        }
+
+    def test_keeps_best_scoring_member(self, spark):
+        rows = [
+            (1, "a", 0.2), (2, "a2", 0.9), (3, "a3", 0.5),  # cluster {1,2,3}
+            (4, "b", 0.7),                                   # singleton
+            (5, "c", 0.4), (6, "c2", 0.4),                   # tie -> min id
+        ]
+        got = self._run(spark, rows, [(1, 2), (2, 3), (5, 6)])
+        assert got[2] == (1, True) and not got[1][1] and not got[3][1]
+        assert got[4] == (4, True)  # singleton keeps itself
+        assert got[5][1] and not got[6][1]  # tie broken to min id
+        # exactly one keeper per cluster
+        by_cluster = {}
+        for d, (c, k) in got.items():
+            by_cluster.setdefault(c, 0)
+            by_cluster[c] += int(k)
+        assert all(v == 1 for v in by_cluster.values())
+
+    def test_string_ids(self, spark):
+        rows = [("dA", "x", 0.1), ("dB", "x2", 0.8), ("dC", "y", 0.3)]
+        got = self._run(spark, rows, [("dA", "dB")], id_type="string")
+        assert got["dB"][1] and not got["dA"][1] and got["dC"][1]
+
+    def test_matches_independent_union_find(self, spark):
+        """Random-ish graph vs a pure-Python union-find + argmax."""
+        import random
+
+        rng = random.Random(7)
+        n = 120
+        rows = [(i, f"t{i}", round(rng.random(), 6)) for i in range(n)]
+        pairs = [
+            (a, b)
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(80))
+            if a != b
+        ]
+        pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+        got = self._run(spark, rows, pairs)
+        # reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        scores = {i: s for i, _, s in rows}
+        clusters: dict[int, list[int]] = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        for root, members in clusters.items():
+            best = min(members, key=lambda m: (-scores[m], m))
+            cid = min(members)
+            for m in members:
+                assert got[m] == (cid, m == best), (m, got[m])
