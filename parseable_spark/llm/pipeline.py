@@ -72,6 +72,7 @@ def curate_corpus(
     min_chars: int = 64,
     min_stopword_ratio: float = 0.05,
     near_dup_threshold: float = 0.4,
+    near_dup_keep: str = "min_id",
     semantic_threshold: float = 0.95,
     semantic_k: int = 8,
     domain_col: str | None = None,
@@ -155,13 +156,30 @@ def curate_corpus(
         drops.append(_drops(ppl_bad, id_col, "high_perplexity"))
         base = base.join(ppl_bad, id_col, "left_anti")
 
-    # 3. verified near-dups — LSH candidates + exact Jaccard, drop the
-    # larger id of each verified pair (min-id canonical survives)
+    # 3. verified near-dups — LSH candidates + exact Jaccard.
+    # near_dup_keep="min_id" (default): drop the larger id of each
+    # verified pair — cheapest, one distinct. "best_quality": cluster
+    # the pairs and keep each cluster's LONGEST member (n_chars, ties →
+    # min id) — the RefinedWeb/FineWeb keep policy; costs the bounded
+    # min-label clustering rounds, hence opt-in.
     cands = D.minhash_lsh_candidates(base, id_col, text_col)
     verified = D.jaccard_verify(
         base, cands, id_col, text_col, threshold=near_dup_threshold
     )
-    near_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if near_dup_keep == "min_id":
+        near_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    elif near_dup_keep == "best_quality":
+        scores = T.quality_features(base, id_col, text_col).select(
+            F.col(id_col), F.col("n_chars").cast("double").alias("_q")
+        )
+        labeled = D.dedup_keep_best(
+            scores, verified.select("id_a", "id_b"), "_q", id_col
+        )
+        near_ids = labeled.filter(~F.col("is_kept")).select(id_col)
+    else:
+        raise ValueError(
+            f"near_dup_keep must be 'min_id' or 'best_quality', got {near_dup_keep!r}"
+        )
     drops.append(_drops(near_ids, id_col, "near_duplicate"))
     base = base.join(near_ids, id_col, "left_anti")
 

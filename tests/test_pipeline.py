@@ -253,3 +253,48 @@ def test_history_bloom_requires_geometry(spark):
     hist = B.bloom_build(df, "text", **geo)
     with pytest.raises(ValueError, match="bloom_geometry"):
         curate_corpus(df, history_bloom=hist)
+
+
+def test_near_dup_keep_best_quality(spark):
+    """near_dup_keep='best_quality': the cluster's LONGEST member
+    survives (RefinedWeb keep policy) instead of the min-id one; the
+    default stays min-id so the oracle-gated shape is unchanged."""
+    from parseable_spark.llm.pipeline import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then keeps "
+        "running through the meadow for a while longer today"
+    )
+    rows = [
+        (1, base),                                  # short variant, min id
+        (2, base + " with an extra tail of useful context appended"),
+        (3, base[: len(base) - 10]),                # shortest
+        (10, "completely different text about distributed query engines "
+             "and how they shuffle data between executors efficiently"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept_default = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, min_words=5, min_chars=32, min_stopword_ratio=0.0,
+            compute_summary=False,
+        ).kept.collect()
+    }
+    assert 1 in kept_default and 2 not in kept_default  # min-id policy
+    res = curate_corpus(
+        df, min_words=5, min_chars=32, min_stopword_ratio=0.0,
+        near_dup_keep="best_quality", compute_summary=False,
+    )
+    kept_best = {r["doc_id"] for r in res.kept.collect()}
+    assert 2 in kept_best and 1 not in kept_best and 3 not in kept_best
+    assert 10 in kept_best
+    # drops carry the near_duplicate reason exclusively
+    reasons = {
+        r["doc_id"]: r["drop_reason"]
+        for r in res.decisions.filter("NOT kept").collect()
+    }
+    assert reasons[1] == "near_duplicate" and reasons[3] == "near_duplicate"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(df, near_dup_keep="bogus", compute_summary=False)
