@@ -25,8 +25,6 @@ rows.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,20 +45,14 @@ _FRAME = 1024
 
 
 def _pcm_samples(payload: bytes) -> np.ndarray:
-    """16-bit PCM samples from a WAV payload (same RIFF chunk walk as
-    multimodal.decode_wav, returning the raw signal)."""
-    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
-    if riff != b"RIFF" or wave != b"WAVE":
-        raise ValueError("not a WAV payload")
-    pos, data = 12, None
-    while pos + 8 <= len(payload):
-        cid, csize = struct.unpack_from("<4sI", payload, pos)
-        if cid == b"data":
-            data = payload[pos + 8 : pos + 8 + csize]
-        pos += 8 + csize + (csize % 2)
-    if data is None:
-        raise ValueError("missing data chunk")
-    return np.frombuffer(data, dtype="<i2").astype(np.float64)
+    """16-bit PCM samples from a WAV payload. Delegates to
+    multimodal.wav_pcm — its fmt validation is the point: the previous
+    inline walk skipped it, so IEEE-float/ADPCM/8-bit/stereo WAVs were
+    silently fingerprinted as int16 garbage and wrong hashes entered
+    dedup with no error."""
+    from .multimodal import wav_pcm
+
+    return wav_pcm(payload)[1]
 
 
 def audio_fingerprint64(samples: np.ndarray) -> int:

@@ -80,10 +80,12 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
         raise ValueError("not an AVI payload")
     fps, width, height = None, None, None
     cur_stream: bytes | None = None  # fccType of the latest strh seen
+    n_streams = 0  # strh chunks seen, in declaration order
+    video_idx: int | None = None  # the video stream's index
     frames: list[bytes] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal fps, width, height, cur_stream
+        nonlocal fps, width, height, cur_stream, n_streams, video_idx
         pos = lo
         while pos + 8 <= hi:
             cid = payload[pos : pos + 4]
@@ -98,13 +100,21 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
                 # video strl (common muxer output) must not have its
                 # WAVEFORMATEX misread as BITMAPINFOHEADER
                 cur_stream = payload[body_lo : body_lo + 4]
-                if cur_stream == b"vids":
+                if cur_stream == b"vids" and video_idx is None:
+                    video_idx = n_streams
                     scale, rate = struct.unpack_from("<II", payload, body_lo + 20)
                     fps = rate // max(scale, 1)
+                n_streams += 1
             elif cid == b"strf" and cur_stream == b"vids" and width is None:
                 _sz, w, h = struct.unpack_from("<Iii", payload, body_lo)
                 width, height = w, abs(h)
-            elif cid in (b"00dc", b"00db"):
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                # frame chunks are named '{NN}dc' after the stream's
+                # declaration order — hardcoding '00dc' rejected any AVI
+                # whose video is not the first stream. 'dc'/'db' are
+                # video-typed suffixes (audio uses 'wb'), so any
+                # digit-prefixed one is a video frame; multi-video AVIs
+                # are out of scope (single vids stream assumed).
                 frames.append(payload[body_lo:body_hi])
             pos = body_lo + csize + (csize % 2)
 

@@ -164,7 +164,16 @@ def _banded_hash_pairs(
     The text-LSH giant-bucket star guard (dedup.py:128) still backstops
     adversarial key floods: a bucket holding more than `bucket_cap`
     distinct hashes pairs members with the bucket's min-rep only
-    (linear output, connectivity preserved through the rep)."""
+    (linear output). HONEST LIMIT of the star path: the downstream
+    `distance <= max_distance` filter applies to the star edges too,
+    so within a flooded bucket only members inside the rep's Hamming
+    ball stay connected — two true near-dups both far from the rep
+    lose their edge (the same degradation the text guard has when
+    jaccard_verify rejects a rep pair). Flood buckets are
+    overwhelmingly boilerplate clusters whose members are all near the
+    rep, which is why the trade is acceptable; it is a recall
+    degradation, not a correctness bug, and quality probes measure
+    it."""
     width = 64 // bands
     mask = (1 << width) - 1
     from pyspark.sql.window import Window

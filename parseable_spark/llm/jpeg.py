@@ -514,6 +514,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them or the segment length is read from garbage
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -664,6 +668,8 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes
         marker = payload[pos + 1]
         if marker == 0xC0:
             _p, h, w, _nc = struct.unpack_from(">BHHB", payload, pos + 4)

@@ -84,6 +84,9 @@ MBA_DECODE = {"1": 1, "011": 2, "010": 3, "0011": 4, "0010": 5,
               "00011": 6, "00010": 7}
 MBA_STUFFING = "00000001111"
 MBA_ESCAPE = "00000001000"
+# merged once: rebuilt-per-macroblock dicts were the hot-loop waste in
+# the bit-serial decode path
+MBA_FULL_DECODE = {**MBA_DECODE, MBA_STUFFING: "stuff", MBA_ESCAPE: "esc"}
 
 # picture_rate code (§2.4.3.2) → fps; index 0 forbidden
 PICTURE_RATES = [None, 23.976, 24.0, 25.0, 29.97, 30.0, 50.0, 59.94, 60.0]
@@ -223,6 +226,15 @@ def encode_mpeg1(frames: list[np.ndarray], fps: float = 25.0, qscale: int = 8) -
     if not 1 <= qscale <= 31:
         raise ValueError("qscale must be 1..31")
     h, w = frames[0].shape[:2]
+    # sequence-header fields are 12 bits, and slice start codes are
+    # 0x01..0xAF (175 macroblock rows = 2800 px) — silent truncation
+    # wrote width=0 headers / start codes colliding with SEQ_START
+    if not 1 <= w <= 4095:
+        raise ValueError(f"width must be 1..4095 (12-bit header field), got {w}")
+    if not 1 <= h <= 2800:
+        raise ValueError(
+            f"height must be 1..2800 (175 slice start codes 0x01..0xAF), got {h}"
+        )
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     rate_code = min(range(1, 9), key=lambda i: abs(PICTURE_RATES[i] - fps))
 
@@ -439,6 +451,16 @@ def decode_mpeg1_iframes(payload: bytes, max_frames: int | None = None) -> list[
         cb = np.zeros((mb_h * 8, mb_w * 8))
         cr = np.zeros((mb_h * 8, mb_w * 8))
         j = i + 1
+        # user_data (0xB2) / extension (0xB5) may legally sit between
+        # the picture header and the first slice (ISO 11172-2 picture
+        # layer) — skipping past them instead of bailing prevents a
+        # silent all-black frame
+        while j < len(codes) and codes[j][1] in (0xB2, 0xB5):
+            j += 1
+        if j >= len(codes) or not (0x01 <= codes[j][1] <= 0xAF):
+            raise ValueError(
+                "picture header with no following slice (corrupt stream)"
+            )
         while j < len(codes) and 0x01 <= codes[j][1] <= 0xAF:
             s_off, s_code = codes[j]
             s_end = codes[j + 1][0] if j + 1 < len(codes) else len(payload)
@@ -453,7 +475,7 @@ def decode_mpeg1_iframes(payload: bytes, max_frames: int | None = None) -> list[
                 inc = 0
                 while True:
                     v, s = sbr.read_vlc(
-                        {**MBA_DECODE, MBA_STUFFING: "stuff", MBA_ESCAPE: "esc"},
+                        MBA_FULL_DECODE,
                         11,
                         "macroblock_address_increment",
                     )

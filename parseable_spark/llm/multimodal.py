@@ -240,9 +240,12 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Walk RIFF chunks (fmt/data found by id, unknown chunks skipped —
-    a real parser, not an offset assumption); 16-bit PCM stats."""
+def wav_pcm(payload: bytes):
+    """Shared RIFF walk → (sample_rate, float64 samples) with FULL fmt
+    validation: the data bytes are reinterpreted as '<i2', so anything
+    but mono 16-bit integer PCM (fmt_tag 1) must raise loudly — an
+    IEEE-float/ADPCM/8-bit/stereo WAV silently parsed as int16 yields
+    confident garbage stats and fingerprints."""
     import numpy as np
 
     riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
@@ -252,17 +255,32 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt ":
-            fmt_tag, _ch, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            fmt_tag, ch, sample_rate, _brate, _balign, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
             if fmt_tag != 1:
                 raise ValueError(f"unsupported wav format {fmt_tag}")
+            if ch != 1:
+                raise ValueError(f"unsupported wav channel count {ch} (mono only)")
+            if bits != 16:
+                raise ValueError(f"unsupported wav bits-per-sample {bits}")
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + csize]
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    return int(sample_rate), np.frombuffer(data, dtype="<i2").astype(np.float64)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk RIFF chunks (fmt/data found by id, unknown chunks skipped —
+    a real parser, not an offset assumption); mono 16-bit PCM stats
+    (anything else raises, see wav_pcm)."""
+    import numpy as np
+
+    sample_rate, s = wav_pcm(payload)
     return {
-        "sample_rate": int(sample_rate),
+        "sample_rate": sample_rate,
         "n_samples": int(s.size),
         "rms": float(np.sqrt(np.mean(s * s))) if s.size else 0.0,
         "peak": float(np.abs(s).max()) if s.size else 0.0,
@@ -478,12 +496,20 @@ def resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
 
 
 def resize_image(
-    payload: bytes, max_w: int, max_h: int, jpeg_quality: int = 85
+    payload: bytes,
+    max_w: int,
+    max_h: int,
+    jpeg_quality: int = 85,
+    transcode_to_jpeg: bool = False,
 ) -> tuple[bytes, int, int]:
     """Format-agnostic aspect-preserving downscale: decode (BMP or
     baseline JPEG) → nearest-neighbor resample → re-encode in the SAME
     format. Returns (payload, width, height); images already inside the
-    box pass through unchanged."""
+    box pass through unchanged. Formats WITHOUT a same-format encoder
+    here (png/gif/webp/mpeg1 sniffs) raise unless
+    `transcode_to_jpeg=True` explicitly opts into the format change —
+    silently returning a JPEG for a PNG input broke the same-format
+    contract under the caller's feet."""
     import numpy as np
 
     fmt = sniff_image_format(payload)
@@ -492,6 +518,11 @@ def resize_image(
     scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
     if scale >= 1.0:
         return payload, w, h
+    if fmt not in ("bmp", "jpeg") and not transcode_to_jpeg:
+        raise ValueError(
+            f"no same-format encoder for {fmt!r}; pass "
+            f"transcode_to_jpeg=True to re-encode as baseline JPEG"
+        )
     out_w, out_h = max(int(w * scale), 1), max(int(h * scale), 1)
     rows = (np.arange(out_h) * h // out_h).astype(np.int64)
     cols = (np.arange(out_w) * w // out_w).astype(np.int64)

@@ -655,3 +655,132 @@ class TestNativeBackendSeam:
                 if b in src:
                     offenders.append((str(path), b))
         assert offenders == []
+
+
+class TestCodecHardeningR5S7:
+    """Round-5 session-7 codec review fixes."""
+
+    def test_avi_video_as_second_stream(self):
+        """Frame chunks named '01dc' (video declared second) must be
+        found — the '00dc' hardcode rejected valid audio+video files."""
+        import struct as _s
+
+        from parseable_spark.llm import avi, jpeg
+        import numpy as np
+
+        px = np.zeros((8, 16, 3), dtype=np.uint8)
+        px[:, :8] = 200
+        frames = [jpeg.encode_jpeg(px, quality=90)]
+        payload = bytearray(avi.encode_avi_mjpeg(frames, 16, 8, fps=10))
+        # rename the frame chunks to stream index 1 and prepend an
+        # audio strl so the video IS stream 1
+        idx = payload.find(b"00dc")
+        while idx != -1:
+            payload[idx:idx + 4] = b"01dc"
+            idx = payload.find(b"00dc", idx + 4)
+        strh_auds = _s.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, 8000, 0, 16000, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+        )
+        wavefmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strl = avi._list(
+            b"strl", avi._chunk(b"strh", strh_auds) + avi._chunk(b"strf", wavefmt)
+        )
+        hdrl_at = payload.find(b"hdrl")
+        video_strl_at = payload.find(b"LIST", hdrl_at)
+        payload[video_strl_at:video_strl_at] = strl
+        _s.pack_into("<I", payload, hdrl_at - 4,
+                     _s.unpack_from("<I", payload, hdrl_at - 4)[0] + len(strl))
+        _s.pack_into("<I", payload, 4, len(payload) - 8)
+        meta = avi.decode_avi_mjpeg(bytes(payload))
+        assert meta["n_frames"] == 1 and meta["frames"] == frames
+        assert (meta["width"], meta["height"]) == (16, 8)
+
+    def test_jpeg_fill_bytes_before_marker(self):
+        """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal."""
+        from parseable_spark.llm import jpeg
+        import numpy as np
+
+        px = np.full((8, 8, 3), 128, dtype=np.uint8)
+        payload = jpeg.encode_jpeg(px, quality=90)
+        # splice a fill byte before the first DQT marker
+        at = payload.find(b"\xff\xdb")
+        stuffed = payload[:at] + b"\xff" + payload[at:]
+        assert jpeg.jpeg_dimensions(stuffed) == (8, 8)
+        base = jpeg.decode_jpeg(payload)
+        got = jpeg.decode_jpeg(stuffed)
+        assert (got == base).all()
+
+    def test_wav_fmt_validation_loud(self):
+        """Non-mono / non-16-bit / non-PCM WAVs raise instead of being
+        silently fingerprinted as int16 garbage."""
+        import struct as _s
+
+        import pytest as _pytest
+
+        from parseable_spark.llm.audiohash import _pcm_samples
+        from parseable_spark.llm.multimodal import decode_wav, encode_wav
+
+        ok = encode_wav([0, 1000, -1000], sample_rate=8000)
+        assert decode_wav(ok)["n_samples"] == 3
+        assert _pcm_samples(ok).size == 3
+
+        def wav(fmt_tag=1, ch=1, bits=16):
+            fmt = _s.pack("<4sIHHIIHH", b"fmt ", 16, fmt_tag, ch, 8000,
+                          8000 * ch * bits // 8, ch * bits // 8, bits)
+            data = b"\x00\x00" * 4
+            body = b"WAVE" + fmt + _s.pack("<4sI", b"data", len(data)) + data
+            return _s.pack("<4sI", b"RIFF", len(body)) + body
+
+        for bad in (wav(fmt_tag=3), wav(ch=2), wav(bits=8)):
+            with _pytest.raises(ValueError):
+                decode_wav(bad)
+            with _pytest.raises(ValueError):
+                _pcm_samples(bad)
+
+    def test_mpeg1_user_data_between_picture_and_slice(self):
+        """user_data (00 00 01 B2) after the picture header must be
+        skipped, not silently produce an all-black frame."""
+        import numpy as np
+
+        from parseable_spark.llm import mpeg1
+
+        px = np.zeros((16, 16, 3), dtype=np.uint8)
+        px[:, :8] = 220
+        stream = mpeg1.encode_mpeg1([px], fps=25)
+        pic_at = stream.find(b"\x00\x00\x01\x00")
+        # picture header is 8 bytes here (start code + 10+3+16+1+pad bits)
+        slice_at = stream.find(b"\x00\x00\x01\x01", pic_at)
+        assert slice_at != -1
+        user_data = b"\x00\x00\x01\xb2hello"
+        stuffed = stream[:slice_at] + user_data + stream[slice_at:]
+        base = mpeg1.decode_mpeg1_iframes(stream)[0][1]
+        got = mpeg1.decode_mpeg1_iframes(stuffed)[0][1]
+        assert (got == base).all()
+        assert got.max() > 100  # not a black frame
+
+    def test_mpeg1_encode_dimension_validation(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from parseable_spark.llm import mpeg1
+
+        with _pytest.raises(ValueError):
+            mpeg1.encode_mpeg1([np.zeros((16, 4096, 3), dtype=np.uint8)])
+        with _pytest.raises(ValueError):
+            mpeg1.encode_mpeg1([np.zeros((2816, 16, 3), dtype=np.uint8)])
+
+    def test_resize_refuses_silent_transcode(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from parseable_spark.llm import mpeg1
+        from parseable_spark.llm.multimodal import resize_image
+
+        px = np.full((32, 32, 3), 90, dtype=np.uint8)
+        clip = mpeg1.encode_mpeg1([px], fps=25)
+        with _pytest.raises(ValueError, match="same-format"):
+            resize_image(clip, 16, 16)
+        out, w, h = resize_image(clip, 16, 16, transcode_to_jpeg=True)
+        assert (w, h) == (16, 16) and out[:2] == b"\xff\xd8"  # JPEG SOI
