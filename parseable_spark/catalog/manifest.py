@@ -67,11 +67,22 @@ def build_file_stats(path: str) -> FileStats:
     md = pq.ParquetFile(path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, Any] = {}  # per-column null counts (None = unknown)
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
             st = col.statistics
+            # null counts: parquet min/max stats IGNORE nulls, so a
+            # "fully contained" file can still hold NULL-time rows the
+            # equivalent real scan (ts >= lo AND ts < hi) would drop —
+            # the windowed COUNT(*) fast path needs this to not
+            # overcount (review finding)
+            nc = st.null_count if st is not None and st.has_null_count else None
+            if name not in nulls:
+                nulls[name] = nc
+            elif nulls[name] is not None:
+                nulls[name] = None if nc is None else nulls[name] + nc
             if st is None or not st.has_min_max:
                 mins[name] = maxs[name] = None
                 continue
@@ -83,7 +94,10 @@ def build_file_stats(path: str) -> FileStats:
                 mins[name] = mn
             if name not in maxs or (maxs[name] is not None and mx > maxs[name]):
                 maxs[name] = mx
-    columns = {n: {"min": mins.get(n), "max": maxs.get(n)} for n in set(mins) | set(maxs)}
+    columns = {
+        n: {"min": mins.get(n), "max": maxs.get(n), "nulls": nulls.get(n)}
+        for n in set(mins) | set(maxs)
+    }
     return FileStats(
         file_path=path,
         num_rows=md.num_rows,

@@ -226,12 +226,14 @@ def q20_alert_eval(spark, sf_dir):
         )
     ), card AS (
         SELECT 'event_type' AS field_name,
-               CAST(count(event_type) AS BIGINT) AS total_count,
-               CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_count
+               CAST(count(*) AS BIGINT) AS total_count,
+               CAST(count(DISTINCT coalesce(CAST(event_type AS VARCHAR), 'NULL'))
+                    AS BIGINT) AS distinct_count
         FROM events
         UNION ALL
-        SELECT 'user_id', CAST(count(user_id) AS BIGINT),
-               CAST(count(DISTINCT user_id) AS BIGINT)
+        SELECT 'user_id', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT coalesce(CAST(user_id AS VARCHAR), 'NULL'))
+                    AS BIGINT)
         FROM events
     )
     SELECT u.field_name, u.field_value, u.cnt,

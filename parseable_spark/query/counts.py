@@ -83,7 +83,9 @@ def fast_count(
     if hit is None:
         return None
     stream, alias = hit
-    store = stores.get(stream)
+    # case-insensitive: the analyzed plan lower-cases view names
+    canon = {k.lower(): k for k in stores}
+    store = stores.get(canon.get(stream.lower(), stream))
     if store is None:
         return None
     if start is None and end is None:
@@ -102,7 +104,14 @@ def fast_count(
             inside = (lo is None or f_lo >= lo) and (hi is None or f_hi < hi)
             if not inside:
                 return None  # straddles a boundary: must scan
-            n += f.num_rows
+            # the real windowed scan (ts >= lo AND ts < hi) drops
+            # NULL-timestamp rows, and parquet min/max stats ignore
+            # NULLs — so containment says nothing about them. Subtract
+            # the file's known null count; unknown → must scan.
+            nulls = (f.columns.get(store.time_col) or {}).get("nulls")
+            if nulls is None:
+                return None
+            n += f.num_rows - nulls
         for b in store._staging:
             for rec in b.records:
                 ts = rec.get(store.time_col)

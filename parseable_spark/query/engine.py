@@ -48,6 +48,32 @@ _TIME_PRED_TMPL = (
 )
 
 
+def _blank_literals_and_comments(sql: str) -> str:
+    """Blank string literals (incl. backslash-escaped quotes) then strip
+    -- line and /* block */ comments — shared by the time-predicate
+    detector and the statement-type gate so neither can be fooled by a
+    keyword or column name inside a string or comment."""
+    sql = re.sub(r"''|'(?:[^'\\]|\\.)*'", "''", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return sql
+
+
+_READ_ONLY_HEADS = ("select", "with", "values", "table")
+
+
+def ensure_read_only(sql: str) -> None:
+    """Reject anything but a read-only query. spark.sql() happily runs
+    DROP VIEW / SET / CREATE TABLE against the SHARED session — a
+    caller with query access must not mutate the catalog or session
+    config (reference: the query route parses SELECT only)."""
+    head = re.match(r"\s*(\w+)", _blank_literals_and_comments(sql))
+    if head is None or head.group(1).lower() not in _READ_ONLY_HEADS:
+        raise ValueError(
+            "only read-only queries (SELECT/WITH/VALUES/TABLE) are allowed"
+        )
+
+
 def references_time_col(
     sql: str,
     time_col: str,
@@ -62,9 +88,11 @@ def references_time_col(
     column name, scanning them over full history (review finding). A
     qualifier that is not a registered stream name is an alias we can't
     resolve — conservatively counts (suppressing injection is the
-    double-filter-safe direction). String literals are blanked first so
-    ``WHERE msg = 'p_timestamp > 5'`` doesn't match."""
-    sql = re.sub(r"''|'[^']*'", "''", sql)
+    double-filter-safe direction). String literals AND comments are
+    blanked first so ``WHERE msg = 'p_timestamp > 5'`` or a
+    ``-- filtered by p_timestamp >= x`` comment doesn't match (a false
+    positive suppresses injection and returns full history)."""
+    sql = _blank_literals_and_comments(sql)
     pat = _TIME_PRED_TMPL.format(col=re.escape(time_col))
     for m in re.finditer(pat, sql):
         qualifier = m.group(1) or m.group(2)
@@ -160,6 +188,13 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, time_col: str = "p_timestamp"):
         self.spark = spark
         self.time_col = time_col
+        # SQL-on-files OFF: with it on (the Spark default), any
+        # authenticated caller could read arbitrary local files and
+        # other tenants' parquet dirs via
+        # `SELECT * FROM text.`/etc/passwd`` / parquet.`<dir>` —
+        # relations that never touch the view registry or per-stream
+        # RBAC. The engine reads data exclusively through spark.read.
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")
         self._streams: dict[str, tuple[DataFrame, str]] = {}
         # query() swaps shared temp views in and restores them; the
         # Flight server calls it from multiple gRPC threads, and other
@@ -201,7 +236,14 @@ class QueryEngine:
 
             name = tenant_view_name(tenant, name)
         with self._view_lock:
-            self._streams.pop(name, None)
+            # case-insensitive pop, matching the view drop below and
+            # query()'s lookups: an exact-case miss left a _streams
+            # entry that the next query()'s restore loop used to
+            # resurrect the dropped view (review finding)
+            canon = {k.lower(): k for k in self._streams}
+            key = canon.get(name.lower())
+            if key is not None:
+                self._streams.pop(key, None)
             owner = _VIEW_OWNER.get(name.lower())
             if owner is self:
                 del _VIEW_OWNER[name.lower()]
@@ -220,7 +262,10 @@ class QueryEngine:
     ) -> DataFrame:
         """Run SQL; inject the time filter on every referenced stream
         unless the query already filters its time column (reference
-        behavior: src/query/mod.rs:404-411)."""
+        behavior: src/query/mod.rs:404-411). Read-only statements only
+        (ensure_read_only); SQL-on-files relations are disabled at the
+        session level (see __init__)."""
+        ensure_read_only(sql)
         with self._view_lock:
             lo = hi = None
             if start is not None and end is not None:
@@ -281,14 +326,27 @@ class QueryEngine:
         thread-local on the driver, so concurrent queries don't cancel
         each other."""
         df = self.query(sql, start, end, now=now)
+        return self.run_with_deadline(df.collect, sql[:120], timeout_seconds)
+
+    def run_with_deadline(
+        self,
+        fn,
+        label: str = "collect",
+        timeout_seconds: float = DEFAULT_SQL_TIMEOUT_SECONDS,
+    ):
+        """Run a Spark-materializing callable inside a job group with
+        the P_SQL_TIMEOUT deadline; cancel the group (interrupting
+        running tasks) and raise TimeoutError on expiry. Shared by
+        execute(), the alert scheduler, and the HTTP batch query path —
+        a runaway query must not hold the server's API lock forever."""
         sc = self.spark.sparkContext
         group = f"psq-{uuid.uuid4().hex[:12]}"
         out: dict = {}
 
         def run() -> None:
-            sc.setJobGroup(group, sql[:120], interruptOnCancel=True)
+            sc.setJobGroup(group, label, interruptOnCancel=True)
             try:
-                out["rows"] = df.collect()
+                out["val"] = fn()
             except Exception as ex:  # surfaced to the caller below
                 out["err"] = ex
 
@@ -303,7 +361,7 @@ class QueryEngine:
             )
         if "err" in out:
             raise out["err"]
-        return out["rows"]
+        return out["val"]
 
     def detect_bare_count(self, sql: str) -> tuple[str, str] | None:
         """Plan-shape detection of `SELECT COUNT(*) FROM stream` with no
@@ -341,10 +399,14 @@ class QueryEngine:
         # subquery, Join — disqualifies, same as the reference's
         # direct-TableScan requirement.
         node = plan.child()
+        # case-insensitive: Spark lower-cases temp-view names in the
+        # analyzed plan, so an exact-case check silently killed the
+        # fast path for any stream registered with an uppercase letter
+        canon = {k.lower(): k for k in self._streams}
         while node.getClass().getSimpleName() == "SubqueryAlias":
-            name = node.alias()
-            if name in self._streams:
-                return name, alias
+            key = canon.get(node.alias().lower())
+            if key is not None:
+                return key, alias
             node = node.child()
         return None
 

@@ -56,13 +56,22 @@ def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
 
 def field_cardinality_sql(stream: str, fields: list[str]) -> str:
     """Exact + approximate distinct counts per field (HLL++ replaces the
-    reference's hand-rolled HyperLogLog, field_stats.rs:595+)."""
+    reference's hand-rolled HyperLogLog, field_stats.rs:595+).
+
+    NULL semantics match the write side (compute_field_stats): NULLs
+    count toward total_count and appear as the literal 'NULL' distinct
+    value — count(f)/count(DISTINCT f) excluded them, so the live
+    cardinality query showed phantom drift against persisted pstats on
+    any NULL-bearing field."""
     parts = [
         f"""
         SELECT '{f}' AS field_name,
-               CAST(count({f}) AS BIGINT) AS total_count,
-               CAST(count(DISTINCT {f}) AS BIGINT) AS distinct_count,
-               CAST(approx_count_distinct({f}) AS BIGINT) AS approx_distinct
+               CAST(count(*) AS BIGINT) AS total_count,
+               CAST(count(DISTINCT coalesce(CAST({f} AS STRING), '{NULL_VALUE}'))
+                    AS BIGINT) AS distinct_count,
+               CAST(approx_count_distinct(
+                    coalesce(CAST({f} AS STRING), '{NULL_VALUE}'))
+                    AS BIGINT) AS approx_distinct
         FROM {stream}
         """
         for f in fields

@@ -34,15 +34,26 @@ def _json_value(v: Any) -> Any:
         return float(v)
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        # PySpark returns BinaryType as bytearray — without this branch
+        # json.dumps raised mid-response on any binary column
+        return bytes(v).hex()
     if isinstance(v, Row):
         return {k: _json_value(x) for k, x in v.asDict().items()}
     if isinstance(v, list):
         return [_json_value(x) for x in v]
     if isinstance(v, dict):
-        return {k: _json_value(x) for k, x in v.items()}
+        # keys too: MapType results can carry date/timestamp/binary
+        # keys, which json.dumps rejects
+        return {_map_key(k): _json_value(x) for k, x in v.items()}
     return v
+
+
+def _map_key(k: Any) -> Any:
+    if isinstance(k, (str, int, float, bool)) or k is None:
+        return k
+    converted = _json_value(k)
+    return converted if isinstance(converted, str) else json.dumps(converted)
 
 
 def row_to_json(row: Row, send_null: bool = True) -> dict[str, Any]:

@@ -74,7 +74,13 @@ def trace_list(
             *extra,
         )
         .distinct()
-        .join(F.broadcast(counts), "span_trace_id")
+        # NO broadcast hint: the per-trace counts aggregate has one row
+        # per distinct trace over the whole window — unbounded at scale
+        # (forcing it OOMs the driver building the broadcast relation).
+        # AQE broadcasts it at runtime while it is genuinely small and
+        # shuffle-joins when it isn't; both sides shuffle on the same
+        # key so the exchanges line up.
+        .join(counts, "span_trace_id")
         .select(
             "service_name",
             "span_name",

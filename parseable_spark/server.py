@@ -564,15 +564,32 @@ class ParseableAPI:
             raise ApiError(400, str(e)) from e
 
     def query(self, payload: dict[str, Any]) -> dict | list:
-        """Batch response body (fields/sendNull honored)."""
+        """Batch response body (fields/sendNull honored). The collect
+        runs under the engine's P_SQL_TIMEOUT deadline — a runaway
+        query is cancelled instead of holding the API lock forever
+        (the reference applies the SQL timeout to this route too)."""
         with self._lock:
-            df = self._query_df(payload)
             try:
-                return query_response(
-                    df,
-                    fields=bool(payload.get("fields")),
-                    send_null=bool(payload.get("sendNull")),
+                df = self._query_df(payload)
+            except ApiError:
+                raise
+            except Exception as e:
+                # analysis-time failures (unknown table/view, resolve
+                # errors) are client errors, not 500s
+                if type(e).__name__ == "AnalysisException":
+                    raise ApiError(400, str(e).split("\n")[0]) from e
+                raise
+            try:
+                return self.engine.run_with_deadline(
+                    lambda: query_response(
+                        df,
+                        fields=bool(payload.get("fields")),
+                        send_null=bool(payload.get("sendNull")),
+                    ),
+                    (payload.get("query") or "")[:120],
                 )
+            except TimeoutError as e:
+                raise ApiError(504, str(e)) from e
             except Exception as e:  # Spark analysis errors → client error
                 raise ApiError(400, str(e).split("\n")[0]) from e
 
