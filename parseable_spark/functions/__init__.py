@@ -84,7 +84,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI ArithmeticException, not NaN) for zero-norm
+    inputs: under this repo's ANSI sessions a zero embedding made every
+    consumer CRASH on divide-by-zero, and under non-ANSI the NaN
+    ordered above every number, falsely passing >= thresholds. NULL
+    drops out of threshold filters and sorts last in rankings — 'no
+    similarity evidence'."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def salted_join(

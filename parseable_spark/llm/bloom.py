@@ -142,15 +142,28 @@ def bloom_build(
     shard, pos = _positions(F.col(key_col), num_shards, bits_per_shard, num_hashes)
     rows = docs.select(shard.alias("shard_id"), pos.alias("pos"))
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "shard_id": pdf["shard_id"].iloc[:1],
-                "bitmap": [_or_bits(pdf, nbytes).tobytes()],
-            }
-        )
+    # STREAMING build: mapInPandas iterates Arrow batches, OR-ing each
+    # into per-shard accumulators — task memory is O(bitmaps in this
+    # partition), the documented bound. The previous
+    # groupBy.applyInPandas materialized a shard's ENTIRE probe-row
+    # set as one pandas DataFrame first (items_per_shard × k position
+    # arrays — tens of GB at the docstring's own 10^11-item sizing),
+    # OOMing long before the OR ran. Repartitioning by shard_id first
+    # keeps each shard's accumulator on exactly one task; OR is
+    # order-independent, so output bitmaps are bit-identical.
+    def build_stream(batches) -> "pd.DataFrame":
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for sid, grp in pdf.groupby("shard_id"):
+                part = _or_bits(grp, nbytes)
+                prev = acc.get(int(sid))
+                acc[int(sid)] = part if prev is None else np.bitwise_or(prev, part)
+        for sid, arr in acc.items():
+            yield pd.DataFrame({"shard_id": [sid], "bitmap": [arr.tobytes()]})
 
-    return rows.groupBy("shard_id").applyInPandas(build, schema=BLOOM_SCHEMA)
+    return rows.repartition(num_shards, "shard_id").mapInPandas(
+        build_stream, schema=BLOOM_SCHEMA
+    )
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -94,38 +94,38 @@ def bpe_train(
             break  # nothing repeats; further merges are noise
         (a, b), _n = best
         merges.append((a, b))
-        merged = a + b
         new_table: dict[tuple[str, ...], int] = {}
         for syms, n in table.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            t = tuple(out)
+            t = tuple(_apply_merge(list(syms), a, b))
             new_table[t] = new_table.get(t, 0) + n
         table = new_table
     return merges
+
+
+def _apply_merge(syms: list, a: str, b: str) -> list:
+    """One left-to-right scan merging every non-overlapping (a, b) pair
+    — THE merge semantics, shared by training's table rewrite and
+    bpe_segments so the two can never diverge (a fix applied to one
+    copy and not the other would silently break the 'exact for
+    in-vocabulary words' encode guarantee)."""
+    out: list = []
+    i = 0
+    merged = a + b
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def bpe_segments(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply learned merges (in training order) to one word."""
     syms = list(_symbols(word))
     for a, b in merges:
-        i = 0
-        out: list[str] = []
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _apply_merge(syms, a, b)
         if len(syms) == 1:
             break
     return syms
@@ -219,6 +219,10 @@ def bpe_encode(
             F.filter(normalized_words(F.col(text_col)), lambda w: F.length(w) > 0)
         ).alias("pos", "w"),
     ).join(F.broadcast(id_table), "w", "left")
+    # snapshot: hit and miss are two consumers of the same plan, and
+    # Spark does not dedupe common subplans — without this the corpus
+    # scan + explode + broadcast join ran twice per encode job
+    words = words.localCheckpoint()
     hit = words.filter(F.col("_ids").isNotNull())
     miss = words.filter(F.col("_ids").isNull()).drop("_ids")
 

@@ -153,7 +153,7 @@ def stupid_backoff_scores(
     lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    order: int = 3,
+    order: int | None = None,
     alpha: float = BACKOFF_ALPHA,
     ndigits: int = 4,
 ) -> DataFrame:
@@ -168,7 +168,24 @@ def stupid_backoff_scores(
     OOV tokens score finitely: (c1+1)/(total+V).
 
     log_score = mean log10 S; pseudo_ppl = 10**(-log_score).
+
+    `order` must not exceed the LM's trained order: probing grams an
+    order-2 model never stored makes every token with enough context
+    hit the alpha discount, inflating pseudo_ppl ~(1/alpha)x and
+    silently dropping most of a corpus under a calibrated threshold
+    (curate_corpus/StreamingCurator call with the default order=3).
+    Pass order=None to use the LM's own max n.
     """
+    lm_order = lm.agg(F.max("n")).first()[0]
+    if lm_order is None:
+        raise ValueError("empty LM counts table")
+    if order is None:
+        order = int(lm_order)
+    elif order > lm_order:
+        raise ValueError(
+            f"order={order} exceeds the LM's trained order {lm_order}; "
+            f"score with order<={lm_order} (or retrain the LM)"
+        )
     uni = lm.filter(F.col("n") == 1)
     totals = uni.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vocab")

@@ -99,19 +99,30 @@ def _codebook_df(spark, codebooks: Codebooks):
     return spark.createDataFrame(rows, "sub int, cid int, cv array<double>")
 
 
-def _assign(subvecs: DataFrame, cb, id_col: str) -> DataFrame:
-    """(id, sub, sv, code): nearest centroid per subspace — argmin via
+def _assign(subvecs: DataFrame, cb, id_col: str, keep_sv: bool = True) -> DataFrame:
+    """(id, sub[, sv], code): nearest centroid per subspace — argmin via
     min-over-struct so combining happens map-side; codebook broadcast,
-    ties break on the lower cid."""
+    ties break on the lower cid.
+
+    keep_sv=False drops the subvector payload BEFORE the (id, sub)
+    shuffle: pq_encode only needs the code ids, and carrying one full
+    d/m-double subvector per group shuffled the entire vector dataset —
+    defeating PQ's stream-30x-fewer-bytes point. pq_fit genuinely needs
+    sv (the centroid update averages it) and keeps the default."""
+    aggs = [
+        F.min(
+            F.struct(_l2sq(F.col("sv"), F.col("cv")).alias("d2"), F.col("cid"))
+        ).alias("best")
+    ]
+    cols = [id_col, "sub", F.col("best.cid").alias("code")]
+    if keep_sv:
+        aggs.append(F.first("sv").alias("sv"))
+        cols.insert(2, "sv")
     return (
         subvecs.join(broadcast(cb), "sub")
         .groupBy(id_col, "sub")
-        .agg(
-            F.min(F.struct(_l2sq(F.col("sv"), F.col("cv")).alias("d2"),
-                           F.col("cid"))).alias("best"),
-            F.first("sv").alias("sv"),
-        )
-        .select(id_col, "sub", "sv", F.col("best.cid").alias("code"))
+        .agg(*aggs)
+        .select(*cols)
     )
 
 
@@ -193,7 +204,7 @@ def pq_encode(
     subvecs = _subvectors(embeddings, m, dim, id_col, vec_col)
     cb = _codebook_df(embeddings.sparkSession, codebooks)
     return (
-        _assign(subvecs, cb, id_col)
+        _assign(subvecs, cb, id_col, keep_sv=False)
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")

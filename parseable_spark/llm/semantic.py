@@ -182,7 +182,15 @@ def semantic_dedup(
             F.round(cosine(F.col("v"), F.col("rep_v")), ndigits).alias("cos"),
         )
     )
-    dup_pairs = pairs_small.unionByName(pairs_giant).filter(F.col("cos") >= threshold)
+    # nanvl: a zero-norm embedding (empty/padded input) makes cosine
+    # 0/0 = NaN, and Spark orders NaN ABOVE every number — so NaN >=
+    # threshold passed and a zero vector holding a cluster's min id
+    # falsely marked every other member as its duplicate (wholesale
+    # deletion of non-duplicates). NaN pairs are "no similarity
+    # evidence", never dups.
+    dup_pairs = pairs_small.unionByName(pairs_giant).filter(
+        F.nanvl(F.col("cos"), F.lit(-1.0)) >= threshold
+    )
     # each duplicate points at the smallest id it duplicates
     dup_of = dup_pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("dup_of")

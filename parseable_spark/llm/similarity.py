@@ -192,7 +192,9 @@ def embedding_near_dups(
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
         )
-        return pairs.filter(F.col("cosine_sim") >= threshold)
+        # nanvl: zero-norm vectors give NaN cosine, which Spark orders
+        # above every number — NaN must read as "no evidence", not a dup
+        return pairs.filter(F.nanvl(F.col("cosine_sim"), F.lit(-1.0)) >= threshold)
 
     from pyspark.sql.window import Window
 
@@ -224,7 +226,9 @@ def embedding_near_dups(
             F.round(cosine(F.col("rep_v"), F.col("v")), ndigits).alias("cosine_sim"),
         )
     )
-    return pairs_small.union(pairs_giant).filter(F.col("cosine_sim") >= threshold)
+    return pairs_small.union(pairs_giant).filter(
+        F.nanvl(F.col("cosine_sim"), F.lit(-1.0)) >= threshold
+    )
 
 
 def ivf_ann_hierarchical(

@@ -50,6 +50,21 @@ def quality_features(
     )
 
 
+def _lang_pred(langs) -> Column:
+    """The shared best-marker-score CASE (previously triplicated across
+    language_id/curate/doc_features — divergence risk). Zero marker
+    hits in EVERY language is 'und', not the first language in CASE
+    order: the old tie-at-0 fell through to 'en', so Russian/Korean/
+    all-digit text was labeled English and sailed through any
+    pred_lang='en' curation filter."""
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
+    pred = pred.when(best == 0, F.lit("und"))
+    for lang in langs:  # first max wins — same CASE order in the oracle
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return pred.otherwise(F.lit("und"))
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -74,14 +89,10 @@ def language_id(
             for lang in langs
         ],
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
-    for lang in langs:  # first max wins — same CASE order in the oracle
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select(
         F.col(id_col),
         *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in langs],
-        pred.otherwise(F.lit("und")).alias("pred_lang"),
+        _lang_pred(langs).alias("pred_lang"),
     )
 
 
@@ -130,16 +141,12 @@ def curate(
         & (F.col("_stop_hits") / F.col("n_words") >= min_stopword_ratio)
         & (F.col("n_chars") >= min_chars)
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
-    for lang in langs:  # first max wins — same CASE order as the oracle
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     with_lang = gated.select(
         F.col(id_col),
         "n_chars",
         "n_words",
         "_digest",
-        pred.otherwise(F.lit("und")).alias("pred_lang"),
+        _lang_pred(langs).alias("pred_lang"),
     )
     w = Window.partitionBy("_digest").orderBy(id_col)
     return (
@@ -287,10 +294,6 @@ def doc_features(
             for lang in langs
         ],
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.when(F.col("_has_cjk"), F.lit("zh"))
-    for lang in langs:  # first max wins — same CASE order in the oracle
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return stage2.select(
         F.col(id_col),
         "n_chars",
@@ -309,7 +312,7 @@ def doc_features(
             F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
             for lang in langs
         ],
-        pred.otherwise(F.lit("und")).alias("pred_lang"),
+        _lang_pred(langs).alias("pred_lang"),
         "bpe_ish_tokens",
         F.md5("_norm").alias("fp_full"),
         F.md5(F.substring("_norm", 1, prefix_len)).alias("fp_prefix"),
@@ -331,7 +334,13 @@ def _tfidf_scored(
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(F.broadcast(df_tbl), "term")
+        # NO forced broadcast of df_tbl: it has vocabulary cardinality
+        # (a Zipf vocab does not reliably fit at corpus scale —
+        # lm_quality_score below documents the same reasoning). Both
+        # sides shuffle on `term` anyway; AQE broadcasts when the vocab
+        # is genuinely small. Only the 1-row corpus-size aggregate is
+        # safe to force.
+        tf.join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -580,6 +589,7 @@ def log_templates(
     events: DataFrame,
     msg_col: Column | None = None,
     group_cols: tuple[str, ...] = (),
+    user_col: str | None = "user_id",
 ) -> DataFrame:
     """Drain-lite log-template mining: mask variable tokens (numbers,
     hex ids, quoted strings) out of each message, then group by the
@@ -614,11 +624,18 @@ def log_templates(
         r"'[^']*'",
         "<STR>",
     )
+    # user_col is optional: a DataFrame of arbitrary log lines (custom
+    # msg_col) has no user_id, and hardcoding it raised
+    # AnalysisException; it is also skipped from the select when it
+    # already appears in group_cols (duplicate column = ambiguous ref).
+    if user_col is not None and user_col not in events.columns:
+        user_col = None
+    extra = [user_col] if user_col is not None and user_col not in group_cols else []
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    if user_col is not None:
+        aggs.append(F.count_distinct(user_col).cast("bigint").alias("n_users"))
     return (
-        events.select(template.alias("template"), "user_id", *group_cols)
+        events.select(template.alias("template"), *extra, *group_cols)
         .groupBy("template", *group_cols)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        )
+        .agg(*aggs)
     )

@@ -457,7 +457,8 @@ def q29_ann_lsh_bucket(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_duck_cos('a.embedding', 'b.embedding', 4)} AS cosine_sim
     FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_duck_cos('a.embedding', 'b.embedding', 4)} >= 0.3
+    WHERE NOT isnan({_duck_cos('a.embedding', 'b.embedding', 4)})
+      AND {_duck_cos('a.embedding', 'b.embedding', 4)} >= 0.3
     """,
     doc="Embedding-cosine near-dup pairs via bucketed self-join (LSH bucket join key — no all-pairs).",
 )
@@ -478,9 +479,17 @@ def _text_features_oracle() -> str:
         for lang, markers in text.LANG_MARKERS.items()
     }
     best = "greatest(" + ", ".join(scores.values()) + ")"
-    case = "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' " + " ".join(
-        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
-    ) + " ELSE 'und' END"
+    # the `= 0 → 'und'` branch mirrors _lang_pred: zero marker hits in
+    # every language is undetermined, not the first CASE language
+    case = (
+        "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        + f"WHEN {best} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {scores[lang]} = {best} THEN '{lang}'"
+            for lang in text.LANG_MARKERS
+        )
+        + " ELSE 'und' END"
+    )
     score_cols = ", ".join(
         f"CAST({scores[lang]} AS BIGINT) AS score_{lang}" for lang in text.LANG_MARKERS
     )
@@ -779,6 +788,7 @@ def _curation_quality_oracle() -> str:
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
     case = (
         "CASE WHEN has_cjk THEN 'zh' "
+        + f"WHEN {best} = 0 THEN 'und' "  # zero marker hits — see _lang_pred
         + " ".join(
             f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in text.LANG_MARKERS
         )
