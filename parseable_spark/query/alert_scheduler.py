@@ -113,8 +113,21 @@ class ScheduledAlert:
             (transition or (self.repeat_notifications and state is AlertState.TRIGGERED))
             and not self.notifications_muted(now)
         ):
+            import logging
+
             for t in self.targets:
-                t.notify(self.alert, state, value)
+                try:
+                    t.notify(self.alert, state, value)
+                except Exception:  # noqa: BLE001
+                    # per-target isolation: alert.state already flipped
+                    # above, so an exception here would permanently lose
+                    # this transition for every REMAINING target (next
+                    # eval sees prev == state). A dead webhook must not
+                    # silence the SSE/other targets (the alert_targets
+                    # invariant).
+                    logging.getLogger(__name__).exception(
+                        "alert target notify failed"
+                    )
         return state
 
 
@@ -135,28 +148,42 @@ class AlertScheduler:
         of the background loop). Returns number evaluated."""
         m = _time.monotonic()
         n = 0
-        for sa in self._alerts:
+        # snapshot: HTTP threads register/remove alerts concurrently
+        # (list mutation mid-iteration skipped the alert after a
+        # removed one, or evaluated a deleted alert)
+        for sa in list(self._alerts):
             # disabled alerts are silenced, not removed (reference
             # alerts disable/enable routes, modal/server.rs:367-380)
-            if sa.enabled and sa.due(m):
+            if sa.enabled and sa.due(m) and sa in self._alerts:
                 try:
                     sa.evaluate(self.engine, now=now)
                 except Exception:  # noqa: BLE001
                     # a failing alert (e.g. referencing a dropped
-                    # column) retries next tick but must not starve the
-                    # alerts after it or kill the loop (review finding)
+                    # column) must not starve the alerts after it or
+                    # kill the loop (review finding). Retry in ~60 s:
+                    # the old unconditional _last_eval update delayed
+                    # outage detection by a full eval_frequency per
+                    # transient failure, while NO update would burn a
+                    # Spark job every 10 s tick on a permanently broken
+                    # alert.
                     import logging
 
                     logging.getLogger(__name__).exception(
                         "alert evaluation failed"
                     )
-                sa._last_eval = m
+                    sa._last_eval = m - max(float(sa.eval_frequency_s) - 60.0, 0.0)
+                else:
+                    sa._last_eval = m
                 n += 1
         return n
 
     def start(self, tick_seconds: float = 10.0) -> None:
         """Background loop (reference scheduler ticks every 10 s,
         src/storage/retention.rs:88-91 pattern)."""
+
+        if self._thread is not None and self._thread.is_alive():
+            return  # already running; a second start() must not leak a loop
+        self._stop.clear()  # restartable: stop() leaves the event set
 
         def loop() -> None:
             while not self._stop.is_set():

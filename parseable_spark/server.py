@@ -437,9 +437,22 @@ class ParseableAPI:
         store = self.get_or_create_stream(stream_name)
         with self._lock:
             try:
-                return store.ingest(body, p_custom_fields=custom_fields or None)
+                n = store.ingest(body, p_custom_fields=custom_fields or None)
             except ValueError as e:  # reserved column / static schema mismatch
                 raise ApiError(400, str(e)) from None
+            self._livetail_push(stream_name, store)
+            return n
+
+    def _livetail_push(self, stream_name: str, store) -> None:
+        """Fan the just-ingested (normalized) records out to livetail
+        subscribers (reference pushes on the ingest path,
+        src/livetail.rs:53-61). Called under self._lock right after
+        store.ingest appended its staging batch; no-op without
+        subscribers, so the common path pays one dict lookup."""
+        from .streaming.livetail import LIVETAIL
+
+        if LIVETAIL.has_subscribers(stream_name) and store._staging:
+            LIVETAIL.process(stream_name, list(store._staging[-1].records))
 
     # -- OTel ingest (ingest.rs:305-388) -------------------------------------
     def ingest_otel(
@@ -474,9 +487,11 @@ class ParseableAPI:
         store = self.get_or_create_stream(stream_name)
         with self._lock:
             try:
-                return store.ingest(records, p_custom_fields=custom_fields or None)
+                n = store.ingest(records, p_custom_fields=custom_fields or None)
             except ValueError as e:  # reserved column / static schema mismatch
                 raise ApiError(400, str(e)) from None
+            self._livetail_push(stream_name, store)
+            return n
 
     # -- query (query.rs:63-77, 590-631) ------------------------------------
     def _query_df(self, payload: dict[str, Any]):
@@ -2432,6 +2447,12 @@ class ParseableAPI:
         if getattr(self, "_maint_stop", None) is not None:
             return  # already running
 
+        # the alert evaluation loop belongs to the same background-jobs
+        # lifecycle: the scheduler was constructed and register()ed into
+        # but nothing ever start()ed it, so rolling-window alerts only
+        # fired via the manual /evaluate route (review finding)
+        self.scheduler.start()
+
         stop = threading.Event()
         log = logging.getLogger(__name__)
 
@@ -2512,6 +2533,7 @@ class ParseableAPI:
             stop.set()
             self._maint_thread.join(timeout=10)
             self._maint_stop = None
+        self.scheduler.stop()
 
     # -- hot tier (logstream.rs:421-560) -------------------------------------
     @staticmethod
@@ -3183,6 +3205,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _serve_sse(self, qp: dict[str, str]) -> None:
         """GET /api/v1/sse — ``text/event-stream`` of alert events.
+        (See also _serve_livetail below for the row-push channel.)
 
         Reference register_sse_client (sse/mod.rs:183-198): requires a
         SESSION key — BasicAuth is rejected with 400 ("SSE requires
@@ -3249,6 +3272,78 @@ class _Handler(BaseHTTPRequestHandler):
         finally:
             if client is not None:
                 self.api.sse.unregister(client)
+
+    def _serve_livetail(self, qp: dict[str, str]) -> None:
+        """GET /api/v1/livetail?stream=S[&max_rows=N] — NDJSON push of
+        freshly ingested (normalized) rows, the reference's livetail
+        channel (src/livetail.rs) over chunked HTTP instead of Flight.
+        Requires QUERY on the stream. `max_rows` closes the stream
+        after N rows (test/CLI affordance); without it, streams until
+        the client disconnects. Skip markers (buffer overrun) are
+        emitted as {\"skipped\": n} lines, mirroring the reference's
+        command-channel skip."""
+        import time as _time
+        import uuid as _uuid
+
+        from .rbac import Action
+        from .streaming.livetail import LIVETAIL
+
+        if not self._authorized():
+            return
+        stream = qp.get("stream") or ""
+        if not stream:
+            raise ApiError(400, "missing stream query param")
+        if stream not in self.api._stores:
+            raise ApiError(404, f"logstream {stream} does not exist")
+        self._allow(Action.QUERY, stream)
+        try:
+            max_rows = int(qp.get("max_rows", "0"))
+        except ValueError as e:
+            raise ApiError(400, "invalid max_rows") from e
+        self._drain_body()
+        pipe = LIVETAIL.new_pipe(_uuid.uuid4().hex, stream)
+        sent = 0
+        try:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def emit(obj) -> None:
+                chunk = (json.dumps(obj, default=str) + "\n").encode()
+                self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                self.wfile.flush()
+
+            last_ping = _time.monotonic()
+            while True:
+                msg = pipe.recv()
+                if msg is None:
+                    if max_rows and sent >= max_rows:
+                        break
+                    # heartbeat keeps detecting dead sockets during
+                    # quiet periods (the SSE ping analog)
+                    if _time.monotonic() - last_ping >= 10.0:
+                        self.wfile.write(b"1\r\n\n\r\n")
+                        self.wfile.flush()
+                        last_ping = _time.monotonic()
+                    _time.sleep(0.05)
+                    continue
+                if msg.rows is None:
+                    emit({"skipped": msg.skipped})
+                    continue
+                for row in msg.rows:
+                    emit(row)
+                    sent += 1
+                    if max_rows and sent >= max_rows:
+                        break
+                if max_rows and sent >= max_rows:
+                    break
+            self.wfile.write(b"0\r\n\r\n")
+        except (ConnectionError, OSError):
+            return  # client went away
+        finally:
+            LIVETAIL.drop_pipe(pipe.id, stream)
 
     def _is_admin(self) -> bool:
         """Admin = open-server/built-in principal or a MANAGE grant —
@@ -3418,6 +3513,10 @@ class _Handler(BaseHTTPRequestHandler):
             if path == "/api/v1/sse":
                 qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
                 self._serve_sse(qp)
+                return
+            if path == "/api/v1/livetail":
+                qp = {k: v[0] for k, v in parse_qs(parsed_url.query).items()}
+                self._serve_livetail(qp)
                 return
             if path == "/api/v1/metrics":
                 from .rbac import Action

@@ -124,7 +124,9 @@ class StreamingCurator:
         # re-read so replays see the committed bytes, not a recompute)
         self.gate.process_batch(batch, batch_id)
         fresh = (
-            self.spark.read.parquet(os.path.join(self.gate.base_dir, "passed"))
+            # the gate's own accessor, not a raw path join hardcoding its
+            # internal 'passed' layout in a second module
+            self.gate.passed()
             .filter(F.col("batch_id") == int(batch_id))
             .select(self.id_col, self.text_col)
             .localCheckpoint()
@@ -136,10 +138,13 @@ class StreamingCurator:
         ]
         base = fresh
 
-        # 2. quality gate
+        # 2. quality gate. NULL text (an event missing the field) makes
+        # every predicate NULL — without the explicit isNull branch the
+        # document bypassed the gate and was CURATED into the corpus.
         q = T.quality_features(base, self.id_col, self.text_col)
         bad = q.filter(
-            (F.col("n_words") < self.min_words)
+            F.col("n_words").isNull()
+            | (F.col("n_words") < self.min_words)
             | (F.col("n_chars") < self.min_chars)
             | (F.col("stopword_ratio") < self.min_stopword_ratio)
         ).select(self.id_col)

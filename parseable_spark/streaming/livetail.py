@@ -103,9 +103,20 @@ class LiveTail:
 
     def process(self, stream: str, rows: list[dict[str, Any]]) -> None:
         """Fan a fresh ingest batch out to every live subscriber
-        (reference LiveTail::process, src/livetail.rs:53-61)."""
+        (reference LiveTail::process, src/livetail.rs:53-61). Closed
+        pipes are reaped here — a consumer that close()d its pipe (or
+        died) without drop_pipe otherwise stayed registered forever,
+        keeping has_subscribers true and pinning up to `capacity`
+        buffered batches per abandoned pipe."""
         with self._lock:
-            pipes = list(self._pipes.get(stream, ()))
+            pipes = self._pipes.get(stream, [])
+            live = [p for p in pipes if not p.closed]
+            if len(live) != len(pipes):
+                if live:
+                    self._pipes[stream] = live
+                else:
+                    self._pipes.pop(stream, None)
+            pipes = list(live)
         for pipe in pipes:
             pipe.send(rows)
 
@@ -121,7 +132,7 @@ class LiveTail:
 
     def has_subscribers(self, stream: str) -> bool:
         with self._lock:
-            return bool(self._pipes.get(stream))
+            return any(not p.closed for p in self._pipes.get(stream, ()))
 
 
 LIVETAIL = LiveTail()

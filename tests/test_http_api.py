@@ -2606,3 +2606,27 @@ def test_maintenance_subtick_runs_sync(spark, tmp_path):
         assert len(store.manifest.files) >= 1, "sub-tick sync never flushed"
     finally:
         api.stop_maintenance()
+
+
+def test_maintenance_starts_alert_scheduler(spark, tmp_path):
+    """r5 s7: the scheduler was constructed and register()ed into but
+    never start()ed — rolling-window alerts only fired via the manual
+    /evaluate route. start_maintenance owns the background lifecycle."""
+    import time as _time
+
+    api = ParseableAPI(spark, str(tmp_path))
+    api.start_maintenance(interval_s=3600.0, sync_interval_s=30.0)
+    try:
+        t = api.scheduler._thread
+        assert t is not None and t.is_alive()
+    finally:
+        api.stop_maintenance()
+    assert api.scheduler._thread is not None
+    deadline = _time.time() + 5
+    while _time.time() < deadline and api.scheduler._thread.is_alive():
+        _time.sleep(0.1)
+    assert not api.scheduler._thread.is_alive()
+    # restartable: stop() must not permanently kill a later start()
+    api.scheduler.start()
+    assert api.scheduler._thread.is_alive()
+    api.scheduler.stop()

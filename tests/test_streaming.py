@@ -943,3 +943,88 @@ def test_streaming_curator_index_holds_only_survivors(spark, tmp_path):
     assert {r["doc_id"] for r in cur.kept().collect()} == {0, 2}
     indexed = {r["doc_id"] for r in cur.lsh.index_df().select("doc_id").collect()}
     assert indexed <= {0, 2}
+
+
+class TestLivetailWiring:
+    """r5 s7: livetail was dead code — nothing fanned ingests out and
+    no route served subscribers. Now: ingest -> LIVETAIL.process ->
+    GET /api/v1/livetail streams the normalized rows as NDJSON."""
+
+    def test_http_livetail_receives_fresh_ingest(self, spark, tmp_path):
+        import json as _json
+        import threading
+        import time as _time
+        import urllib.request
+
+        from parseable_spark.server import ParseableAPI, serve_background
+
+        api = ParseableAPI(spark, str(tmp_path))
+        srv, base = serve_background(api)
+        try:
+            api.ingest("lt", [{"n": 0}])  # stream exists before subscribe
+            got: list[dict] = []
+
+            def reader():
+                req = urllib.request.Request(
+                    base + "/api/v1/livetail?stream=lt&max_rows=2"
+                )
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    for line in resp:
+                        line = line.strip()
+                        if line:
+                            got.append(_json.loads(line))
+
+            t = threading.Thread(target=reader, daemon=True)
+            t.start()
+            # wait for the pipe to register, then ingest
+            from parseable_spark.streaming.livetail import LIVETAIL
+
+            deadline = _time.time() + 10
+            while _time.time() < deadline and not LIVETAIL.has_subscribers("lt"):
+                _time.sleep(0.05)
+            assert LIVETAIL.has_subscribers("lt")
+            api.ingest("lt", [{"n": 1}, {"n": 2}])
+            t.join(timeout=30)
+            assert not t.is_alive()
+            ns = sorted(r["n"] for r in got if "n" in r)
+            assert ns == [1.0, 2.0]  # v1 coercion: numbers -> float64
+            # pipe dropped after the stream closed
+            deadline = _time.time() + 5
+            while _time.time() < deadline and LIVETAIL.has_subscribers("lt"):
+                _time.sleep(0.05)
+            assert not LIVETAIL.has_subscribers("lt")
+        finally:
+            srv.shutdown()
+
+    def test_closed_pipes_reaped(self):
+        from parseable_spark.streaming.livetail import LiveTail
+
+        lt = LiveTail(capacity=4)
+        p = lt.new_pipe("p1", "s")
+        assert lt.has_subscribers("s")
+        p.close()  # consumer died without drop_pipe
+        assert not lt.has_subscribers("s")
+        lt.process("s", [{"a": 1}])  # reaps the closed pipe
+        assert "s" not in lt._pipes
+
+
+def test_curator_null_text_dropped_as_low_quality(spark, tmp_path):
+    """r5 s7: NULL text made every quality predicate NULL, so the doc
+    bypassed the gate and was CURATED into the corpus."""
+    from parseable_spark.streaming.curator import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "cnull"), num_shards=4, bits_per_shard=1 << 14
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the meadow for quite a while longer on this fine day"
+    )
+    b0 = spark.createDataFrame(
+        [(0, good), (1, None)], "doc_id bigint, text string"
+    )
+    cur.process_batch(b0, 0)
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0}
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert 1 in reasons  # the NULL doc has an exclusive drop reason
