@@ -224,6 +224,15 @@ class StreamingCurator:
                     )
                 )
             )
+            # HONEST SCALE BOUND: this semi-join re-reads the kept/ log,
+            # which grows with corpus age — candidate ids are scattered
+            # across batch_id partitions, so no pruning applies and the
+            # verification I/O is O(total history) per micro-batch (the
+            # LSH probe itself stays incremental). At warehouse scale,
+            # store kept/ bucketed by id (or keep text alongside the
+            # LSH index entries) to make this a pruned lookup; with the
+            # optional near_dup_history stage OFF the curator's
+            # per-batch cost is flat (measured, SCALE.md).
             hist_docs = self.kept().join(
                 cross.select(F.col("hist").alias(self.id_col)).distinct(),
                 self.id_col,
