@@ -287,11 +287,13 @@ def mixture_upsample(
         ).otherwise(thr_col)
     # copy index 0..floor(r_d): i < floor(r) → full copy; i == floor(r)
     # → kept iff the copy-salted hash byte clears the fraction gate.
-    # F.concat (not concat_ws): a NULL id must propagate to a NULL
-    # digest and drop the row, matching hash_sample's NULL semantics —
-    # concat_ws would give every NULL-id row the SAME salt, making
-    # their keep/drop decisions perfectly correlated.
+    # NULL-id rows are dropped OUTRIGHT before the explode to match
+    # hash_sample's semantics: the NULL-propagating digest only gated
+    # the fractional copy, so NULL-id rows in rate>=1 domains kept
+    # their floor(r) full copies (review finding). An explicit filter
+    # covers both branches.
     copies = F.explode(F.sequence(F.lit(0), full_col))
+    df = df.filter(F.col(id_col).isNotNull())
     salted = F.substring(
         F.md5(
             F.concat(

@@ -61,16 +61,34 @@ def _blank_literals_and_comments(sql: str) -> str:
 
 _READ_ONLY_HEADS = ("select", "with", "values", "table")
 
+# Spark's grammar allows `ctes? dmlStatementNoWith`: a statement whose
+# HEAD is WITH can still be INSERT/UPDATE/DELETE/MERGE ("WITH t AS
+# (SELECT 1) INSERT OVERWRITE DIRECTORY '/x' USING parquet SELECT *
+# FROM t" writes server-local files even with runSQLOnFiles off).
+# Conservative-reject on these keywords ANYWHERE in the blanked text:
+# they are reserved in query position, so a read-only query can only
+# contain them inside literals/comments — which are blanked first.
+_WRITE_KEYWORDS = re.compile(
+    r"\b(insert|update|delete|merge|copy|truncate)\b", re.I
+)
+
 
 def ensure_read_only(sql: str) -> None:
     """Reject anything but a read-only query. spark.sql() happily runs
     DROP VIEW / SET / CREATE TABLE against the SHARED session — a
     caller with query access must not mutate the catalog or session
     config (reference: the query route parses SELECT only)."""
-    head = re.match(r"\s*(\w+)", _blank_literals_and_comments(sql))
+    blanked = _blank_literals_and_comments(sql)
+    head = re.match(r"\s*(\w+)", blanked)
     if head is None or head.group(1).lower() not in _READ_ONLY_HEADS:
         raise ValueError(
             "only read-only queries (SELECT/WITH/VALUES/TABLE) are allowed"
+        )
+    m = _WRITE_KEYWORDS.search(blanked)
+    if m is not None:
+        raise ValueError(
+            f"write statement keyword {m.group(1).upper()!r} is not "
+            "allowed in a read-only query"
         )
 
 

@@ -3293,9 +3293,13 @@ class _Handler(BaseHTTPRequestHandler):
         stream = qp.get("stream") or ""
         if not stream:
             raise ApiError(400, "missing stream query param")
+        # RBAC BEFORE the existence check: a principal with zero grants
+        # must not be able to probe stream-name existence via 404-vs-403
+        # (review finding — matches the read-side RBAC ordering on the
+        # filters/targets/alerts/schema routes).
+        self._allow(Action.QUERY, stream)
         if stream not in self.api._stores:
             raise ApiError(404, f"logstream {stream} does not exist")
-        self._allow(Action.QUERY, stream)
         try:
             max_rows = int(qp.get("max_rows", "0"))
         except ValueError as e:

