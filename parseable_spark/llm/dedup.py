@@ -518,6 +518,7 @@ def dedup_keep_best(
     score_col: str,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster verified near-dup pairs and keep the BEST-scoring member
     of each cluster (ties → min id), not the min-id one — production
@@ -531,9 +532,12 @@ def dedup_keep_best(
     (bounded rounds over the pair list), one aggregate picking each
     cluster's max-(score, -id) representative via max_by (partial,
     map-side combined), one broadcast-size join back — the corpus is
-    scanned once and never shuffled on anything but its id.
+    scanned once and never shuffled on anything but its id. Pass
+    ``labels`` (node, cluster_id) to reuse an already-computed
+    clustering instead of re-running label propagation.
     """
-    labels = connected_components(pairs, max_iterations=max_iterations)
+    if labels is None:
+        labels = connected_components(pairs, max_iterations=max_iterations)
     scored = docs.join(
         labels.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn(

@@ -927,15 +927,44 @@ def q49_distributed_ingest(spark, sf_dir):
         SELECT u AS node, u AS r FROM edges
         UNION
         SELECT e.u AS node, re.r FROM edges e JOIN reach re ON re.node = e.v
+    ),
+    clus AS (
+        SELECT node, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.node,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY length(d.text) DESC, c.node ASC
+               ) AS rn
+        FROM clus c JOIN documents d ON d.doc_id = c.node
     )
-    SELECT node, CAST(min(r) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
+    SELECT c.node, c.cluster_id, b.node AS keep_best_id
+    FROM clus c
+    JOIN (SELECT cluster_id, node FROM ranked WHERE rn = 1) b
+      ON b.cluster_id = c.cluster_id
     """,
-    doc="Dedup clustering: LSH candidates → Jaccard verify → connected components (iterative min-label propagation vs DuckDB transitive-closure recursive CTE); cluster_id = canonical (min) doc of each group.",
+    doc="Dedup clustering + keep policy: LSH candidates → Jaccard verify → connected components (iterative min-label propagation vs DuckDB transitive-closure recursive CTE); cluster_id = canonical (min) doc; keep_best_id = the RefinedWeb/FineWeb best-member policy (dedup_keep_best: max quality score — text length here — ties → min id), hash-gated per VERDICT r5 next-7.",
 )
 def q50_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_verify(
         docs, dedup.minhash_lsh_candidates(docs, bucket_cap=10**9), threshold=0.2
     )
-    return dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs)
+    # keep policy through the PRODUCTION function (not re-derived
+    # inline), with the clustering shared — the driver hash then gates
+    # dedup_keep_best's argmax semantics end-to-end
+    kb = dedup.dedup_keep_best(
+        docs.withColumn("q_score", F.length("text")),
+        pairs,
+        "q_score",
+        labels=clusters,
+    )
+    keep = kb.filter(F.col("is_kept")).select(
+        "cluster_id", F.col("doc_id").alias("keep_best_id")
+    )
+    return clusters.join(keep, "cluster_id").select(
+        "node", "cluster_id", "keep_best_id"
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import re
 import threading
 import time
@@ -4375,22 +4376,87 @@ class _Handler(BaseHTTPRequestHandler):
         self.api.record_query(time.perf_counter() - t0)
 
 
+def build_ssl_context(
+    tls_cert: str, tls_key: str, trusted_ca_dir: str | None = None
+):
+    """Server-side TLS context from PEM cert + key paths — the analog
+    of the reference's rustls acceptor (handlers/http/modal/
+    ssl_acceptor.rs:29-76: safe default protocol versions, no client
+    auth, certs + key from PEM, extra PEM files appended from the
+    trusted-CA directory). `ssl.create_default_context(CLIENT_AUTH)`
+    gives the same posture: TLS 1.2+ only, modern ciphers, no client
+    certificates requested. Intermediate-chain certs belong in the
+    cert file (standard PEM chain); `trusted_ca_dir` PEMs are loaded
+    into the verify store (cli.rs:331-337 `P_TRUSTED_CA_CERTS_PATH`)."""
+    import ssl
+
+    ctx = ssl.create_default_context(ssl.Purpose.CLIENT_AUTH)
+    ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
+    if trusted_ca_dir and os.path.isdir(trusted_ca_dir):
+        for name in sorted(os.listdir(trusted_ca_dir)):
+            p = os.path.join(trusted_ca_dir, name)
+            if os.path.isfile(p):
+                ctx.load_verify_locations(cafile=p)
+    return ctx
+
+
 def make_server(
-    api: ParseableAPI, host: str = "127.0.0.1", port: int = 0, tenants=None
+    api: ParseableAPI,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    tenants=None,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
+    trusted_ca_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Bind a threaded HTTP server (port=0 → ephemeral). Call
     ``serve_forever`` on a thread; ``shutdown()`` to stop.
 
     ``tenants`` (tenants.TenantManager) turns on multi-tenant routing:
     every request resolves its tenant's own ParseableAPI instance from
-    the ``x-p-tenant`` header / authenticated user before dispatch."""
+    the ``x-p-tenant`` header / authenticated user before dispatch.
+
+    TLS: pass BOTH ``tls_cert`` and ``tls_key`` (PEM paths) to serve
+    HTTPS — mirroring the reference, where the listener is https iff
+    both P_TLS_CERT_PATH and P_TLS_KEY_PATH are set (cli.rs:716,734)
+    and there is no plaintext fallback listener. Defaults come from
+    those same env names, so `P_TLS_CERT_PATH=... P_TLS_KEY_PATH=...`
+    turns any embedding HTTPS-on without code changes. Exactly one of
+    the two set is a configuration error (loud, not silently-http)."""
     handler = type("Handler", (_Handler,), {"api": api, "tenants": tenants})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    tls_cert = tls_cert or os.environ.get("P_TLS_CERT_PATH")
+    tls_key = tls_key or os.environ.get("P_TLS_KEY_PATH")
+    trusted_ca_dir = trusted_ca_dir or os.environ.get("P_TRUSTED_CA_CERTS_PATH")
+    if bool(tls_cert) != bool(tls_key):
+        srv.server_close()
+        raise ValueError(
+            "TLS requires BOTH tls_cert and tls_key (P_TLS_CERT_PATH / "
+            "P_TLS_KEY_PATH) — refusing to fall back to plaintext"
+        )
+    srv.uses_tls = False
+    if tls_cert and tls_key:
+        ctx = build_ssl_context(tls_cert, tls_key, trusted_ca_dir)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        srv.uses_tls = True
+    return srv
 
 
-def serve_background(api: ParseableAPI, host: str = "127.0.0.1", port: int = 0, tenants=None):
+def serve_background(
+    api: ParseableAPI,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    tenants=None,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
+    trusted_ca_dir: str | None = None,
+):
     """Start the server on a daemon thread; returns (server, base_url)."""
-    srv = make_server(api, host, port, tenants=tenants)
+    srv = make_server(
+        api, host, port, tenants=tenants,
+        tls_cert=tls_cert, tls_key=tls_key, trusted_ca_dir=trusted_ca_dir,
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    scheme = "https" if srv.uses_tls else "http"
+    return srv, f"{scheme}://{srv.server_address[0]}:{srv.server_address[1]}"

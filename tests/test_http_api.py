@@ -2638,3 +2638,106 @@ def test_maintenance_starts_alert_scheduler(spark, tmp_path):
     api.scheduler.start()
     assert api.scheduler._thread.is_alive()
     api.scheduler.stop()
+
+
+# ---------------------------------------------------------------------------
+# TLS listener (r6, VERDICT r5 next-3): the reference serves HTTPS
+# natively when both cert and key are configured (handlers/http/modal/
+# ssl_acceptor.rs:29-76, cli.rs:317-337,716,734) — no plaintext
+# fallback. The Python listener mirrors that: serve_background with
+# tls_cert+tls_key speaks TLS on its one port; plaintext requests to
+# it fail; one-of-two config is a loud error.
+# ---------------------------------------------------------------------------
+
+
+def _self_signed_cert(tmp_path):
+    """Self-signed cert+key for 127.0.0.1 via the cryptography lib
+    (in-process; no openssl subprocess)."""
+    import datetime as _dt
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = _dt.datetime.now(_dt.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - _dt.timedelta(minutes=5))
+        .not_valid_after(now + _dt.timedelta(hours=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "tls.crt"
+    key_path = tmp_path / "tls.key"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_path), str(key_path)
+
+
+def test_tls_listener_end_to_end(spark, tmp_path):
+    import ssl
+
+    cert, key = _self_signed_cert(tmp_path)
+    api = ParseableAPI(spark, str(tmp_path / "store"))
+    srv, base = serve_background(api, tls_cert=cert, tls_key=key)
+    try:
+        assert base.startswith("https://")
+        ctx = ssl.create_default_context(cafile=cert)
+
+        def post(path, body, headers=None):
+            req = urllib.request.Request(
+                base + path,
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json", **(headers or {})},
+            )
+            with urllib.request.urlopen(req, timeout=30, context=ctx) as r:
+                return json.loads(r.read())
+
+        # ingest + query, both over https
+        post("/api/v1/ingest", EVENTS, {"x-p-stream": "tls1"})
+        rows = post(
+            "/api/v1/query",
+            {"query": "SELECT count(*) AS n FROM tls1", **_range()},
+        )
+        assert rows == [{"n": len(EVENTS)}]
+
+        # a PLAINTEXT request to the TLS port must fail, not be served
+        host, port = base[len("https://"):].split(":")
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://{host}:{port}/api/v1/about", timeout=10
+            )
+        # an UNVERIFIED client (default trust store) must fail the
+        # handshake — the cert is self-signed, proving TLS is real
+        with pytest.raises(urllib.error.URLError):
+            urllib.request.urlopen(base + "/api/v1/about", timeout=10)
+    finally:
+        srv.shutdown()
+
+
+def test_tls_config_requires_both_halves(spark, tmp_path):
+    cert, key = _self_signed_cert(tmp_path)
+    api = ParseableAPI(spark, str(tmp_path / "store2"))
+    with pytest.raises(ValueError, match="BOTH"):
+        serve_background(api, tls_cert=cert)
+    with pytest.raises(ValueError, match="BOTH"):
+        serve_background(api, tls_key=key)
