@@ -106,19 +106,100 @@ def build_file_stats(path: str) -> FileStats:
     )
 
 
-@dataclass
 class Manifest:
-    files: list[FileStats] = field(default_factory=list)
+    """File-stats catalog for one stream. Planning-time operators run
+    against a lazily-built TIME INDEX (files sorted by the time
+    column's lower bound + a prefix-max of upper bounds), so a window
+    query binary-searches its candidate range instead of scanning
+    every entry — at minute flush granularity a year of one stream is
+    ~525k entries, and the linear scans measured 20 ms (prune) / 246 ms
+    (histogram) at 10^5 entries (tools/catalog_probe.py, r6): the
+    catalog would out-cost Spark planning. The index is invalidated on
+    any mutation (add_file, or reassigning ``files`` — which is a
+    property for exactly that reason). Code that mutates the list
+    IN PLACE must call ``invalidate()``; in-repo callers only append
+    via add_file or reassign."""
+
+    def __init__(self, files: list[FileStats] | None = None) -> None:
+        self._files = list(files) if files else []
+        self._index: dict[str, tuple] | None = None
+        self._rows_cache: int | None = None
+        self._rows_by_path: dict[str, int] | None = None
+
+    @property
+    def files(self) -> list[FileStats]:
+        return self._files
+
+    @files.setter
+    def files(self, v: list[FileStats]) -> None:
+        self._files = list(v)
+        self.invalidate()
+
+    def invalidate(self) -> None:
+        self._index = None
+        self._rows_cache = None
+        self._rows_by_path = None
 
     def add_file(self, path: str) -> FileStats:
         fs = build_file_stats(path)
-        self.files.append(fs)
+        pos = len(self._files)
+        self._files.append(fs)
+        # steady-state ingest appends in time order — extend the live
+        # caches in place instead of forcing a full O(n log n) rebuild
+        # (1 s at 10^6 entries) on the first query after every flush.
+        # Out-of-order arrivals (late data) fall back to invalidation.
+        extendable = True
+        for col, (lowers, bounded, pmax, unknown) in (self._index or {}).items():
+            tb = fs.time_bounds(col)
+            if tb is None:
+                unknown.append(pos)
+            elif not lowers or tb[0] >= lowers[-1]:
+                lowers.append(tb[0])
+                bounded.append((tb[0], tb[1], fs.num_rows, pos))
+                pmax.append(max(pmax[-1], tb[1]) if pmax else tb[1])
+            else:
+                extendable = False
+        if extendable:
+            if self._rows_cache is not None:
+                self._rows_cache += fs.num_rows
+            if self._rows_by_path is not None:
+                self._rows_by_path[fs.file_path] = fs.num_rows
+        else:
+            self.invalidate()
         return fs
+
+    def _time_index(self, time_col: str) -> tuple:
+        """(lowers, uppers, rows, pos, pmax_upper, unknown_pos) with
+        entries sorted by lower bound; built once per mutation epoch."""
+        if self._index is None:
+            self._index = {}
+        cached = self._index.get(time_col)
+        if cached is not None:
+            return cached
+        bounded, unknown = [], []
+        for i, f in enumerate(self._files):
+            tb = f.time_bounds(time_col)
+            if tb is None:
+                unknown.append(i)
+            else:
+                bounded.append((tb[0], tb[1], f.num_rows, i))
+        bounded.sort(key=lambda e: e[0])
+        lowers = [e[0] for e in bounded]
+        pmax: list = []
+        cur = None
+        for e in bounded:
+            cur = e[1] if cur is None else max(cur, e[1])
+            pmax.append(cur)
+        idx = (lowers, bounded, pmax, unknown)
+        self._index[time_col] = idx
+        return idx
 
     # --- planning-time operators (metadata only) ----------------------
     def total_rows(self) -> int:
         """COUNT(*) fast path (reference src/query/mod.rs:427-462)."""
-        return sum(f.num_rows for f in self.files)
+        if self._rows_cache is None:
+            self._rows_cache = sum(f.num_rows for f in self._files)
+        return self._rows_cache
 
     def prune_paths(
         self,
@@ -129,47 +210,71 @@ class Manifest:
     ) -> list[str]:
         """File-level min/max pruning: keep files whose stats ranges can
         satisfy the predicates (stream_schema_provider.rs:505-600,
-        1032-1137). Unknown stats ⇒ keep (never prune unsafely)."""
-        out = []
-        for f in self.files:
-            tb = f.time_bounds(time_col)
-            if tb is not None and start is not None and end is not None:
-                if tb[1] < start or tb[0] >= end:
-                    continue
-            keep = True
+        1032-1137). Unknown stats ⇒ keep (never prune unsafely).
+
+        With a time window, candidates come from the time index:
+        bisect on sorted lower bounds caps the range at `lower < end`,
+        and bisect on the (non-decreasing) prefix-max of upper bounds
+        skips the prefix where every upper < start — O(log n + window)
+        for append-ordered logs, exact-filtered so arbitrary overlap
+        stays correct. Output preserves original file order."""
+        import bisect
+
+        def _eq_keep(f: FileStats) -> bool:
             for col, v in (equals or {}).items():
                 c = f.columns.get(col)
                 if c and c.get("min") is not None and not (c["min"] <= v <= c["max"]):
-                    keep = False
-                    break
-            if keep:
-                out.append(f.file_path)
-        return out
+                    return False
+            return True
+
+        if start is None or end is None:
+            return [f.file_path for f in self._files if _eq_keep(f)]
+        lowers, bounded, pmax, unknown = self._time_index(time_col)
+        p = bisect.bisect_left(lowers, end)   # entries with lower < end
+        k = bisect.bisect_left(pmax, start)   # skip all-upper-below-start prefix
+        kept_pos = list(unknown)  # unknown bounds ⇒ keep (never prune unsafely)
+        for lo, hi, _rows, pos in bounded[k:p]:
+            if hi < start or lo >= end:
+                continue
+            kept_pos.append(pos)
+        kept_pos.sort()
+        return [
+            self._files[i].file_path
+            for i in kept_pos
+            if _eq_keep(self._files[i])
+        ]
 
     def limit_truncate(self, paths: list[str], limit: int) -> list[str]:
         """Planning-time LIMIT: stop adding files once cumulative
         num_rows covers the limit (stream_schema_provider.rs:581-597)."""
-        rows_by_path = {f.file_path: f.num_rows for f in self.files}
+        if self._rows_by_path is None:
+            self._rows_by_path = {f.file_path: f.num_rows for f in self._files}
         out, acc = [], 0
         for p in paths:
             out.append(p)
-            acc += rows_by_path.get(p, 0)
+            acc += self._rows_by_path.get(p, 0)
             if acc >= limit:
                 break
         return out
 
     def histogram(self, time_col: str, bin_edges: list[str]) -> list[int]:
         """Metadata-only counts histogram: a file lands in the bin that
-        contains its time minimum (reference src/query/mod.rs:537-662)."""
+        contains its time minimum (reference src/query/mod.rs:537-662).
+        Runs over the time index: one bisect bounds the contributing
+        slice (lower ∈ [first_edge, last_edge)), one bisect per file
+        picks its bin — O(log n + window·log bins)."""
+        import bisect
+
         counts = [0] * (len(bin_edges) - 1)
-        for f in self.files:
-            tb = f.time_bounds(time_col)
-            if tb is None:
-                continue
-            for i in range(len(bin_edges) - 1):
-                if bin_edges[i] <= tb[0] < bin_edges[i + 1]:
-                    counts[i] += f.num_rows
-                    break
+        if not bin_edges or len(bin_edges) < 2:
+            return counts
+        lowers, bounded, _pmax, _unknown = self._time_index(time_col)
+        i0 = bisect.bisect_left(lowers, bin_edges[0])
+        i1 = bisect.bisect_left(lowers, bin_edges[-1])
+        for lo, _hi, rows, _pos in bounded[i0:i1]:
+            b = bisect.bisect_right(bin_edges, lo) - 1
+            if 0 <= b < len(counts):
+                counts[b] += rows
         return counts
 
     # --- persistence (versioned via migration.py, transported via the

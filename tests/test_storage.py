@@ -132,3 +132,99 @@ class TestFileStats:
             m.add_file(glob(f"{p}/*.parquet")[0])
         assert len(m.prune_paths("id", equals={"id": 105})) == 1
         assert len(m.prune_paths("id", equals={"id": 50})) == 0
+
+
+class TestManifestTimeIndex:
+    """r6 (VERDICT r5 next-6): planning ops run over a lazily-built
+    time index (sorted lowers + prefix-max uppers). The index must be
+    EXACTLY equivalent to the linear scan under arbitrary overlap and
+    out-of-order entries, survive in-place extension on ordered
+    add_file, and invalidate on mutation."""
+
+    @staticmethod
+    def _manifest(entries):
+        from parseable_spark.catalog.manifest import FileStats, Manifest
+
+        return Manifest(
+            files=[
+                FileStats(
+                    file_path=f"f{i}",
+                    num_rows=10 + i,
+                    file_size=1,
+                    columns={"ts": {"min": lo, "max": hi}} if lo else {},
+                )
+                for i, (lo, hi) in enumerate(entries)
+            ]
+        )
+
+    @staticmethod
+    def _linear_prune(files, start, end):
+        out = []
+        for f in files:
+            c = f.columns.get("ts")
+            if c and c.get("min") is not None:
+                if c["max"] < start or c["min"] >= end:
+                    continue
+            out.append(f.file_path)
+        return out
+
+    def test_equivalent_to_linear_scan_under_overlap(self):
+        import random
+
+        rng = random.Random(42)
+        entries = []
+        for _ in range(300):
+            a, b = sorted(rng.sample(range(1000), 2))
+            entries.append((f"t{a:04d}", f"t{b:04d}"))
+        rng.shuffle(entries)  # out-of-order, heavily overlapping
+        entries.insert(7, (None, None))  # statless file: always kept
+        m = self._manifest(entries)
+        for s, e in [(0, 1000), (100, 101), (990, 1500), (0, 1), (500, 600)]:
+            start, end = f"t{s:04d}", f"t{e:04d}"
+            assert m.prune_paths("ts", start, end) == self._linear_prune(
+                m.files, start, end
+            ), (s, e)
+
+    def test_histogram_matches_linear_reference(self):
+        entries = [(f"t{i:04d}", f"t{i + 1:04d}") for i in range(100)]
+        m = self._manifest(entries)
+        edges = [f"t{i:04d}" for i in range(10, 60, 10)]
+        # linear reference: bin containing the file's time MIN
+        want = [0] * (len(edges) - 1)
+        for i, (lo, _hi) in enumerate(entries):
+            for b in range(len(edges) - 1):
+                if edges[b] <= lo < edges[b + 1]:
+                    want[b] += 10 + i
+                    break
+        assert m.histogram("ts", edges) == want
+
+    def test_ordered_add_file_extends_index_in_place(self, spark, tmp_path):
+        from glob import glob as _glob
+
+        from parseable_spark.catalog.manifest import Manifest
+
+        m = Manifest()
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"p{i}.parquet")
+            # string-typed pseudo-timestamps, same shape the store's
+            # p_timestamp stats take (time bounds compare as strings)
+            spark.range(i * 100, i * 100 + 50).selectExpr(
+                "lpad(cast(id AS string), 6, '0') AS ts"
+            ).coalesce(1).write.parquet(p)
+            paths.append(_glob(f"{p}/*.parquet")[0])
+        m.add_file(paths[0])
+        assert m.total_rows() == 50
+        assert len(m.prune_paths("ts", "000000", "999999")) == 1  # builds index
+        m.add_file(paths[1])  # ordered append: extends in place
+        assert m._index is not None and len(m._index["ts"][0]) == 2
+        assert m.total_rows() == 100
+        got = m.prune_paths("ts", "000100", "000200")
+        assert got == [paths[1]]
+        # out-of-order mutation invalidates; results stay correct
+        m.files = list(reversed(m.files))
+        assert m._index is None
+        assert m.prune_paths("ts", "000100", "000200") == [paths[1]]
+        m.add_file(paths[2])
+        assert m.total_rows() == 150
+        assert m.prune_paths("ts", "000200", "000300") == [paths[2]]
