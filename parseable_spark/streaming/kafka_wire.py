@@ -393,7 +393,16 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
     w = _Writer()
     w.i32(correlation_id)  # response header v0
     if api_key == API_VERSIONS:
-        w.i16(ERR_NONE)
+        # KIP-511 downgrade contract: modern clients FIRST send
+        # ApiVersions at their newest version (v3+, flexible body); a
+        # broker that doesn't speak it must answer UNSUPPORTED_VERSION
+        # (35) with a v0-format body still listing its supported
+        # ranges, and the client retries at v0. Answering ERR_NONE to
+        # a v3 request (the pre-r6 behavior) makes the client parse
+        # the v0 body as v3 and fail the handshake outright — this is
+        # the first thing the real JVM consumer would hit against this
+        # broker (kafka.apache.org/protocol: "ApiVersions").
+        w.i16(ERR_NONE if api_version == 0 else 35)
         supported = [
             (API_PRODUCE, 3, 3),
             (API_FETCH, 4, 4),
