@@ -72,6 +72,14 @@ class ApiError(Exception):
 
 
 
+def _delta_log_env() -> bool:
+    """P_DELTA_LOG=true turns on the Delta-protocol transaction-log
+    mirror for every stream (storage/deltalog.py) — the optional
+    SURVEY §1.6(b) backend. Read per stream-open, not at import, so a
+    test/process can flip it without re-importing."""
+    return os.environ.get("P_DELTA_LOG", "").lower() in ("1", "true", "yes")
+
+
 def _int_arg(value, name: str, default: int) -> int:
     """Client-supplied integer with 400 (not 500) on junk input."""
     if value is None or value == "":
@@ -204,6 +212,7 @@ class ParseableAPI:
                 self.root,
                 StreamConfig(name=name, **cfg_kwargs),
                 time_col=self.time_col,
+                delta_log_enabled=_delta_log_env(),
             )
             stored_ret = load_versioned("retention", os.path.join(sdir, "retention.json"))
             if stored_ret is not None:
@@ -423,7 +432,11 @@ class ParseableAPI:
             if name not in self._stores:
                 self.validate_stream_name(name)
                 self._stores[name] = StreamStore(
-                    self.spark, self.root, StreamConfig(name=name), time_col=self.time_col
+                    self.spark,
+                    self.root,
+                    StreamConfig(name=name),
+                    time_col=self.time_col,
+                    delta_log_enabled=_delta_log_env(),
                 )
             return self._stores[name]
 

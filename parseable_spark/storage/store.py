@@ -53,6 +53,7 @@ class StreamStore:
     time_col: str = DEFAULT_TIMESTAMP_KEY
     stream: Stream = None  # type: ignore[assignment]
     hot_tier: "HotTier | None" = None  # optional local cache (hottier.py)
+    delta_log_enabled: bool = False  # Delta-protocol log mirror (deltalog.py)
     _staging: list[PreparedBatch] = field(default_factory=list)
     _pending_ingestion_bytes: int = 0
     # staging_df memo: (n_batches, schema fingerprint) -> DataFrame.
@@ -76,6 +77,38 @@ class StreamStore:
         reg = SchemaRegistry.load(self.schema_path)  # empty when absent
         if reg.fields:
             self.stream.registry = reg
+        # optional Delta-protocol transaction log (SURVEY §1.6 option b):
+        # enabled explicitly, or auto-reopened when a _delta_log already
+        # exists from a prior run (a mirror that silently stopped would
+        # leave external Delta readers on a stale snapshot forever)
+        self.delta_log = None
+        if self.delta_log_enabled or os.path.isdir(
+            os.path.join(self.data_dir, "_delta_log")
+        ):
+            from .deltalog import DeltaLog
+
+            self.delta_log = DeltaLog(self.data_dir)
+
+    def _delta_sync(self, operation: str) -> None:
+        """Mirror the just-committed manifest state into the Delta log
+        (one version per transition; idempotent). Failures are logged,
+        never raised — the manifest is the commit authority and a
+        mirror hiccup (e.g. a lost version race) self-heals on the
+        next sync because commit_diff diffs against the REPLAYED
+        state, not a cursor."""
+        if self.delta_log is None:
+            return
+        import logging
+
+        try:
+            schema_json = self._full_schema().json()
+            self.delta_log.init_table(schema_json, [])
+            self.delta_log.update_schema(schema_json)
+            self.delta_log.commit_diff(self.manifest.files, operation)
+        except Exception:  # noqa: BLE001
+            logging.getLogger(__name__).exception(
+                "delta log sync failed for stream %s", self.config.name
+            )
 
     # --- paths ---------------------------------------------------------
     @property
@@ -187,6 +220,7 @@ class StreamStore:
             self._pending_ingestion_bytes -= pending_bytes
             del self._staging[: len(batches)]
             self._staging_cache = None
+        self._delta_sync("WRITE")  # outside the lock: mirror, not authority
         return n
 
     # --- scan ------------------------------------------------------------
@@ -474,6 +508,7 @@ class StreamStore:
                 )
                 self.snapshot.save(self.snapshot_path)
                 compacted += 1
+            self._delta_sync("OPTIMIZE")
         # clean ONLY leftovers no live pass owns: per-group tmp dirs are
         # removed eagerly above (success and abort paths), so anything
         # still present belongs either to a CONCURRENT pass (scheduler +
@@ -632,4 +667,5 @@ class StreamStore:
             else:
                 for d in doomed_dirs:
                     shutil.rmtree(d)
+            self._delta_sync("DELETE")
         return removed

@@ -1,0 +1,238 @@
+"""Delta-protocol transaction log (storage/deltalog.py, r6 — SURVEY
+§1.6 option b / VERDICT r5 next-8).
+
+The log mirrors every manifest commit (flush / compaction / retention)
+as one Delta table version over the stream's data directory, so an
+external Delta reader sees the committed stream state with zero
+engine-specific metadata. The delta-spark jar is unavailable in this
+container (no network); the env-gated test at the bottom round-trips
+through the REAL reader when SPARK_DELTA_JARS is provided. Everything
+else pins the protocol shape against the published spec (delta.io
+PROTOCOL.md) and an independent replay reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from glob import glob
+
+import pytest
+
+from parseable_spark.ingest.events import StreamConfig
+from parseable_spark.storage.deltalog import DeltaLog
+from parseable_spark.storage.store import StreamStore
+
+
+def _store(spark, tmp_path, name="dl") -> StreamStore:
+    return StreamStore(
+        spark, str(tmp_path), StreamConfig(name=name), delta_log_enabled=True
+    )
+
+
+def _ts(day: int, hour: int = 0) -> datetime:
+    return datetime(2026, 8, day, hour, 0, 0)
+
+
+def _log_lines(store, version: int) -> list[dict]:
+    p = os.path.join(store.data_dir, "_delta_log", f"{version:020d}.json")
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+class TestProtocolShape:
+    def test_version_zero_has_protocol_and_metadata(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"level": "info", "n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        names = sorted(os.listdir(os.path.join(st.data_dir, "_delta_log")))
+        assert names[0] == f"{0:020d}.json" and len(names[0]) == 25
+        v0 = _log_lines(st, 0)
+        kinds = [next(iter(a)) for a in v0]
+        assert kinds == ["commitInfo", "protocol", "metaData"]
+        proto = v0[1]["protocol"]
+        assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+        meta = v0[2]["metaData"]
+        assert meta["format"] == {"provider": "parquet", "options": {}}
+        assert meta["partitionColumns"] == []
+        schema = json.loads(meta["schemaString"])  # valid Spark schema JSON
+        assert {f["name"] for f in schema["fields"]} >= {"p_timestamp", "level"}
+
+    def test_add_actions_carry_spec_fields_and_stats(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest(
+            [{"level": "info", "n": 1}, {"level": "warn", "n": None}],
+            p_timestamp=_ts(1),
+        )
+        st.flush()
+        adds = [a["add"] for a in _log_lines(st, 1) if "add" in a]
+        assert adds
+        for add in adds:
+            assert not os.path.isabs(add["path"])  # spec: relative to table root
+            assert add["partitionValues"] == {}
+            assert add["size"] > 0 and add["dataChange"] is True
+            stats = json.loads(add["stats"])
+            assert stats["numRecords"] >= 1
+            assert "minValues" in stats and "nullCount" in stats
+        assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 2
+
+    def test_put_if_absent_rejects_double_commit(self, tmp_path):
+        log = DeltaLog(str(tmp_path / "t"))
+        log.init_table('{"type":"struct","fields":[]}', [])
+        with pytest.raises(FileExistsError, match="already committed"):
+            log._publish(0, [{"commitInfo": {}}])
+
+
+class TestMirror:
+    def test_tracks_flush_compact_retention(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        for day in (1, 2, 3):
+            for h in (6, 7):
+                st.ingest([{"d": day, "h": h}], p_timestamp=_ts(day, h))
+            st.flush()
+
+        def assert_parity():
+            live = set(st.delta_log.live_paths())
+            man = {f.file_path for f in st.manifest.files}
+            assert live == man
+            assert st.delta_log.num_records() == st.manifest.total_rows()
+
+        assert_parity()
+        v_before = st.delta_log.latest_version()
+        # compaction swaps files -> one OPTIMIZE version with add+remove
+        assert st.compact(level="day", tombstone_grace_seconds=0) > 0
+        assert_parity()
+        opt = _log_lines(st, st.delta_log.latest_version())
+        assert opt[0]["commitInfo"]["operation"] == "OPTIMIZE"
+        assert any("remove" in a for a in opt) and any("add" in a for a in opt)
+        assert st.delta_log.latest_version() > v_before
+        # retention drops old days -> DELETE version with removes only
+        st.apply_retention(
+            days=1, now=datetime(2026, 8, 3, 12), tombstone_grace_seconds=0
+        )
+        assert_parity()
+        dele = _log_lines(st, st.delta_log.latest_version())
+        assert dele[0]["commitInfo"]["operation"] == "DELETE"
+        assert any("remove" in a for a in dele)
+        assert not any("add" in a for a in dele)
+
+    def test_snapshot_readable_by_plain_spark(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": i} for i in range(40)], p_timestamp=_ts(1))
+        st.flush()
+        st.ingest([{"n": i} for i in range(40, 50)], p_timestamp=_ts(2))
+        st.flush()
+        paths = st.delta_log.live_paths()
+        assert all(os.path.exists(p) for p in paths)
+        assert spark.read.parquet(*paths).count() == 50
+
+    def test_idempotent_and_self_healing(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        v = st.delta_log.latest_version()
+        st._delta_sync("WRITE")  # no manifest change -> no new version
+        assert st.delta_log.latest_version() == v
+        # a lost mirror commit self-heals: simulate by deleting the
+        # latest version file, then sync again
+        os.remove(
+            os.path.join(st.data_dir, "_delta_log", f"{v:020d}.json")
+        )
+        st._delta_sync("WRITE")
+        live = set(st.delta_log.live_paths())
+        assert live == {f.file_path for f in st.manifest.files}
+
+    def test_schema_evolution_emits_new_metadata(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"a": 1}], p_timestamp=_ts(1))
+        st.flush()
+        fields0 = {
+            f["name"]
+            for f in json.loads(st.delta_log.metadata()["schemaString"])["fields"]
+        }
+        assert "b" not in fields0
+        st.ingest([{"a": 2, "b": "new"}], p_timestamp=_ts(2))
+        st.flush()
+        fields1 = {
+            f["name"]
+            for f in json.loads(st.delta_log.metadata()["schemaString"])["fields"]
+        }
+        assert "b" in fields1
+
+    def test_reopen_resumes_mirroring_without_flag(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        # a later process opens the store WITHOUT the flag: the existing
+        # _delta_log must keep it mirroring (silent stop = stale external
+        # readers forever)
+        st2 = StreamStore(spark, str(tmp_path), StreamConfig(name="dl"))
+        assert st2.delta_log is not None
+        st2.ingest([{"n": 2}], p_timestamp=_ts(2))
+        st2.flush()
+        assert set(st2.delta_log.live_paths()) == {
+            f.file_path for f in st2.manifest.files
+        }
+
+    def test_disabled_by_default(self, spark, tmp_path):
+        st = StreamStore(spark, str(tmp_path), StreamConfig(name="plain"))
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        assert st.delta_log is None
+        assert not glob(os.path.join(st.data_dir, "_delta_log", "*"))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_DELTA_JARS"),
+    reason="delta-spark jars unavailable in this container (no jar, no "
+    "network) — set SPARK_DELTA_JARS to round-trip through the real reader",
+)
+def test_real_delta_reader_roundtrip(tmp_path):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.jars", os.environ["SPARK_DELTA_JARS"])
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": i} for i in range(25)], p_timestamp=_ts(1))
+        st.flush()
+        got = spark.read.format("delta").load(st.data_dir)
+        assert got.count() == 25
+    finally:
+        spark.stop()
+
+
+def test_server_env_toggle_enables_delta_log(spark, tmp_path, monkeypatch):
+    """P_DELTA_LOG=true: every stream the server opens mirrors into a
+    Delta log; HTTP count answers match the log's numRecords after a
+    sync (count-fast-path parity at the API level)."""
+    import urllib.request
+
+    from parseable_spark.server import ParseableAPI, serve_background
+
+    monkeypatch.setenv("P_DELTA_LOG", "true")
+    api = ParseableAPI(spark, str(tmp_path / "store"))
+    srv, base = serve_background(api)
+    try:
+        req = urllib.request.Request(
+            base + "/api/v1/ingest",
+            data=json.dumps([{"n": i} for i in range(7)]).encode(),
+            headers={"Content-Type": "application/json", "x-p-stream": "denv"},
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+        api.run_sync()  # staging -> parquet -> manifest -> delta mirror
+        store = api._stores["denv"]
+        assert store.delta_log is not None
+        assert store.delta_log.num_records() == store.manifest.total_rows() == 7
+    finally:
+        srv.shutdown()
