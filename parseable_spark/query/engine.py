@@ -67,10 +67,25 @@ _READ_ONLY_HEADS = ("select", "with", "values", "table")
 # FROM t" writes server-local files even with runSQLOnFiles off).
 # Conservative-reject on these keywords ANYWHERE in the blanked text:
 # they are reserved in query position, so a read-only query can only
-# contain them inside literals/comments — which are blanked first.
+# contain them inside literals/comments/quoted identifiers — which are
+# blanked first.
 _WRITE_KEYWORDS = re.compile(
     r"\b(insert|update|delete|merge|copy|truncate)\b", re.I
 )
+
+
+def _blank_for_gate(sql: str) -> str:
+    """Gate-local blanking: additionally blanks DOUBLE-quoted literals
+    (Spark's default treats \"...\" as a string, so `WHERE msg =
+    "cannot update row"` is a legitimate read-only query) and backtick
+    identifiers (a column literally named `delete`). NOT shared with
+    references_time_col: blanking backticks there would stop detecting
+    a backticked time predicate and inject a second filter on top of
+    the user's (the double-filter direction that detector avoids)."""
+    sql = _blank_literals_and_comments(sql)
+    sql = re.sub(r'""|"(?:[^"\\]|\\.)*"', '""', sql)
+    sql = re.sub(r"`(?:[^`]|``)*`", "``", sql)
+    return sql
 
 
 def ensure_read_only(sql: str) -> None:
@@ -78,7 +93,7 @@ def ensure_read_only(sql: str) -> None:
     DROP VIEW / SET / CREATE TABLE against the SHARED session — a
     caller with query access must not mutate the catalog or session
     config (reference: the query route parses SELECT only)."""
-    blanked = _blank_literals_and_comments(sql)
+    blanked = _blank_for_gate(sql)
     head = re.match(r"\s*(\w+)", blanked)
     if head is None or head.group(1).lower() not in _READ_ONLY_HEADS:
         raise ValueError(

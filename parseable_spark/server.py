@@ -4437,22 +4437,50 @@ def make_server(
     turns any embedding HTTPS-on without code changes. Exactly one of
     the two set is a configuration error (loud, not silently-http)."""
     handler = type("Handler", (_Handler,), {"api": api, "tenants": tenants})
-    srv = ThreadingHTTPServer((host, port), handler)
     tls_cert = tls_cert or os.environ.get("P_TLS_CERT_PATH")
     tls_key = tls_key or os.environ.get("P_TLS_KEY_PATH")
     trusted_ca_dir = trusted_ca_dir or os.environ.get("P_TRUSTED_CA_CERTS_PATH")
     if bool(tls_cert) != bool(tls_key):
-        srv.server_close()
         raise ValueError(
             "TLS requires BOTH tls_cert and tls_key (P_TLS_CERT_PATH / "
             "P_TLS_KEY_PATH) — refusing to fall back to plaintext"
         )
-    srv.uses_tls = False
-    if tls_cert and tls_key:
-        ctx = build_ssl_context(tls_cert, tls_key, trusted_ca_dir)
-        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
-        srv.uses_tls = True
+    srv_cls = ThreadingHTTPServer if not tls_cert else _TLSThreadingHTTPServer
+    srv = srv_cls((host, port), handler)
+    srv.uses_tls = bool(tls_cert)
+    if tls_cert:
+        try:
+            srv.ssl_context = build_ssl_context(tls_cert, tls_key, trusted_ca_dir)
+        except Exception:
+            srv.server_close()  # a bad cert must not leak the bound port
+            raise
     return srv
+
+
+class _TLSThreadingHTTPServer(ThreadingHTTPServer):
+    """TLS listener that handshakes PER CONNECTION in the worker
+    thread. Wrapping the LISTENING socket would run do_handshake()
+    inside accept() on the single serve_forever thread — one client
+    that connects and never sends a ClientHello (a load-balancer TCP
+    probe, a stalled peer) would block every other connection forever
+    (review finding). finish_request runs on the ThreadingMixIn worker,
+    so a slow/garbage handshake costs one daemon thread, not the
+    accept loop; the 30 s timeout reaps dead peers."""
+
+    ssl_context = None
+
+    def finish_request(self, request, client_address):
+        request.settimeout(30.0)
+        try:
+            request = self.ssl_context.wrap_socket(request, server_side=True)
+        except (OSError, TimeoutError):  # ssl.SSLError ⊂ OSError: plaintext
+            try:  # or broken handshake — drop the connection quietly
+                request.close()
+            except OSError:
+                pass
+            return
+        request.settimeout(None)
+        super().finish_request(request, client_address)
 
 
 def serve_background(

@@ -45,6 +45,15 @@ class DeltaLog:
         self.table_dir = table_dir
         self.log_dir = os.path.join(table_dir, "_delta_log")
         os.makedirs(self.log_dir, exist_ok=True)
+        # incremental replay cache: without it every sync re-opens and
+        # re-parses the whole version history (O(versions²) cumulative
+        # over a stream's life — ~43k files/flush after a month at the
+        # 60 s cadence; review finding). Only versions newer than
+        # _cache_v are applied; an externally-removed version file
+        # (latest < cached cursor) forces a full replay.
+        self._cache_live: dict[str, dict] = {}
+        self._cache_meta: dict | None = None
+        self._cache_v = -1
 
     # --- versions ---------------------------------------------------------
     def versions(self) -> list[int]:
@@ -218,23 +227,36 @@ class DeltaLog:
         return version
 
     # --- reader -----------------------------------------------------------
-    def snapshot(self) -> dict[str, dict]:
-        """Replay the log: rel_path -> add action payload for every
-        live file (spec reconciliation: the latest add wins; a remove
-        drops the path). The independent reader used by the tests and
-        by `live_paths`."""
-        live: dict[str, dict] = {}
-        for v in self.versions():
+    def _replay(self) -> None:
+        """Apply versions newer than the cache cursor (full replay when
+        the on-disk history moved backwards — an external delete)."""
+        vs = self.versions()
+        latest = vs[-1] if vs else -1
+        if latest < self._cache_v:
+            self._cache_live, self._cache_meta, self._cache_v = {}, None, -1
+        for v in vs:
+            if v <= self._cache_v:
+                continue
             with open(os.path.join(self.log_dir, _V.format(v))) as f:
                 for line in f:
                     if not line.strip():
                         continue
                     action = json.loads(line)
                     if "add" in action:
-                        live[action["add"]["path"]] = action["add"]
+                        self._cache_live[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
-                        live.pop(action["remove"]["path"], None)
-        return live
+                        self._cache_live.pop(action["remove"]["path"], None)
+                    elif "metaData" in action:
+                        self._cache_meta = action["metaData"]
+        self._cache_v = latest
+
+    def snapshot(self) -> dict[str, dict]:
+        """rel_path -> add action payload for every live file (spec
+        reconciliation: the latest add wins; a remove drops the path).
+        The independent reader used by the tests and `live_paths`.
+        Returns a copy — callers must not mutate the cache."""
+        self._replay()
+        return dict(self._cache_live)
 
     def live_paths(self) -> list[str]:
         return [
@@ -244,14 +266,8 @@ class DeltaLog:
 
     def metadata(self) -> dict | None:
         """Latest metaData action (schema evolution replays forward)."""
-        meta = None
-        for v in self.versions():
-            with open(os.path.join(self.log_dir, _V.format(v))) as f:
-                for line in f:
-                    action = json.loads(line) if line.strip() else {}
-                    if "metaData" in action:
-                        meta = action["metaData"]
-        return meta
+        self._replay()
+        return dict(self._cache_meta) if self._cache_meta else None
 
     def num_records(self) -> int:
         """Metadata-only COUNT(*) from add.stats — the Delta-side twin

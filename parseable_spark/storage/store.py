@@ -89,13 +89,17 @@ class StreamStore:
 
             self.delta_log = DeltaLog(self.data_dir)
 
-    def _delta_sync(self, operation: str) -> None:
-        """Mirror the just-committed manifest state into the Delta log
-        (one version per transition; idempotent). Failures are logged,
-        never raised — the manifest is the commit authority and a
-        mirror hiccup (e.g. a lost version race) self-heals on the
-        next sync because commit_diff diffs against the REPLAYED
-        state, not a cursor."""
+    def _delta_sync(self, operation: str, files: list | None = None) -> None:
+        """Mirror a committed manifest state into the Delta log (one
+        version per transition; idempotent). ``files`` must be a
+        SNAPSHOT captured under the API lock — reading the live
+        manifest here (this runs outside the lock so the mirror never
+        stalls request traffic) could catch another writer's
+        half-applied transition and publish a state no query ever saw
+        (review finding). Failures are logged, never raised — the
+        manifest is the commit authority and a mirror hiccup (e.g. a
+        lost version race) self-heals on the next sync because
+        commit_diff diffs against the REPLAYED state, not a cursor."""
         if self.delta_log is None:
             return
         import logging
@@ -104,7 +108,9 @@ class StreamStore:
             schema_json = self._full_schema().json()
             self.delta_log.init_table(schema_json, [])
             self.delta_log.update_schema(schema_json)
-            self.delta_log.commit_diff(self.manifest.files, operation)
+            self.delta_log.commit_diff(
+                self.manifest.files if files is None else files, operation
+            )
         except Exception:  # noqa: BLE001
             logging.getLogger(__name__).exception(
                 "delta log sync failed for stream %s", self.config.name
@@ -220,7 +226,8 @@ class StreamStore:
             self._pending_ingestion_bytes -= pending_bytes
             del self._staging[: len(batches)]
             self._staging_cache = None
-        self._delta_sync("WRITE")  # outside the lock: mirror, not authority
+            delta_files = list(self.manifest.files)  # snapshot under the lock
+        self._delta_sync("WRITE", delta_files)  # outside: mirror, not authority
         return n
 
     # --- scan ------------------------------------------------------------
@@ -508,7 +515,8 @@ class StreamStore:
                 )
                 self.snapshot.save(self.snapshot_path)
                 compacted += 1
-            self._delta_sync("OPTIMIZE")
+                delta_files = list(self.manifest.files)  # under the lock
+            self._delta_sync("OPTIMIZE", delta_files)
         # clean ONLY leftovers no live pass owns: per-group tmp dirs are
         # removed eagerly above (success and abort paths), so anything
         # still present belongs either to a CONCURRENT pass (scheduler +
@@ -667,5 +675,5 @@ class StreamStore:
             else:
                 for d in doomed_dirs:
                     shutil.rmtree(d)
-            self._delta_sync("DELETE")
+            self._delta_sync("DELETE", list(self.manifest.files))
         return removed

@@ -106,6 +106,14 @@ class StreamingCurator:
             if near_dup_history
             else None
         )
+        if self.lsh is not None and self.lsh.needs_text_backfill():
+            # pre-texts-store index on disk (upgrade path): without the
+            # backfill, every historical candidate's verify lookup is
+            # empty and cross-batch near-dups are silently KEPT forever.
+            # kept/ covers all indexed ids (indexed ⊆ kept invariant).
+            self.lsh.backfill_texts(
+                self.kept().select(self.id_col, self.text_col)
+            )
 
     # -- per-batch body ----------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -223,7 +231,9 @@ class StreamingCurator:
                         F.col("id_a").alias("hist"), F.col("id_b").alias("new")
                     )
                 )
-            )
+            ).localCheckpoint()  # candidate-sized; consumed by the text
+            # lookup's driver collect AND the verify join — without the
+            # checkpoint each consumer re-runs the pairs⋈batch pipeline
             # Historical texts come from the index's own shard-
             # partitioned, id-sorted payload store — a pruned POINT
             # lookup (partition pruning to the candidate shards + an

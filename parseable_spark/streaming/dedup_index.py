@@ -296,6 +296,37 @@ class StreamingDedupIndex:
         except AnalysisException:
             return None
 
+    def needs_text_backfill(self) -> bool:
+        """True when a pre-texts-store index exists on disk (banded
+        signatures persisted, no texts/): every historical candidate's
+        verify lookup would come back empty and the near-dup silently
+        KEPT — a permanent recall hole unless backfilled (review
+        finding)."""
+        return self.index_df() is not None and self.texts_df() is None
+
+    def backfill_texts(self, docs: DataFrame) -> None:
+        """One-time migration: seed texts/ with historical (id, text)
+        rows — the curator passes its kept/ log, which by the
+        indexed ⊆ kept invariant covers every indexed doc. Written as
+        compacted generation -1 (the layout compact_texts produces),
+        id-sorted small row groups, so lookups over the migrated
+        history prune exactly like post-migration folds. O(history)
+        once, at upgrade time."""
+        from pyspark.sql import functions as F
+
+        (
+            docs.select(self.id_col, self.text_col)
+            .withColumn("shard", self._shard_expr())
+            .withColumn("batch_id", F.lit(-1))
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("shard", self.id_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.block.size", 1 << 20)
+            .partitionBy("batch_id", "shard")
+            .parquet(os.path.join(self.base_dir, "texts"))
+        )
+
     def compact_texts(self, keep_recent: int = 4) -> None:
         """Merge old per-batch texts/ partitions into one compacted
         generation per shard, so the store's FILE COUNT (and therefore
@@ -375,26 +406,38 @@ class StreamingDedupIndex:
             return self.spark.createDataFrame(
                 [], ids_df.select(self.id_col).schema
             ).withColumn(self.text_col, F.lit(None).cast("string"))
-        shards = [
-            r[0]
-            for r in ids_df.select(self._shard_expr().alias("s"))
-            .distinct()
-            .collect()
-        ]
-        if not shards:
-            return tex.select(self.id_col, self.text_col).limit(0)
-        tex = tex.filter(F.col("shard").isin(shards))
-        ids = [
-            r[0]
-            for r in ids_df.select(self.id_col)
+        # ONE computation of the candidate pipeline in the common case:
+        # ids and their shards collected together (ids_df may itself be
+        # a join pipeline — the curator passes pairs⋈batch — so every
+        # extra .collect() re-runs it; review finding)
+        rows = (
+            ids_df.select(
+                F.col(self.id_col), self._shard_expr().alias("_shard")
+            )
             .distinct()
             .limit(self.lookup_cap + 1)
             .collect()
-        ]
-        if len(ids) <= self.lookup_cap:
-            tex = tex.filter(F.col(self.id_col).isin(ids))
+        )
+        if not rows:
+            return tex.select(self.id_col, self.text_col).limit(0)
+        if len(rows) <= self.lookup_cap:
+            shards = sorted({r["_shard"] for r in rows})
+            ids = [r[0] for r in rows]
+            tex = tex.filter(F.col("shard").isin(shards)).filter(
+                F.col(self.id_col).isin(ids)
+            )
         else:
-            tex = tex.join(
+            # over-cap (adversarial flood): the truncated collect can't
+            # give the complete shard set, so derive it distributed
+            # (bounded by text_shards) and semi-join within the pruned
+            # shards — still never a full history scan
+            shards = [
+                r[0]
+                for r in ids_df.select(self._shard_expr().alias("s"))
+                .distinct()
+                .collect()
+            ]
+            tex = tex.filter(F.col("shard").isin(shards)).join(
                 ids_df.select(self.id_col).distinct(), self.id_col, "left_semi"
             )
         # candidate-sized result; de-dup tolerates a crash between a

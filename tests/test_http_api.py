@@ -2741,3 +2741,76 @@ def test_tls_config_requires_both_halves(spark, tmp_path):
         serve_background(api, tls_cert=cert)
     with pytest.raises(ValueError, match="BOTH"):
         serve_background(api, tls_key=key)
+
+
+def test_tls_stalled_handshake_does_not_block_other_clients(spark, tmp_path):
+    """Review finding: wrapping the LISTENING socket ran the TLS
+    handshake inside accept() on the single serve_forever thread — one
+    client that connects and never sends a ClientHello (an LB TCP
+    probe) locked every other client out. The handshake now runs per
+    connection in the worker thread."""
+    import socket
+    import ssl
+
+    cert, key = _self_signed_cert(tmp_path)
+    api = ParseableAPI(spark, str(tmp_path / "store"))
+    srv, base = serve_background(api, tls_cert=cert, tls_key=key)
+    try:
+        host, port = base[len("https://"):].split(":")
+        # open a raw TCP connection and SAY NOTHING
+        staller = socket.create_connection((host, int(port)), timeout=30)
+        try:
+            ctx = ssl.create_default_context(cafile=cert)
+            req = urllib.request.Request(
+                base + "/api/v1/ingest",
+                data=json.dumps([{"n": 1}]).encode(),
+                headers={"Content-Type": "application/json", "x-p-stream": "t"},
+            )
+            # must complete while the stalled connection is still open
+            urllib.request.urlopen(req, timeout=15, context=ctx).read()
+            rows = json.loads(
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        base + "/api/v1/query",
+                        data=json.dumps(
+                            {"query": "SELECT count(*) AS n FROM t", **_range()}
+                        ).encode(),
+                        headers={"Content-Type": "application/json"},
+                    ),
+                    timeout=15,
+                    context=ctx,
+                ).read()
+            )
+            assert rows == [{"n": 1}]
+        finally:
+            staller.close()
+    finally:
+        srv.shutdown()
+
+
+def test_tls_bad_cert_path_does_not_leak_port(spark, tmp_path):
+    """Review finding: a cert-load failure after bind left the port
+    bound (no server_close), so a retry on the same explicit port got
+    EADDRINUSE."""
+    from parseable_spark.server import make_server
+
+    api = ParseableAPI(spark, str(tmp_path / "store2"))
+    port = 0
+    with pytest.raises(OSError):
+        srv = make_server(
+            api, port=0, tls_cert=str(tmp_path / "nope.crt"),
+            tls_key=str(tmp_path / "nope.key"),
+        )
+    # rebinding an explicit port right away must work — pick one, fail
+    # a TLS bind on it, then bind plain HTTP on the same port
+    import socket as _s
+
+    probe = _s.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    with pytest.raises(OSError):
+        make_server(api, port=port, tls_cert=str(tmp_path / "no.crt"),
+                    tls_key=str(tmp_path / "no.key"))
+    srv = make_server(api, port=port)
+    srv.server_close()

@@ -324,6 +324,16 @@ class TestEngineHardeningR5S7:
             ).count()
             == 1
         )
+        # DOUBLE-quoted literals (Spark's default treats "..." as a
+        # string) and backticked identifiers must not trip the gate
+        # (review finding: `WHERE msg = "cannot update row"` 400'd)
+        assert (
+            eng.query(
+                'SELECT v FROM hstream WHERE "cannot update row" != \'x\''
+            ).count()
+            == 1
+        )
+        assert eng.query("SELECT v AS `delete` FROM hstream").count() == 1
         eng.deregister_stream("hstream")
 
     def test_sql_on_files_disabled(self, spark):

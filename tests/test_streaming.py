@@ -717,6 +717,48 @@ def test_dedup_index_texts_compaction(spark, tmp_path):
     assert idx2.lookup_texts(all_ids).count() == 80
 
 
+def test_curator_backfills_pre_texts_index(spark, tmp_path):
+    """Review finding (upgrade path): an index persisted BEFORE the
+    texts/ store existed has banded signatures but no payloads — every
+    historical candidate's verify lookup came back empty and the
+    cross-batch near-dup was silently KEPT, permanently. Constructing
+    a curator over such state must backfill texts/ from kept/ (which
+    covers all indexed ids), restoring the drop."""
+    import shutil
+
+    from parseable_spark.streaming.curator import StreamingCurator
+
+    base = tmp_path / "cur"
+    docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs0.orderBy("doc_id").limit(8).collect()]
+    kw = dict(near_dup_history=True, min_words=1, min_chars=1,
+              min_stopword_ratio=0.0)
+    cur = StreamingCurator(spark, str(base), **kw)
+    cur.process_batch(
+        spark.createDataFrame(
+            [(i, t + f" uniq {i}") for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    kept0 = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept0  # history established
+    # simulate the pre-r6 on-disk state: signatures, no payload store
+    shutil.rmtree(base / "lsh" / "texts")
+    cur2 = StreamingCurator(spark, str(base), **kw)
+    assert not cur2.lsh.needs_text_backfill()  # constructor backfilled
+    hist_id = min(kept0)
+    hist_text = texts[hist_id] + f" uniq {hist_id}"
+    cur2.process_batch(
+        spark.createDataFrame(
+            [(100, hist_text + " tail")], "doc_id bigint, text string"
+        ),
+        1,
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in cur2.decisions().collect()}
+    assert reasons.get(100) == "near_duplicate_history"
+
+
 def test_streaming_dedup_index_replay_is_idempotent(spark, tmp_path):
     """Code-review regression: foreachBatch redelivers a batch after a
     partial failure (at-least-once). Re-processing the same batch_id

@@ -45,18 +45,18 @@ def _iso(minute: int) -> str:
 
 
 def synth_manifest(n: int) -> Manifest:
-    man = Manifest()
-    for i in range(n):
-        lo, hi = _iso(i), _iso(i + 1)
-        man.files.append(
-            FileStats(
-                file_path=f"s3://bucket/stream/f{i}.parquet",
-                num_rows=1000,
-                file_size=1 << 20,
-                columns={TIME_COL: {"min": lo, "max": hi}},
-            )
+    # build the list first and hand it to the constructor — in-place
+    # .append on man.files would bypass the index invalidation contract
+    files = [
+        FileStats(
+            file_path=f"s3://bucket/stream/f{i}.parquet",
+            num_rows=1000,
+            file_size=1 << 20,
+            columns={TIME_COL: {"min": _iso(i), "max": _iso(i + 1)}},
         )
-    return man
+        for i in range(n)
+    ]
+    return Manifest(files=files)
 
 
 def main() -> None:
