@@ -5,11 +5,12 @@ data-plane conf helpers.
 
 ``boot_storage(mode, root)`` wires the chosen backend's metastore and
 returns the ``spark.hadoop.*`` conf a deployment applies for the
-parquet data plane (empty for local-store). GCS rides the S3 module:
-Cloud Storage's XML API accepts AWS Signature V4 with HMAC service
-keys (the documented interoperability mode), which is also how the
-reference points object_store's S3 dialect at
-``https://storage.googleapis.com`` when given a custom endpoint.
+parquet data plane (empty for local-store). GCS has two auth paths:
+NATIVE service-account OAuth (P_GCS_SERVICE_ACCOUNT → storage/gcs.py,
+the JWT-bearer flow the reference's object_store builder runs — r6)
+and the S3-interop fallback: Cloud Storage's XML API accepts AWS
+Signature V4 with HMAC service keys (the documented interoperability
+mode) against ``https://storage.googleapis.com``.
 """
 
 from __future__ import annotations
@@ -65,6 +66,26 @@ def boot_storage(mode: str, root: str) -> dict[str, str]:
         return use_azure_storage(root)
     if mode == "gcs-store":
         from ..metastore import set_metastore
+
+        if os.environ.get("P_GCS_SERVICE_ACCOUNT"):
+            # native auth (r6): service-account JWT-bearer OAuth + the
+            # GCS JSON API — what the reference's object_store builder
+            # does with GOOGLE_SERVICE_ACCOUNT. Data-plane conf: the
+            # GCS Hadoop connector jar isn't bundled with pyspark, so
+            # this returns the documented keyfile conf for deployments
+            # that add it; metastore traffic needs no jar at all.
+            from .gcs import GCSClient, GCSMetastore, gcs_native_config_from_env
+
+            ncfg = gcs_native_config_from_env()
+            client = GCSClient(ncfg)
+            client.check()  # fail loud at boot, not on first op
+            set_metastore(GCSMetastore(client, root))
+            return {
+                "spark.hadoop.fs.gs.auth.type": "SERVICE_ACCOUNT_JSON_KEYFILE",
+                "spark.hadoop.fs.gs.auth.service.account.json.keyfile": (
+                    os.environ["P_GCS_SERVICE_ACCOUNT"]
+                ),
+            }
         from .objectstore import S3Client, S3Metastore, s3a_spark_conf
 
         cfg = gcs_config_from_env()
