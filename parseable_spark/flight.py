@@ -33,33 +33,103 @@ except ImportError as e:  # pragma: no cover - flight present in this env
 from .query.engine import QueryEngine
 
 
+def _basic_header(auth: tuple[str, str]) -> bytes:
+    import base64
+
+    return b"Basic " + base64.b64encode(f"{auth[0]}:{auth[1]}".encode())
+
+
+if _flight is not None:
+
+    class _BasicAuthMiddlewareFactory(_flight.ServerMiddlewareFactory):
+        """Per-call Basic auth on the gRPC metadata — the reference's
+        Flight endpoint extracts and validates Basic credentials from
+        request headers the same way (airplane.rs; it shares the HTTP
+        layer's credential check). Without this, anyone who can reach
+        the port runs arbitrary read SQL past the HTTP layer's RBAC
+        (review finding)."""
+
+        def __init__(self, auth: tuple[str, str]):
+            self._want = _basic_header(auth)
+
+        def start_call(self, info, headers):
+            got = headers.get("authorization") or headers.get(b"authorization")
+            vals = got if got else []
+            for v in vals:
+                v = v.encode() if isinstance(v, str) else v
+                if v == self._want:
+                    return None
+            raise _flight.FlightUnauthenticatedError("credentials required")
+
+
 class FlightQueryServer(_flight.FlightServerBase if _flight else object):
     """One do_get surface over a QueryEngine (airplane.rs:126-248),
     plus cluster-management actions (cluster/mod.rs get_cluster_info /
     fetch_stats_from_ingestors): `info` returns static node metadata,
     `metrics` returns the live stats snapshot, `ping` answers liveness
-    (check_liveness probes peers the same way)."""
+    (check_liveness probes peers the same way).
+
+    Security posture (review findings, r6): binds loopback by default
+    (cluster deployments opt into an external host AND credentials
+    together); with ``auth`` every call must carry the Basic header;
+    do_get executes under the engine's P_SQL_TIMEOUT deadline so a
+    runaway ticket cannot pin a gRPC worker or collect unbounded
+    results forever (the HTTP route has the same deadline). The SQL
+    itself passes through engine.query → ensure_read_only."""
 
     def __init__(
         self,
         engine: QueryEngine,
-        location: str = "grpc://0.0.0.0:0",
+        location: str = "grpc://127.0.0.1:0",
         node_info: dict | None = None,
         metrics_fn=None,
+        auth: tuple[str, str] | None = None,
+        stores: dict | None = None,
     ):
         if _flight is None:
             raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
-        super().__init__(location)
+        middleware = (
+            {"auth": _BasicAuthMiddlewareFactory(auth)} if auth else None
+        )
+        super().__init__(location, middleware=middleware)
         self.engine = engine
         self.node_info = node_info or {}
         self.metrics_fn = metrics_fn
+        self.stores = stores
 
     def do_get(self, context, ticket):
         req = json.loads(ticket.ticket.decode("utf-8"))
-        df = self.engine.query(
-            req["query"], req.get("startTime"), req.get("endTime")
+        if req.get("staging_only") and self.stores is not None:
+            # querier fan-out path: serve ONLY memory-resident staging
+            # for the stream — the reference appends ingestors'
+            # temporary (unsynced) events to the querier view
+            # (utils/arrow/flight.rs:91-160). Serving a full scan here
+            # would double-count parquet the querier already reads
+            # from the shared object store (review finding).
+            store = self.stores.get(req.get("stream") or "")
+            sdf = store.staging_df() if store is not None else None
+            if sdf is None:
+                import pyarrow as pa
+
+                return _flight.RecordBatchStream(pa.table({}))
+            df = sdf
+            if req.get("startTime") and req.get("endTime"):
+                from pyspark.sql import functions as F
+
+                from .query.timerange import TimeRange
+
+                tr = TimeRange.parse(req["startTime"], req["endTime"])
+                tc = F.col(store.time_col)
+                df = sdf.filter(
+                    (tc >= F.lit(tr.start)) & (tc < F.lit(tr.end))
+                )
+        else:
+            df = self.engine.query(
+                req["query"], req.get("startTime"), req.get("endTime")
+            )
+        table = self.engine.run_with_deadline(
+            df.toArrow, f"flight:{str(req)[:100]}"
         )
-        table = df.toArrow()
         return _flight.RecordBatchStream(table)
 
     def do_action(self, context, action):
@@ -80,45 +150,79 @@ def serve(
     port: int = 0,
     node_info: dict | None = None,
     metrics_fn=None,
+    host: str = "127.0.0.1",
+    auth: tuple[str, str] | None = None,
+    stores: dict | None = None,
 ) -> "FlightQueryServer":
-    """Start a Flight server on localhost:port (0 = ephemeral); returns
-    the server (server.port gives the bound port; call shutdown() to
-    stop)."""
+    """Start a Flight server (0 = ephemeral port); returns the server
+    (server.port gives the bound port; call shutdown() to stop).
+    Default bind is LOOPBACK — pass ``host="0.0.0.0"`` together with
+    ``auth=(user, pw)`` for cluster deployments (an externally
+    reachable unauthenticated SQL surface bypasses the HTTP layer's
+    RBAC; review finding)."""
+    if host not in ("127.0.0.1", "localhost") and auth is None:
+        raise ValueError(
+            "refusing to bind the Flight SQL surface on a non-loopback "
+            "host without auth=(user, password)"
+        )
     server = FlightQueryServer(
-        engine, f"grpc://0.0.0.0:{port}", node_info=node_info, metrics_fn=metrics_fn
+        engine,
+        f"grpc://{host}:{port}",
+        node_info=node_info,
+        metrics_fn=metrics_fn,
+        auth=auth,
+        stores=stores,
     )
     threading.Thread(target=server.serve, daemon=True).start()
     return server
 
 
-def node_action(port: int, name: str, timeout: float = 2.0) -> dict:
+def _call_options(timeout: float | None = None, auth: tuple[str, str] | None = None):
+    kw = {}
+    if timeout is not None:
+        kw["timeout"] = timeout
+    if auth is not None:
+        kw["headers"] = [(b"authorization", _basic_header(auth))]
+    return _flight.FlightCallOptions(**kw)
+
+
+def node_action(
+    port: int, name: str, timeout: float = 2.0, auth: tuple[str, str] | None = None
+) -> dict:
     """Client helper: invoke a cluster action on a peer node; raises on
     unreachable/dead peers (callers map that to reachable=false)."""
     if _flight is None:
         raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
     client = _flight.connect(f"grpc://localhost:{port}")
     try:
-        opts = _flight.FlightCallOptions(timeout=timeout)
+        opts = _call_options(timeout, auth)
         results = list(client.do_action(_flight.Action(name, b""), options=opts))
         return json.loads(results[0].body.to_pybytes()) if results else {}
     finally:
         client.close()
 
 
-def fetch(port: int, query: str, start: str | None = None, end: str | None = None):
+def fetch(
+    port: int,
+    query: str,
+    start: str | None = None,
+    end: str | None = None,
+    auth: tuple[str, str] | None = None,
+    ticket_extra: dict | None = None,
+):
     """Client helper: run a query over Flight, return a pyarrow Table
     (the reference client path: ticket JSON → IPC stream)."""
     if _flight is None:
         raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
     client = _flight.connect(f"grpc://localhost:{port}")
     try:
-        ticket_body = {"query": query}
+        ticket_body = {"query": query, **(ticket_extra or {})}
         if start is not None:
             ticket_body["startTime"] = start
         if end is not None:
             ticket_body["endTime"] = end
         ticket = _flight.Ticket(json.dumps(ticket_body).encode("utf-8"))
-        return client.do_get(ticket).read_all()
+        return client.do_get(ticket, options=_call_options(auth=auth)).read_all()
     finally:
         # the querier fan-out calls this once per ingestor per fresh
         # query — an abandoned client leaks a gRPC channel until GC
@@ -139,24 +243,37 @@ def send_to_ingester(
     from datetime import datetime, timedelta, timezone
 
     now = now or datetime.now(timezone.utc)
-    # normalize awareness to the range's (TimeRange yields aware UTC;
-    # tests may pass naive datetimes)
-    if end.tzinfo is not None and now.tzinfo is None:
-        now = now.replace(tzinfo=timezone.utc)
-    elif end.tzinfo is None and now.tzinfo is not None:
-        now = now.astimezone(timezone.utc).replace(tzinfo=None)
+    # normalize EVERYTHING to naive UTC (TimeRange.parse yields naive
+    # UTC datetimes; callers/tests may pass aware ones — and a mixed
+    # aware/naive start/end pair must not TypeError on the comparisons
+    # below; review finding: only `now` was normalized, keyed off end)
+    naive = lambda d: (  # noqa: E731
+        d.astimezone(timezone.utc).replace(tzinfo=None)
+        if d.tzinfo is not None
+        else d
+    )
+    start, end, now = naive(start), naive(end), naive(now)
     return end > now - timedelta(seconds=window_seconds) and start <= now
 
 
-def fetch_fresh_events(spark, ingestor_ports, stream_name: str, start: str, end: str, schema=None):
-    """Pull ``select * from `<stream>``` for the window from every
-    ingestor over Flight and return one DataFrame (None when no
-    ingestor has fresh rows). The stream identifier is backtick-quoted
-    (the reference quotes it too, airplane.rs:158) so names that are
-    not bare SQL identifiers still resolve. Per-ingestor failures are
-    skipped but LOGGED — a silently-dropped fan-out would return stale
-    results with no signal (reference `if let Ok(batches)`,
-    airplane.rs:173-177)."""
+def fetch_fresh_events(
+    spark, ingestor_ports, stream_name: str, start: str, end: str,
+    schema=None, auth: tuple[str, str] | None = None,
+):
+    """Pull the window's fresh events from every ingestor over Flight
+    and return one DataFrame (None when no ingestor has fresh rows).
+    The ticket carries ``staging_only`` + the stream name: an ingestor
+    serving its stores answers from MEMORY-RESIDENT staging only — the
+    reference appends ingestors' temporary (unsynced) events to the
+    querier view (utils/arrow/flight.rs:91-160); a full-scan answer
+    would double-count parquet the querier already reads from the
+    shared object store (review finding). Ingestors wired with a
+    staging-only engine view (no stores) answer the equivalent SQL.
+    The stream identifier is backtick-quoted (the reference quotes it
+    too, airplane.rs:158) so names that are not bare SQL identifiers
+    still resolve. Per-ingestor failures are skipped but LOGGED — a
+    silently-dropped fan-out would return stale results with no signal
+    (reference `if let Ok(batches)`, airplane.rs:173-177)."""
     import logging
 
     import pyarrow as pa
@@ -165,7 +282,14 @@ def fetch_fresh_events(spark, ingestor_ports, stream_name: str, start: str, end:
     tables = []
     for port in ingestor_ports:
         try:
-            t = fetch(port, f"select * from `{stream_name}`", start, end)
+            t = fetch(
+                port,
+                f"select * from `{stream_name}`",
+                start,
+                end,
+                auth=auth,
+                ticket_extra={"staging_only": True, "stream": stream_name},
+            )
         except Exception as e:  # noqa: BLE001 — a dead ingestor must not fail the query
             log.warning(
                 "ingestor :%s fetch failed for stream %r: %s", port, stream_name, e

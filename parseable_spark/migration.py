@@ -25,10 +25,13 @@ on every read and the callers rewrite the file when an upgrade
 occurred, so old roots upgrade in place on first boot and then load on
 the fast path forever after.
 
-The schema registry (ingest/schema.py, ``schema_version`` v1/v2) and
-the streaming dedup index (streaming/dedup_index.py, ``index/v{N}`` +
-LATEST pointer) already carry their own versioning and stay
-self-managed.
+The schema registry (ingest/schema.py) persists THROUGH this module's
+``save_versioned``/``load_versioned`` under the ``stream_schema`` kind
+— its internal v1/v2 payload shaping is its own, but a structural
+change to the persisted file still needs a ``_MIGRATIONS`` step here
+like every other kind. Only the streaming dedup index
+(streaming/dedup_index.py, ``index/v{N}`` + LATEST pointer) is fully
+self-managed outside this seam.
 """
 
 from __future__ import annotations

@@ -70,7 +70,13 @@ class DiscoveredClient:
                 "prompt": "consent",
             }
         )
-        return f"{doc['authorization_endpoint']}?{params}"
+        # some IdPs publish an authorization_endpoint that already has
+        # a query string (Azure AD B2C's `?p=<policy>`) — joining with
+        # a second '?' would fold our params into theirs (review
+        # finding)
+        ep = doc["authorization_endpoint"]
+        sep = "&" if "?" in ep else "?"
+        return f"{ep}{sep}{params}"
 
     def exchange_code(self, code: str) -> dict[str, Any]:
         """Authorization-code → token response (client_secret_post)."""

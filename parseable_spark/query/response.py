@@ -31,7 +31,13 @@ def _json_value(v: Any) -> Any:
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, Decimal):
-        return float(v)
+        # float() silently corrupts DecimalType beyond ~16 significant
+        # digits — exactly the precision the type exists to preserve
+        # (review finding). Lossless when float round-trips exactly;
+        # the decimal's own textual form otherwise (arrow's JSON
+        # writers do the same full-precision formatting).
+        f = float(v)
+        return f if Decimal(repr(f)) == v else str(v)
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
     if isinstance(v, (bytes, bytearray)):

@@ -153,3 +153,98 @@ def test_fetch_fresh_events_aligns_columns_by_name(spark, monkeypatch):
         (10, "x", None),
         (11, "y", None),
     ]
+
+
+def test_flight_requires_auth_when_configured(spark, tmp_path):
+    """r6 review: the Flight SQL surface bypassed the HTTP layer's
+    auth entirely. With auth configured every call must carry the
+    Basic header; non-loopback binds without auth are refused."""
+    import pyarrow.flight as fl
+
+    from parseable_spark.flight import fetch, node_action
+
+    store = StreamStore(spark, str(tmp_path / "s"), StreamConfig(name="app"))
+    store.ingest([{"n": 1}], p_timestamp=NOW)
+    engine = QueryEngine(spark, time_col="p_timestamp")
+    engine.register_stream("app", store.scan(now=NOW), time_col="p_timestamp")
+    srv = serve(engine, auth=("cluster", "secret"))
+    try:
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            fetch(srv.port, "select * from `app`")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            fetch(srv.port, "select * from `app`", auth=("cluster", "wrong"))
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            node_action(srv.port, "info")
+        t = fetch(srv.port, "select * from `app`", auth=("cluster", "secret"))
+        assert t.num_rows == 1
+        assert node_action(srv.port, "info", auth=("cluster", "secret"))["status"] == "ok"
+    finally:
+        srv.shutdown()
+    with pytest.raises(ValueError, match="loopback"):
+        serve(engine, host="0.0.0.0")
+
+
+def test_staging_only_fanout_does_not_double_count(spark, tmp_path):
+    """r6 review: ingestors answering the fan-out with a FULL scan
+    double-count parquet the querier already reads from the shared
+    object store. With stores wired, the ticket's staging_only flag
+    serves memory-resident staging exclusively — so a querier sharing
+    the ingestor's store counts each event exactly once."""
+    from parseable_spark.flight import fetch
+
+    shared = StreamStore(spark, str(tmp_path / "shared"), StreamConfig(name="app"))
+    shared.ingest(
+        [{"msg": f"synced-{i}"} for i in range(3)],
+        p_timestamp=NOW - timedelta(seconds=90),
+    )
+    shared.flush()  # 3 rows now in parquet (the "object store")
+    shared.ingest(
+        [{"msg": "staged-1"}, {"msg": "staged-2"}],
+        p_timestamp=NOW - timedelta(seconds=10),
+    )
+    engine_i = QueryEngine(spark, time_col="p_timestamp")
+    # the ingestor registers its FULL view (the hazardous wiring) —
+    # the stores-aware staging_only path must still answer staging only
+    engine_i.register_stream("app", shared.scan(now=NOW), time_col="p_timestamp")
+    ingestor = serve(engine_i, stores={"app": shared})
+    try:
+        start = (NOW - timedelta(hours=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        end = (NOW + timedelta(minutes=1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        t = fetch(
+            ingestor.port, "select * from `app`", start, end,
+            ticket_extra={"staging_only": True, "stream": "app"},
+        )
+        assert t.num_rows == 2  # staging only, parquet NOT re-served
+        msgs = set(t.column("msg").to_pylist())
+        assert msgs == {"staged-1", "staged-2"}
+
+        # end-to-end: a querier PROCESS reads the same object-store
+        # root (its own StreamStore: manifest + parquet, no staging —
+        # staging lives in the ingestor's memory) and fans out — each
+        # event counted exactly once
+        querier_store = StreamStore(
+            spark, str(tmp_path / "shared"), StreamConfig(name="app")
+        )
+        assert querier_store.scan(now=NOW).count() == 3  # parquet only
+        engine_q = QueryEngine(spark, time_col="p_timestamp")
+        out = querier_query(
+            engine_q,
+            "app",
+            querier_store.scan(now=NOW),
+            "select count(*) AS n from `app`",
+            start,
+            end,
+            ingestor_ports=[ingestor.port],
+            now=NOW,
+        )
+        assert out.collect()[0]["n"] == 5  # 3 synced + 2 staged, no dupes
+    finally:
+        ingestor.shutdown()
+
+
+def test_send_to_ingester_mixed_awareness_does_not_raise():
+    """r6 review: an aware start with a naive end raised TypeError
+    (only `now` was normalized, keyed off end's awareness)."""
+    aware = NOW.replace(tzinfo=timezone.utc)
+    assert send_to_ingester(aware - timedelta(minutes=5), NOW, now=NOW)
+    assert send_to_ingester(NOW - timedelta(minutes=5), aware, now=aware)

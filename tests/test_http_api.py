@@ -2814,3 +2814,26 @@ def test_tls_bad_cert_path_does_not_leak_port(spark, tmp_path):
                     tls_key=str(tmp_path / "no.key"))
     srv = make_server(api, port=port)
     srv.server_close()
+
+
+def test_oidc_auth_url_joins_existing_query_string():
+    """r6 review: providers like Azure AD B2C publish an
+    authorization_endpoint that already carries a query string
+    (?p=<policy>); joining with a second '?' folds our params into
+    theirs and the login redirect fails."""
+    from parseable_spark.oidc import DiscoveredClient, OpenidConfig
+
+    client = DiscoveredClient(
+        OpenidConfig(
+            client_id="c", client_secret="s",
+            issuer="https://x.example", origin="https://app",
+        )
+    )
+    client._doc = {
+        "authorization_endpoint": "https://x.example/authorize?p=b2c_1_signin"
+    }
+    url = client.auth_url("st8")
+    assert url.count("?") == 1
+    assert "p=b2c_1_signin" in url and "&response_type=code" in url
+    client._doc = {"authorization_endpoint": "https://x.example/authorize"}
+    assert client.auth_url("st8").startswith("https://x.example/authorize?")

@@ -379,6 +379,20 @@ class TestEngineHardeningR5S7:
         assert out[0]["b"] == "ff01"
         assert out[0]["m"] == {"2026-01-02": 3}
 
+    def test_response_preserves_decimal_precision(self, spark):
+        """r6 review: float() silently corrupted DecimalType beyond
+        ~16 significant digits — small decimals stay JSON numbers,
+        unrepresentable ones fall back to their exact textual form."""
+        from parseable_spark.query.response import query_response
+
+        df = spark.sql(
+            "SELECT CAST('12345678901234567890.12' AS DECIMAL(38,2)) AS big, "
+            "CAST('1.10' AS DECIMAL(10,2)) AS small"
+        )
+        out = query_response(df)
+        assert out[0]["big"] == "12345678901234567890.12"  # exact
+        assert out[0]["small"] == 1.1  # lossless float stays a number
+
     def test_fast_count_excludes_null_timestamps(self, spark, tmp_path):
         """A fully-contained file with NULL-ts rows: the fast path must
         match the real scan (which drops them), not manifest num_rows."""
