@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import flatten as fl
 from . import schema as sc
-from .events import DEFAULT_TIMESTAMP_KEY, StreamConfig, _coerce_value, batch_spark_schema
+from .events import (
+    DEFAULT_TIMESTAMP_KEY,
+    RESERVED_COLUMNS,
+    StreamConfig,
+    _coerce_value,
+    batch_spark_schema,
+)
 
 
 def _normalize_records(
@@ -62,8 +68,9 @@ def _normalize_records(
             )
         )
     for rec in records:
-        if DEFAULT_TIMESTAMP_KEY in rec:
-            raise ValueError(f"field {DEFAULT_TIMESTAMP_KEY} is a reserved column")
+        for r in RESERVED_COLUMNS:  # parity with the local path
+            if r in rec:
+                raise ValueError(f"field {r} is a reserved column")
     records = sc.rename_json_keys(records)
     raw_inferred = sc.infer_batch_schema(records)
     conflicts = sc.detect_schema_conflicts(

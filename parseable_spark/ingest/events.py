@@ -22,6 +22,12 @@ from . import flatten as fl
 from . import schema as sc
 
 DEFAULT_TIMESTAMP_KEY = "p_timestamp"
+# date/hour/minute are reserved alongside p_timestamp: the storage
+# layout derives them as hive partition columns (storage/writer.py),
+# and partitionBy strips partition columns from the data files — a
+# user field with one of these names would silently read back NULL
+# after its first flush.
+RESERVED_COLUMNS = (DEFAULT_TIMESTAMP_KEY, "date", "hour", "minute")
 USER_AGENT_KEY = "p_user_agent"
 SRC_IP_KEY = "p_src_ip"
 FORMAT_KEY = "p_format"
@@ -181,10 +187,16 @@ def prepare_batch(
         custom_partition=config.custom_partition,
     )
     for rec in records:
-        if DEFAULT_TIMESTAMP_KEY in rec:
-            raise ValueError(
-                f"field {DEFAULT_TIMESTAMP_KEY} is a reserved column"
-            )  # reference mod.rs:186-191
+        for r in RESERVED_COLUMNS:
+            # p_timestamp per reference mod.rs:186-191; date/hour/minute
+            # because the hive-partitioned layout derives them — Spark's
+            # partitionBy strips partition columns from the data files,
+            # so a user field with one of these names would read back
+            # NULL after every flush while staged rows still showed it
+            # (silent post-flush corruption; review finding). Loud
+            # rejection at the door, same contract as p_timestamp.
+            if r in rec:
+                raise ValueError(f"field {r} is a reserved column")
     records = sc.rename_json_keys(records)
 
     raw_inferred = sc.infer_batch_schema(records)

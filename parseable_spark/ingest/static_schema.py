@@ -23,6 +23,7 @@ from typing import Any
 from . import schema as sc
 
 DEFAULT_TIMESTAMP_KEY = "p_timestamp"  # events.DEFAULT_TIMESTAMP_KEY (no import cycle)
+RESERVED_COLUMNS = (DEFAULT_TIMESTAMP_KEY, "date", "hour", "minute")  # events.RESERVED_COLUMNS
 
 STATIC_TYPES: dict[str, str] = {
     "int": sc.INT64,
@@ -65,8 +66,8 @@ def parse_static_schema(
         dtype = (f or {}).get("data_type") or ""
         if not name:
             raise ValueError("static schema field name must not be empty")
-        if name == DEFAULT_TIMESTAMP_KEY:
-            raise ValueError(f"field {DEFAULT_TIMESTAMP_KEY} is a reserved column")
+        if name in RESERVED_COLUMNS:
+            raise ValueError(f"field {name} is a reserved column")
         if name in fields:
             raise ValueError(f"duplicate field {name!r} in static schema")
         if time_partition and name == time_partition:

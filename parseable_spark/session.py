@@ -36,7 +36,15 @@ RUNTIME_CONFS = {
 
 
 def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    """SPARK_GRAFT_CPUS, clamped sane: an empty/garbage value (a wrapper
+    exporting an unset var) or 0 must not brick every get_spark() call
+    with ValueError / local[0] (review finding)."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        n = int(raw)
+    except ValueError:
+        n = os.cpu_count() or 8
+    return max(1, n) if n > 0 else (os.cpu_count() or 8)
 
 
 def configure(spark: SparkSession) -> SparkSession:

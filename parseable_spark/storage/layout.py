@@ -32,23 +32,44 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 DEFAULT_BITS = 12  # 4096 buckets per column — plenty for file-level pruning
 
 
 def _ordered_expr(df: DataFrame, col: str) -> Column | None:
-    """Orderable numeric view of a column, or None for hash-bucketed
-    types (strings)."""
+    """Orderable numeric view of a column (NULL for non-finite values),
+    or None for hash-bucketed types (strings/complex)."""
     dt = df.schema[col].dataType
-    if isinstance(dt, StringType):
-        return None
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         # unix_micros needs TIMESTAMP; NTZ casts losslessly (UTC axis)
         return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, BooleanType):
+        return F.col(col).cast("int").cast("double")
     if isinstance(dt, NumericType):
-        return F.col(col).cast("double")
-    raise ValueError(f"cannot z-order column {col!r} of type {dt.simpleString()}")
+        # NaN/±Inf poison the whole layout under ANSI: max() returns
+        # NaN when ANY value is NaN, making every row's scaled value
+        # NaN, and NaN.cast(long) THROWS CAST_OVERFLOW — one bad OTel
+        # gauge permanently failed every compaction pass on the stream
+        # (review finding, empirically confirmed). Non-finite values
+        # map to NULL → bucket 0, and the stats aggregate sees NULLs
+        # (min/max ignore them), keeping the range finite.
+        e = F.col(col).cast("double")
+        return F.when(e.isNull() | F.isnan(e) | (F.abs(e) == float("inf")), None).otherwise(e)
+    # strings and everything else (arrays, structs, binary): stable
+    # hash bucket — point-equality pruning works, range pruning does
+    # not (documented trade-off). Previously booleans/dates raised
+    # ValueError INSIDE the background compaction pass, so a stream
+    # configured with one was never compacted again (review finding).
+    return None
 
 
 def _normalize_all(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
@@ -107,10 +128,16 @@ def cluster_by_zorder(
     covers a compact Morton range, so every clustered column's min/max
     is tight per file. (repartitionByRange samples the key — one extra
     job, the standard cost of a layout rewrite.)"""
-    key = zorder_key(df, cols, bits).alias("__zorder")
+    # unique temp name: an ingested field literally named __zorder would
+    # make the select ambiguous and the drop remove user data (review
+    # finding)
+    kname = "__zorder"
+    while kname in df.columns:
+        kname += "_"
+    key = zorder_key(df, cols, bits).alias(kname)
     keyed = df.select("*", key)
     return (
-        keyed.repartitionByRange(num_files, F.col("__zorder"))
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder")
+        keyed.repartitionByRange(num_files, F.col(kname))
+        .sortWithinPartitions(kname)
+        .drop(kname)
     )

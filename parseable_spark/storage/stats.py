@@ -13,8 +13,6 @@ any data volume.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import asdict, dataclass, field
 
 

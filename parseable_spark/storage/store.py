@@ -450,14 +450,22 @@ class StreamStore:
                 c for c in (self.config.zorder_cols or []) if c in df.columns
             ]
             if zcols:
-                from .layout import zorder_key
+                # range-partition on the Morton key, not coalesce: with
+                # n_out > 1, coalesce merges arbitrary input splits per
+                # output file, so the files' key ranges OVERLAP and the
+                # file-level min/max pruning z-ordering exists for is
+                # lost (each file spans the whole space; review
+                # finding). cluster_by_zorder gives Morton-contiguous
+                # files — the Delta OPTIMIZE ZORDER layout.
+                from .layout import cluster_by_zorder
 
-                sort_key = zorder_key(df, zcols)
+                out_df = cluster_by_zorder(df, zcols, n_out)
             else:
-                sort_key = F.desc(self.time_col)
+                out_df = df.coalesce(n_out).sortWithinPartitions(
+                    F.desc(self.time_col)
+                )
             (
-                df.coalesce(n_out)
-                .sortWithinPartitions(sort_key)
+                out_df
                 .write.mode("overwrite")
                 .option("compression", "zstd")
                 .parquet(tmp)

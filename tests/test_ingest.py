@@ -179,6 +179,17 @@ class TestStreamIngest:
         with pytest.raises(ValueError, match="reserved"):
             stream.ingest(spark, [{"p_timestamp": "2026-01-01T00:00:00Z"}])
 
+    def test_partition_layout_names_reserved(self, spark):
+        """r6 review (empirically confirmed): a user field named
+        date/hour/minute was SILENTLY NULLed by the first flush —
+        partitionBy strips partition columns from the data files while
+        staged rows still showed the value. Reserved loudly instead,
+        same contract as p_timestamp."""
+        for bad in ("date", "hour", "minute"):
+            stream = Stream(StreamConfig(name="logs"))
+            with pytest.raises(ValueError, match="reserved"):
+                stream.ingest(spark, [{bad: "2020-01-01", "ok": 1}])
+
     def test_meta_fields(self, spark):
         stream = Stream(StreamConfig(name="logs"))
         df = stream.ingest(
@@ -227,10 +238,10 @@ def test_rfc2822_timestamp_batch_coerces():
 
     stream = Stream(StreamConfig(name="rfc"))
     out = prepare_batch(
-        [{"date": "Tue, 01 Jul 2003 10:52:37 +0200", "n": 1}],
+        [{"received_date": "Tue, 01 Jul 2003 10:52:37 +0200", "n": 1}],
         stream.registry,
         stream.config,
     )
-    assert stream.registry.fields["date"] == sc.TIMESTAMP_MS
+    assert stream.registry.fields["received_date"] == sc.TIMESTAMP_MS
     # normalized to naive UTC, millisecond precision
-    assert out.records[0]["date"] == datetime(2003, 7, 1, 8, 52, 37)
+    assert out.records[0]["received_date"] == datetime(2003, 7, 1, 8, 52, 37)

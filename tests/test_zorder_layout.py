@@ -58,12 +58,87 @@ def test_constant_and_null_safe(spark):
 
 def test_errors(spark):
     df = spark.range(4).select(F.array(F.col("id")).alias("arr"), F.col("id"))
-    with pytest.raises(ValueError, match="cannot z-order"):
-        zorder_key(df, ["arr"])
     with pytest.raises(ValueError, match="at least one"):
         zorder_key(df, [])
     with pytest.raises(ValueError, match="64-bit"):
         zorder_key(df, ["id", "id", "id"], bits=21)
+    # complex types hash-bucket instead of raising: zorder_key runs
+    # inside the BACKGROUND compaction pass, where a ValueError means
+    # the stream is never compacted again (r6 review)
+    assert df.select(zorder_key(df, ["arr"]).alias("k")).count() == 4
+
+
+def test_boolean_date_and_nan_columns_are_safe(spark):
+    """r6 review: (a) boolean/date z-order columns raised ValueError
+    forever inside compaction; they are orderable and now normalize.
+    (b) one NaN/Inf in a numeric column made max() return NaN and the
+    ANSI cast-to-long THROW for every row — non-finite values map to
+    bucket 0 and the range stays finite."""
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (True, date(2026, 1, 2), 1.0),
+            (False, date(2026, 3, 4), float("nan")),
+            (True, date(2026, 5, 6), float("inf")),
+            (False, date(2026, 7, 8), 5.0),
+        ],
+        "b boolean, d date, x double",
+    )
+    keys = [r["k"] for r in df.select(zorder_key(df, ["b", "d", "x"]).alias("k")).collect()]
+    assert len(keys) == 4 and all(k is not None and k >= 0 for k in keys)
+    # single-column monotonicity for dates (orderable, not hashed)
+    dk = [
+        r["k"]
+        for r in df.orderBy("d").select(zorder_key(df, ["d"]).alias("k")).collect()
+    ]
+    assert dk == sorted(dk)
+
+
+def test_zorder_temp_column_name_collision(spark):
+    """r6 review: a user column literally named __zorder made the
+    layout select ambiguous / dropped user data."""
+    df = spark.range(8).select(F.col("id"), F.lit("keep").alias("__zorder"))
+    out = cluster_by_zorder(df, ["id"], 2)
+    assert set(out.columns) == {"id", "__zorder"}
+    assert out.filter(F.col("__zorder") == "keep").count() == 8
+
+
+def test_compacted_zorder_files_do_not_overlap(spark, tmp_path):
+    """r6 review: compact()'s coalesce produced output files with
+    OVERLAPPING Morton ranges when n_out > 1 — defeating the
+    file-level pruning the layout exists for. cluster_by_zorder's
+    range partitioning gives disjoint per-file key ranges."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") * 7 % 1000).alias("uid")
+    )
+    out = cluster_by_zorder(df, ["uid"], 4)
+    out.write.mode("overwrite").parquet(str(tmp_path / "z"))
+    ranges = []
+    for f in _glob.glob(str(tmp_path / "z" / "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        uid_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "uid"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(uid_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] <= a[1]
+    )
+    # Morton-contiguous files: uid ranges are (near-)disjoint — strict
+    # monotone ranges up to the one boundary value a range split shares
+    assert overlaps <= 1, ranges
 
 
 def test_clustered_files_have_tight_stats_on_both_columns(spark, tmp_path):
