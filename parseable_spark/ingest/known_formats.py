@@ -282,19 +282,54 @@ KNOWN_SCHEMA_LIST = EventProcessor()
 def spark_extract_columns(
     raw: Column, format_name: str, processor: EventProcessor | None = None
 ) -> list[Column]:
-    """Columnar path: one regexp_extract per field, fully JVM-side — the
-    scan-time equivalent of check_or_extract for single-format streams."""
+    """Columnar path: regexp_extract per field, fully JVM-side — the
+    scan-time equivalent of check_or_extract for single-format streams.
+
+    Mirrors the Python path's semantics exactly (r6 review — it
+    previously used only the FIRST pattern, so lines matching a later
+    variant extracted all-empty columns, and `*_bare` alternation
+    groups were skipped, so e.g. unquoted logfmt msg= values never
+    populated `message`): every pattern is tried in declaration order
+    (first matching pattern wins, like check_or_extract), and a field
+    with a `<field>_bare` alternation twin takes whichever group
+    participated in the match."""
     proc = processor or KNOWN_SCHEMA_LIST
     sd = proc.schema_definitions[format_name]
-    pat = next(p for p in sd.patterns if p.pattern is not None)
-    # Java group names reject underscores, so strip the python (?P<name>…)
-    # syntax down to plain groups — extraction below is by group index.
-    java_pattern = re.sub(r"\(\?P<[^>]+>", "(", pat.pattern.pattern)
+    pats = [p for p in sd.patterns if p.pattern is not None]
+    field_order: list[str] = []
+    per_pattern: list[tuple] = []  # (match-predicate, {field: Column})
+    for pat in pats:
+        # Java group names reject underscores, so strip the python
+        # (?P<name>…) syntax down to plain groups — extraction is by
+        # group index.
+        jp = re.sub(r"\(\?P<[^>]+>", "(", pat.pattern.pattern)
+        order = _group_order(pat.pattern)
+        idx = {name: i for i, name in enumerate(order, start=1)}
+        exprs: dict[str, Column] = {}
+        for name in order:
+            if name not in pat.fields:
+                continue
+            e = F.regexp_extract(raw, jp, idx[name])
+            bare = f"{name}_bare"
+            if bare in idx:
+                be = F.regexp_extract(raw, jp, idx[bare])
+                e = F.when(e != "", e).otherwise(be)
+            exprs[name] = e
+            if name not in field_order:
+                field_order.append(name)
+        per_pattern.append((raw.rlike(jp), exprs))
     cols = []
-    for i, name in enumerate(_group_order(pat.pattern), start=1):
-        if name in pat.fields:
-            cols.append(F.regexp_extract(raw, java_pattern, i).alias(name))
-        _ = i
+    for name in field_order:
+        expr = None
+        for cond, exprs in per_pattern:
+            if name not in exprs:
+                continue
+            expr = (
+                F.when(cond, exprs[name])
+                if expr is None
+                else expr.when(cond, exprs[name])
+            )
+        cols.append(expr.otherwise(F.lit("")).alias(name))
     return cols
 
 

@@ -90,14 +90,26 @@ def _attr_value(v: dict[str, Any]) -> Any:
     return None
 
 
-def insert_attributes(out: dict[str, Any], attributes: list[dict] | None) -> None:
-    """Attribute KV list → top-level keys; nested values flatten with '.'."""
+def insert_attributes(
+    out: dict[str, Any], attributes: list[dict] | None, protect: bool = False
+) -> None:
+    """Attribute KV list → top-level keys; nested values flatten with
+    '.'. With ``protect``, keys the engine already set are kept: a log
+    attribute named ``time_unix_nano`` (or a metric label named
+    ``metric_name``) must not overwrite the record timestamp / series
+    name the engine derived — the spoofed copy corrupted time
+    partitioning and series identity while __series_hash_u64 still
+    used the real values (r6 review, verified). Collisions land under
+    an ``attr.``-prefixed key instead, so no data is dropped."""
     for kv in attributes or []:
         v = _attr_value(kv.get("value", {}))
+        key = kv["key"]
+        if protect and (key in out or key == "p_log_category"):
+            key = f"attr.{key}"
         if isinstance(v, dict):
-            flatten_object(out, kv["key"], v, ".")
+            flatten_object(out, key, v, ".")
         else:
-            out[kv["key"]] = v
+            out[key] = v
 
 
 def _resource_scope_fields(resource: dict, scope: dict, schema_url: str, scope_url: str) -> dict:
@@ -150,8 +162,7 @@ def flatten_otel_logs(payload: dict) -> list[dict[str, Any]]:
                             # in ONE column regardless of the
                             # exporter's body encoding (review finding)
                             flatten_object(rec, "body", parsed, ".")
-                insert_attributes(rec, lr.get("attributes"))
-                rec["p_log_category"] = cat  # after attrs: cannot be overridden
+                rec["p_log_category"] = cat
                 rec["log_record_dropped_attributes_count"] = lr.get(
                     "droppedAttributesCount", 0
                 )
@@ -160,6 +171,11 @@ def flatten_otel_logs(payload: dict) -> list[dict[str, Any]]:
                 rec["trace_id"] = lr.get("traceId", "")
                 if "eventName" in lr:
                     rec["event_name"] = lr["eventName"]
+                # attrs LAST, engine fields protected: a log attribute
+                # named time_unix_nano/body/severity_text overwrote the
+                # engine-derived value (r6 review, verified); collisions
+                # keep their data under attr.<key>
+                insert_attributes(rec, lr.get("attributes"), protect=True)
                 records.append(rec)
     return records
 
@@ -172,8 +188,10 @@ def series_hash(labels: dict[str, Any]) -> int:
 
 
 def flatten_otel_metrics(payload: dict) -> list[dict[str, Any]]:
-    """OTLP metrics → one record per data point (metrics.rs:518+);
-    gauge/sum/histogram supported, __series_hash_u64 added per series."""
+    """OTLP metrics → one record per data point (metrics.rs:518+); all
+    five metric types supported (summary and exponentialHistogram were
+    silently DROPPED with an HTTP 200 before — r6 review, verified),
+    __series_hash_u64 added per series."""
     records = []
     for rm in payload.get("resourceMetrics", []):
         for sm in rm.get("scopeMetrics", []):
@@ -185,7 +203,10 @@ def flatten_otel_metrics(payload: dict) -> list[dict[str, Any]]:
             )
             for metric in sm.get("metrics", []):
                 name = metric.get("name", "")
-                for mtype in ("gauge", "sum", "histogram"):
+                for mtype in (
+                    "gauge", "sum", "histogram",
+                    "exponentialHistogram", "summary",
+                ):
                     for dp in metric.get(mtype, {}).get("dataPoints", []):
                         rec = dict(base)
                         rec["metric_name"] = name
@@ -196,7 +217,6 @@ def flatten_otel_metrics(payload: dict) -> list[dict[str, Any]]:
                         rec["start_time_unix_nano"] = dp.get("startTimeUnixNano")
                         labels: dict[str, Any] = {}
                         insert_attributes(labels, dp.get("attributes"))
-                        rec.update(labels)
                         if mtype == "histogram":
                             rec["data_point_count"] = int(dp.get("count", 0))
                             rec["data_point_sum"] = float(dp.get("sum", 0.0))
@@ -206,10 +226,42 @@ def flatten_otel_metrics(payload: dict) -> list[dict[str, Any]]:
                             rec["data_point_explicit_bounds"] = [
                                 float(x) for x in dp.get("explicitBounds", [])
                             ]
+                        elif mtype == "exponentialHistogram":
+                            rec["data_point_count"] = int(dp.get("count", 0))
+                            rec["data_point_sum"] = float(dp.get("sum", 0.0))
+                            rec["data_point_scale"] = int(dp.get("scale", 0))
+                            rec["data_point_zero_count"] = int(dp.get("zeroCount", 0))
+                            pos = dp.get("positive", {})
+                            neg = dp.get("negative", {})
+                            rec["data_point_positive_offset"] = int(pos.get("offset", 0))
+                            rec["data_point_positive_bucket_counts"] = [
+                                int(x) for x in pos.get("bucketCounts", [])
+                            ]
+                            rec["data_point_negative_offset"] = int(neg.get("offset", 0))
+                            rec["data_point_negative_bucket_counts"] = [
+                                int(x) for x in neg.get("bucketCounts", [])
+                            ]
+                        elif mtype == "summary":
+                            rec["data_point_count"] = int(dp.get("count", 0))
+                            rec["data_point_sum"] = float(dp.get("sum", 0.0))
+                            qs = dp.get("quantileValues", [])
+                            rec["data_point_quantiles"] = [
+                                float(q.get("quantile", 0.0)) for q in qs
+                            ]
+                            rec["data_point_quantile_values"] = [
+                                float(q.get("value", 0.0)) for q in qs
+                            ]
+                        elif "asInt" in dp:
+                            # keep integer identity: float() corrupted
+                            # counters above 2^53 (r6 review, verified)
+                            rec["data_point_value"] = int(dp["asInt"])
                         else:
-                            rec["data_point_value"] = float(
-                                dp.get("asDouble", dp.get("asInt", 0))
-                            )
+                            rec["data_point_value"] = float(dp.get("asDouble", 0))
+                        # labels AFTER engine fields, engine-protected:
+                        # a label named metric_name spoofed the series
+                        # name while the hash used the real one
+                        for k, v in labels.items():
+                            rec[f"attr.{k}" if k in rec else k] = v
                         rec["__series_hash_u64"] = series_hash(
                             {"__name__": name, **labels}
                         )
@@ -248,10 +300,11 @@ def flatten_otel_traces(payload: dict) -> list[dict[str, Any]]:
                 rec["span_status_message"] = status.get("message", "")
                 rec["span_dropped_events_count"] = span.get("droppedEventsCount", 0)
                 rec["span_dropped_links_count"] = span.get("droppedLinksCount", 0)
-                insert_attributes(rec, span.get("attributes"))
                 events = span.get("events", [])
                 if events:
                     rec["event_name"] = events[0].get("name")
                     rec["span_event_count"] = len(events)
+                # attrs last, engine-protected (see flatten_otel_logs)
+                insert_attributes(rec, span.get("attributes"), protect=True)
                 records.append(rec)
     return records

@@ -80,6 +80,11 @@ def _convert(kind: str, raw: Any) -> Any:
     if kind == "int":
         return raw
     if kind == "int64s":
+        # proto int64 negatives arrive as 10-byte two's-complement
+        # varints — without the sign fold, -5 decoded as
+        # 18446744073709551611 (r6 review, verified)
+        if raw >= 1 << 63:
+            raw -= 1 << 64
         return str(raw)
     if kind == "sint":
         return _zigzag(raw)

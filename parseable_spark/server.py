@@ -4345,7 +4345,19 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if stream:
             self._allow(Action.INGEST, stream)
-        n = self.api.ingest(stream, self._json_body(), self._custom_fields())
+        body = self._json_body()
+        if log_source == "kinesis":
+            # Firehose envelope → per-record events (reference dispatch
+            # ingest_utils.rs:209-225; r6 review — the decoder existed
+            # but nothing routed to it, so deliveries ingested as one
+            # raw envelope with base64-opaque record data)
+            from .ingest.kinesis import KinesisError, flatten_kinesis_logs
+
+            try:
+                body = flatten_kinesis_logs(body)
+            except KinesisError as e:
+                raise ApiError(400, str(e)) from e
+        n = self.api.ingest(stream, body, self._custom_fields())
         self._respond_json(200, {"status": "ok", "records": n})
 
     def _handle_query(self, params: dict[str, list[str]]) -> None:

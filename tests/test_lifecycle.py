@@ -223,3 +223,53 @@ class TestRetentionConfig:
         tasks = parse_retention_config([{"duration": "3d"}])
         assert apply_retention_tasks(store, tasks, now=datetime(2026, 8, 10)) == 1
         assert store.count_fast_path() == 0
+
+
+def test_kinesis_http_dispatch(spark, tmp_path):
+    """r6 review: the Kinesis decoder was dead code — nothing routed
+    x-p-log-source: kinesis to it, so Firehose deliveries ingested as
+    one raw envelope with base64-opaque data. Now dispatched on the
+    header (reference ingest_utils.rs:209-225); malformed envelopes
+    are a 400, not a 500."""
+    import base64 as _b64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from parseable_spark.server import ParseableAPI, serve_background
+
+    api = ParseableAPI(spark, str(tmp_path / "store"))
+    srv, base = serve_background(api)
+    try:
+        def post(body, expect_error=False):
+            req = urllib.request.Request(
+                base + "/api/v1/ingest",
+                data=_json.dumps(body).encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    "x-p-stream": "firehose",
+                    "x-p-log-source": "kinesis",
+                },
+            )
+            return urllib.request.urlopen(req, timeout=30)
+
+        payload = {"level": "info", "n": 7}
+        msg = {
+            "requestId": "req-1",
+            "timestamp": 1704964113659,
+            "records": [
+                {"data": _b64.b64encode(_json.dumps(payload).encode()).decode()}
+            ],
+        }
+        resp = _json.loads(post(msg).read())
+        assert resp["records"] == 1
+        rows = api._stores["firehose"].scan().collect()
+        assert rows[0]["level"] == "info" and rows[0]["n"] == 7.0
+        assert rows[0]["requestId"] == "req-1"
+        assert rows[0]["timestamp"] == "1704964113659"
+        # malformed envelope -> 400 via KinesisError, not a 500
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"requestId": "r", "timestamp": 1, "records": ["junk"]})
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

@@ -327,3 +327,145 @@ def test_otlp_enum_names_accepted():
     }
     srecs = flatten_otel_traces(traces)
     assert srecs[0]["span_kind"] == 2
+
+
+class TestR6ReviewFixes:
+    def test_summary_and_exponential_histogram_ingested(self):
+        """r6 review (verified): summary + exponentialHistogram data
+        points were silently dropped with HTTP 200."""
+        payload = {
+            "resourceMetrics": [{
+                "scopeMetrics": [{
+                    "metrics": [
+                        {
+                            "name": "latency_summary",
+                            "summary": {"dataPoints": [{
+                                "timeUnixNano": "1",
+                                "count": "10",
+                                "sum": 55.5,
+                                "quantileValues": [
+                                    {"quantile": 0.5, "value": 4.0},
+                                    {"quantile": 0.99, "value": 9.0},
+                                ],
+                            }]},
+                        },
+                        {
+                            "name": "latency_exp",
+                            "exponentialHistogram": {"dataPoints": [{
+                                "timeUnixNano": "2",
+                                "count": "4",
+                                "sum": 8.0,
+                                "scale": 2,
+                                "zeroCount": "1",
+                                "positive": {"offset": 3, "bucketCounts": ["1", "2"]},
+                                "negative": {"offset": 0, "bucketCounts": ["1"]},
+                            }]},
+                        },
+                    ]
+                }]
+            }]
+        }
+        from parseable_spark.ingest.otel import flatten_otel_metrics
+
+        recs = flatten_otel_metrics(payload)
+        by_type = {r["metric_type"]: r for r in recs}
+        assert set(by_type) == {"summary", "exponentialHistogram"}
+        s = by_type["summary"]
+        assert s["data_point_count"] == 10 and s["data_point_sum"] == 55.5
+        assert s["data_point_quantiles"] == [0.5, 0.99]
+        assert s["data_point_quantile_values"] == [4.0, 9.0]
+        e = by_type["exponentialHistogram"]
+        assert e["data_point_scale"] == 2 and e["data_point_zero_count"] == 1
+        assert e["data_point_positive_bucket_counts"] == [1, 2]
+        assert e["data_point_positive_offset"] == 3
+
+    def test_as_int_preserves_precision(self):
+        from parseable_spark.ingest.otel import flatten_otel_metrics
+
+        payload = {
+            "resourceMetrics": [{"scopeMetrics": [{"metrics": [{
+                "name": "bytes_total",
+                "sum": {"dataPoints": [{"timeUnixNano": "1", "asInt": "9007199254740993"}]},
+            }]}]}]
+        }
+        rec = flatten_otel_metrics(payload)[0]
+        assert rec["data_point_value"] == 9007199254740993  # exact, not 2^53-rounded
+
+    def test_attributes_cannot_spoof_engine_fields(self):
+        """r6 review (verified): a log attribute named time_unix_nano
+        overwrote the record timestamp; a metric label metric_name
+        spoofed the series name while the hash used the real one."""
+        from parseable_spark.ingest.otel import (
+            flatten_otel_logs,
+            flatten_otel_metrics,
+        )
+
+        logs = {
+            "resourceLogs": [{"scopeLogs": [{"logRecords": [{
+                "timeUnixNano": "111",
+                "body": {"stringValue": "real body"},
+                "attributes": [
+                    {"key": "time_unix_nano", "value": {"stringValue": "HACK"}},
+                    {"key": "body", "value": {"stringValue": "OVERWRITTEN"}},
+                    {"key": "p_log_category", "value": {"stringValue": "fake"}},
+                    {"key": "custom", "value": {"stringValue": "kept"}},
+                ],
+            }]}]}]
+        }
+        rec = flatten_otel_logs(logs)[0]
+        assert rec["time_unix_nano"] == "111"
+        assert rec["body"] == "real body"
+        assert rec["p_log_category"] != "fake"
+        assert rec["custom"] == "kept"
+        # spoof attempts preserved under attr.-prefix, not dropped
+        assert rec["attr.time_unix_nano"] == "HACK"
+        assert rec["attr.body"] == "OVERWRITTEN"
+
+        metrics = {
+            "resourceMetrics": [{"scopeMetrics": [{"metrics": [{
+                "name": "real_metric",
+                "gauge": {"dataPoints": [{
+                    "timeUnixNano": "1",
+                    "asDouble": 1.5,
+                    "attributes": [
+                        {"key": "metric_name", "value": {"stringValue": "spoof"}},
+                        {"key": "host", "value": {"stringValue": "web1"}},
+                    ],
+                }]},
+            }]}]}]
+        }
+        m = flatten_otel_metrics(metrics)[0]
+        assert m["metric_name"] == "real_metric"
+        assert m["attr.metric_name"] == "spoof"
+        assert m["host"] == "web1"
+
+    def test_columnar_extraction_matches_python_on_later_patterns(self, spark):
+        """r6 review (verified): spark_extract_columns used only the
+        FIRST pattern, so lines matching a later variant extracted
+        all-empty columns; *_bare alternation groups (unquoted logfmt
+        msg=) were skipped entirely."""
+        from pyspark.sql import functions as F
+
+        from parseable_spark.ingest.known_formats import (
+            KNOWN_SCHEMA_LIST,
+            spark_extract_columns,
+        )
+
+        # logfmt with an UNQUOTED msg value: the Python path extracts
+        # message via the message_bare group
+        line = "level=info msg=started module=api"
+        ev = {"raw": line}
+        assert KNOWN_SCHEMA_LIST.schema_definitions["logfmt"].check_or_extract(ev, "raw")
+        assert ev["message"] == "started"
+        df = spark.createDataFrame([(line,)], "raw string")
+        out = df.select(*spark_extract_columns(F.col("raw"), "logfmt")).collect()[0]
+        assert out["message"] == "started"
+
+    def test_otlp_negative_int_attribute(self):
+        """r6 review (verified): proto int64 negatives (10-byte
+        varints) decoded as huge unsigned values."""
+        from parseable_spark.ingest.otlp_proto import _convert
+
+        raw = (-5) & ((1 << 64) - 1)  # wire value of int64 -5
+        assert _convert("int64s", raw) == "-5"
+        assert _convert("int64s", 42) == "42"

@@ -277,9 +277,23 @@ def main() -> None:
     if not texts <= kept_ids:
         failures.append(f"texts ⊄ kept: {sorted(texts - kept_ids)[:5]}")
 
-    # 5. manifest ↔ disk, after compaction swaps
+    # 5. manifest ↔ disk, after compaction swaps (+ Delta mirror
+    # parity when P_DELTA_LOG is on: the log's replayed state must
+    # match the manifest exactly after every WRITE/OPTIMIZE/DELETE
+    # transition raced with ingest)
     for s in STREAMS:
         store = api._stores[s]
+        if store.delta_log is not None:
+            live = set(store.delta_log.live_paths())
+            man = {f.file_path for f in store.manifest.files}
+            report[f"delta_versions_{s}"] = store.delta_log.latest_version()
+            if live != man:
+                failures.append(
+                    f"{s}: delta live set != manifest "
+                    f"(+{len(live - man)}/-{len(man - live)})"
+                )
+            if store.delta_log.num_records() != store.manifest.total_rows():
+                failures.append(f"{s}: delta numRecords != manifest rows")
         man_rows = 0
         for fstat in store.manifest.files:
             if not os.path.exists(fstat.file_path):
