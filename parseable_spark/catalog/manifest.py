@@ -30,13 +30,17 @@ from typing import Any
 
 import pyarrow.parquet as pq
 
+# fixed-width timestamp form so lexicographic order == time order
+# (isoformat() drops zero microseconds, which breaks string
+# comparison). Load-bearing at EVERY site that compares against
+# manifest bounds — store.scan, fast_count — so it lives in exactly
+# one place (r6 review: three hand-copied literals).
+ISO_MICRO_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+
 
 def _stat_value(v: Any) -> Any:
     if isinstance(v, datetime):
-        # fixed-width form so lexicographic order == time order even
-        # against bounds formatted elsewhere (isoformat() drops zero
-        # microseconds, which breaks string comparison)
-        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return v.strftime(ISO_MICRO_FMT)
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")

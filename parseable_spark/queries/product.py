@@ -290,6 +290,8 @@ def q21_field_stats_topk(spark, sf_dir):
     doc="Log-context window around an anchor (reference src/handlers/http/query_context.rs:118-286).",
 )
 def q23_log_context(spark, sf_dir):
+    from ..query.context import DIRECTION_TAG
+
     eng = _engine(spark, sf_dir)
     sql = log_context_sql(
         "events",
@@ -300,7 +302,9 @@ def q23_log_context(spark, sf_dir):
         5,
         columns="event_id, ts, event_type",
     )
-    return eng.query(sql)
+    # the internal tag is dunder-named so it can't collide with user
+    # columns (r6); the API-visible name stays `direction`
+    return eng.query(sql).withColumnRenamed(DIRECTION_TAG, "direction")
 
 
 @register(

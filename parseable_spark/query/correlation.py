@@ -42,17 +42,32 @@ def correlate(
     right_cfg: TableConfig,
     on: tuple[JoinCondition, JoinCondition],
 ) -> DataFrame:
-    """Inner equi-join of two streams with table-prefixed projection."""
+    """Inner equi-join of two streams with table-prefixed projection.
+
+    Join conditions must actually NAME the two table configs — a typo
+    or case drift previously fell through the swap heuristic and
+    silently joined on whichever fields remained (r6 review); rejected
+    loudly now. Column references are backtick-quoted: OTel-flattened
+    streams carry dotted names (`service.name`), which unquoted
+    F.col would parse as struct access (same fix as store.scan)."""
     lcond, rcond = on
+    names = {lcond.table_name, rcond.table_name}
+    if names != {left_cfg.table_name, right_cfg.table_name}:
+        raise ValueError(
+            f"joinConditions name tables {sorted(names)} but the "
+            f"tableConfigs are {sorted([left_cfg.table_name, right_cfg.table_name])}"
+        )
     if lcond.table_name != left_cfg.table_name:
         lcond, rcond = rcond, lcond
     a, b = left.alias("l"), right.alias("r")
-    joined = a.join(b, F.col(f"l.{lcond.field}") == F.col(f"r.{rcond.field}"))
+    joined = a.join(
+        b, F.col(f"l.`{lcond.field}`") == F.col(f"r.`{rcond.field}`")
+    )
     cols = [
-        F.col(f"l.{f}").alias(f"{left_cfg.table_name}_{f}")
+        F.col(f"l.`{f}`").alias(f"{left_cfg.table_name}_{f}")
         for f in left_cfg.selected_fields
     ] + [
-        F.col(f"r.{f}").alias(f"{right_cfg.table_name}_{f}")
+        F.col(f"r.`{f}`").alias(f"{right_cfg.table_name}_{f}")
         for f in right_cfg.selected_fields
     ]
     return joined.select(*cols)

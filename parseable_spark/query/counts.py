@@ -9,6 +9,7 @@ DATE_BIN becomes anchored floor arithmetic (functions.date_bin_sql).
 
 from __future__ import annotations
 
+from ..catalog.manifest import ISO_MICRO_FMT
 from ..functions import date_bin_sql
 
 # bin tiers mirror the reference's interval selection
@@ -45,10 +46,15 @@ def top_k_counts_sql(
     bin_seconds: int,
     k: int,
     where: str | None = None,
+    anchor_epoch: int = 0,
 ) -> str:
-    """3-CTE top-K shape with null-safe join (reference mod.rs:716-732)."""
+    """3-CTE top-K shape with null-safe join (reference mod.rs:716-732).
+    ``anchor_epoch`` must match the histogram query's anchor (the
+    reference anchors DATE_BIN at the query start, mod.rs:676-679) —
+    without it the grouped bins landed at epoch-0 multiples while the
+    ungrouped histogram binned at start+k·bin (r6 review)."""
     cond = f"WHERE {where}" if where else ""
-    bin_expr = date_bin_sql(time_col, bin_seconds)
+    bin_expr = date_bin_sql(time_col, bin_seconds, anchor_epoch)
     return f"""
         WITH grouped_counts AS (
             SELECT {group_col} AS grp, {bin_expr} AS bin_epoch,
@@ -91,7 +97,7 @@ def fast_count(
     if start is None and end is None:
         n = store.count_fast_path()
     else:
-        iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.%f") if d else None  # noqa: E731
+        iso = lambda d: d.strftime(ISO_MICRO_FMT) if d else None  # noqa: E731
         lo, hi = iso(start), iso(end)
         n = 0
         for f in store.manifest.files:
@@ -117,7 +123,7 @@ def fast_count(
                 ts = rec.get(store.time_col)
                 if ts is None:
                     continue
-                t = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                t = ts.strftime(ISO_MICRO_FMT)
                 if (lo is None or t >= lo) and (hi is None or t < hi):
                     n += 1
     return engine.spark.createDataFrame([(n,)], f"`{alias}` bigint")

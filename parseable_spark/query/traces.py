@@ -63,6 +63,14 @@ def trace_list(
     # spans: the result filter applies after the count join, exactly
     # like the reference's post-window result_filter (traces.rs:108-114)
     extra = ["span_parent_span_id"] if roots_only else []
+    if errors_only:
+        # the reference's ErrorSpans result filter is the CONJUNCTION
+        # `error_count > 0 AND span_status_code = 2`
+        # (handlers/http/traces.rs:111) — filtering on error_count
+        # alone returned every span of an erroring trace while
+        # trace_count counted only status-2 spans, so the API's count
+        # field disagreed with its records (r6 review)
+        extra = [*extra, "span_status_code"]
     out = (
         spans.select(
             "service_name",
@@ -94,7 +102,9 @@ def trace_list(
         )
     )
     if errors_only:
-        out = out.filter(F.col("error_count") > 0)
+        out = out.filter(
+            (F.col("error_count") > 0) & (F.col("span_status_code") == 2)
+        ).drop("span_status_code")
     if roots_only:
         out = out.filter(
             F.coalesce(F.col("span_parent_span_id"), F.lit("")) == ""
@@ -153,7 +163,7 @@ def trace_detail(
     spans: DataFrame,
     trace_id: str,
     max_depth: int = MAX_TRACE_DEPTH,
-    driver_bfs_threshold: int = 1_000_000,
+    driver_bfs_threshold: int = 100_000,
 ) -> DataFrame:
     """Span hierarchy for one trace — replacement of the WITH RECURSIVE
     walk (traces.rs:545-640).
@@ -178,7 +188,12 @@ def trace_detail(
         .alias("has_error")
     )
     # one job decides the strategy AND feeds the driver BFS: the edge
-    # list of a single trace is UI-render-sized by construction
+    # list of a single trace is UI-render-sized by construction. The
+    # threshold bounds the driver materialization at ~100k two-string
+    # Rows (~20 MB) even on a pathological trace — above it the rows
+    # are discarded and the walk reruns as Spark joins (the previous
+    # 1M default collected hundreds of MB just to throw them away;
+    # r6 review)
     edges = [
         (r["span_span_id"], r["span_parent_span_id"])
         for r in deduped.select("span_span_id", "span_parent_span_id")

@@ -1626,7 +1626,7 @@ class ParseableAPI:
         ascending time order with the anchor index."""
         from pyspark.sql import functions as F
 
-        from .query.context import log_context_sql
+        from .query.context import DIRECTION_TAG, log_context_sql
         from .query.response import row_to_json
         from .query.timerange import parse_human_time
 
@@ -1658,23 +1658,31 @@ class ParseableAPI:
             view = f"_ctx_{dataset}_{_uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
             sql = log_context_sql(
-                view, store.time_col, store.time_col, anchor_lit, half, half
+                view,
+                store.time_col,
+                # whole-row hash tie-break: one ingest batch shares one
+                # p_timestamp, so without it equal-ts rows paged
+                # nondeterministically (r6 review)
+                "xxhash64(to_json(struct(*)))",
+                anchor_lit,
+                half,
+                half,
             )
             try:
                 rows = self.spark.sql(sql).collect()
             finally:
                 self.spark.catalog.dropTempView(view)
         before = sorted(
-            (r for r in rows if r["direction"] == "before"),
+            (r for r in rows if r[DIRECTION_TAG] == "before"),
             key=lambda r: r[store.time_col],
         )
         after = sorted(
-            (r for r in rows if r["direction"] == "after"),
+            (r for r in rows if r[DIRECTION_TAG] == "after"),
             key=lambda r: r[store.time_col],
         )
         records = [row_to_json(r) for r in [*before, *after]]
         for r in records:
-            r.pop("direction", None)
+            r.pop(DIRECTION_TAG, None)
         times = [r[store.time_col] for r in [*before, *after]]
         return {
             "scope": "contextWindow",

@@ -30,7 +30,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog.manifest import Manifest, Snapshot
+from ..catalog.manifest import ISO_MICRO_FMT, Manifest, Snapshot
 from ..ingest.events import DEFAULT_TIMESTAMP_KEY, PreparedBatch, Stream, StreamConfig, prepare_batch, to_dataframe
 from .hottier import HotTier
 from .stats import FullStats
@@ -259,7 +259,7 @@ class StreamStore:
             else d
         )
         start, end, now = naive(start), naive(end), naive(now)
-        iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.%f") if d else None  # noqa: E731
+        iso = lambda d: d.strftime(ISO_MICRO_FMT) if d else None  # noqa: E731
         paths = self.manifest.prune_paths(self.time_col, iso(start), iso(end))
         if limit is not None:
             paths = self.manifest.limit_truncate(paths, limit)

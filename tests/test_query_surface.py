@@ -427,3 +427,60 @@ class TestEngineHardeningR5S7:
         st = build_file_stats(part)
         assert st.columns["p_timestamp"]["nulls"] == 1
         assert st.num_rows == 3
+
+
+class TestR6QueryGeneratorFixes:
+    def test_correlate_backticks_dotted_fields_and_validates(self, spark):
+        """r6 review: unquoted F.col parsed dotted OTel names as struct
+        access (AnalysisException); join conditions naming neither
+        table silently joined on the wrong keys."""
+        from parseable_spark.query.correlation import (
+            JoinCondition,
+            TableConfig,
+            correlate,
+        )
+
+        left = spark.createDataFrame(
+            [("a", 1)], ["service.name", "n"]
+        )
+        right = spark.createDataFrame(
+            [("a", 2)], ["service.name", "m"]
+        )
+        lcfg = TableConfig("s1", ("service.name", "n"))
+        rcfg = TableConfig("s2", ("m",))
+        out = correlate(
+            left, right, lcfg, rcfg,
+            (JoinCondition("s1", "service.name"), JoinCondition("s2", "service.name")),
+        )
+        rows = out.collect()
+        assert rows[0]["s1_service.name"] == "a" and rows[0]["s2_m"] == 2
+        with pytest.raises(ValueError, match="joinConditions"):
+            correlate(
+                left, right, lcfg, rcfg,
+                (JoinCondition("Events", "n"), JoinCondition("s2", "m")),
+            )
+
+    def test_log_context_deterministic_on_equal_timestamps(self, spark):
+        """r6 review: one ingest batch shares one p_timestamp, so the
+        vacuous (ts, ts) tie-break paged nondeterministically; the
+        whole-row-hash tiebreak makes repeated calls identical. The
+        direction tag is dunder-named so a user `direction` column
+        survives."""
+        from parseable_spark.query.context import DIRECTION_TAG, log_context_sql
+
+        df = spark.createDataFrame(
+            [(datetime(2026, 8, 13, 12, 0), f"m{i}", "up") for i in range(10)],
+            "ts timestamp_ntz, msg string, direction string",
+        )
+        df.createOrReplaceTempView("ctxs")
+        sql = log_context_sql(
+            "ctxs", "ts", "xxhash64(to_json(struct(*)))",
+            "TIMESTAMP_NTZ '2026-08-13 12:00:01'", 4, 4,
+        )
+        first = [tuple(r) for r in spark.sql(sql).collect()]
+        for _ in range(3):
+            assert [tuple(r) for r in spark.sql(sql).collect()] == first
+        row = spark.sql(sql).collect()[0]
+        assert row["direction"] == "up"  # user column intact
+        assert row[DIRECTION_TAG] in ("before", "after")
+        spark.catalog.dropTempView("ctxs")
