@@ -73,9 +73,13 @@ def logreg_fit(
         *[F.stddev_pop(F.col(c).cast("double")).alias(f"s{j}") for j, c in enumerate(feature_cols)],
         F.count(F.lit(1)).alias("n"),
     ).first()
+    n = float(stats["n"])
+    if n == 0:
+        # NULL aggregates made float(None) raise an opaque TypeError
+        # below (r6 review); fail at the boundary with the real reason
+        raise ValueError("cannot fit a classifier on an empty training set")
     mean = [float(stats[f"m{j}"] or 0.0) for j in range(d)]
     std = [float(stats[f"s{j}"] or 0.0) or 1.0 for j in range(d)]
-    n = float(stats["n"])
 
     w = [0.0] * d
     b = 0.0
@@ -101,9 +105,25 @@ def logreg_fit(
                 .otherwise(-y * z + F.log1p(F.exp(z)))
             ).alias("loss"),
         ).first()
+        loss = float(agg["loss"]) / n  # loss at the PRE-update weights
         w = [w[j] - lr * (float(agg[f"g{j}"]) / n + l2 * w[j]) for j in range(d)]
         b -= lr * float(agg["gb"]) / n
-        loss = float(agg["loss"]) / n
+
+    # one final pass so train_loss is the loss AT THE RETURNED weights —
+    # the in-loop value lags one update behind (r6 review: a parity
+    # check against an independent implementation's loss at the same
+    # coefficients mismatched)
+    z = F.lit(b)
+    for j, c in enumerate(feature_cols):
+        zs = (F.col(c).cast("double") - F.lit(mean[j])) / F.lit(std[j])
+        z = z + zs * F.lit(w[j])
+    final = df.agg(
+        F.sum(
+            F.when(z > 0, z - y * z + F.log1p(F.exp(-z)))
+            .otherwise(-y * z + F.log1p(F.exp(z)))
+        ).alias("loss")
+    ).first()
+    loss = float(final["loss"]) / n
 
     # fold standardization into raw space: w_raw = w/std, b_raw = b - Σ w·m/s
     w_raw = [w[j] / std[j] for j in range(d)]
@@ -116,6 +136,7 @@ def quality_classifier(
     label_col: str,
     lr: float = 1.0,
     iters: int = 100,
+    id_col: str = "doc_id",
 ) -> tuple[LinearModel, DataFrame]:
     """Train a document-quality classifier on the standard text
     features (llm.text.doc_features) and return (model, scored docs).
@@ -123,7 +144,9 @@ def quality_classifier(
     set — at 100 TB, scoring a corpus is one pass with no shuffle."""
     from . import text
 
-    feats = text.doc_features(docs).join(docs.select("doc_id", label_col), "doc_id")
+    feats = text.doc_features(docs, id_col=id_col).join(
+        docs.select(id_col, label_col), id_col
+    )
     feature_cols = ["n_chars", "n_words", "avg_word_len", "stopword_ratio", "n_punct"]
     # materialize the d+2-column training projection ONCE: logreg_fit
     # issues ~iters+1 aggregates, and an un-snapshotted plan would

@@ -99,6 +99,24 @@ def curate_corpus(
     normalized token stream with corpus-repeated runs removed — the
     tokenizer-facing representation).
     """
+    # validate EVERY parameter before the first corpus-scale job: at
+    # the 100 TB design point a typo'd option must raise in
+    # microseconds, not after hours of eager LSH/banding compute
+    # (r6 review — near_dup_keep was checked after the verify stage
+    # had already executed via its internal localCheckpoints)
+    if near_dup_keep not in ("min_id", "best_quality"):
+        raise ValueError(
+            f"near_dup_keep must be 'min_id' or 'best_quality', got {near_dup_keep!r}"
+        )
+    if (lm_counts is None) != (max_pseudo_ppl is None):
+        # half-configured stage: silently skipping it let
+        # high-perplexity junk through while the audit showed zero
+        # high_perplexity drops (r6 review; same contract as the
+        # mandatory bloom_geometry below)
+        raise ValueError(
+            "the perplexity filter needs BOTH lm_counts and "
+            "max_pseudo_ppl (got exactly one)"
+        )
     base = docs
     drops: list[DataFrame] = []
 
@@ -122,20 +140,24 @@ def curate_corpus(
                 "silently defeats the gate"
             )
         tagged = B.bloom_probe(base, history_bloom, text_col, **bloom_geometry)
+        # drop-id sets are aggregate/filter-derived and corpus-scale
+        # under floods: AQE's post-filter size misestimate picked
+        # BroadcastHashJoin for exactly this shape and OOM'd (memory
+        # probe; dedup.py:639 precedent) — hint every join-back
         hist_ids = tagged.filter(F.col("maybe_member")).select(id_col)
         drops.append(_drops(hist_ids, id_col, "in_history"))
-        base = base.join(hist_ids, id_col, "left_anti")
+        base = base.join(hist_ids.hint("shuffle_merge"), id_col, "left_anti")
 
     # 1. exact dedup — md5 digest, min-id canonical (one narrow shuffle)
     exact = D.exact_dedup(base, id_col, text_col)  # (digest, keep_id, n)
     digests = base.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
     dup_ids = (
-        digests.join(exact, "digest")
+        digests.join(exact.hint("shuffle_merge"), "digest")
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(id_col)
     )
     drops.append(_drops(dup_ids, id_col, "exact_duplicate"))
-    base = base.join(dup_ids, id_col, "left_anti")
+    base = base.join(dup_ids.hint("shuffle_merge"), id_col, "left_anti")
 
     # 2. quality gate — single projection pass over survivors
     q = T.quality_features(base, id_col, text_col)
@@ -145,7 +167,7 @@ def curate_corpus(
         | (F.col("stopword_ratio") < min_stopword_ratio)
     ).select(id_col)
     drops.append(_drops(bad, id_col, "low_quality"))
-    base = base.join(bad, id_col, "left_anti")
+    base = base.join(bad.hint("shuffle_merge"), id_col, "left_anti")
 
     # 2b. (optional) CCNet perplexity filter under the target-corpus LM
     if lm_counts is not None and max_pseudo_ppl is not None:
@@ -154,7 +176,7 @@ def curate_corpus(
         scored = L.stupid_backoff_scores(base, lm_counts, id_col, text_col)
         ppl_bad = scored.filter(F.col("pseudo_ppl") > max_pseudo_ppl).select(id_col)
         drops.append(_drops(ppl_bad, id_col, "high_perplexity"))
-        base = base.join(ppl_bad, id_col, "left_anti")
+        base = base.join(ppl_bad.hint("shuffle_merge"), id_col, "left_anti")
 
     # 3. verified near-dups — LSH candidates + exact Jaccard.
     # near_dup_keep="min_id" (default): drop the larger id of each
@@ -168,7 +190,7 @@ def curate_corpus(
     )
     if near_dup_keep == "min_id":
         near_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
-    elif near_dup_keep == "best_quality":
+    else:  # "best_quality" — validated at entry
         scores = T.quality_features(base, id_col, text_col).select(
             F.col(id_col), F.col("n_chars").cast("double").alias("_q")
         )
@@ -176,12 +198,8 @@ def curate_corpus(
             scores, verified.select("id_a", "id_b"), "_q", id_col
         )
         near_ids = labeled.filter(~F.col("is_kept")).select(id_col)
-    else:
-        raise ValueError(
-            f"near_dup_keep must be 'min_id' or 'best_quality', got {near_dup_keep!r}"
-        )
     drops.append(_drops(near_ids, id_col, "near_duplicate"))
-    base = base.join(near_ids, id_col, "left_anti")
+    base = base.join(near_ids.hint("shuffle_merge"), id_col, "left_anti")
 
     # 3b. (optional) repeated-span strip — rewrite, not drop: text
     # becomes the normalized token stream with every corpus-repeated
@@ -220,25 +238,36 @@ def curate_corpus(
         ),
     )
 
-    # 5. semantic dedup over embeddings (survivor-aligned)
+    # 5. semantic dedup over embeddings (survivor-aligned). The
+    # survivor-vector slice is SNAPSHOTTED first: kmeans_fit drives
+    # ~max_iter+2 separate actions, and each would otherwise replay
+    # the whole upstream curation lineage (bloom probe, dedup
+    # aggregates, quality regexes, LM pivot) per iteration — ~13×
+    # the corpus scan cost (r6 review; classifier.py documents the
+    # same hazard for logreg_fit). The slice is narrow (id + vector).
     if embeddings is not None:
         from . import semantic as S
 
         surv_vecs = embeddings.join(
             base.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
-        )
-        sem = S.semantic_dedup(
-            surv_vecs,
-            k=semantic_k,
-            threshold=semantic_threshold,
-            id_col=vec_id_col,
-            vec_col=vec_col,
-        )
-        sem_ids = sem.filter(F.col("is_dup")).select(
-            F.col(vec_id_col).alias(id_col)
-        )
+        ).localCheckpoint()
+        if not surv_vecs.head(1):
+            # nothing embedded survived (or ids don't align) — a
+            # zero-row k-means crashed with an opaque ValueError
+            sem_ids = surv_vecs.select(F.col(vec_id_col).alias(id_col))
+        else:
+            sem = S.semantic_dedup(
+                surv_vecs,
+                k=semantic_k,
+                threshold=semantic_threshold,
+                id_col=vec_id_col,
+                vec_col=vec_col,
+            )
+            sem_ids = sem.filter(F.col("is_dup")).select(
+                F.col(vec_id_col).alias(id_col)
+            )
         drops.append(_drops(sem_ids, id_col, "semantic_duplicate"))
-        base = base.join(sem_ids, id_col, "left_anti")
+        base = base.join(sem_ids.hint("shuffle_merge"), id_col, "left_anti")
 
     # 6. temperature-mixture downsampling by domain
     if domain_col is not None:

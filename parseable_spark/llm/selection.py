@@ -88,6 +88,12 @@ def dsir_log_ratios(
     n_unseen_features × that constant whenever the scored docs are not
     the fitted raw pool (incremental scoring). B is bounded (10⁴
     default), so dense still broadcasts."""
+    if not smoothing > 0:
+        # smoothing=0 makes log(0) NULL for target-unseen buckets, and
+        # the scorer's coalesce silently treats them as NEUTRAL rather
+        # than strongly negative — inflated weights for junk documents
+        # with no error anywhere (r6 review)
+        raise ValueError("smoothing must be > 0 (Laplace term keeps log finite)")
 
     def fit(df: DataFrame, name: str) -> tuple[DataFrame, int]:
         feats = hashed_feature_rows(

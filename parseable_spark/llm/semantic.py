@@ -97,6 +97,11 @@ def kmeans_fit(
         .select(F.col(id_col), as_double_array(vec_col).alias("v"))
         .collect()
     )
+    if not init:
+        # zero rows previously crashed with an opaque
+        # max()-of-empty-sequence ValueError on the first iteration
+        # (r6 review); fail loudly at the boundary instead
+        raise ValueError("cannot fit k-means on an empty embeddings frame")
     centroids = [(i, list(r["v"])) for i, r in enumerate(init)]
     for _ in range(max_iter):
         assigned = kmeans_assign(embeddings, centroids, id_col, vec_col)
@@ -196,7 +201,10 @@ def semantic_dedup(
         F.min("id_a").alias("dup_of")
     )
     return (
-        assigned.join(dup_of, id_col, "left")
+        # dup_of is aggregate-derived and corpus-scale under dense
+        # duplication — same AQE broadcast-misestimate class the
+        # memory probe OOM'd on (dedup.py precedent); hint it
+        assigned.join(dup_of.hint("shuffle_merge"), id_col, "left")
         .select(
             F.col(id_col),
             "cluster",

@@ -298,3 +298,77 @@ def test_near_dup_keep_best_quality(spark):
 
     with _pytest.raises(ValueError):
         curate_corpus(df, near_dup_keep="bogus", compute_summary=False)
+
+
+class TestR6ReviewGuards:
+    def test_invalid_params_raise_before_any_job(self, spark):
+        """Entry validation must cost microseconds: a typo'd option on
+        a 100 TB corpus must not run the eager LSH stages first. The
+        input df RAISES if anything executes it."""
+        from parseable_spark.llm.pipeline import curate_corpus
+
+        exploding = spark.range(1).selectExpr(
+            "id AS doc_id", "assert_true(false) AS text"
+        )
+        with pytest.raises(ValueError, match="near_dup_keep"):
+            curate_corpus(exploding, near_dup_keep="bogus")
+        with pytest.raises(ValueError, match="BOTH lm_counts"):
+            curate_corpus(exploding, max_pseudo_ppl=100.0)
+        with pytest.raises(ValueError, match="BOTH lm_counts"):
+            curate_corpus(exploding, lm_counts=spark.range(1))
+
+    def test_empty_embedding_slice_is_noop_not_crash(self, spark):
+        """Zero surviving embedded docs (misaligned ids here) crashed
+        k-means with max()-of-empty-sequence."""
+        from parseable_spark.llm.pipeline import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"distinct document number {i} " * 3
+              + "with the usual long words and filler to pass the gates")
+             for i in range(5)],
+            "doc_id bigint, text string",
+        )
+        vecs = spark.createDataFrame(
+            [(999 + i, [float(i), 1.0]) for i in range(3)],
+            "vec_id bigint, embedding array<double>",
+        )
+        res = curate_corpus(docs, embeddings=vecs, min_stopword_ratio=0.0)
+        assert res.kept.count() >= 1  # pipeline completed, no crash
+        assert res.decisions.filter("drop_reason = 'semantic_duplicate'").count() == 0
+
+    def test_kmeans_empty_raises_loudly(self, spark):
+        from parseable_spark.llm.semantic import kmeans_fit
+
+        empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="empty embeddings"):
+            kmeans_fit(empty, k=2, id_col="vec_id")
+
+    def test_dsir_smoothing_validated(self, spark):
+        from parseable_spark.llm.selection import dsir_log_ratios
+
+        df = spark.createDataFrame([("a b c",)], "text string")
+        with pytest.raises(ValueError, match="smoothing"):
+            dsir_log_ratios(df, df, smoothing=0.0)
+
+    def test_classifier_empty_and_final_loss(self, spark):
+        import math
+
+        from parseable_spark.llm.classifier import logreg_fit
+
+        empty = spark.createDataFrame([], "x double, y double")
+        with pytest.raises(ValueError, match="empty training set"):
+            logreg_fit(empty, ["x"], "y", iters=1)
+        # train_loss is the loss AT the returned weights: recompute it
+        # independently from the model's own score column
+        df = spark.createDataFrame(
+            [(float(i), 1.0 if i > 2 else 0.0) for i in range(6)], "x double, y double"
+        )
+        m = logreg_fit(df, ["x"], "y", iters=5, lr=0.8)
+        z = [m.bias + m.weights[0] * float(i) for i in range(6)]
+        ys = [1.0 if i > 2 else 0.0 for i in range(6)]
+        want = sum(
+            (zi - yi * zi + math.log1p(math.exp(-zi)))
+            if zi > 0 else (-yi * zi + math.log1p(math.exp(zi)))
+            for zi, yi in zip(z, ys)
+        ) / 6
+        assert abs(m.train_loss - want) < 1e-9
