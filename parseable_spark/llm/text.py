@@ -602,13 +602,20 @@ def log_templates(
     mined templates analytic — the oracle predicts them exactly.
     """
     if msg_col is None:
+        # coalesce the numeric fields: F.concat is NULL-propagating, so
+        # one NULL value/user_id made the whole synthesized message NULL
+        # and the row fell into a NULL template group — while the SQL
+        # oracle emits the masked template unconditionally (r6 review;
+        # latent on the NULL-free fixture). "0" masks to <NUM> exactly
+        # like any other numeral, so templates are unchanged where
+        # values exist.
         msg_col = F.concat(
             F.lit("user "),
-            F.col("user_id").cast("string"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("0")),
             F.lit(" completed "),
             F.col("event_type"),
             F.lit(" in "),
-            F.col("value").cast("string"),
+            F.coalesce(F.col("value").cast("string"), F.lit("0")),
             F.lit(" ms"),
         )
     # the numeric mask covers the FULL literal incl. sign and exponent:

@@ -295,11 +295,14 @@ def q24_dedup_exact_simhash(spark, sf_dir):
     """,
     doc=(
         "Full near-dup pipeline in one result: MinHash(8) + LSH(4 bands "
-        "x 2) candidate pairs — shuffle on band hash, no all-pairs join, "
-        "giant-bucket star guard (bucket_cap=64) — then exact n-gram "
-        "Jaccard on the candidates only, with the >=0.2 verification "
-        "verdict as a flag so both the candidate set and the verified "
-        "set are hash-checked. (r2 names: q25 + q26.)"
+        "x 2) candidate pairs — shuffle on band hash, no all-pairs join "
+        "— then exact n-gram Jaccard on the candidates only, with the "
+        ">=0.2 verification verdict as a flag so both the candidate set "
+        "and the verified set are hash-checked. NOTE: the giant-bucket "
+        "star guard (bucket_cap) is DISABLED here to match the all-pairs "
+        "DuckDB oracle; the deployable capped shape is benched as "
+        "q25_dedup_minhash_production — do not copy this query to a "
+        "duplicate-flooded corpus without the cap. (r2 names: q25 + q26.)"
     ),
 )
 def q25_dedup_minhash_verified(spark, sf_dir):
@@ -877,7 +880,7 @@ def q48_curation_quality(spark, sf_dir):
     ),
 )
 def q49_distributed_ingest(spark, sf_dir):
-    from pyspark.sql import functions as F
+    from datetime import datetime
 
     from ..ingest import schema as sc
     from ..ingest.distributed import infer_schema_distributed, normalize_distributed
@@ -898,7 +901,7 @@ def q49_distributed_ingest(spark, sf_dir):
     reg = sc.SchemaRegistry()
     infer_schema_distributed(raw, reg, cfg)
     out = normalize_distributed(
-        spark, raw, reg, cfg, p_timestamp=__import__("datetime").datetime(2026, 1, 1)
+        spark, raw, reg, cfg, p_timestamp=datetime(2026, 1, 1)
     )
     return out.select("id", "lang", "size", "origin_name")
 

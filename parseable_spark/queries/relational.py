@@ -176,6 +176,12 @@ def q06_count_distinct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     n_users = (
         ev.select("event_type", "user_id")
+        # SQL's COUNT(DISTINCT user_id) ignores NULLs; the distinct
+        # projection would keep one (event_type, NULL) row and count
+        # it (r6 review — latent: the fixture has no NULL user_ids,
+        # but the n_events leg below already uses the NULL-skipping
+        # count(user_id), and the two legs must agree)
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -560,34 +566,36 @@ def q13_join_suite(spark, sf_dir):
             F.count("c_custkey").alias("n_customers"),
             F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
         )
+        # nation-cardinality snapshot: BOTH tagged branches consume it,
+        # and without it the union replayed the customer join+aggregate
+        # twice (r6 review; the docstring always claimed computed-once)
+        .localCheckpoint()
     )
     ncust = tagged(outer, "nation_customers", "n_nationkey", F.col("n_customers"))
     nrich = tagged(outer, "nation_rich", "n_nationkey", F.col("n_rich"))
     return anti.unionAll(semi).unionAll(both).unionAll(conly).unionAll(ncust).unionAll(nrich)
 
 
-@register(
-    "q15_subqueries",
-    """
+_Q15_SQL = """
     SELECT p_partkey, p_retailprice
     FROM part
     WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.04 FROM part)
       AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.5)
-    """,
+"""  # ONE text for oracle and execution — a dialect-valid edit to one
+# copy that means something different in the other survives until the
+# hash gate otherwise (r6 review; the _lang_pred precedent)
+
+
+@register(
+    "q15_subqueries",
+    _Q15_SQL,
     doc="Scalar subquery + NOT IN subquery (reference traces.rs:612).",
 )
 def q15_subqueries(spark, sf_dir):
     # expressed through Spark SQL to exercise the subquery planner
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT p_partkey, p_retailprice
-        FROM part
-        WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.04 FROM part)
-          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.5)
-        """
-    )
+    return spark.sql(_Q15_SQL)
 
 
 @register(
@@ -762,9 +770,7 @@ def q45_theta_join(spark, sf_dir):
     )
 
 
-@register(
-    "q47_window_frames",
-    """
+_Q47_SQL = """
     WITH w AS (
         SELECT event_id, event_type, value,
                avg(value) OVER win_rows AS mu,
@@ -772,7 +778,7 @@ def q45_theta_join(spark, sf_dir):
                count(*) OVER win_rows AS n,
                round(sum(value) OVER win_range, 2) AS rolling_sum_1h,
                CAST(count(*) OVER win_range AS BIGINT) AS n_events_1h
-        FROM events
+        FROM {table}
         WINDOW win_rows AS (
             PARTITION BY event_type ORDER BY ts, event_id
             ROWS BETWEEN 100 PRECEDING AND CURRENT ROW
@@ -785,8 +791,18 @@ def q45_theta_join(spark, sf_dir):
            round((value - mu) / sigma, 3) AS zscore,
            rolling_sum_1h, n_events_1h
     FROM w
-    WHERE n > 30 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
-    """,
+    WHERE n > 30 AND round(sigma, 6) > 0
+      AND abs(round((value - mu) / sigma, 6)) > 2.5
+"""  # ONE template for oracle and execution; the row-membership gate
+# compares ROUNDED floats — raw engine floats differ in the last ulps
+# (Welford vs sum-of-squares stddev), so a z-score within ulps of 2.5
+# could flip the result set between engines (r6 review; every other
+# float gate in this file already rounds first)
+
+
+@register(
+    "q47_window_frames",
+    _Q47_SQL.format(table="events"),
     doc=(
         "Window frames, both kinds, one partitioning: rolling z-score "
         "anomaly detection over a ROWS BETWEEN frame plus rolling 1 h "
@@ -800,28 +816,6 @@ def q45_theta_join(spark, sf_dir):
 def q47_window_frames(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_q47_events")
-    return spark.sql(
-        """
-        WITH w AS (
-            SELECT event_id, event_type, value,
-                   avg(value) OVER win_rows AS mu,
-                   stddev_samp(value) OVER win_rows AS sigma,
-                   count(*) OVER win_rows AS n,
-                   round(sum(value) OVER win_range, 2) AS rolling_sum_1h,
-                   CAST(count(*) OVER win_range AS BIGINT) AS n_events_1h
-            FROM _q47_events
-            WINDOW win_rows AS (
-                PARTITION BY event_type ORDER BY ts, event_id
-                ROWS BETWEEN 100 PRECEDING AND CURRENT ROW
-            ), win_range AS (
-                PARTITION BY event_type ORDER BY ts
-                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-            )
-        )
-        SELECT event_id, event_type,
-               round((value - mu) / sigma, 3) AS zscore,
-               rolling_sum_1h, n_events_1h
-        FROM w
-        WHERE n > 30 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
-        """
-    )
+    return spark.sql(_Q47_SQL.format(table="_q47_events"))
+
+

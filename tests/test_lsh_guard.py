@@ -89,3 +89,25 @@ def test_no_cache_manager_entries_after_dedup_queries(spark):
     verified = dedup.jaccard_verify(docs, cands, threshold=0.2)
     assert dedup.connected_components(verified).count() > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_connected_components_long_chain(spark):
+    """r6 review: plain min-label propagation moved the min id ONE hop
+    per round, so a chain longer than max_iterations (incrementally
+    edited boilerplate where only consecutive pairs clear the
+    threshold) SILENTLY returned split clusters. Pointer jumping now
+    converges in O(log diameter): a 60-hop path labels to node 0 well
+    inside the default 20-round budget."""
+    from parseable_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    out = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 61
+    # an impossible budget raises instead of returning wrong labels
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
