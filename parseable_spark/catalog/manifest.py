@@ -26,6 +26,7 @@ import math
 import os
 from dataclasses import asdict, dataclass, field
 from datetime import datetime
+from decimal import Decimal
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -48,6 +49,15 @@ def _stat_value(v: Any) -> Any:
             return None
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None  # reference drops NaN ranges (column.rs:118-135)
+    if isinstance(v, Decimal):
+        # uint64 columns (__series_hash_u64) store as decimal(20,0);
+        # Decimal is not JSON-serializable and crashed manifest.save on
+        # the FIRST flush of any OTel metrics stream (found via the
+        # asInt ingest-to-query regression test). Integral decimals
+        # round-trip exactly as int; fractional ones as float (pruning
+        # comparisons only need ordering, and Manifest JSON reloads
+        # them consistently).
+        return int(v) if v == v.to_integral_value() else float(v)
     return v
 
 

@@ -391,6 +391,40 @@ class TestR6ReviewFixes:
         rec = flatten_otel_metrics(payload)[0]
         assert rec["data_point_value"] == 9007199254740993  # exact, not 2^53-rounded
 
+    def test_as_int_precision_survives_v1_ingest_to_query(self, spark, tmp_path):
+        """Judge ADVICE r6 (low): the r6 fix was flattener-only — the
+        V1 schema coercion (every JSON int64 → float64) re-coerced
+        data_point_value to double AT INGEST, so counters above 2^53
+        were still corrupted once STORED. data_point_value is now
+        exempt from the V1 coercion (like __series_hash_u64); this
+        pins the whole path: flatten → ingest → flush → scan."""
+        from datetime import datetime
+
+        from parseable_spark.ingest.events import StreamConfig
+        from parseable_spark.ingest.otel import flatten_otel_metrics
+        from parseable_spark.storage.store import StreamStore
+
+        payload = {
+            "resourceMetrics": [{"scopeMetrics": [{"metrics": [{
+                "name": "bytes_total",
+                "sum": {"dataPoints": [{"timeUnixNano": "1", "asInt": "9007199254740993"}]},
+            }]}]}]
+        }
+        st = StreamStore(spark, str(tmp_path), StreamConfig(name="m1"))
+        st.ingest(
+            flatten_otel_metrics(payload),
+            p_timestamp=datetime(2026, 8, 14, 12, 0),
+        )
+        st.flush()
+        rows = (
+            st.scan(now=datetime(2026, 8, 14, 12, 1))
+            .select("data_point_value")
+            .collect()
+        )
+        assert len(rows) == 1
+        v = rows[0][0]
+        assert isinstance(v, int) and v == 9007199254740993  # exact int64
+
     def test_attributes_cannot_spoof_engine_fields(self):
         """r6 review (verified): a log attribute named time_unix_nano
         overwrote the record timestamp; a metric label metric_name

@@ -336,6 +336,41 @@ class TestEngineHardeningR5S7:
         assert eng.query("SELECT v AS `delete` FROM hstream").count() == 1
         eng.deregister_stream("hstream")
 
+    def test_gate_quote_pairing_bypass(self, spark):
+        """Judge ADVICE r6 (high): sequential blanking passes misalign
+        with the lexer — a single quote inside a backticked identifier
+        or double-quoted literal paired with a LATER literal's opening
+        quote and blanked the intervening DML keywords. Single-pass
+        alternation must catch all of these."""
+        eng = self._eng(spark)
+        for bad in (
+            # quote inside backticked identifier swallows INSERT..DIRECTORY
+            "WITH t AS (SELECT 1 AS `a'b`) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT * FROM t",
+            # quote inside double-quoted literal, same shape
+            "WITH t AS (SELECT \"a'b\" AS a) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT * FROM t",
+            # double quote inside single-quoted literal hiding DELETE
+            "WITH t AS (SELECT 'a\"b' AS a) DELETE FROM hstream WHERE v=1",
+            # quote inside a block comment
+            "WITH t AS (SELECT 1 /* don't */) INSERT INTO hstream "
+            "SELECT 1, NULL",
+        ):
+            with pytest.raises(ValueError, match="not\\s+allowed|read-only"):
+                eng.query(bad)
+        # ...while legitimate queries mixing all three quote kinds pass
+        assert (
+            eng.query(
+                "SELECT v AS `a'b`, 'don''t \"update\"' AS m, "
+                '"can\'t delete" AS n FROM hstream'
+            ).count()
+            == 1
+        )
+        # keyword-as-identifier rejection names the backtick escape hatch
+        with pytest.raises(ValueError, match="backtick"):
+            eng.query("SELECT update FROM hstream")
+        eng.deregister_stream("hstream")
+
     def test_sql_on_files_disabled(self, spark):
         """`SELECT * FROM text.`/etc/hosts`` must not read local files —
         it bypassed the view registry and per-stream RBAC entirely."""
