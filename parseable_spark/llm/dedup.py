@@ -268,8 +268,10 @@ def build_lsh_index(
     time so incremental runs never re-aggregate the historical corpus.
 
     At 100 TB this is THE dedup artifact to keep: ~num_bands narrow
-    rows per document, written partitioned/bucketed by band_hash so an
-    increment's probe join co-locates without shuffling the index.
+    rows per document. The persisted form lives in
+    `streaming/dedup_index.py` (partitioned by pmod(band_hash, N),
+    band_hash-sorted small row groups) so an increment's probe
+    partition- and row-group-prunes instead of scanning the index.
     Pass `banded` to reuse bands already computed for the same docs.
     """
     from pyspark.sql.window import Window
@@ -307,10 +309,12 @@ def incremental_lsh_candidates(
     Output (id_a < id_b): new↔new pairs via the same banded self-join +
     giant-bucket star guard as `minhash_lsh_candidates`, plus new↔old
     pairs via a probe join of the increment's bands against the index —
-    the new side of that join is the small side (broadcast; with the
-    index stored bucketed by band_hash the probe is also
-    partition-prunable, so a daily increment touches only the band
-    partitions it hashes into). Index buckets past `bucket_cap` pair
+    the new side of that join is the small side (broadcast). Pass the
+    PRUNED index slice for `index` when it is persisted:
+    `StreamingDedupIndex.probe_index` partition-prunes to the
+    increment's band_pt dirs and row-group-prunes via chunked band_hash
+    IN pushdown, so the probe reads O(increment) index bytes, not
+    O(history). Index buckets past `bucket_cap` pair
     each new doc against the bucket's stored representative only —
     bounded output, connectivity through the rep preserved, same
     trade-off as the intra-corpus guard.

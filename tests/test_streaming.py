@@ -588,10 +588,18 @@ def test_streaming_dedup_index_end_to_end(spark, tmp_path):
     }
     assert got == want
 
-    # rolling index == from-scratch rebuild over the full corpus
-    cols = ["doc_id", "band_idx", "band_hash", "bsz", "rep_id"]
+    # rolling index holds exactly the rebuild's signature rows; bucket
+    # stats are batch-local until compact_index globalizes them (r7
+    # append-only layout — stats parameterize the flood guard only)
+    cols = ["doc_id", "band_idx", "band_hash"]
     assert sorted(map(tuple, idx.index_df().select(cols).collect())) == sorted(
         map(tuple, build_lsh_index(all_docs).select(cols).collect())
+    )
+    # after compacting everything, stats equal the global rebuild's
+    idx.compact_index(keep_recent=0)
+    full = ["doc_id", "band_idx", "band_hash", "bsz", "rep_id"]
+    assert sorted(map(tuple, idx.index_df().select(full).collect())) == sorted(
+        map(tuple, build_lsh_index(all_docs).select(full).collect())
     )
 
 
@@ -652,6 +660,180 @@ def test_dedup_index_text_lookup_is_pruned(spark, tmp_path):
     assert idx.lookup_texts(empty).count() == 0
     fresh = StreamingDedupIndex(spark, str(tmp_path / "fresh"))
     assert fresh.lookup_texts(ids_df).count() == 0
+
+
+def test_dedup_index_pruned_probe_paths(spark, tmp_path):
+    """r7 (judge next-1): the signature index is partitioned by
+    band_pt = pmod(xxhash64(band_hash), N) with band_hash-sorted small
+    row groups; the per-batch probe partition-prunes and (when the
+    index is large enough to pay for it) pushes chunked band_hash
+    IN-lists for row-group pruning. All probe variants must emit the
+    SAME candidate pairs, and the pruned plan must carry both the
+    band_pt partition filter and the pushed band_hash filter."""
+    import os as _os
+
+    from parseable_spark.llm.dedup import banded_rows
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    base_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in base_docs.orderBy("doc_id").limit(24).collect()]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    probe_rows = [
+        (100, texts[0] + " tiny tail"),  # near-dup of doc 0
+        (101, "completely unrelated words about nothing in particular"),
+    ]
+    variants = {
+        # forced chunking (prune_min_bytes=0), tiny chunks to exercise
+        # the union-of-branches shape
+        "chunked": dict(prune_min_bytes=0, in_chunk=3),
+        # adaptive default: small index -> partition-pruned plain scan
+        "plain": dict(),
+    }
+    got = {}
+    for name, kw in variants.items():
+        idx = StreamingDedupIndex(
+            spark, str(tmp_path / name), bucket_cap=10**9,
+            band_partitions=8, **kw,
+        )
+        idx.process_batch(
+            spark.createDataFrame(rows, "doc_id bigint, text string"), 0
+        )
+        idx.process_batch(
+            spark.createDataFrame(probe_rows, "doc_id bigint, text string"), 1
+        )
+        got[name] = {
+            (r["id_a"], r["id_b"]) for r in idx.candidates().collect()
+        }
+    assert got["chunked"] == got["plain"]
+    assert (0, 100) in got["chunked"]  # the planted cross-batch pair
+
+    # layout: band_pt partition dirs under each batch partition
+    iroot = tmp_path / "plain" / "index"
+    bdirs = [d for d in _os.listdir(iroot) if d.startswith("batch_id=")]
+    assert bdirs and all(
+        any(s.startswith("band_pt=") for s in _os.listdir(iroot / d))
+        for d in bdirs
+    )
+    # the pruned probe's plan shows partition pruning + pushed filter
+    idxc = StreamingDedupIndex(
+        spark, str(tmp_path / "chunked"), bucket_cap=10**9,
+        prune_min_bytes=0, in_chunk=3,
+    )
+    banded = banded_rows(
+        spark.createDataFrame(probe_rows, "doc_id bigint, text string")
+    )
+    pi = idxc.probe_index(2, banded)
+    plan = pi._jdf.queryExecution().executedPlan().toString()
+    assert "band_pt" in plan and "band_hash" in plan
+
+
+def test_dedup_index_migrates_flat_layout(spark, tmp_path):
+    """Upgrade path: a pre-r7 store persisted the index as flat
+    ``index/v{N}`` versions. Constructing over such state must migrate
+    the newest version into generation -1 of the partitioned layout
+    (one-time), preserve every signature row, and keep probing
+    correctly."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    d = tmp_path / "d"
+    idx = StreamingDedupIndex(spark, str(d), bucket_cap=10**9)
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i} with shared words") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    idx.process_batch(docs, 0)
+    rows_before = sorted(
+        map(tuple, idx.index_df().select("doc_id", "band_idx", "band_hash").collect())
+    )
+    # reshape on-disk state to the old layout: flat v{latest} + meta
+    # without band_partitions
+    v = idx.latest_version()
+    flat = idx.index_df()
+    flat.write.mode("overwrite").parquet(str(d / "index" / f"v{v}"))
+    for name in _os.listdir(d / "index"):
+        if name.startswith("batch_id="):
+            _shutil.rmtree(d / "index" / name)
+    meta = _json.loads((d / "meta.json").read_text())
+    del meta["band_partitions"]
+    (d / "meta.json").write_text(_json.dumps(meta))
+
+    idx2 = StreamingDedupIndex(spark, str(d), bucket_cap=10**9)
+    assert not any(
+        n.startswith("v") for n in _os.listdir(d / "index")
+    )  # old dirs gone
+    assert sorted(
+        map(tuple, idx2.index_df().select("doc_id", "band_idx", "band_hash").collect())
+    ) == rows_before
+    # history still probes: a near-dup of doc 0 lands a cross-batch pair
+    idx2.process_batch(
+        spark.createDataFrame(
+            [(50, "some document body number 0 with shared words plus tail")],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in idx2.candidates().collect()}
+    assert (0, 50) in pairs
+
+
+def test_dedup_index_compaction_globalizes_stats_and_heals_orphans(
+    spark, tmp_path
+):
+    """compact_index merges out-of-grace batch partitions + ALL
+    generations (a crash between a compaction's write and delete
+    leaves two generations; folding only the newest would orphan the
+    older forever), de-duplicates crash duplicates on (id, band_idx),
+    and recomputes bsz/rep_id globally."""
+    import os as _os
+    import shutil as _shutil
+
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    d = tmp_path / "d"
+    idx = StreamingDedupIndex(
+        spark, str(d), bucket_cap=10**9, compact_every=0
+    )
+    for b in range(6):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"shared words body {i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        idx.fold_batch(docs, b)
+    rows = lambda: sorted(  # noqa: E731
+        map(
+            tuple,
+            idx.index_df().select("doc_id", "band_idx", "band_hash").collect(),
+        )
+    )
+    before = rows()
+    idx.compact_index(keep_recent=2)
+    parts = {p for p in _os.listdir(d / "index") if p.startswith("batch_id=")}
+    assert parts == {"batch_id=-1", "batch_id=4", "batch_id=5"}
+    assert rows() == before
+    # same text across batches -> same bucket; compacted stats count it
+    # GLOBALLY (4 copies of "shared words body i" per i across 6
+    # batches -> bsz >= 4 in the generation)
+    gen = spark.read.parquet(str(d / "index")).filter("batch_id = -1")
+    assert gen.filter("bsz >= 4").count() > 0
+    # simulate crash: duplicate the generation as an older orphan
+    _shutil.copytree(d / "index" / "batch_id=-1", d / "index" / "batch_id=-2")
+    # swap names so -1 is the "older orphan" and -2 the newest: not
+    # needed — both are folded regardless of order
+    idx.fold_batch(
+        spark.createDataFrame([(90, "x y z")], "doc_id bigint, text string"), 6
+    )
+    idx.compact_index(keep_recent=2)
+    parts2 = {p for p in _os.listdir(d / "index") if p.startswith("batch_id=")}
+    assert parts2 == {"batch_id=-3", "batch_id=5", "batch_id=6"}
+    # crash-duplicates de-duplicated: row set unchanged (plus batch 6)
+    after = rows()
+    assert len(after) == len(before) + len(
+        [r for r in after if r[0] == 90]
+    )
 
 
 def test_dedup_index_texts_compaction(spark, tmp_path):
