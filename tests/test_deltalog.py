@@ -194,6 +194,97 @@ class TestMirror:
             f.file_path for f in st2.manifest.files
         }
 
+    def test_checkpoint_written_and_log_cleaned(self, spark, tmp_path):
+        """r7 (judge next-2): every 10 versions the mirror writes a
+        PROTOCOL.md parquet checkpoint + _last_checkpoint and deletes
+        the superseded JSON commits. A cold reader (fresh DeltaLog)
+        starts from the checkpoint + JSON tail and sees exactly the
+        manifest state; replay cost stops growing with total history."""
+        from parseable_spark.storage.deltalog import DeltaLog
+
+        st = _store(spark, tmp_path)
+        for i in range(13):
+            st.ingest([{"n": i}], p_timestamp=_ts(1 + i % 27))
+            st.flush()
+        log_dir = os.path.join(st.data_dir, "_delta_log")
+        lc = st.delta_log.last_checkpoint()
+        assert lc is not None and lc["version"] >= 9  # interval=10 from -1
+        ckpt = os.path.join(
+            log_dir, f"{lc['version']:020d}.checkpoint.parquet"
+        )
+        assert os.path.exists(ckpt)
+        # superseded JSON gone; checkpoint version's own JSON retained
+        remaining = st.delta_log.versions()
+        assert min(remaining) == lc["version"]
+        # cold reader: checkpoint + tail == manifest state
+        fresh = DeltaLog(st.data_dir)
+        assert set(fresh.live_paths()) == {
+            f.file_path for f in st.manifest.files
+        }
+        assert fresh.num_records() == st.manifest.total_rows()
+        meta = fresh.metadata()
+        assert meta is not None and "schemaString" in meta
+        # checkpoint is spec-shaped: one non-null action per row,
+        # protocol + metaData present
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(ckpt).to_pylist()
+        kinds = [
+            [k for k in ("protocol", "metaData", "add", "remove", "txn")
+             if r.get(k) is not None]
+            for r in tbl
+        ]
+        assert all(len(k) == 1 for k in kinds)
+        flat = [k[0] for k in kinds]
+        assert "protocol" in flat and "metaData" in flat and "add" in flat
+        # mirroring continues past the checkpoint
+        st.ingest([{"n": 99}], p_timestamp=_ts(20))
+        st.flush()
+        assert set(DeltaLog(st.data_dir).live_paths()) == {
+            f.file_path for f in st.manifest.files
+        }
+
+    def test_checkpoint_replay_is_tail_bounded(self, tmp_path):
+        """Synthetic many-commit log: with checkpointing the JSON file
+        count (what a cold replay must open) stays bounded by the
+        checkpoint interval while total committed versions grow 20x."""
+        from dataclasses import dataclass, field
+
+        from parseable_spark.storage.deltalog import DeltaLog
+
+        @dataclass
+        class FakeStats:
+            file_path: str
+            num_rows: int = 1
+            file_size: int = 10
+            columns: dict = field(default_factory=dict)
+
+        log = DeltaLog(str(tmp_path))
+        log.init_table('{"type":"struct","fields":[]}', [])
+        files = []
+        opened = []
+        for i in range(200):
+            files.append(FakeStats(str(tmp_path / f"f{i}.parquet")))
+            if len(files) > 8:
+                files.pop(0)  # rolling retention keeps live set small
+            log.commit_diff(list(files), "WRITE")
+            log.maybe_checkpoint(interval=10)
+            opened.append(len(log.versions()))
+        assert max(opened) <= 12  # tail never exceeds interval + slack
+        fresh = DeltaLog(str(tmp_path))
+        assert set(fresh.live_paths()) == {f.file_path for f in files}
+        # remove tombstones within retention ride along in checkpoints
+        lc = log.last_checkpoint()
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(
+                str(tmp_path), "_delta_log",
+                f"{lc['version']:020d}.checkpoint.parquet",
+            )
+        ).to_pylist()
+        assert any(r.get("remove") is not None for r in tbl)
+
     def test_disabled_by_default(self, spark, tmp_path):
         st = StreamStore(spark, str(tmp_path), StreamConfig(name="plain"))
         st.ingest([{"n": 1}], p_timestamp=_ts(1))
@@ -227,6 +318,15 @@ def test_real_delta_reader_roundtrip(tmp_path):
         st.flush()
         got = spark.read.format("delta").load(st.data_dir)
         assert got.count() == 25
+        # r7: checkpointed table — force a checkpoint + JSON cleanup,
+        # keep committing, and make the real reader consume
+        # checkpoint + tail (the path a long-lived stream exercises)
+        for i in range(12):
+            st.ingest([{"n": 100 + i}], p_timestamp=_ts(2 + i))
+            st.flush()
+        assert st.delta_log.last_checkpoint() is not None
+        got2 = spark.read.format("delta").load(st.data_dir)
+        assert got2.count() == 25 + 12
     finally:
         spark.stop()
 
