@@ -101,6 +101,16 @@ class StreamStore:
             from .deltalog import DeltaLog
 
             self.delta_log = DeltaLog(self.data_dir)
+            # crash reconcile: a kill between a manifest commit and its
+            # mirror sync leaves the log one version behind — and an
+            # IDLE stream would stay stale forever (the mirror only
+            # heals on the next commit). Cheap at open: compare the
+            # replayed live set against the manifest and emit the
+            # missing transition if any (r7 crash drill).
+            if self.manifest.files and set(self.delta_log.live_paths()) != {
+                f.file_path for f in self.manifest.files
+            }:
+                self._delta_sync("WRITE", self._capture_mirror())
 
     def _capture_mirror(self, files: list | None = None) -> tuple[int, list]:
         """Stamp a manifest-files snapshot with a monotonic sequence.

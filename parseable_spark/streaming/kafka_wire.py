@@ -25,7 +25,16 @@ the docstrings below), with no external dependency:
   versions: no tagged fields, no compact encodings — every real broker
   still speaks them);
 - `MiniKafkaBroker`: an in-process TCP broker holding topic/partition
-  logs in memory, speaking exactly those five APIs;
+  logs in memory, speaking those five APIs plus (r7) the
+  consumer-group coordination set (FindCoordinator/JoinGroup/
+  SyncGroup/Heartbeat/LeaveGroup/OffsetCommit/OffsetFetch) with
+  real-broker error semantics (ILLEGAL_GENERATION,
+  UNKNOWN_MEMBER_ID, REBALANCE_IN_PROGRESS);
+- `GroupConsumer`: a subscribe-mode client running the full dance —
+  the wire test for the broker side, and documentation that Spark's
+  connector itself runs ASSIGN mode (checkpointed offsets, no group
+  membership), so the env-gated real-connector e2e needs only the
+  original five APIs;
 - `wire_produce` / `consume_all`: a producer and consumer speaking the
   same bytes over a real socket;
 - `kafka_batch_df`: consumed records as a DataFrame with the EXACT
@@ -65,10 +74,24 @@ SPARK_SQL_KAFKA_PACKAGE = (
 )
 
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = 0, 1, 2, 3, 18
+# consumer-group coordination (r7, VERDICT r6 next-4): the assign-mode
+# path spark-sql-kafka actually uses needs none of these (Spark manages
+# offsets in its own checkpoint and its executors call assign(), never
+# subscribe(); the driver reads offsets via AdminClient Metadata +
+# ListOffsets — apache/spark KafkaOffsetReaderAdmin), but a
+# group-subscribe client (kafka-python, a plain JVM consumer) needs the
+# full dance: FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
+# OffsetCommit/OffsetFetch → LeaveGroup.
+API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
+API_JOIN_GROUP, API_HEARTBEAT, API_LEAVE_GROUP, API_SYNC_GROUP = 11, 12, 13, 14
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
+ERR_MEMBER_ID_REQUIRED = 79  # KIP-394 (JoinGroup v4+); we stay pre-v4
 
 EARLIEST_TS, LATEST_TS = -2, -1
 
@@ -311,12 +334,36 @@ def decode_record_batches(data: bytes) -> list[WireRecord]:
 # --- mini broker -------------------------------------------------------------
 
 
+class _Group:
+    """One consumer group's coordination state. Real-broker semantics
+    at mini scale: generation bumps whenever MEMBERSHIP changes (join
+    of a new member, leave), requests carrying a stale generation or an
+    unknown member id get the matching error, the first joiner is the
+    leader, assignment bytes are opaque (stored at SyncGroup from the
+    leader, handed back per member), committed offsets survive
+    rebalances (they key on the group, not the member)."""
+
+    def __init__(self) -> None:
+        self.generation = 0
+        self.protocol_type: str | None = None
+        self.protocol_name: str | None = None
+        self.leader: str | None = None
+        self.members: dict[str, bytes] = {}  # member_id -> metadata
+        self.assignments: dict[str, bytes] = {}  # member_id -> assignment
+        self.pending_sync: set[str] = set()  # members that must re-sync
+        self.offsets: dict[tuple[str, int], tuple[int, str | None]] = {}
+        self.next_member = 0
+
+
 class _BrokerState:
     def __init__(self) -> None:
         self.lock = threading.Lock()
         # (topic, partition) -> list[WireRecord] with absolute offsets
         self.logs: dict[tuple[str, int], list[WireRecord]] = {}
         self.topics: dict[str, int] = {}  # topic -> partition count
+        self.groups: dict[str, _Group] = {}
+        self.host = "127.0.0.1"
+        self.port = 0  # filled once the server binds
 
     def create_topic(self, topic: str, partitions: int = 1) -> None:
         with self.lock:
@@ -327,7 +374,10 @@ class _BrokerState:
 
 class MiniKafkaBroker:
     """Single-node in-process broker speaking ApiVersions v0,
-    Metadata v1, ListOffsets v1, Fetch v4, Produce v3 over real TCP.
+    Metadata v1, ListOffsets v1, Fetch v4, Produce v3, and (r7) the
+    consumer-group coordination set — FindCoordinator v0/v1,
+    JoinGroup v2, SyncGroup v1, Heartbeat v1, LeaveGroup v1,
+    OffsetCommit v2/v3, OffsetFetch v1 — over real TCP.
     Test double for the protocol layer; `with MiniKafkaBroker() as b:`."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
@@ -356,6 +406,8 @@ class MiniKafkaBroker:
 
         self._server = Server((host, port), Handler)
         self.host, self.port = self._server.server_address
+        # FindCoordinator answers with this node's own address
+        self.state.host, self.state.port = self.host, self.port
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="mini-kafka", daemon=True
         )
@@ -409,6 +461,13 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
             (API_LIST_OFFSETS, 1, 1),
             (API_METADATA, 1, 1),
             (API_VERSIONS, 0, 0),
+            (API_OFFSET_COMMIT, 2, 3),
+            (API_OFFSET_FETCH, 1, 1),
+            (API_FIND_COORDINATOR, 0, 1),
+            (API_JOIN_GROUP, 2, 2),
+            (API_HEARTBEAT, 1, 1),
+            (API_LEAVE_GROUP, 1, 1),
+            (API_SYNC_GROUP, 1, 1),
         ]
         w.i32(len(supported))
         for k, lo, hi in supported:
@@ -554,6 +613,173 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
                 w.i64(base)
                 w.i64(lat)
         w.i32(0)  # throttle_time_ms
+    elif api_key == API_FIND_COORDINATOR and api_version in (0, 1):
+        # v0: key(str); v1: key(str), key_type(int8). Single node: the
+        # coordinator for every group is this broker.
+        rd.string()
+        if api_version == 1:
+            rd.i8()
+            w.i32(0)  # throttle_time_ms
+        w.i16(ERR_NONE)
+        if api_version == 1:
+            w.string(None)  # error_message
+        w.i32(0)  # node_id
+        w.string(state.host)
+        w.i32(state.port)
+    elif api_key == API_JOIN_GROUP and api_version == 2:
+        # group(str), session_timeout(i32), rebalance_timeout(i32),
+        # member(str), protocol_type(str),
+        # protocols[name(str), metadata(bytes)]
+        gid = rd.string()
+        rd.i32()
+        rd.i32()
+        member = rd.string() or ""
+        ptype = rd.string()
+        protos = [(rd.string(), rd.bytes_()) for _ in range(rd.i32())]
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            if member and member not in g.members:
+                w.i32(0)
+                w.i16(ERR_UNKNOWN_MEMBER_ID)
+                w.i32(-1)
+                w.string("")
+                w.string("")
+                w.string(member)
+                w.i32(0)
+                return bytes(w.buf)
+            if not member:
+                member = f"ps-member-{g.next_member}"
+                g.next_member += 1
+            is_new = member not in g.members
+            g.members[member] = protos[0][1] or b"" if protos else b""
+            if is_new:
+                # membership changed: new generation, everyone re-syncs
+                g.generation += 1
+                g.pending_sync = set(g.members)
+                g.assignments = {}
+            if g.leader not in g.members:
+                g.leader = member
+            g.protocol_type = ptype
+            g.protocol_name = protos[0][0] if protos else ""
+            w.i32(0)  # throttle_time_ms
+            w.i16(ERR_NONE)
+            w.i32(g.generation)
+            w.string(g.protocol_name)
+            w.string(g.leader)
+            w.string(member)
+            # member list: only the leader needs it (it computes the
+            # assignment); real brokers send it to everyone
+            w.i32(len(g.members))
+            for mid, meta in g.members.items():
+                w.string(mid)
+                w.bytes_(meta)
+    elif api_key == API_SYNC_GROUP and api_version == 1:
+        gid = rd.string()
+        gen = rd.i32()
+        member = rd.string() or ""
+        n = rd.i32()
+        assigns = [(rd.string(), rd.bytes_()) for _ in range(n)]
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            w.i32(0)  # throttle_time_ms
+            if member not in g.members:
+                w.i16(ERR_UNKNOWN_MEMBER_ID)
+                w.bytes_(b"")
+            elif gen != g.generation:
+                w.i16(ERR_ILLEGAL_GENERATION)
+                w.bytes_(b"")
+            else:
+                if member == g.leader:
+                    for mid, a in assigns:
+                        g.assignments[mid] = a or b""
+                g.pending_sync.discard(member)
+                w.i16(ERR_NONE)
+                w.bytes_(g.assignments.get(member, b""))
+    elif api_key == API_HEARTBEAT and api_version == 1:
+        gid, gen, member = rd.string(), rd.i32(), rd.string() or ""
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            w.i32(0)  # throttle_time_ms
+            if member not in g.members:
+                w.i16(ERR_UNKNOWN_MEMBER_ID)
+            elif gen != g.generation:
+                w.i16(ERR_ILLEGAL_GENERATION)
+            elif g.pending_sync:
+                # a rebalance is in flight: members must re-join/sync
+                w.i16(ERR_REBALANCE_IN_PROGRESS)
+            else:
+                w.i16(ERR_NONE)
+    elif api_key == API_LEAVE_GROUP and api_version == 1:
+        gid, member = rd.string(), rd.string() or ""
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            w.i32(0)  # throttle_time_ms
+            if member not in g.members:
+                w.i16(ERR_UNKNOWN_MEMBER_ID)
+            else:
+                del g.members[member]
+                g.assignments.pop(member, None)
+                g.generation += 1
+                g.pending_sync = set(g.members)
+                if g.leader == member:
+                    g.leader = next(iter(g.members), None)
+                w.i16(ERR_NONE)
+    elif api_key == API_OFFSET_COMMIT and api_version in (2, 3):
+        # v2/v3 request: group, generation, member, retention(i64),
+        # topics[name, partitions[partition, offset, metadata]];
+        # v3 response adds throttle_time_ms
+        gid = rd.string()
+        gen = rd.i32()
+        member = rd.string() or ""
+        rd.i64()  # retention_time_ms
+        topics = []
+        for _ in range(rd.i32()):
+            t = rd.string()
+            parts = [
+                (rd.i32(), rd.i64(), rd.string()) for _ in range(rd.i32())
+            ]
+            topics.append((t, parts))
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            # generation -1 + empty member = simple/assign-mode commit
+            # (no group membership), accepted like a real broker does
+            if member and member not in g.members:
+                err = ERR_UNKNOWN_MEMBER_ID
+            elif gen not in (-1, g.generation):
+                err = ERR_ILLEGAL_GENERATION
+            else:
+                err = ERR_NONE
+                for t, parts in topics:
+                    for pid, off, meta in parts:
+                        g.offsets[(t, pid)] = (off, meta)
+        if api_version == 3:
+            w.i32(0)  # throttle_time_ms
+        w.i32(len(topics))
+        for t, parts in topics:
+            w.string(t)
+            w.i32(len(parts))
+            for pid, _off, _meta in parts:
+                w.i32(pid)
+                w.i16(err)
+    elif api_key == API_OFFSET_FETCH and api_version == 1:
+        gid = rd.string()
+        topics = []
+        for _ in range(rd.i32()):
+            t = rd.string()
+            parts = [rd.i32() for _ in range(rd.i32())]
+            topics.append((t, parts))
+        with state.lock:
+            g = state.groups.setdefault(gid, _Group())
+            w.i32(len(topics))
+            for t, parts in topics:
+                w.string(t)
+                w.i32(len(parts))
+                for pid in parts:
+                    off, meta = g.offsets.get((t, pid), (-1, None))
+                    w.i32(pid)
+                    w.i64(off)
+                    w.string(meta)
+                    w.i16(ERR_NONE)
     else:
         raise ValueError(f"unsupported api_key={api_key} v{api_version}")
     return bytes(w.buf)
@@ -843,3 +1069,198 @@ def kafka_batch_df(spark, bootstrap: str, topic: str):
         for r in consume_all(bootstrap, topic)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# --- consumer-group client (r7) ----------------------------------------------
+
+
+class GroupConsumer:
+    """A subscribe-mode consumer speaking the coordination dance a real
+    group client runs (kafka.apache.org/protocol): FindCoordinator →
+    JoinGroup → (leader assigns) → SyncGroup → Heartbeat loop →
+    Fetch/OffsetCommit → LeaveGroup. The mini broker is single-node, so
+    the coordinator connection is the bootstrap connection; assignment
+    bytes use the same round-robin-over-partitions shape a real
+    assignor produces (opaque to the broker either way).
+
+    This is the wire-test client proving the broker side; Spark's own
+    connector does NOT use groups (assign() + checkpointed offsets —
+    see the API key comments), so this also documents why the env-gated
+    real-connector e2e needs only the pre-r7 API set."""
+
+    def __init__(self, bootstrap: str, group_id: str, topic: str):
+        self.conn = _Conn(bootstrap)
+        self.group_id = group_id
+        self.topic = topic
+        self.member_id = ""
+        self.generation = -1
+        self.assigned: list[int] = []
+
+    def find_coordinator(self) -> tuple[str, int]:
+        w = _Writer()
+        w.string(self.group_id)
+        w.i8(0)  # key_type: group
+        rd = self.conn.request(API_FIND_COORDINATOR, 1, bytes(w.buf))
+        rd.i32()  # throttle
+        err = rd.i16()
+        rd.string()  # error_message
+        if err:
+            raise ValueError(f"FindCoordinator error {err}")
+        rd.i32()  # node_id
+        return rd.string() or "", rd.i32()
+
+    def join(self) -> dict[str, bytes]:
+        """JoinGroup; returns the member list (leader uses it to
+        assign). Retries once with the broker-assigned member id."""
+        w = _Writer()
+        w.string(self.group_id)
+        w.i32(10_000)  # session_timeout_ms
+        w.i32(30_000)  # rebalance_timeout_ms
+        w.string(self.member_id)
+        w.string("consumer")
+        w.i32(1)
+        w.string("range")
+        w.bytes_(self.topic.encode())  # subscription metadata (opaque)
+        rd = self.conn.request(API_JOIN_GROUP, 2, bytes(w.buf))
+        rd.i32()  # throttle
+        err = rd.i16()
+        if err:
+            raise ValueError(f"JoinGroup error {err}")
+        self.generation = rd.i32()
+        rd.string()  # protocol_name
+        self.leader = rd.string()
+        self.member_id = rd.string() or ""
+        members = {}
+        for _ in range(rd.i32()):
+            mid = rd.string() or ""
+            members[mid] = rd.bytes_() or b""
+        return members
+
+    def sync(self, assignments: dict[str, list[int]] | None = None) -> list[int]:
+        """SyncGroup; the leader passes everyone's partition lists,
+        followers pass none. Returns this member's assignment."""
+        w = _Writer()
+        w.string(self.group_id)
+        w.i32(self.generation)
+        w.string(self.member_id)
+        assignments = assignments or {}
+        w.i32(len(assignments))
+        for mid, parts in assignments.items():
+            w.string(mid)
+            aw = _Writer()
+            aw.i32(len(parts))
+            for p in parts:
+                aw.i32(p)
+            w.bytes_(bytes(aw.buf))
+        rd = self.conn.request(API_SYNC_GROUP, 1, bytes(w.buf))
+        rd.i32()  # throttle
+        err = rd.i16()
+        if err:
+            raise ValueError(f"SyncGroup error {err}")
+        blob = rd.bytes_() or b""
+        self.assigned = []
+        if blob:
+            ar = _Reader(blob)
+            self.assigned = [ar.i32() for _ in range(ar.i32())]
+        return self.assigned
+
+    def subscribe(self) -> list[int]:
+        """The full single-member dance; returns assigned partitions."""
+        self.find_coordinator()
+        members = self.join()
+        assignments = None
+        if self.member_id == self.leader:
+            parts = topic_partitions(self.conn, self.topic)
+            mids = sorted(members)
+            assignments = {m: [] for m in mids}
+            for i, p in enumerate(parts):  # round-robin
+                assignments[mids[i % len(mids)]].append(p)
+        return self.sync(assignments)
+
+    def heartbeat(self) -> int:
+        w = _Writer()
+        w.string(self.group_id)
+        w.i32(self.generation)
+        w.string(self.member_id)
+        rd = self.conn.request(API_HEARTBEAT, 1, bytes(w.buf))
+        rd.i32()  # throttle
+        return rd.i16()
+
+    def commit(self, offsets: dict[int, int]) -> None:
+        w = _Writer()
+        w.string(self.group_id)
+        w.i32(self.generation)
+        w.string(self.member_id)
+        w.i64(-1)  # retention: broker default
+        w.i32(1)
+        w.string(self.topic)
+        w.i32(len(offsets))
+        for pid, off in offsets.items():
+            w.i32(pid)
+            w.i64(off)
+            w.string(None)
+        rd = self.conn.request(API_OFFSET_COMMIT, 3, bytes(w.buf))
+        rd.i32()  # throttle
+        for _ in range(rd.i32()):
+            rd.string()
+            for _p in range(rd.i32()):
+                rd.i32()
+                err = rd.i16()
+                if err:
+                    raise ValueError(f"OffsetCommit error {err}")
+
+    def fetch_committed(self, partitions: list[int]) -> dict[int, int]:
+        w = _Writer()
+        w.string(self.group_id)
+        w.i32(1)
+        w.string(self.topic)
+        w.i32(len(partitions))
+        for p in partitions:
+            w.i32(p)
+        rd = self.conn.request(API_OFFSET_FETCH, 1, bytes(w.buf))
+        out: dict[int, int] = {}
+        for _ in range(rd.i32()):
+            rd.string()
+            for _p in range(rd.i32()):
+                pid = rd.i32()
+                off = rd.i64()
+                rd.string()
+                err = rd.i16()
+                if err:
+                    raise ValueError(f"OffsetFetch error {err}")
+                out[pid] = off
+        return out
+
+    def poll_assigned(self) -> list[dict]:
+        """Fetch every assigned partition from its committed offset
+        (or 0) — the consume loop a group member runs."""
+        rows = []
+        committed = self.fetch_committed(self.assigned)
+        for pid in self.assigned:
+            off = max(0, committed.get(pid, -1))
+            while True:
+                records, hw = _fetch(self.conn, self.topic, pid, off)
+                if not records:
+                    break
+                for r in records:
+                    rows.append(
+                        {"partition": pid, "offset": r.offset,
+                         "key": r.key, "value": r.value}
+                    )
+                off = records[-1].offset + 1
+                if off >= hw:
+                    break
+        return rows
+
+    def leave(self) -> None:
+        w = _Writer()
+        w.string(self.group_id)
+        w.string(self.member_id)
+        rd = self.conn.request(API_LEAVE_GROUP, 1, bytes(w.buf))
+        rd.i32()  # throttle
+        err = rd.i16()
+        if err:
+            raise ValueError(f"LeaveGroup error {err}")
+
+    def close(self) -> None:
+        self.conn.close()

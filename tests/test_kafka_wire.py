@@ -160,6 +160,117 @@ EVENT_SCHEMA = StructType(
 )
 
 
+class TestGroupCoordination:
+    """r7 (VERDICT r6 next-4): the mini broker speaks the consumer-group
+    dance — FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
+    OffsetCommit/OffsetFetch → LeaveGroup — with real-broker error
+    semantics. Spark's connector itself runs ASSIGN mode (no group
+    membership; documented in kafka_wire.py), so these pin the
+    subscribe-mode surface a plain group client needs."""
+
+    def _seed(self, broker, n_parts=3):
+        broker.create_topic("glogs", partitions=n_parts)
+        for p in range(n_parts):
+            kw.wire_produce(
+                broker.bootstrap, "glogs", p,
+                [(None, f"v{p}-{i}".encode(), 1000 + i) for i in range(4)],
+            )
+
+    def test_single_member_full_dance(self):
+        with kw.MiniKafkaBroker() as broker:
+            self._seed(broker)
+            c = kw.GroupConsumer(broker.bootstrap, "g1", "glogs")
+            # coordinator is the broker itself (single node)
+            assert c.find_coordinator() == (broker.host, broker.port)
+            parts = c.subscribe()
+            assert parts == [0, 1, 2]  # sole member owns everything
+            assert c.member_id.startswith("ps-member-")
+            assert c.heartbeat() == kw.ERR_NONE
+            rows = c.poll_assigned()
+            assert len(rows) == 12
+            # commit consumed positions; a rejoining consumer resumes
+            c.commit({p: 4 for p in parts})
+            assert c.fetch_committed(parts) == {0: 4, 1: 4, 2: 4}
+            assert c.poll_assigned() == []  # nothing past the commit
+            c.leave()
+            c.close()
+            # a NEW member of the same group sees the committed offsets
+            c2 = kw.GroupConsumer(broker.bootstrap, "g1", "glogs")
+            assert c2.subscribe() == [0, 1, 2]
+            assert c2.poll_assigned() == []
+            c2.close()
+
+    def test_two_members_split_partitions_and_rebalance(self):
+        with kw.MiniKafkaBroker() as broker:
+            self._seed(broker, n_parts=4)
+            a = kw.GroupConsumer(broker.bootstrap, "g2", "glogs")
+            assert a.subscribe() == [0, 1, 2, 3]
+            gen1 = a.generation
+            # second member joins: generation bumps, the old member's
+            # heartbeat sees REBALANCE_IN_PROGRESS until it re-syncs
+            b = kw.GroupConsumer(broker.bootstrap, "g2", "glogs")
+            b.find_coordinator()
+            b.join()
+            assert b.generation == gen1 + 1
+            assert a.heartbeat() in (
+                kw.ERR_ILLEGAL_GENERATION, kw.ERR_REBALANCE_IN_PROGRESS
+            )
+            # both re-join; the leader assigns disjoint halves
+            members = a.join()
+            assert len(members) == 2
+            assignments = None
+            if a.member_id == a.leader:
+                mids = sorted(members)
+                assignments = {m: [] for m in mids}
+                for i, p in enumerate([0, 1, 2, 3]):
+                    assignments[mids[i % 2]].append(p)
+            pa = a.sync(assignments)
+            pb = b.sync()
+            assert sorted(pa + pb) == [0, 1, 2, 3]
+            assert not (set(pa) & set(pb))
+            assert a.heartbeat() == kw.ERR_NONE
+            assert b.heartbeat() == kw.ERR_NONE
+            # every record consumed exactly once across the two members
+            got = {(r["partition"], r["offset"])
+                   for r in a.poll_assigned() + b.poll_assigned()}
+            assert len(got) == 16
+            a.close()
+            b.close()
+
+    def test_group_error_semantics(self):
+        with kw.MiniKafkaBroker() as broker:
+            self._seed(broker, n_parts=1)
+            c = kw.GroupConsumer(broker.bootstrap, "g3", "glogs")
+            c.subscribe()
+            # stale generation -> ILLEGAL_GENERATION
+            good_gen = c.generation
+            c.generation = good_gen - 1
+            assert c.heartbeat() == kw.ERR_ILLEGAL_GENERATION
+            c.generation = good_gen
+            # unknown member -> UNKNOWN_MEMBER_ID
+            good_member = c.member_id
+            c.member_id = "ghost"
+            assert c.heartbeat() == kw.ERR_UNKNOWN_MEMBER_ID
+            with pytest.raises(ValueError, match="25"):
+                c.commit({0: 1})
+            c.member_id = good_member
+            # assign-mode commit (generation -1, empty member) is
+            # accepted like a real broker does for simple consumers
+            c2 = kw.GroupConsumer(broker.bootstrap, "simple", "glogs")
+            c2.generation = -1
+            c2.commit({0: 3})
+            assert c2.fetch_committed([0]) == {0: 3}
+            c2.close()
+            c.close()
+            # the new APIs are advertised so a client can negotiate
+            vers = kw.api_versions(broker.bootstrap)
+            for key in (kw.API_FIND_COORDINATOR, kw.API_JOIN_GROUP,
+                        kw.API_SYNC_GROUP, kw.API_HEARTBEAT,
+                        kw.API_LEAVE_GROUP, kw.API_OFFSET_COMMIT,
+                        kw.API_OFFSET_FETCH):
+                assert key in vers
+
+
 class TestSparkEndToEnd:
     def test_wire_to_typed_events(self, spark):
         """Socket → protocol → connector-shaped DataFrame →
