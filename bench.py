@@ -101,15 +101,24 @@ def main() -> None:
     # drift to the environment without out-of-band forensics: if
     # q01_spread is large, same-magnitude drifts elsewhere in this
     # record are noise, not regression.
-    fingerprint: list[float] = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run("q01_pricing_summary")
-        fingerprint.append(round(time.perf_counter() - t0, 3))
-    variance = {
-        "q01_repeats": fingerprint,
-        "q01_spread": round(max(fingerprint) / min(fingerprint), 2),
-    }
+    # r7 (VERDICT r6 next-7): q01 attributes SCAN-shaped noise only;
+    # q34 (per-user window sessionization — one hash shuffle + window)
+    # is the second fingerprint so join/window-shaped drift is also
+    # self-attributing in-artifact.
+    variance = {}
+    for fq, label in (
+        ("q01_pricing_summary", "q01"),
+        ("q34_sessionization", "q34"),
+    ):
+        fingerprint: list[float] = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(fq)
+            fingerprint.append(round(time.perf_counter() - t0, 3))
+        variance[f"{label}_repeats"] = fingerprint
+        variance[f"{label}_spread"] = round(
+            max(fingerprint) / min(fingerprint), 2
+        )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
