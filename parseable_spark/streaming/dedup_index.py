@@ -96,28 +96,51 @@ def partitioned_chunked_isin(
     part_col: str,
     key_col: str,
     keys_by_part: dict,
-    chunk: int = 500,
+    chunk: int = 1000,
 ) -> DataFrame:
     """Point-lookup ``key_col IN keys`` over a ``part_col``-partitioned
-    store, as a UNION of per-partition branches over the SAME relation
-    (one file listing). Each branch carries its own partition-equality
-    filter plus a ≤``chunk``-value IN, so it scans ONLY its partition's
-    files — footers are read once per touched file across the whole
-    union, and each small IN pushes down for row-group pruning. A
-    single global IN would re-scan every touched partition's footers
-    per chunk AND hit Spark's pushdown limits (see
-    _ensure_in_pushdown). Branch key sets are disjoint: no duplicate
-    rows are introduced."""
+    store, as a UNION of branches over the SAME relation (one file
+    listing). Each branch owns a set of WHOLE partitions (packed until
+    ~``chunk`` keys) and filters ``part_col IN (its partitions) AND
+    key_col IN (their keys)``: partition pruning stays exact, every
+    touched file's footer is read by exactly ONE branch, and each IN
+    stays small enough for parquet row-group pushdown. Partitions with
+    more than ``chunk`` keys split into multiple branches.
+
+    Why not one global IN: Spark 4.1 falls back to a min/max RANGE
+    above the pushdown threshold (useless for hash keys), its parquet
+    predicate conversion stack-overflows above ~1,500 values, and a
+    20k-literal In is seconds of Catalyst planning. Why pack instead
+    of one branch per partition: each union branch costs ~0.3 s of
+    driver planning+scheduling, so 64 singleton branches were 21 s at
+    the 20k-id cap (all measured — SCALE.md r7). Branch key sets are
+    disjoint: no duplicate rows."""
     from pyspark.sql import functions as F
 
     _ensure_in_pushdown(base.sparkSession, chunk)
-    out = None
+    # pack whole partitions into branches of ≤ chunk keys
+    groups: list[tuple[list, list]] = []  # (partitions, keys)
+    cur_parts: list = []
+    cur_keys: list = []
     for part in sorted(keys_by_part):
-        pbase = base.filter(F.col(part_col) == part)
         ks = sorted(keys_by_part[part])
-        for i in range(0, len(ks), chunk):
-            branch = pbase.filter(F.col(key_col).isin(ks[i : i + chunk]))
-            out = branch if out is None else out.union(branch)
+        if len(ks) > chunk:
+            for i in range(0, len(ks), chunk):
+                groups.append(([part], ks[i : i + chunk]))
+            continue
+        if cur_keys and len(cur_keys) + len(ks) > chunk:
+            groups.append((cur_parts, cur_keys))
+            cur_parts, cur_keys = [], []
+        cur_parts.append(part)
+        cur_keys.extend(ks)
+    if cur_keys:
+        groups.append((cur_parts, cur_keys))
+    out = None
+    for parts, keys in groups:
+        branch = base.filter(
+            F.col(part_col).isin(parts) & F.col(key_col).isin(keys)
+        )
+        out = branch if out is None else out.union(branch)
     return base.filter(F.lit(False)) if out is None else out
 
 
@@ -133,12 +156,13 @@ class StreamingDedupIndex:
         shingle_n: int = 3,
         bucket_cap: int = 64,
         text_shards: int = 64,
-        lookup_cap: int = 20_000,
+        lookup_cap: int = 4_000,
         compact_every: int = 16,
         band_partitions: int = 64,
         sig_block_bytes: int = 128 << 10,
-        in_chunk: int = 500,
+        in_chunk: int = 1000,
         prune_min_bytes: int = 64 << 20,
+        probe_key_cap: int = 20_000,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -163,6 +187,16 @@ class StreamingDedupIndex:
         self.sig_block_bytes = int(sig_block_bytes)
         self.in_chunk = int(in_chunk)
         self.prune_min_bytes = int(prune_min_bytes)
+        # caps are split (r7 measurements, SCALE.md): literal-IN
+        # planning costs ~1 ms/id in py4j marshalling + per-branch
+        # union analysis, so the TEXTS cap sits where worst-case
+        # planning is a few seconds (over-cap floods degrade to a
+        # semi-join within pruned shards — at flood sizes most shard
+        # bytes are needed anyway). The SIGNATURE probe keeps a higher
+        # cap: its chunking only engages past prune_min_bytes of index,
+        # where seconds of driver planning buy gigabytes of unscanned
+        # signatures (and larger micro-batches amortize it further).
+        self.probe_key_cap = int(probe_key_cap)
         os.makedirs(os.path.join(base_dir, "index"), exist_ok=True)
         os.makedirs(os.path.join(base_dir, "pairs"), exist_ok=True)
         # shard/partition geometry is part of the persisted layout: a
@@ -401,12 +435,12 @@ class StreamingDedupIndex:
                 "band_hash",
             )
             .distinct()
-            .limit(self.lookup_cap + 1)
+            .limit(self.probe_key_cap + 1)
             .collect()
         )
         if not keys:
             return base.select(self.id_col, *_INDEX_COLS)
-        if len(keys) > self.lookup_cap:
+        if len(keys) > self.probe_key_cap:
             # over-cap: the truncated collect can't give the complete
             # key set — fall back to partition pruning only, with the
             # partition set derived distributed (bounded by
