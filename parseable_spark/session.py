@@ -27,6 +27,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # deterministic timestamp semantics vs the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
+    # point-lookup IN-lists (dedup_index.partitioned_chunked_isin) must
+    # push per-value parquet predicates, not the default min/max-range
+    # fallback that prunes nothing for hash-distributed keys; chunks
+    # stay ≤1000 values (Spark 4.1's parquet predicate conversion
+    # stack-overflows ~1.5k — measured, SCALE.md r7). Engine-wide and
+    # documented here rather than mutated ad hoc per probe (r7 review).
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1001",
     # NOT set: spark.sql.parquet.aggregatePushdown — it only activates
     # on the V2 parquet source (parquet is in useV1SourceList by
     # default), and flipping the whole engine to V2 changes

@@ -327,22 +327,31 @@ class DeltaLog:
 
         path = os.path.join(self.log_dir, self._CKPT.format(int(version)))
         table = pq.read_table(path)
+        # pyarrow maps come back as LISTS of (k, v) tuples — including
+        # EMPTY maps as [] — and must become dicts again or a later
+        # update_schema republishes spec-invalid metaData JSON
+        # ("configuration": [] instead of {}) that external Delta
+        # readers reject (r7 review finding, reproduced)
+        map_fields = {"partitionValues", "configuration", "options"}
+
+        def fix_maps(payload: dict) -> dict:
+            out = {}
+            for k, v in payload.items():
+                if k in map_fields and isinstance(v, list):
+                    out[k] = dict(v)
+                elif isinstance(v, dict):
+                    out[k] = fix_maps(v)
+                else:
+                    out[k] = v
+            return out
+
         out: list[dict] = []
         for row in table.to_pylist():
             for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 payload = row.get(kind)
                 if payload is None:
                     continue
-                payload = dict(payload)
-                for k, v in list(payload.items()):
-                    if isinstance(v, list) and v and isinstance(v[0], tuple):
-                        payload[k] = dict(v)  # pyarrow map -> dict
-                    elif isinstance(v, dict) and k == "format":
-                        fmt = dict(v)
-                        if isinstance(fmt.get("options"), list):
-                            fmt["options"] = dict(fmt["options"])
-                        payload[k] = fmt
-                out.append({kind: payload})
+                out.append({kind: fix_maps(dict(payload))})
         return out
 
     def checkpoint(

@@ -106,8 +106,11 @@ class StreamStore:
             # IDLE stream would stay stale forever (the mirror only
             # heals on the next commit). Cheap at open: compare the
             # replayed live set against the manifest and emit the
-            # missing transition if any (r7 crash drill).
-            if self.manifest.files and set(self.delta_log.live_paths()) != {
+            # missing transition if any (r7 crash drill). The EMPTY
+            # manifest case must reconcile too: a kill right after a
+            # delete-everything retention commit otherwise leaves the
+            # log claiming deleted files forever (r7 review finding).
+            if set(self.delta_log.live_paths()) != {
                 f.file_path for f in self.manifest.files
             }:
                 self._delta_sync("WRITE", self._capture_mirror())

@@ -80,7 +80,12 @@ def _ensure_in_pushdown(spark: SparkSession, chunk: int) -> None:
     hash-distributed keys). Spark 4.1's parquet predicate conversion
     also stack-overflows above ~1,500 IN values, and Catalyst planning
     of a single 20k-literal In is seconds of driver time (all measured
-    — SCALE.md r7); chunking exists to stay under both."""
+    — SCALE.md r7); chunking exists to stay under both.
+
+    The engine's own sessions already carry this conf
+    (session.RUNTIME_CONFS, documented there); this fallback only
+    raises it on a DRIVER-PROVIDED vanilla session, and never lowers
+    an operator-tuned higher value."""
     try:
         cur = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
     except Exception:  # noqa: BLE001

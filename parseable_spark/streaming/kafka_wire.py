@@ -350,9 +350,39 @@ class _Group:
         self.leader: str | None = None
         self.members: dict[str, bytes] = {}  # member_id -> metadata
         self.assignments: dict[str, bytes] = {}  # member_id -> assignment
-        self.pending_sync: set[str] = set()  # members that must re-sync
+        self.stable = True  # False while a rebalance is in flight
         self.offsets: dict[tuple[str, int], tuple[int, str | None]] = {}
         self.next_member = 0
+        self.last_seen: dict[str, float] = {}  # member -> monotonic ts
+        self.session_timeout_ms: int = 10_000
+
+    def touch(self, member: str) -> None:
+        import time as _t
+
+        self.last_seen[member] = _t.monotonic()
+
+    def evict_expired(self) -> None:
+        """Real brokers drop a member whose session timed out and
+        rebalance; without this a member that joined and died before
+        ever syncing wedged the group in REBALANCE_IN_PROGRESS forever
+        (r7 review finding). Lazily invoked on every group request."""
+        import time as _t
+
+        now = _t.monotonic()
+        dead = [
+            m
+            for m in self.members
+            if now - self.last_seen.get(m, now) > self.session_timeout_ms / 1e3
+        ]
+        for m in dead:
+            del self.members[m]
+            self.assignments.pop(m, None)
+            self.last_seen.pop(m, None)
+        if dead:
+            self.generation += 1
+            self.stable = False
+            if self.leader not in self.members:
+                self.leader = next(iter(self.members), None)
 
 
 class _BrokerState:
@@ -631,13 +661,15 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
         # member(str), protocol_type(str),
         # protocols[name(str), metadata(bytes)]
         gid = rd.string()
-        rd.i32()
+        session_timeout = rd.i32()
         rd.i32()
         member = rd.string() or ""
         ptype = rd.string()
         protos = [(rd.string(), rd.bytes_()) for _ in range(rd.i32())]
         with state.lock:
             g = state.groups.setdefault(gid, _Group())
+            g.evict_expired()
+            g.session_timeout_ms = max(1, session_timeout)
             if member and member not in g.members:
                 w.i32(0)
                 w.i16(ERR_UNKNOWN_MEMBER_ID)
@@ -652,10 +684,12 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
                 g.next_member += 1
             is_new = member not in g.members
             g.members[member] = protos[0][1] or b"" if protos else b""
+            g.touch(member)
             if is_new:
-                # membership changed: new generation, everyone re-syncs
+                # membership changed: new generation, unstable until
+                # the leader provides the new assignment
                 g.generation += 1
-                g.pending_sync = set(g.members)
+                g.stable = False
                 g.assignments = {}
             if g.leader not in g.members:
                 g.leader = member
@@ -681,6 +715,7 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
         assigns = [(rd.string(), rd.bytes_()) for _ in range(n)]
         with state.lock:
             g = state.groups.setdefault(gid, _Group())
+            g.evict_expired()
             w.i32(0)  # throttle_time_ms
             if member not in g.members:
                 w.i16(ERR_UNKNOWN_MEMBER_ID)
@@ -689,25 +724,37 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
                 w.i16(ERR_ILLEGAL_GENERATION)
                 w.bytes_(b"")
             else:
+                g.touch(member)
                 if member == g.leader:
                     for mid, a in assigns:
                         g.assignments[mid] = a or b""
-                g.pending_sync.discard(member)
-                w.i16(ERR_NONE)
-                w.bytes_(g.assignments.get(member, b""))
+                    # real-broker semantics: the group goes Stable once
+                    # the LEADER's assignment lands — followers that
+                    # never sync can no longer wedge it (r7 review)
+                    g.stable = True
+                if not g.stable and member not in g.assignments:
+                    # leader hasn't provided this generation's
+                    # assignment yet: tell the follower to retry
+                    w.i16(ERR_REBALANCE_IN_PROGRESS)
+                    w.bytes_(b"")
+                else:
+                    w.i16(ERR_NONE)
+                    w.bytes_(g.assignments.get(member, b""))
     elif api_key == API_HEARTBEAT and api_version == 1:
         gid, gen, member = rd.string(), rd.i32(), rd.string() or ""
         with state.lock:
             g = state.groups.setdefault(gid, _Group())
+            g.evict_expired()
             w.i32(0)  # throttle_time_ms
             if member not in g.members:
                 w.i16(ERR_UNKNOWN_MEMBER_ID)
             elif gen != g.generation:
                 w.i16(ERR_ILLEGAL_GENERATION)
-            elif g.pending_sync:
+            elif not g.stable:
                 # a rebalance is in flight: members must re-join/sync
                 w.i16(ERR_REBALANCE_IN_PROGRESS)
             else:
+                g.touch(member)
                 w.i16(ERR_NONE)
     elif api_key == API_LEAVE_GROUP and api_version == 1:
         gid, member = rd.string(), rd.string() or ""
@@ -719,8 +766,9 @@ def _handle_request(state: _BrokerState, frame: bytes) -> bytes:
             else:
                 del g.members[member]
                 g.assignments.pop(member, None)
+                g.last_seen.pop(member, None)
                 g.generation += 1
-                g.pending_sync = set(g.members)
+                g.stable = not g.members  # empty group is trivially stable
                 if g.leader == member:
                     g.leader = next(iter(g.members), None)
                 w.i16(ERR_NONE)
@@ -1088,12 +1136,19 @@ class GroupConsumer:
     see the API key comments), so this also documents why the env-gated
     real-connector e2e needs only the pre-r7 API set."""
 
-    def __init__(self, bootstrap: str, group_id: str, topic: str):
+    def __init__(
+        self,
+        bootstrap: str,
+        group_id: str,
+        topic: str,
+        session_timeout_ms: int = 10_000,
+    ):
         self.conn = _Conn(bootstrap)
         self.group_id = group_id
         self.topic = topic
         self.member_id = ""
         self.generation = -1
+        self.session_timeout_ms = int(session_timeout_ms)
         self.assigned: list[int] = []
 
     def find_coordinator(self) -> tuple[str, int]:
@@ -1111,10 +1166,11 @@ class GroupConsumer:
 
     def join(self) -> dict[str, bytes]:
         """JoinGroup; returns the member list (leader uses it to
-        assign). Retries once with the broker-assigned member id."""
+        assign) and records the broker-assigned member id/generation.
+        Errors raise — `subscribe` owns the re-join retry."""
         w = _Writer()
         w.string(self.group_id)
-        w.i32(10_000)  # session_timeout_ms
+        w.i32(self.session_timeout_ms)
         w.i32(30_000)  # rebalance_timeout_ms
         w.string(self.member_id)
         w.string("consumer")
@@ -1164,18 +1220,31 @@ class GroupConsumer:
             self.assigned = [ar.i32() for _ in range(ar.i32())]
         return self.assigned
 
-    def subscribe(self) -> list[int]:
-        """The full single-member dance; returns assigned partitions."""
+    def subscribe(self, rejoin_attempts: int = 2) -> list[int]:
+        """The full dance; returns assigned partitions. Like a real
+        client, a sync that loses a rebalance race (another member
+        joined between our join and sync → ILLEGAL_GENERATION /
+        REBALANCE_IN_PROGRESS) re-joins and tries again."""
         self.find_coordinator()
-        members = self.join()
-        assignments = None
-        if self.member_id == self.leader:
-            parts = topic_partitions(self.conn, self.topic)
-            mids = sorted(members)
-            assignments = {m: [] for m in mids}
-            for i, p in enumerate(parts):  # round-robin
-                assignments[mids[i % len(mids)]].append(p)
-        return self.sync(assignments)
+        last: Exception | None = None
+        for _ in range(max(1, rejoin_attempts)):
+            try:
+                members = self.join()
+                assignments = None
+                if self.member_id == self.leader:
+                    parts = topic_partitions(self.conn, self.topic)
+                    mids = sorted(members)
+                    assignments = {m: [] for m in mids}
+                    for i, p in enumerate(parts):  # round-robin
+                        assignments[mids[i % len(mids)]].append(p)
+                return self.sync(assignments)
+            except ValueError as e:
+                last = e
+                if f"error {ERR_UNKNOWN_MEMBER_ID}" in str(e):
+                    # session expired server-side: reset to a fresh
+                    # member id, exactly what a real client does
+                    self.member_id = ""
+        raise last if last else ValueError("subscribe failed")
 
     def heartbeat(self) -> int:
         w = _Writer()

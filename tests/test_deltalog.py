@@ -243,6 +243,45 @@ class TestMirror:
         assert set(DeltaLog(st.data_dir).live_paths()) == {
             f.file_path for f in st.manifest.files
         }
+        # r7 review (reproduced): pyarrow returns EMPTY maps as [] —
+        # the checkpoint reader must restore them to dicts or a later
+        # update_schema republishes spec-invalid metaData JSON
+        # ("configuration": []) that external readers reject
+        meta2 = DeltaLog(st.data_dir).metadata()
+        assert isinstance(meta2["configuration"], dict)
+        assert isinstance(meta2["format"]["options"], dict)
+        v = st.delta_log.update_schema(
+            meta2["schemaString"].replace(
+                '"fields":[', '"fields":[{"name":"zz","type":"string",'
+                '"nullable":true,"metadata":{}},', 1
+            )
+        )
+        assert v is not None
+        published = _log_lines(st, v)[1]["metaData"]
+        assert published["configuration"] == {}  # JSON object, not []
+
+    def test_reconcile_on_open_covers_delete_all(self, spark, tmp_path):
+        """r7 review: a kill between a delete-everything retention
+        commit and its mirror sync left the log claiming deleted files
+        forever (the empty-manifest case skipped the reconcile)."""
+        from parseable_spark.storage.deltalog import DeltaLog
+
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        assert st.delta_log.live_paths()
+        # simulate the crash: retention commits, mirror sync never runs
+        st.delta_log = None
+        st.apply_retention(
+            days=0, now=datetime(2026, 9, 1), tombstone_grace_seconds=0
+        )
+        assert not st.manifest.files
+        stale = DeltaLog(st.data_dir)
+        assert stale.live_paths()  # the stale claim a reader would see
+        # reopen: reconcile-on-open must emit the missing DELETE
+        st2 = StreamStore(spark, str(tmp_path), StreamConfig(name="dl"))
+        assert st2.delta_log.live_paths() == []
+        assert DeltaLog(st2.data_dir).live_paths() == []
 
     def test_checkpoint_replay_is_tail_bounded(self, tmp_path):
         """Synthetic many-commit log: with checkpointing the JSON file

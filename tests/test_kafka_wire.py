@@ -270,6 +270,44 @@ class TestGroupCoordination:
                         kw.API_OFFSET_FETCH):
                 assert key in vers
 
+    def test_dead_joiner_cannot_wedge_the_group(self):
+        """r7 review finding (fixed): a member that joins and dies
+        before ever syncing must not pin the group in
+        REBALANCE_IN_PROGRESS forever — the group goes Stable when the
+        LEADER's assignment lands (real-broker semantics), and the dead
+        member is evicted at session timeout."""
+        import time as _t
+
+        with kw.MiniKafkaBroker() as broker:
+            self._seed(broker, n_parts=2)
+            a = kw.GroupConsumer(broker.bootstrap, "g4", "glogs",
+                                 session_timeout_ms=400)
+            assert a.subscribe() == [0, 1]
+            # a second member joins then DIES (never syncs)
+            ghost = kw.GroupConsumer(broker.bootstrap, "g4", "glogs",
+                                     session_timeout_ms=400)
+            ghost.find_coordinator()
+            ghost.join()
+            ghost.close()  # no sync, no leave — crashed
+            # A re-subscribes (re-join + leader sync): Stable even
+            # though the ghost never synced
+            parts = a.subscribe()
+            assert a.heartbeat() == kw.ERR_NONE
+            assert set(parts) <= {0, 1} and parts  # split with ghost
+            # after the ghost's session expires, A re-joins and owns
+            # everything again
+            _t.sleep(0.6)
+            # A's own session expired too (it wasn't heartbeating) —
+            # real-broker semantics: it must rejoin as a fresh member
+            assert a.heartbeat() in (
+                kw.ERR_ILLEGAL_GENERATION, kw.ERR_REBALANCE_IN_PROGRESS,
+                kw.ERR_UNKNOWN_MEMBER_ID,
+                kw.ERR_NONE,  # eviction is lazy; next join triggers it
+            )
+            assert a.subscribe(rejoin_attempts=3) == [0, 1]
+            assert a.heartbeat() == kw.ERR_NONE
+            a.close()
+
 
 class TestSparkEndToEnd:
     def test_wire_to_typed_events(self, spark):

@@ -425,6 +425,27 @@ class TestR6ReviewFixes:
         v = rows[0][0]
         assert isinstance(v, int) and v == 9007199254740993  # exact int64
 
+    def test_small_asint_still_coerces_so_gauges_share_the_column(self):
+        """r7 review: pinning INT64 for ORDINARY counters would route
+        every later asDouble gauge to a data_point_value_float64
+        sibling forever (per-metric collector batching). The INT64
+        exemption fires only when float64 would actually lose bits
+        (>2^53); small ints coerce to float64 losslessly and later
+        doubles land in the SAME column."""
+        from parseable_spark.ingest.schema import (
+            FLOAT64,
+            INT64,
+            infer_batch_schema,
+            override_data_type,
+        )
+
+        small = [{"data_point_value": 12345}]
+        t = override_data_type(infer_batch_schema(small), small)
+        assert t["data_point_value"] == FLOAT64  # lossless as double
+        big = [{"data_point_value": (1 << 60) + 1}]
+        t2 = override_data_type(infer_batch_schema(big), big)
+        assert t2["data_point_value"] == INT64  # precision at stake
+
     def test_attributes_cannot_spoof_engine_fields(self):
         """r6 review (verified): a log attribute named time_unix_nano
         overwrote the record timestamp; a metric label metric_name
