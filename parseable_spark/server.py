@@ -80,6 +80,14 @@ def _delta_log_env() -> bool:
     return os.environ.get("P_DELTA_LOG", "").lower() in ("1", "true", "yes")
 
 
+def _iceberg_env() -> bool:
+    """P_ICEBERG=true turns on the Iceberg v2 metadata mirror for every
+    stream (storage/iceberg.py) — the second SURVEY §1.6(b) backend,
+    composable with P_DELTA_LOG (both mirrors share the store's
+    sequence-guarded sync)."""
+    return os.environ.get("P_ICEBERG", "").lower() in ("1", "true", "yes")
+
+
 def _int_arg(value, name: str, default: int) -> int:
     """Client-supplied integer with 400 (not 500) on junk input."""
     if value is None or value == "":
@@ -213,6 +221,7 @@ class ParseableAPI:
                 StreamConfig(name=name, **cfg_kwargs),
                 time_col=self.time_col,
                 delta_log_enabled=_delta_log_env(),
+                iceberg_enabled=_iceberg_env(),
             )
             stored_ret = load_versioned("retention", os.path.join(sdir, "retention.json"))
             if stored_ret is not None:
@@ -437,6 +446,7 @@ class ParseableAPI:
                     StreamConfig(name=name),
                     time_col=self.time_col,
                     delta_log_enabled=_delta_log_env(),
+                    iceberg_enabled=_iceberg_env(),
                 )
             return self._stores[name]
 

@@ -1,0 +1,234 @@
+"""Iceberg v2 metadata mirror (storage/iceberg.py + storage/avro.py —
+SURVEY §1.6 option (b) second backend, VERDICT r6 next-8).
+
+No iceberg/avro library ships in this container, so the Avro codec is
+hand-rolled from the public Avro spec (pinned here by byte-level
+round-trips and a layout check against the spec's container format)
+and the table layout is pinned against the public Iceberg v2 spec. An
+env-gated test at the bottom round-trips through pyiceberg when
+PYICEBERG=1 and the package is installed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from parseable_spark.ingest.events import StreamConfig
+from parseable_spark.storage import avro
+from parseable_spark.storage.iceberg import IcebergMirror, iceberg_schema
+from parseable_spark.storage.store import StreamStore
+
+
+def _ts(day: int, hour: int = 0) -> datetime:
+    return datetime(2026, 8, day, hour, 0, 0)
+
+
+def _store(spark, tmp_path, name="ice") -> StreamStore:
+    return StreamStore(
+        spark, str(tmp_path), StreamConfig(name=name), iceberg_enabled=True
+    )
+
+
+class TestAvroCodec:
+    SCHEMA = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "rec",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "bytes"}],
+                },
+            },
+        ],
+    }
+
+    def test_container_roundtrip(self, tmp_path):
+        rows = [
+            {
+                "s": "héllo",
+                "n": -(1 << 62),
+                "d": 3.25,
+                "b": True,
+                "opt": None,
+                "arr": [1, -2, 3],
+                "m": {"a": "x", "b": "y"},
+                "rec": {"x": b"\x00\xff"},
+            },
+            {
+                "s": "",
+                "n": 0,
+                "d": -0.5,
+                "b": False,
+                "opt": 7,
+                "arr": [],
+                "m": {},
+                "rec": {"x": b""},
+            },
+        ]
+        p = str(tmp_path / "t.avro")
+        avro.write_container(p, self.SCHEMA, rows)
+        schema, got = avro.read_container(p)
+        assert schema == self.SCHEMA
+        assert got == rows
+
+    def test_container_layout_per_spec(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        avro.write_container(p, self.SCHEMA, [])
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"Obj\x01"  # spec magic
+        # header metadata map carries the writer schema + null codec
+        schema, got = avro.read_container(p)
+        assert got == [] and schema == self.SCHEMA
+
+    def test_zigzag_known_vectors(self):
+        # spec examples: 0->0, -1->1, 1->2, -2->3, 2->4
+        buf = bytearray()
+        for v in (0, -1, 1, -2, 2):
+            avro.write_long(buf, v)
+        assert bytes(buf) == b"\x00\x01\x02\x03\x04"
+
+
+class TestSchemaMapping:
+    def test_field_ids_and_types(self):
+        sj = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "ts", "type": "timestamp_ntz", "nullable": True, "metadata": {}},
+                    {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "tags", "type": {"type": "array", "elementType": "string", "containsNull": True}, "nullable": True, "metadata": {}},
+                    {"name": "u", "type": "decimal(20,0)", "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        s, last = iceberg_schema(sj)
+        names = {f["name"]: f for f in s["fields"]}
+        assert names["ts"]["type"] == "timestamp"
+        assert names["n"]["type"] == "long"
+        assert names["tags"]["type"]["type"] == "list"
+        assert names["tags"]["type"]["element"] == "string"
+        assert names["u"]["type"] == "decimal(20, 0)"
+        ids = [f["id"] for f in s["fields"]]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+        assert last >= max(ids)
+        # APPENDING a field keeps existing ids stable (registry
+        # evolution is append-only)
+        sj2 = json.loads(sj)
+        sj2["fields"].append(
+            {"name": "extra", "type": "string", "nullable": True, "metadata": {}}
+        )
+        s2, _ = iceberg_schema(json.dumps(sj2))
+        assert s2["fields"][: len(s["fields"])] == s["fields"]
+
+
+class TestMirror:
+    def test_tracks_flush_compact_retention(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        for day in (1, 2, 3):
+            for h in (6, 7):  # two files per day so day-compact has work
+                st.ingest([{"d": day, "h": h}], p_timestamp=_ts(day, h))
+            st.flush()
+
+        def assert_parity():
+            assert sorted(st.iceberg.live_paths()) == sorted(
+                f.file_path for f in st.manifest.files
+            )
+            assert st.iceberg.num_records() == st.manifest.total_rows()
+
+        assert_parity()
+        meta = st.iceberg.metadata()
+        assert meta["format-version"] == 2
+        assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+        assert meta["refs"]["main"]["snapshot-id"] == meta["current-snapshot-id"]
+        fields = {f["name"] for f in meta["schemas"][0]["fields"]}
+        assert {"p_timestamp", "d"} <= fields
+        # compaction
+        assert st.compact(level="day", tombstone_grace_seconds=0) > 0
+        assert_parity()
+        # retention delete
+        st.apply_retention(
+            days=1, now=datetime(2026, 8, 3, 12), tombstone_grace_seconds=0
+        )
+        assert_parity()
+
+    def test_idempotent_and_metadata_bounded(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        v = st.iceberg.current_version()
+        st._delta_sync("WRITE")  # no manifest change -> no new version
+        assert st.iceberg.current_version() == v
+        # many commits: snapshots trimmed, dropped manifests deleted
+        for i in range(20):
+            st.ingest([{"n": i}], p_timestamp=_ts(2 + (i % 25)))
+            st.flush()
+        meta = st.iceberg.metadata()
+        assert len(meta["snapshots"]) <= st.iceberg.keep_snapshots
+        avros = [
+            n for n in os.listdir(st.iceberg.meta_dir) if n.endswith(".avro")
+        ]
+        # ≤ 2 files (manifest + list) per retained snapshot
+        assert len(avros) <= 2 * st.iceberg.keep_snapshots
+        assert sorted(st.iceberg.live_paths()) == sorted(
+            f.file_path for f in st.manifest.files
+        )
+
+    def test_reopen_resumes_and_reconciles(self, spark, tmp_path):
+        st = _store(spark, tmp_path)
+        st.ingest([{"n": 1}], p_timestamp=_ts(1))
+        st.flush()
+        # crash-simulate: manifest commits, mirror sync never runs
+        st.iceberg = None
+        st.ingest([{"n": 2}], p_timestamp=_ts(2))
+        st.flush()
+        # a later process opens WITHOUT the flag: version-hint on disk
+        # keeps it mirroring AND reconciles the missed transition
+        st2 = StreamStore(spark, str(tmp_path), StreamConfig(name="ice"))
+        assert st2.iceberg is not None
+        assert sorted(st2.iceberg.live_paths()) == sorted(
+            f.file_path for f in st2.manifest.files
+        )
+
+    def test_both_mirrors_compose(self, spark, tmp_path, monkeypatch):
+        st = StreamStore(
+            spark, str(tmp_path), StreamConfig(name="both"),
+            delta_log_enabled=True, iceberg_enabled=True,
+        )
+        for i in range(3):
+            st.ingest([{"n": i}], p_timestamp=_ts(1 + i))
+            st.flush()
+        man = sorted(f.file_path for f in st.manifest.files)
+        assert sorted(st.delta_log.live_paths()) == man
+        assert sorted(st.iceberg.live_paths()) == man
+        assert st.iceberg.num_records() == st.delta_log.num_records()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PYICEBERG"),
+    reason="pyiceberg not installed in this container (no network) — "
+    "set PYICEBERG=1 with the package present to round-trip through "
+    "the real reader",
+)
+def test_real_pyiceberg_reader_roundtrip(spark, tmp_path):
+    from pyiceberg.table import StaticTable  # type: ignore
+
+    st = _store(spark, tmp_path)
+    st.ingest([{"n": i} for i in range(25)], p_timestamp=_ts(1))
+    st.flush()
+    v = st.iceberg.current_version()
+    tbl = StaticTable.from_metadata(st.iceberg._metadata_path(v))
+    assert tbl.scan().to_arrow().num_rows == 25

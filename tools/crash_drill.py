@@ -114,6 +114,7 @@ def _open(root: str):
     from parseable_spark.streaming.curator import StreamingCurator
 
     os.environ["P_DELTA_LOG"] = "true"
+    os.environ["P_ICEBERG"] = "true"  # r7: both external mirrors on
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("crash-drill")
     spark.sparkContext.setLogLevel("ERROR")
@@ -227,6 +228,15 @@ def verify(root: str) -> None:
                 )
             if store.delta_log.num_records() != store.manifest.total_rows():
                 failures.append(f"{s}: delta numRecords != manifest rows")
+        if getattr(store, "iceberg", None) is None:
+            failures.append(f"{s}: iceberg mirror missing")
+        else:
+            ice = sorted(store.iceberg.live_paths())
+            man_sorted = sorted(f.file_path for f in store.manifest.files)
+            if ice != man_sorted:
+                failures.append(f"{s}: iceberg live set != manifest")
+            if store.iceberg.num_records() != store.manifest.total_rows():
+                failures.append(f"{s}: iceberg numRecords != manifest rows")
 
     # d — curator exactness over ALL batches incl. the drained one
     inputs: set[int] = set()

@@ -294,6 +294,19 @@ def main() -> None:
                 )
             if store.delta_log.num_records() != store.manifest.total_rows():
                 failures.append(f"{s}: delta numRecords != manifest rows")
+        if getattr(store, "iceberg", None) is not None:
+            # r7: second external mirror (P_ICEBERG=true) — replayed
+            # snapshot must equal the manifest file-for-file too
+            ice = sorted(store.iceberg.live_paths())
+            man_sorted = sorted(f.file_path for f in store.manifest.files)
+            report[f"iceberg_version_{s}"] = store.iceberg.current_version()
+            if ice != man_sorted:
+                failures.append(
+                    f"{s}: iceberg live set != manifest "
+                    f"(+{len(set(ice) - set(man_sorted))}/-{len(set(man_sorted) - set(ice))})"
+                )
+            if store.iceberg.num_records() != store.manifest.total_rows():
+                failures.append(f"{s}: iceberg numRecords != manifest rows")
         man_rows = 0
         for fstat in store.manifest.files:
             if not os.path.exists(fstat.file_path):
