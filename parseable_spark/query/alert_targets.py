@@ -66,21 +66,63 @@ class TimeoutState:
 
 
 class Transport(Protocol):
-    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None: ...
+    def post(
+        self,
+        url: str,
+        body: bytes,
+        headers: dict[str, str],
+        pinned_ip: str | None = None,
+    ) -> None: ...
 
 
 class HttpTransport:
-    """POST over stdlib urllib; failures logged, never raised."""
+    """POST over stdlib http.client; failures logged, never raised.
+
+    When the egress gate supplies ``pinned_ip``, the TCP connection
+    goes to THAT validated address while TLS SNI/verification and the
+    Host header still use the URL's hostname — closing the
+    DNS-rebinding TOCTOU between the gate's getaddrinfo and the send
+    (r7 review). Redirects are deliberately NOT followed (urllib's
+    auto-redirect was itself an unvalidated-egress vector)."""
 
     def __init__(self, timeout_s: float = 10.0) -> None:
         self.timeout_s = timeout_s
 
-    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None:
-        import urllib.request
+    def post(
+        self,
+        url: str,
+        body: bytes,
+        headers: dict[str, str],
+        pinned_ip: str | None = None,
+    ) -> None:
+        import http.client
+        import socket
+        import ssl
+        from urllib.parse import urlsplit
 
-        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
         try:
-            urllib.request.urlopen(req, timeout=self.timeout_s).read()
+            parts = urlsplit(url)
+            host = parts.hostname or ""
+            https = parts.scheme.lower() == "https"
+            port = parts.port or (443 if https else 80)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+            raw = socket.create_connection(
+                (pinned_ip or host, port), timeout=self.timeout_s
+            )
+            try:
+                if https:
+                    ctx = ssl.create_default_context()
+                    raw = ctx.wrap_socket(raw, server_hostname=host)
+                conn = http.client.HTTPConnection(host, port, timeout=self.timeout_s)
+                conn.sock = raw  # pre-connected (pinned) socket
+                conn.request(
+                    "POST", path, body=body, headers={"Host": host, **headers}
+                )
+                conn.getresponse().read()
+            finally:
+                raw.close()
         except Exception as e:  # noqa: BLE001 — delivery must never raise
             log.error("couldn't make call to %s: %s", url, e)
 
@@ -95,13 +137,20 @@ class RecordingTransport:
         self.calls: list[dict[str, Any]] = []
         self._lock = threading.Lock()
 
-    def post(self, url: str, body: bytes, headers: dict[str, str]) -> None:
+    def post(
+        self,
+        url: str,
+        body: bytes,
+        headers: dict[str, str],
+        pinned_ip: str | None = None,
+    ) -> None:
         with self._lock:
             self.calls.append(
                 {
                     "url": url,
                     "body": body.decode("utf-8", "replace"),
                     "headers": dict(headers),
+                    "pinned_ip": pinned_ip,
                     "at": self._clock(),
                 }
             )
@@ -153,7 +202,9 @@ class NotificationTarget:
         # — register a benign hostname, flip its record to
         # 169.254.169.254, wait for an alert to fire (review finding).
         # Raising callables veto the send; None = no policy configured.
-        self.policy_gate: Callable[[], None] | None = None
+        # The gate RETURNS prepare_target's dict so the send can pin a
+        # validated address (see _send).
+        self.policy_gate: Callable[[], Any] | None = None
 
     # -- wire format (subclass responsibility) ------------------------------
     def payload(self, ctx: Context) -> tuple[bytes, dict[str, str]]:
@@ -161,9 +212,10 @@ class NotificationTarget:
 
     def _send(self, ctx: Context) -> None:
         gate = self.policy_gate
+        pinned_ip: str | None = None
         if gate is not None:
             try:
-                gate()
+                prepared = gate()
             except Exception as e:  # noqa: BLE001 — veto, never raise
                 log.error(
                     "outbound policy vetoed dispatch to target %s: %s",
@@ -171,8 +223,17 @@ class NotificationTarget:
                     e,
                 )
                 return
+            # pin the ADDRESS the gate just validated: handing the
+            # hostname back to the transport re-resolves it, and a
+            # TTL-0 record alternating public/private answers slips the
+            # private one past the gate (DNS-rebinding TOCTOU — r7
+            # review; the gate alone only narrows the window)
+            addrs = (prepared or {}).get("addrs") or []
+            pinned_ip = addrs[0] if addrs else None
         body, headers = self.payload(ctx)
-        self.transport.post(self.endpoint, body, headers)
+        self.transport.post(
+            self.endpoint, body, headers, pinned_ip=pinned_ip
+        )
 
     # -- state machine (target.rs:275-314) ----------------------------------
     def call(self, ctx: Context, get_state: Callable[[], AlertState] | None = None) -> None:
@@ -414,7 +475,16 @@ class TargetRegistry:
             if target_id not in self._targets:
                 raise KeyError(f"invalid target id {target_id}")
             target = self._targets.pop(target_id)
-        in_use = set(alert_target_ids()) if alert_target_ids else set()
+        try:
+            in_use = set(alert_target_ids()) if alert_target_ids else set()
+        except Exception:
+            # the in-use computation failing must not make the delete
+            # silently succeed WITHOUT its guard (and leak the repeat
+            # thread un-close()d) — restore and surface the error
+            # (r7 review)
+            with self._lock:
+                self._targets[target_id] = target
+            raise
         if target_id in in_use:
             with self._lock:
                 self._targets[target_id] = target

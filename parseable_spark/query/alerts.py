@@ -39,8 +39,23 @@ _THRESHOLD_OPS = (">", ">=", "<", "<=", "=", "!=")
 
 def _quote_val(v) -> str:
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    return str(v)
+        # backslash FIRST: Spark's default lexer
+        # (escapedStringLiterals=false) treats \' as an escaped quote,
+        # so quote-doubling alone let a value ending in a backslash
+        # swallow the closing quote and smuggle raw SQL past the
+        # operator/column whitelist (r7 review, high):
+        # "x\\' OR 1=1 --" → 'x\'' OR 1=1 --' parsed as literal x'
+        # followed by injected SQL.
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if v is None:
+        # only reachable from IS [NOT] NULL templates (which ignore
+        # {val}); comparison operators reject None in to_sql
+        return "NULL"
+    raise ValueError(f"unsupported condition value: {v!r}")
 
 
 @dataclass
@@ -68,8 +83,28 @@ class Condition:
         if op not in _OPS:
             raise ValueError(f"operator not in whitelist: {self.operator}")
         tmpl = _OPS[op]
+        if self.value is None and op not in ("is null", "is not null"):
+            # a bare None rendered as the token `None` parses as a
+            # COLUMN reference: the alert was accepted with 200 and
+            # then failed on every scheduler tick (r7 review). Only
+            # IS [NOT] NULL accepts an absent value.
+            raise ValueError(
+                f"operator {self.operator!r} requires a value "
+                "(use 'is null' / 'is not null' for null checks)"
+            )
         s = str(self.value) if self.value is not None else ""
-        esc = s.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+        # two explicit stages: (1) build the RUNTIME LIKE pattern —
+        # backslash is LIKE's escape char, so a literal backslash is
+        # \\ and literal %/_ are \%/\_ ; (2) render that pattern as a
+        # SQL string literal under Spark's default lexer (backslash
+        # doubles again, quotes double). Collapsing the stages (the
+        # pre-r7 shape) produced ESC_IN_THE_MIDDLE errors or, worse,
+        # lexer escapes that let a trailing backslash swallow the
+        # closing quote (r7 review).
+        pattern = (
+            s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        )
+        esc = pattern.replace("\\", "\\\\").replace("'", "''")
         return tmpl.format(
             col=_backtick(self.column),
             val=_quote_val(self.value),

@@ -126,4 +126,11 @@ def fast_count(
                 t = ts.strftime(ISO_MICRO_FMT)
                 if (lo is None or t >= lo) and (hi is None or t < hi):
                     n += 1
-    return engine.spark.createDataFrame([(n,)], f"`{alias}` bigint")
+    # StructType, not a DDL string: an alias containing a backtick
+    # (SELECT COUNT(*) AS `a``b` — legal) broke the DDL parse into a
+    # 500 where the scan path would have answered (r7 review)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return engine.spark.createDataFrame(
+        [(n,)], StructType([StructField(alias, LongType(), False)])
+    )

@@ -166,6 +166,7 @@ def references_time_col(
     ``-- filtered by p_timestamp >= x`` comment doesn't match (a false
     positive suppresses injection and returns full history)."""
     sql = _blank_literals_and_comments(sql)
+    aliases = _alias_map(sql)
     pat = _TIME_PRED_TMPL.format(col=re.escape(time_col))
     for m in re.finditer(pat, sql):
         qualifier = m.group(1) or m.group(2)
@@ -174,9 +175,48 @@ def references_time_col(
         q = qualifier.lower()
         if q == stream.lower():
             return True
+        if known_streams is not None and q in known_streams:
+            continue  # a DIFFERENT stream's own constraint
+        # resolve plain FROM/JOIN aliases (r7 review: treating every
+        # alias as unresolvable suppressed injection for ALL streams in
+        # `FROM app a JOIN other o ... WHERE a.p_timestamp >= x` —
+        # `other` scanned full history)
+        target = aliases.get(q)
+        if target is not None and known_streams is not None:
+            if target == stream.lower():
+                return True
+            if target in known_streams:
+                continue  # alias of a different stream
         if known_streams is not None and q not in known_streams:
-            return True  # unresolvable alias — assume it's this stream
+            return True  # genuinely unresolvable — double-filter-safe
     return False
+
+
+# alias candidates that are really clause keywords ("FROM app WHERE…")
+_ALIAS_STOPWORDS = frozenset(
+    "where group order join on limit having union select inner left right "
+    "full cross outer lateral natural using as window qualify except "
+    "intersect offset sort distribute cluster tablesample pivot unpivot "
+    "anti semi values and or not between like in is when then else end "
+    "asc desc nulls".split()
+)
+
+
+def _alias_map(blanked_sql: str) -> dict[str, str]:
+    """alias → table for plain ``FROM/JOIN table [AS] alias`` shapes
+    (lowercased). Subqueries/functions aren't matched — their aliases
+    stay unresolvable and the caller falls back to the conservative
+    direction."""
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r"\b(?:from|join)\s+([A-Za-z_][\w.]*)\s+(?:as\s+)?([A-Za-z_]\w*)",
+        blanked_sql,
+        re.I,
+    ):
+        alias = m.group(2).lower()
+        if alias not in _ALIAS_STOPWORDS:
+            out[alias] = m.group(1).lower()
+    return out
 
 
 def extract_table_names(sql: str, spark=None) -> list[str]:
@@ -348,7 +388,8 @@ class QueryEngine:
             # lookup must too — an exact-case miss would silently
             # skip injection and return full history (review finding)
             canon = {k.lower(): k for k in self._streams}
-            foreign_hidden: list[QueryEngine] = []
+            replaced_own: list[str] = []
+            dropped_foreign: list[tuple[str, QueryEngine]] = []
             for name in extract_table_names(sql, spark=self.spark):
                 key = canon.get(name.lower())
                 if key is not None:
@@ -361,6 +402,7 @@ class QueryEngine:
                     ):
                         df = df.filter(f"{tcol} >= {lo} AND {tcol} < {hi}")
                     df.createOrReplaceTempView(key)
+                    replaced_own.append(key)
                     continue
                 owner = _VIEW_OWNER.get(name.lower())
                 if owner is not None and owner is not self:
@@ -370,16 +412,24 @@ class QueryEngine:
                     # reading the other tenant's data (cross-tenant
                     # isolation; reference per-tenant schema resolution)
                     self.spark.catalog.dropTempView(name)
-                    foreign_hidden.append(owner)
+                    dropped_foreign.append((name, owner))
             try:
                 return self.spark.sql(sql)
             finally:
-                # restore unfiltered views for subsequent queries
-                for name, (df, _) in self._streams.items():
-                    df.createOrReplaceTempView(name)
-                for owner in foreign_hidden:
-                    for name, (df, _) in owner._streams.items():
-                        df.createOrReplaceTempView(name)
+                # restore EXACTLY what this query touched (r7 review):
+                # re-installing every stream of every involved engine
+                # (the old shape) let a foreign owner's SAME-NAMED view
+                # overwrite ours after we had just restored it — the
+                # other tenant's data then sat installed under our name
+                # until the next query — and did O(all streams) catalog
+                # writes per query under the process-global lock.
+                for key in replaced_own:
+                    self._streams[key][0].createOrReplaceTempView(key)
+                for name, owner in dropped_foreign:
+                    ocanon = {k.lower(): k for k in owner._streams}
+                    okey = ocanon.get(name.lower())
+                    if okey is not None and okey.lower() not in canon:
+                        owner._streams[okey][0].createOrReplaceTempView(okey)
 
     def execute(
         self,
@@ -446,6 +496,18 @@ class QueryEngine:
         alias/view-wrapped leaf with nothing else (any Filter/Project in
         between disqualifies). Returns (stream_name, output_alias) when
         the answer can come from manifest row counts without a scan."""
+        # the GATE must run before spark.sql(): Spark executes commands
+        # (SET / DROP VIEW / CREATE TABLE AS) EAGERLY at spark.sql(),
+        # so probing unvalidated SQL for its plan shape was a full
+        # read-only-gate bypass via the fast path — `SET
+        # spark.sql.runSQLOnFiles=true` flipped the engine's file-read
+        # defense before the 400 was returned (r7 review, high).
+        # Returning None routes the statement to query(), whose own
+        # ensure_read_only raises the consistent 400.
+        try:
+            ensure_read_only(sql)
+        except ValueError:
+            return None
         try:
             plan = self.spark.sql(sql)._jdf.queryExecution().analyzed()
         except Exception:

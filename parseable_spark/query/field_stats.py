@@ -10,6 +10,27 @@ a rank window for exact top-K.
 
 from __future__ import annotations
 
+import re as _re
+
+
+def _ident(name: str) -> str:
+    """Validate + backtick a stream/field identifier before SQL
+    interpolation — same gate the alert condition builders use (r7
+    review: raw interpolation made dotted OTel fields parse as struct
+    access and left these builders injectable if ever fed unvalidated
+    names). The WHOLE name is backticked: field-stats fields come from
+    the flat ingest registry, where `http.method` is one column, not
+    struct access."""
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", str(name)):
+        raise ValueError(f"invalid identifier: {name!r}")
+    return f"`{name}`"
+
+
+def _str_lit(s: str) -> str:
+    """Single-quoted SQL string literal (backslash first — Spark's
+    default lexer treats \\' as an escaped quote)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
 
 def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
     """UNION ALL of per-field top-K value counts, ranked deterministically.
@@ -31,14 +52,15 @@ def field_top_k_sql(stream: str, fields: list[str], k: int) -> str:
     """
     parts = []
     for f in fields:
+        fq, fl = _ident(f), _str_lit(f)
         parts.append(
             f"""
-            SELECT '{f}' AS field_name, CAST({f} AS STRING) AS field_value,
+            SELECT {fl} AS field_name, CAST({fq} AS STRING) AS field_value,
                    CAST(count(*) AS BIGINT) AS cnt
-            FROM {stream}
-            GROUP BY CAST({f} AS STRING)
+            FROM {_ident(stream)}
+            GROUP BY CAST({fq} AS STRING)
             ORDER BY cnt DESC, field_value ASC NULLS LAST
-            LIMIT {k}
+            LIMIT {int(k)}
             """
         )
     union = " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
@@ -65,14 +87,14 @@ def field_cardinality_sql(stream: str, fields: list[str]) -> str:
     any NULL-bearing field."""
     parts = [
         f"""
-        SELECT '{f}' AS field_name,
+        SELECT {_str_lit(f)} AS field_name,
                CAST(count(*) AS BIGINT) AS total_count,
-               CAST(count(DISTINCT coalesce(CAST({f} AS STRING), '{NULL_VALUE}'))
+               CAST(count(DISTINCT coalesce(CAST({_ident(f)} AS STRING), '{NULL_VALUE}'))
                     AS BIGINT) AS distinct_count,
                CAST(approx_count_distinct(
-                    coalesce(CAST({f} AS STRING), '{NULL_VALUE}'))
+                    coalesce(CAST({_ident(f)} AS STRING), '{NULL_VALUE}'))
                     AS BIGINT) AS approx_distinct
-        FROM {stream}
+        FROM {_ident(stream)}
         """
         for f in fields
     ]
@@ -111,9 +133,11 @@ def compute_field_stats(df, dataset_name: str, fields=None, k: int = 5):
                 *[
                     F.struct(
                         F.lit(f).alias("field_name"),
-                        F.coalesce(F.col(f).cast("string"), F.lit(NULL_VALUE)).alias(
-                            "distinct_value"
-                        ),
+                        # backticks: dotted flat fields (OTel
+                        # `http.method`) must not parse as struct access
+                        F.coalesce(
+                            F.col(f"`{f}`").cast("string"), F.lit(NULL_VALUE)
+                        ).alias("distinct_value"),
                     )
                     for f in fields
                 ]

@@ -69,10 +69,25 @@ def row_to_json(row: Row, send_null: bool = True) -> dict[str, Any]:
     return d
 
 
+def _reject_duplicate_columns(df: DataFrame) -> None:
+    """`SELECT a, b AS a` is a legal frame but a JSON object cannot
+    carry two 'a' keys — Row.asDict() silently kept the LAST value
+    while the fields array still advertised both (r7 review). A clear
+    400 beats silently dropping a column the caller asked for."""
+    cols = df.columns
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(
+            f"duplicate output column names {dupes} cannot be serialized "
+            "to JSON records; alias them uniquely"
+        )
+
+
 def query_response(
     df: DataFrame, fields: bool = False, send_null: bool = True
 ) -> dict[str, Any] | list[dict[str, Any]]:
     """Batch response body (reference QueryResponse::to_http)."""
+    _reject_duplicate_columns(df)
     records = [row_to_json(r, send_null) for r in df.collect()]
     if fields:
         return {"fields": df.columns, "records": records}
@@ -84,5 +99,6 @@ def ndjson_lines(
 ) -> Iterator[str]:
     """Streaming NDJSON: one JSON object per line, partitions streamed
     through the driver incrementally (no full materialization)."""
+    _reject_duplicate_columns(df)
     for row in df.toLocalIterator(prefetchPartitions=True):
         yield json.dumps(row_to_json(row, send_null), separators=(",", ":")) + "\n"

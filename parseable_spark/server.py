@@ -740,14 +740,18 @@ class ParseableAPI:
         """Dispatch-time egress gate: same prepare_target screen as
         creation, against the CURRENT policy (re-resolves DNS, so a
         record flipped to a private address after creation is caught).
-        No-op until an admin configures a policy."""
+        No-op until an admin configures a policy. Returns the
+        prepared dict (validated addrs) so the transport can PIN the
+        connection to a gate-approved address — handing only the
+        hostname back re-resolves DNS and reopens the rebinding TOCTOU
+        (r7 review)."""
         from .query.outbound_policy import prepare_target
 
         with self._lock:
             policy = self._target_policy
         if policy is None:
-            return
-        prepare_target(
+            return None
+        return prepare_target(
             body.get("endpoint") or "",
             (body.get("type") or "").strip(),
             policy,
