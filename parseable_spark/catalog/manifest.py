@@ -237,18 +237,34 @@ class Manifest:
         def _eq_keep(f: FileStats) -> bool:
             for col, v in (equals or {}).items():
                 c = f.columns.get(col)
-                if c and c.get("min") is not None and not (c["min"] <= v <= c["max"]):
-                    return False
+                if not c or c.get("min") is None or v is None:
+                    continue  # unknown stats / NULL probe ⇒ keep
+                try:
+                    if not (c["min"] <= v <= c["max"]):
+                        return False
+                except TypeError:
+                    # probe/stat type mismatch (e.g. '500' vs int
+                    # stats): the reference DROPS the stat on mismatch
+                    # (column.rs:78-135); crashing the planner here
+                    # violated the never-prune-unsafely contract
+                    # (r7 review, reproduced)
+                    continue
             return True
 
-        if start is None or end is None:
+        if start is None and end is None:
             return [f.file_path for f in self._files if _eq_keep(f)]
         lowers, bounded, pmax, unknown = self._time_index(time_col)
-        p = bisect.bisect_left(lowers, end)   # entries with lower < end
-        k = bisect.bisect_left(pmax, start)   # skip all-upper-below-start prefix
+        # one-sided windows prune too ("everything since T" is a common
+        # shape): bisect handles an absent bound as the respective end
+        # of the index — bailing to a full listing cost O(history)
+        # files per open-ended query (r7 review)
+        p = len(bounded) if end is None else bisect.bisect_left(lowers, end)
+        k = 0 if start is None else bisect.bisect_left(pmax, start)
         kept_pos = list(unknown)  # unknown bounds ⇒ keep (never prune unsafely)
         for lo, hi, _rows, pos in bounded[k:p]:
-            if hi < start or lo >= end:
+            if (start is not None and hi < start) or (
+                end is not None and lo >= end
+            ):
                 continue
             kept_pos.append(pos)
         kept_pos.sort()

@@ -299,6 +299,7 @@ def incremental_lsh_candidates(
     shingle_n: int = 3,
     bucket_cap: int = 64,
     new_banded: DataFrame | None = None,
+    include_new_new: bool = True,
 ) -> DataFrame:
     """Candidate pairs for a corpus INCREMENT against a prebuilt
     `build_lsh_index` — the production shape for rolling ingestion:
@@ -326,17 +327,26 @@ def incremental_lsh_candidates(
 
     # -- new ↔ new: literally the full pipeline's guarded self-join,
     # reused via banded= (a drifted inline copy of the star guard had
-    # lost the pre-join snapshot, replaying the banding DAG per side)
-    nn = minhash_lsh_candidates(
-        new_docs,
-        id_col,
-        text_col,
-        num_hashes,
-        rows_per_band,
-        shingle_n,
-        bucket_cap=bucket_cap,
-        banded=new_banded,
-    )
+    # lost the pre-join snapshot, replaying the banding DAG per side).
+    # Callers that already ran their own in-batch stage (the streaming
+    # curator's stage 4) pass include_new_new=False — recomputing the
+    # self-join here only to discard its pairs downstream re-paid the
+    # batch's most expensive kernel every micro-batch (r7 review).
+    if include_new_new:
+        nn = minhash_lsh_candidates(
+            new_docs,
+            id_col,
+            text_col,
+            num_hashes,
+            rows_per_band,
+            shingle_n,
+            bucket_cap=bucket_cap,
+            banded=new_banded,
+        )
+    else:
+        nn = new_banded.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+        ).limit(0)
 
     # -- new ↔ old (probe the index; new side broadcast) ---------------
     probe = F.broadcast(

@@ -146,6 +146,38 @@ class StreamingCurator:
         ]
         base = fresh
 
+        # 1.5 — doc_id is the document IDENTITY (r7 review): the gate
+        # dedups by TEXT, so an id reused with edited text would write
+        # a second canonical text for the same id into kept/ and
+        # texts/, making every later near-dup verification against
+        # that id nondeterministic (which generation wins changes
+        # across compactions). In-batch: keep one deterministic row
+        # per id. Cross-batch (near-dup history only): a point lookup
+        # into texts/ — O(batch), partition+row-group pruned — drops
+        # ids that already own canonical text; the REPLAY case is
+        # excluded via the batch's own partition, keeping redelivery
+        # idempotent.
+        from pyspark.sql.window import Window
+
+        w_id = Window.partitionBy(self.id_col).orderBy(self.text_col)
+        base = (
+            base.withColumn("_idrn", F.row_number().over(w_id))
+            .filter(F.col("_idrn") == 1)
+            .drop("_idrn")
+        )
+        if self.lsh is not None:
+            dup_hist = (
+                self.lsh.lookup_texts(
+                    base.select(self.id_col), exclude_batch=batch_id
+                )
+                .select(self.id_col)
+                .distinct()
+            )
+            drops.append(
+                dup_hist.withColumn("reason", F.lit("duplicate_id"))
+            )
+            base = base.join(dup_hist, self.id_col, "left_anti")
+
         # 2. quality gate. NULL text (an event missing the field) makes
         # every predicate NULL — without the explicit isNull branch the
         # document bypassed the gate and was CURATED into the corpus.
@@ -202,7 +234,20 @@ class StreamingCurator:
             # leave stage-5 losers in the index with no retrievable
             # text: a later look-alike's pair against such a doc would
             # vanish in the verify join and slip through.
-            self.lsh.probe_batch(base, batch_id, new_banded=banded)
+            # Narrow the probe to stage-4 SURVIVORS' bands and skip the
+            # intra-batch branch (r7 review): the full-batch bands made
+            # incremental_lsh_candidates re-run the in-batch self-join
+            # stage 4 already executed — only for every in-batch pair
+            # to be discarded by the cross anti/semi-joins below — and
+            # dropped docs' band keys inflated the probe collect toward
+            # probe_key_cap, degrading row-group pruning on dup-dense
+            # batches.
+            probe_banded = banded.join(
+                base.select(self.id_col), self.id_col, "left_semi"
+            ).localCheckpoint()
+            self.lsh.probe_batch(
+                base, batch_id, new_banded=probe_banded, include_intra=False
+            )
             pairs = (
                 self.lsh.candidates()
                 .filter(F.col("batch_id") == int(batch_id))
@@ -296,38 +341,21 @@ class StreamingCurator:
 
     # -- read sides --------------------------------------------------------
     def _save_log_schema(self, sub: str, df: DataFrame) -> None:
-        """Persist the log's REAL schema next to it (atomic replace) so
-        the empty-log fallback below reproduces the actual id type —
-        a hardcoded `bigint` would type-clash with string doc ids in
-        any later union/join (review finding). Written per batch
-        (idempotent, content-stable) rather than once, so replays and
-        restarts self-heal a missing sidecar."""
-        path = os.path.join(self.base_dir, f"_{sub}_schema.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(df.schema.json())
-        os.replace(tmp, path)
+        """Shared crash-safe sidecar protocol (dedup_index.save_log_
+        schema) — one implementation for pairs/kept/decisions (r7
+        review: three hand-rolled copies)."""
+        from .dedup_index import save_log_schema
+
+        save_log_schema(self.base_dir, sub, df)
 
     def _read_log(self, sub: str, empty_schema: str) -> DataFrame:
         """A batch where NOTHING was dropped (or nothing kept) writes a
         partition dir holding only _SUCCESS; parquet schema inference
         then fails exactly when curation is going well (review
-        finding) — fall back to an empty frame of the log's shape,
-        preferring the persisted sidecar schema (exact types) over the
-        default-typed `empty_schema` string."""
-        from pyspark.errors import AnalysisException
+        finding) — shared fallback reader (dedup_index.read_log)."""
+        from .dedup_index import read_log
 
-        try:
-            return self.spark.read.parquet(os.path.join(self.base_dir, sub))
-        except AnalysisException:
-            sidecar = os.path.join(self.base_dir, f"_{sub}_schema.json")
-            if os.path.exists(sidecar):
-                from pyspark.sql.types import StructType
-
-                with open(sidecar) as f:
-                    schema = StructType.fromJson(json.loads(f.read()))
-                return self.spark.createDataFrame([], schema)
-            return self.spark.createDataFrame([], empty_schema)
+        return read_log(self.spark, self.base_dir, sub, empty_schema)
 
     def kept(self) -> DataFrame:
         return self._read_log(

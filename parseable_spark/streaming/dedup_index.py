@@ -74,6 +74,50 @@ from ..llm.dedup import (
 _INDEX_COLS = ["band_idx", "band_hash", "bsz", "rep_id"]  # + id_col
 
 
+def save_log_schema(base_dir: str, sub: str, df: DataFrame) -> None:
+    """Persist a log's REAL schema next to it (atomic replace) so the
+    empty-log fallback reproduces the actual id type — a hardcoded
+    `bigint` would type-clash with string doc ids in any later
+    union/join. Written per batch (idempotent, content-stable) so
+    replays and restarts self-heal a missing sidecar. ONE shared
+    crash-safe sidecar protocol for every append-only log in this
+    package (pairs/, kept/, decisions/ — r7 review: three hand-rolled
+    copies had already drifted)."""
+    import os as _os
+
+    path = _os.path.join(base_dir, f"_{sub}_schema.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(df.schema.json())
+    _os.replace(tmp, path)
+
+
+def read_log(
+    spark: SparkSession, base_dir: str, sub: str, empty_schema: str
+) -> DataFrame:
+    """Read an append-only partitioned log; a batch that wrote only
+    _SUCCESS under its partition leaves parquet schema inference
+    nothing to read — fall back to an empty frame, preferring the
+    persisted sidecar schema (exact types) over ``empty_schema``."""
+    import json as _json
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(_os.path.join(base_dir, sub))
+    except AnalysisException:
+        sidecar = _os.path.join(base_dir, f"_{sub}_schema.json")
+        if _os.path.exists(sidecar):
+            from pyspark.sql.types import StructType
+
+            with open(sidecar) as f:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(f.read()))
+                )
+        return spark.createDataFrame([], empty_schema)
+
+
 def _ensure_in_pushdown(spark: SparkSession, chunk: int) -> None:
     """The parquet pushdown threshold must exceed the chunk size or the
     branch filters fall back to a min/max RANGE (useless for
@@ -472,19 +516,36 @@ class StreamingDedupIndex:
         ).select(self.id_col, *_INDEX_COLS)
 
     def probe_batch(
-        self, batch_df: DataFrame, batch_id: int, new_banded: DataFrame | None = None
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        new_banded: DataFrame | None = None,
+        include_intra: bool = True,
     ) -> None:
         """Emit candidate pairs for the batch (within the batch +
         against all history) into the pairs log — WITHOUT folding the
         batch into the index. Idempotent: overwrites exactly its own
-        batch_id partition (dynamic partition overwrite)."""
+        batch_id partition (dynamic partition overwrite).
+        ``include_intra=False`` emits only batch↔history pairs — for
+        callers (the curator) that already ran their own in-batch
+        stage and were re-paying the banded self-join here only to
+        discard its pairs (r7 review)."""
+        from pyspark.sql import functions as F
+
         docs = batch_df.select(self.id_col, self.text_col)
         if not docs.head(1):
             return
         if not self._visible_parts(self._prior_cutoff(batch_id)):
-            pairs = minhash_lsh_candidates(
-                docs, bucket_cap=self.bucket_cap, banded=new_banded, **self._kw()
-            )
+            if include_intra:
+                pairs = minhash_lsh_candidates(
+                    docs, bucket_cap=self.bucket_cap, banded=new_banded,
+                    **self._kw(),
+                )
+            else:  # no history, no intra: nothing to emit but the marker
+                pairs = docs.select(
+                    F.col(self.id_col).alias("id_a"),
+                    F.col(self.id_col).alias("id_b"),
+                ).limit(0)
         else:
             if new_banded is None:
                 from ..llm.dedup import banded_rows
@@ -495,9 +556,9 @@ class StreamingDedupIndex:
             idx = self.probe_index(batch_id, new_banded)
             pairs = incremental_lsh_candidates(
                 docs, idx, bucket_cap=self.bucket_cap, new_banded=new_banded,
+                include_new_new=include_intra,
                 **self._kw(),
             )
-        from pyspark.sql import functions as F
 
         stamped = pairs.withColumn("batch_id", F.lit(int(batch_id)))
         (
@@ -510,11 +571,7 @@ class StreamingDedupIndex:
         # persist the real schema for the all-batches-pair-free read
         # fallback (id type follows the doc id column — hardcoding
         # bigint breaks string-id corpora; review finding)
-        sidecar = os.path.join(self.base_dir, "_pairs_schema.json")
-        tmp = sidecar + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(stamped.schema.json())
-        os.replace(tmp, sidecar)
+        save_log_schema(self.base_dir, "pairs", stamped)
 
     def fold_batch(
         self, batch_df: DataFrame, batch_id: int, new_banded: DataFrame | None = None
@@ -780,7 +837,9 @@ class StreamingDedupIndex:
                 ignore_errors=True,
             )
 
-    def lookup_texts(self, ids_df: DataFrame) -> DataFrame:
+    def lookup_texts(
+        self, ids_df: DataFrame, exclude_batch: int | None = None
+    ) -> DataFrame:
         """Point-lookup canonical texts for the ids in ``ids_df`` (one
         column named ``id_col``) — O(candidates), not O(history):
 
@@ -795,6 +854,11 @@ class StreamingDedupIndex:
            makes this unreachable in practice) it degrades to a
            semi-join WITHIN the pruned shards — still never a full
            history scan.
+
+        ``exclude_batch`` hides one per-batch partition (metadata-only
+        filter): the curator's duplicate-id guard must not see a
+        REPLAYED batch's own texts or the replay would drop its whole
+        batch as duplicates.
         """
         from pyspark.sql import functions as F
 
@@ -803,6 +867,8 @@ class StreamingDedupIndex:
             return self.spark.createDataFrame(
                 [], ids_df.select(self.id_col).schema
             ).withColumn(self.text_col, F.lit(None).cast("string"))
+        if exclude_batch is not None:
+            tex = tex.filter(F.col("batch_id") != int(exclude_batch))
         # ONE computation of the candidate pipeline in the common case:
         # ids and their shards collected together (ids_df may itself be
         # a join pipeline — the curator passes pairs⋈batch — so every
@@ -855,24 +921,12 @@ class StreamingDedupIndex:
         partition; when EVERY batch so far is pair-free, parquet
         schema inference has nothing to read — return the empty shape
         instead of raising (review finding on the curator's logs)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(os.path.join(self.base_dir, "pairs"))
-        except AnalysisException:
-            sidecar = os.path.join(self.base_dir, "_pairs_schema.json")
-            if os.path.exists(sidecar):
-                import json as _json
-
-                from pyspark.sql.types import StructType
-
-                with open(sidecar) as f:
-                    return self.spark.createDataFrame(
-                        [], StructType.fromJson(_json.loads(f.read()))
-                    )
-            return self.spark.createDataFrame(
-                [], "id_a bigint, id_b bigint, batch_id int"
-            )
+        return read_log(
+            self.spark,
+            self.base_dir,
+            "pairs",
+            "id_a bigint, id_b bigint, batch_id int",
+        )
 
 
 class StreamingBloomGate:
