@@ -209,9 +209,14 @@ def fetch(
     end: str | None = None,
     auth: tuple[str, str] | None = None,
     ticket_extra: dict | None = None,
+    timeout: float = 30.0,
 ):
     """Client helper: run a query over Flight, return a pyarrow Table
-    (the reference client path: ticket JSON → IPC stream)."""
+    (the reference client path: ticket JSON → IPC stream). The gRPC
+    deadline is mandatory (r7 review): the querier fan-out runs under
+    the server's API lock, and a wedged ingestor that accepts the TCP
+    connection but never answers would otherwise block do_get forever
+    and hang every subsequent query on the node."""
     if _flight is None:
         raise RuntimeError(f"pyarrow.flight unavailable: {_FLIGHT_ERR}")
     client = _flight.connect(f"grpc://localhost:{port}")
@@ -222,7 +227,9 @@ def fetch(
         if end is not None:
             ticket_body["endTime"] = end
         ticket = _flight.Ticket(json.dumps(ticket_body).encode("utf-8"))
-        return client.do_get(ticket, options=_call_options(auth=auth)).read_all()
+        return client.do_get(
+            ticket, options=_call_options(timeout=timeout, auth=auth)
+        ).read_all()
     finally:
         # the querier fan-out calls this once per ingestor per fresh
         # query — an abandoned client leaks a gRPC channel until GC
@@ -233,13 +240,19 @@ def fetch(
 
 
 def send_to_ingester(
-    start, end, now=None, window_seconds: int = 300
+    start, end, now=None, window_seconds: int | None = None
 ) -> bool:
     """True when the query window [start, end) touches the fresh-staging
     window — events that live only in ingestor memory and haven't been
     synced to the object store yet (reference send_to_ingester,
-    src/utils/arrow/flight.rs:112-160; window = STAGING_WINDOW_SECONDS,
-    stream_schema_provider.rs:936-958)."""
+    src/utils/arrow/flight.rs:112-160). The window defaults to the ONE
+    constant `storage.store.STAGING_WINDOW_SECONDS` — a hardcoded copy
+    here silently desynchronized the fan-out gate from scan()'s
+    staging union whenever the store constant was tuned (r7 review)."""
+    if window_seconds is None:
+        from .storage.store import STAGING_WINDOW_SECONDS
+
+        window_seconds = STAGING_WINDOW_SECONDS
     from datetime import datetime, timedelta, timezone
 
     now = now or datetime.now(timezone.utc)
@@ -328,6 +341,7 @@ def querier_query(
     end: str,
     ingestor_ports=(),
     now=None,
+    auth: tuple[str, str] | None = None,
 ):
     """Distributed querier execution (airplane.rs:155-199): when the
     window touches the staging-fresh period, fan out to the ingestors,
@@ -340,8 +354,13 @@ def querier_query(
     tr = TimeRange.parse(start, end, now=now)
     df = local_df
     if ingestor_ports and send_to_ingester(tr.start, tr.end, now=now):
+        # auth passes through to every ingestor fetch (r7 review: there
+        # was no way to hand credentials down, so against the module's
+        # own secured-bind posture every fan-out fetch failed auth and
+        # was silently skipped — fresh staging events vanished)
         fresh = fetch_fresh_events(
-            engine.spark, ingestor_ports, stream_name, start, end, schema=local_df.schema
+            engine.spark, ingestor_ports, stream_name, start, end,
+            schema=local_df.schema, auth=auth,
         )
         if fresh is not None:
             df = local_df.unionByName(fresh, allowMissingColumns=True)

@@ -198,8 +198,17 @@ class InMemoryMetastore(Metastore):
             self._data[self._norm(path)] = text
 
     def exists(self, path: str) -> bool:
+        # directory-prefix semantics match the filesystem and KeyMapped
+        # backends (r7 review: exists('<root>/<stream>') must be True
+        # when '<root>/<stream>/manifest.json' is stored, or a caller
+        # relying on the shared contract silently misbehaves only on
+        # this backend)
+        base = self._norm(path)
+        prefix = base + os.sep
         with self._lock:
-            return self._norm(path) in self._data
+            return base in self._data or any(
+                k.startswith(prefix) for k in self._data
+            )
 
     def list_dirs(self, path: str) -> list[str]:
         base = self._norm(path) + os.sep

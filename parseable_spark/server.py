@@ -112,6 +112,7 @@ class ParseableAPI:
         oidc=None,  # oidc.OpenidConfig | None — enables SSO login
         resource_monitor=None,  # resource_check.ResourceMonitor | None
         tenant: str | None = None,  # tenants.py: one API instance per tenant
+        ingestor_auth: tuple[str, str] | None = None,  # Flight peer creds
     ) -> None:
         from .rbac import DEFAULT_TENANT
 
@@ -121,8 +122,19 @@ class ParseableAPI:
         self.auth = auth
         self.tenant = tenant or DEFAULT_TENANT
         # querier mode: Flight ports of ingestor peers whose staging-
-        # fresh events merge into queries touching the hot window
+        # fresh events merge into queries touching the hot window.
+        # Secured peers (flight.serve refuses non-loopback binds
+        # without auth) need credentials on EVERY fan-out call —
+        # without a way to pass them, every fetch failed auth and fresh
+        # staging events silently vanished from querier results
+        # (r7 review). Env fallback mirrors the reference's P_USERNAME/
+        # P_PASSWORD intra-cluster auth.
         self.ingestor_ports = list(ingestor_ports or [])
+        if ingestor_auth is None:
+            u = os.environ.get("P_FLIGHT_USERNAME")
+            p = os.environ.get("P_FLIGHT_PASSWORD")
+            ingestor_auth = (u, p) if u and p else None
+        self.ingestor_auth = ingestor_auth
         from .query.alert_scheduler import AlertScheduler
         from .query.alert_targets import TargetRegistry
 
@@ -597,6 +609,7 @@ class ParseableAPI:
                         start,
                         end,
                         ingestor_ports=self.ingestor_ports,
+                        auth=self.ingestor_auth,
                     )
             return self.engine.query(sql, start, end)
         except ValueError as e:  # bad time range / rejected SQL
@@ -1432,7 +1445,7 @@ class ParseableAPI:
                 "node_type": "ingestor",
             }
             try:
-                meta = flight.node_action(port, "info")
+                meta = flight.node_action(port, "info", auth=self.ingestor_auth)
                 row.update(
                     reachable=True,
                     status=meta.get("status", "ok"),
@@ -1465,7 +1478,7 @@ class ParseableAPI:
 
         def fetch(port: int) -> dict[str, Any] | None:
             try:
-                streams = flight.node_action(port, "metrics")
+                streams = flight.node_action(port, "metrics", auth=self.ingestor_auth)
             except Exception:  # noqa: BLE001
                 return None
             return {
@@ -1495,7 +1508,7 @@ class ParseableAPI:
         if port not in self.ingestor_ports:
             raise ApiError(404, f"node {domain} is not part of the cluster")
         try:
-            flight.node_action(port, "ping")
+            flight.node_action(port, "ping", auth=self.ingestor_auth)
             alive = True
         except Exception:  # noqa: BLE001
             alive = False
@@ -2562,6 +2575,29 @@ class ParseableAPI:
                 s._reap_tombstones(self._lock, grace_seconds)
             except Exception:  # noqa: BLE001
                 log.exception("tombstone reap failed for stream %s", name)
+            try:
+                self._reap_deleted_hot_tier(s)
+            except Exception:  # noqa: BLE001
+                log.exception("hot-tier trash reap failed for stream %s", name)
+
+    @staticmethod
+    def _reap_deleted_hot_tier(store) -> None:
+        """Sweep a hot-tier cache dir whose delete marker's grace has
+        expired (delete_hot_tier defers the rmtree so in-flight queries
+        keep readable paths; the durable marker survives restarts)."""
+        import shutil
+        import time
+
+        d = os.path.join(store.stream_dir, "hottier")
+        marker = os.path.join(d, ".ht-deleted")
+        if store.hot_tier is not None or not os.path.exists(marker):
+            return
+        try:
+            deadline = float(open(marker).read().strip())
+        except (OSError, ValueError):
+            deadline = 0.0
+        if time.time() >= deadline:
+            shutil.rmtree(d, ignore_errors=True)
 
     def stop_maintenance(self) -> None:
         stop = getattr(self, "_maint_stop", None)
@@ -2609,8 +2645,13 @@ class ParseableAPI:
                 existing = store.hot_tier
                 if existing is not None:
                     existing.validate_resize(size)
+                # reserve other tiers' UNUSED headroom only: their
+                # already-cached bytes are inside disk_usage().used, so
+                # adding full size_limits double-counted them — two
+                # 90%-full tiers made a third stream's PUT fail with
+                # ample real headroom (r7 review)
                 others = sum(
-                    s.hot_tier.size_limit
+                    max(s.hot_tier.size_limit - s.hot_tier.used_bytes(), 0)
                     for n, s in self._stores.items()
                     if n != name and getattr(s, "hot_tier", None) is not None
                 )
@@ -2674,16 +2715,31 @@ class ParseableAPI:
 
         from .metastore import get_metastore
 
+        import time
+
+        from .storage.hottier import EVICT_GRACE_SECONDS
+
         store = self._store_or_404(name)
         if store.hot_tier is None:
             raise ApiError(404, f"hot tier not enabled for stream {name}")
         with self._lock:
             # close() waits out any in-flight backfill copy and turns
-            # the sync thread's further add() calls into no-ops — so
-            # the rmtree below cannot race a copier that would
-            # resurrect the deleted cache dir (review finding)
+            # the sync thread's further add() calls into no-ops. The
+            # rmtree is DEFERRED past the eviction grace (r7 review):
+            # an in-flight query resolved hot-tier local paths under
+            # the API lock but Spark opens them after release — the
+            # inline rmtree was the exact race the grace exists to
+            # prevent on every other delete path. A durable marker
+            # carries the deadline across restarts; reap_tombstones
+            # sweeps it.
             store.hot_tier.close()
-            shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
+            marker = os.path.join(store.hot_tier.cache_dir, ".ht-deleted")
+            try:
+                with open(marker, "w") as f:
+                    f.write(str(time.time() + EVICT_GRACE_SECONDS))
+            except OSError:
+                # marker unwritable (dir gone?) — fall back to inline
+                shutil.rmtree(store.hot_tier.cache_dir, ignore_errors=True)
             store.hot_tier = None
             get_metastore().delete_prefix(
                 os.path.join(store.stream_dir, "hottier.json")

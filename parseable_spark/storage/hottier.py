@@ -68,6 +68,32 @@ class HotTier:
 
     def __post_init__(self) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
+        # a delete marker means this dir's contents belong to a DELETED
+        # tier awaiting its grace-period sweep; attaching a new tier
+        # over them must start EMPTY (and clear the marker, or the
+        # sweeper would rmtree the live tier later). Cache-only data:
+        # it refills from the store.
+        marker = os.path.join(self.cache_dir, ".ht-deleted")
+        if os.path.exists(marker):
+            for n in os.listdir(self.cache_dir):
+                p = os.path.join(self.cache_dir, n)
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(
+                    p
+                ) else os.remove(p)
+        # graveyard is persisted (wall-clock deadlines): without it a
+        # restart re-registered buried copies of DELETED remotes into
+        # _sizes as phantom quota, and their disk bytes lived forever
+        # (r7 review)
+        dead: set[str] = set()
+        try:
+            import json as _json
+
+            with open(os.path.join(self.cache_dir, "_graveyard.json")) as f:
+                for p, deadline in _json.load(f):
+                    dead.add(p)
+                    self._graveyard.append((p, float(deadline)))
+        except (FileNotFoundError, ValueError):
+            pass
         for root, _, names in os.walk(self.cache_dir):
             for n in names:
                 p = os.path.join(root, n)
@@ -79,7 +105,23 @@ class HotTier:
                     except OSError:
                         pass
                     continue
+                if n == "_graveyard.json" or p in dead:
+                    continue
                 self._sizes[p] = os.path.getsize(p)
+
+    def _save_graveyard(self) -> None:
+        """Caller holds _mu. Crash-safe tmp+replace; wall-clock
+        deadlines so a restart resumes the same grace windows."""
+        import json as _json
+
+        path = os.path.join(self.cache_dir, "_graveyard.json")
+        tmp = path + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                _json.dump(self._graveyard, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # bookkeeping best-effort; reap self-heals next pass
 
     # --- bookkeeping ----------------------------------------------------
     def used_bytes(self) -> int:
@@ -96,15 +138,17 @@ class HotTier:
 
     def _bury(self, local: str) -> None:
         """Schedule a cache copy for deferred physical delete (see
-        EVICT_GRACE_SECONDS). Caller holds _mu."""
-        self._graveyard.append((local, time.monotonic() + EVICT_GRACE_SECONDS))
+        EVICT_GRACE_SECONDS). Wall-clock deadline (persisted — survives
+        restarts). Caller holds _mu."""
+        self._graveyard.append((local, time.time() + EVICT_GRACE_SECONDS))
+        self._save_graveyard()
 
     def _reap_graveyard(self) -> None:
         """Physically delete buried copies past their grace. Entries
         whose path was re-added in the meantime are simply dropped —
         add() overwrites via os.replace, so the live copy stays.
         Caller holds _mu."""
-        now = time.monotonic()
+        now = time.time()
         keep = []
         for p, deadline in self._graveyard:
             if p in self._sizes:
@@ -116,7 +160,9 @@ class HotTier:
                     pass
             else:
                 keep.append((p, deadline))
-        self._graveyard = keep
+        if len(keep) != len(self._graveyard):
+            self._graveyard = keep
+            self._save_graveyard()
 
     def _evict_until(self, needed: int) -> None:
         """Oldest-first eviction (lexicographic on the mirrored
@@ -135,33 +181,49 @@ class HotTier:
     # --- cache operations -------------------------------------------------
     def add(self, remote_path: str) -> str | None:
         """Pull one parquet file into the hot tier; returns the local
-        path, or None when the file exceeds the whole quota."""
+        path, or None when the file exceeds the whole quota.
+
+        The bulk COPY runs OUTSIDE _mu (r7 review: holding the lock
+        across a multi-second copyfile stalled every query's resolve()
+        and every flush's fill behind each backfill file); only the
+        bookkeeping (evict decision, atomic rename, registration)
+        takes the lock. Unique tmp names keep two concurrent adds of
+        the same path from interleaving writes into one tmp file."""
+        import uuid as _uuid
+
+        local = self._local_path(remote_path)
         with self._mu:
             if self._closed:
                 return None
-            local = self._local_path(remote_path)
             if local in self._sizes:
                 return local
-            try:
-                size = os.path.getsize(remote_path)
-                if size > self.size_limit:
-                    return None
-                self._reap_graveyard()
-                self._evict_until(size)
-                os.makedirs(os.path.dirname(local), exist_ok=True)
-                # tmp + atomic replace: a crash mid-copy must not leave
-                # a truncated parquet at the final path (__post_init__
-                # would register it and every scan of the bucket would
-                # fail on a corrupt footer until manual cleanup)
-                tmp = local + ".tmp-ht"
-                shutil.copyfile(remote_path, tmp)
-                os.replace(tmp, local)
-            except FileNotFoundError:
-                # retention/compaction deleted the source between the
-                # caller's existence check and the copy — a cache fill
-                # must degrade to a miss, not kill the sync thread
-                # (review finding)
+        try:
+            size = os.path.getsize(remote_path)
+            if size > self.size_limit:
                 return None
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            # tmp + atomic replace: a crash mid-copy must not leave
+            # a truncated parquet at the final path (__post_init__
+            # would register it and every scan of the bucket would
+            # fail on a corrupt footer until manual cleanup)
+            tmp = f"{local}.{_uuid.uuid4().hex[:8]}.tmp-ht"
+            shutil.copyfile(remote_path, tmp)
+        except FileNotFoundError:
+            # retention/compaction deleted the source between the
+            # caller's existence check and the copy — a cache fill
+            # must degrade to a miss, not kill the sync thread
+            # (review finding)
+            return None
+        with self._mu:
+            if self._closed or local in self._sizes:
+                try:
+                    os.remove(tmp)  # lost the race / tier deleted
+                except OSError:
+                    pass
+                return None if self._closed else local
+            self._reap_graveyard()
+            self._evict_until(size)
+            os.replace(tmp, local)
             self._sizes[local] = size
             return local
 
@@ -188,6 +250,12 @@ class HotTier:
         """Swap each path for its hot-tier copy when cached (the scan
         branch split of stream_schema_provider.rs:232-289; misses stay
         remote — correctness never depends on the cache)."""
+        with self._mu:
+            # reap on the query path too: an IDLE tier (stream stopped
+            # ingesting right after a retention invalidated entries)
+            # otherwise kept buried copies on disk forever — the
+            # add()/invalidate()-only reap never ran again (r7 review)
+            self._reap_graveyard()
         return [self.lookup(p) or p for p in remote_paths]
 
     # --- reference StreamHotTier surface (hottier.rs:240-250, 674-717) ---

@@ -265,6 +265,16 @@ class TestReviewRegressions:
         api.delete_hot_tier("applogs")
         t.join(timeout=30)
         assert not t.is_alive()
+        assert store.hot_tier is None
+        # r7: the rmtree is DEFERRED past the eviction grace (in-flight
+        # queries resolved local paths under the lock but open them
+        # after release) — a durable marker carries the deadline
+        marker = os.path.join(cache_dir, ".ht-deleted")
+        assert os.path.exists(cache_dir) and os.path.exists(marker)
+        # expire the deadline and run the maintenance sweep
+        with open(marker, "w") as f:
+            f.write("0")
+        api.reap_tombstones()
         assert not os.path.exists(cache_dir)
 
     def test_closed_tier_add_is_noop(self, tmp_path):
