@@ -69,6 +69,13 @@ class ScheduledAlert:
     # fresh alert on a recently-booted host sat idle until uptime
     # reached eval_frequency_s (review finding).
     _last_eval: float | None = None
+    # evaluate() mutates alert.state and fires on transitions; the
+    # scheduler thread and the HTTP evaluate route both call it, and
+    # unsynchronized they could each observe the same prev state and
+    # double-fire (or lose) one transition's notifications (r7 review)
+    _eval_mu: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def due(self, monotonic_now: float) -> bool:
         if self._last_eval is None:
@@ -96,7 +103,14 @@ class ScheduledAlert:
     def evaluate(self, engine, now: datetime | None = None) -> AlertState:
         """One rolling-window evaluation `eval_start..now`; notify
         targets on state transition (or every trigger when
-        repeat_notifications), unless notifications are muted."""
+        repeat_notifications), unless notifications are muted.
+        Serialized per alert (see _eval_mu) — the state machine's
+        read-evaluate-transition must be atomic against the concurrent
+        HTTP evaluate route."""
+        with self._eval_mu:
+            return self._evaluate_locked(engine, now)
+
+    def _evaluate_locked(self, engine, now: datetime | None = None) -> AlertState:
         prev = self.alert.state
         # engine.execute, not query().collect(): the deadline + job-group
         # cancel means one hung Spark job (executor loss, shuffle fetch

@@ -1176,6 +1176,45 @@ class ParseableAPI:
             return [row_to_json(r) for r in out.collect()]
 
     # -- OIDC login (src/oidc.rs, handlers/http/oidc.rs) ---------------------
+    _OIDC_STATE_TTL = 600.0  # seconds a pending login may take
+
+    def mint_oidc_state(self, redirect: str) -> str:
+        """CSRF-binding state for the OIDC round-trip (r7 review): the
+        state used to carry ONLY the redirect path, so an attacker
+        could deliver their own authorization code to a victim's
+        browser (login CSRF / session fixation — the victim gets
+        silently logged in as the attacker). The state is now a
+        single-use server-side nonce mapping to the redirect."""
+        import secrets
+        import time
+
+        nonce = secrets.token_urlsafe(24)
+        with self._lock:
+            states = getattr(self, "_oidc_states", None)
+            if states is None:
+                states = self._oidc_states = {}
+            now = time.time()
+            # expire + cap: an unauthenticated endpoint must not grow
+            # server memory unboundedly
+            for k in [k for k, (_, exp) in states.items() if exp < now]:
+                del states[k]
+            while len(states) >= 1000:
+                states.pop(next(iter(states)))
+            states[nonce] = (redirect, now + self._OIDC_STATE_TTL)
+        return nonce
+
+    def consume_oidc_state(self, nonce: str | None) -> str | None:
+        """Single-use redeem; None for unknown/expired/replayed."""
+        import time
+
+        with self._lock:
+            states = getattr(self, "_oidc_states", {})
+            entry = states.pop(nonce, None) if nonce else None
+        if entry is None:
+            return None
+        redirect, exp = entry
+        return redirect if time.time() <= exp else None
+
     def oidc_callback(self, code: str) -> tuple[str, str]:
         """Exchange the authorization code, resolve the identity, map
         provider groups onto existing named roles, upsert the OAuth
@@ -1731,7 +1770,7 @@ class ParseableAPI:
             names = sorted(self._stores)
         if principal == "*" or principal is None:
             return names
-        return self.rbac.authorized_streams(principal, names)
+        return self.rbac.authorized_streams(principal, names, tenant=self.tenant)
 
     def _stream_ingested(self, name: str) -> bool:
         store = self._stores[name]
@@ -2746,8 +2785,7 @@ class ParseableAPI:
             )
 
     # -- users + RBAC (rbac.rs, role.rs:195-330) -----------------------------
-    @staticmethod
-    def _parse_grants(items: list[dict[str, Any]]):
+    def _parse_grants(self, items: list[dict[str, Any]]):
         from .rbac import Grant, _PRIVILEGES
 
         grants = []
@@ -2755,9 +2793,23 @@ class ParseableAPI:
             priv = (g.get("privilege") or "").lower()
             if priv not in _PRIVILEGES:
                 raise ApiError(400, f"unknown privilege {priv!r}")
-            grants.append(
-                Grant(priv, g.get("stream", "*"), g.get("tenant", "default"))
-            )
+            # grants live inside a PER-TENANT rbac store, so their
+            # tenant field defaults to THIS API's tenant; a mismatched
+            # value used to be accepted with 200 and then silently
+            # authorize nothing — every authorization call runs against
+            # the owning API (r7 review)
+            gt = g.get("tenant", self.tenant)
+            if gt == "default":
+                # legacy rows (and clients following the old examples)
+                # stored 'default' on every tenant — upgrade in place
+                gt = self.tenant
+            elif gt != self.tenant:
+                raise ApiError(
+                    400,
+                    f"grant tenant {gt!r} does not match this workspace "
+                    f"({self.tenant!r}); grants are managed per tenant",
+                )
+            grants.append(Grant(priv, g.get("stream", "*"), gt))
         return grants
 
     def put_role(self, name: str, body: list[dict[str, Any]]) -> None:
@@ -2934,7 +2986,7 @@ class ParseableAPI:
         if principal is None:
             raise ApiError(401, "unauthorized")
         try:
-            self.rbac.authorize(principal, action, stream)
+            self.rbac.authorize(principal, action, stream, tenant=self.tenant)
         except AccessDenied as e:
             raise ApiError(403, str(e)) from e
 
@@ -3487,7 +3539,11 @@ class _Handler(BaseHTTPRequestHandler):
                 if sid and self.api.check_session(sid):
                     self._redirect(target)  # active session: straight back
                 elif self.api.oidc_client is not None:
-                    self._redirect(self.api.oidc_client.auth_url(state=target))
+                    self._redirect(
+                        self.api.oidc_client.auth_url(
+                            state=self.api.mint_oidc_state(target)
+                        )
+                    )
                 else:
                     self._redirect(target)  # no OIDC configured (dev mode)
                 return
@@ -3496,7 +3552,13 @@ class _Handler(BaseHTTPRequestHandler):
                 code = qp.get("code") or ""
                 if not code:
                     raise ApiError(400, "missing code")
-                target = qp.get("state") or "/"
+                # the state must redeem a nonce WE minted for this
+                # browser's login — an attacker-delivered code with a
+                # forged/absent state is rejected instead of silently
+                # logging the victim in as the attacker (r7 review)
+                target = self.api.consume_oidc_state(qp.get("state"))
+                if target is None:
+                    raise ApiError(400, "invalid or expired login state")
                 if not self._valid_redirect(target):
                     target = "/"
                 sid, username = self.api.oidc_callback(code)

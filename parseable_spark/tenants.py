@@ -147,14 +147,29 @@ class TenantManager:
 
     def _peer_hottier_bytes_fn(self, owner_api):
         def total() -> int:
-            with self._lock:
-                return sum(
-                    s.hot_tier.size_limit
-                    for api in self._apis.values()
-                    if api is not owner_api
-                    for s in api._stores.values()
-                    if getattr(s, "hot_tier", None) is not None
-                )
+            # LOCK-FREE by design (r7 review): the caller holds its own
+            # API lock (put_hot_tier), and taking the manager lock here
+            # inverted against tenant_of_credentials (manager → api),
+            # deadlocking the whole server. Reads go through atomic
+            # snapshots: dict.copy() is a single C-level op, so neither
+            # the api registry nor a peer's store dict can change size
+            # under the iteration (the old raw iteration 500'd on a
+            # concurrent stream creation). Peer API locks are NOT taken
+            # either — two concurrent PUTs would otherwise deadlock
+            # api_A↔api_B.
+            out = 0
+            for api in list(self._apis.copy().values()):
+                if api is owner_api:
+                    continue
+                for s in list(api._stores.copy().values()):
+                    ht = getattr(s, "hot_tier", None)
+                    if ht is not None:
+                        # UNUSED headroom only — cached bytes are
+                        # already inside disk_usage().used (same
+                        # double-count the r7 review fixed for
+                        # same-API tiers)
+                        out += max(ht.size_limit - ht.used_bytes(), 0)
+            return out
 
         return total
 
@@ -235,6 +250,19 @@ class TenantManager:
         with self._lock:
             if tenant_id in self._apis:
                 raise ValueError(f"Tenant with id- {tenant_id} already exists")
+            # case-insensitive collision check: on a case-insensitive
+            # filesystem 'Acme' and 'acme' share tenant_root — building
+            # a second API over the same directory would load the other
+            # tenant's users/API keys/streams (cross-tenant breach) and
+            # clobber its tenant.json (r7 review)
+            clash = next(
+                (t for t in self._apis if t.lower() == tenant_id.lower()), None
+            )
+            if clash is not None:
+                raise ValueError(
+                    f"tenant id {tenant_id!r} collides case-insensitively "
+                    f"with existing tenant {clash!r}"
+                )
             # a retained root WITHOUT tenant.json is a deleted tenant's
             # remains (delete_tenant tombstones only the registration):
             # building an API over it would silently resurrect the old
@@ -248,7 +276,13 @@ class TenantManager:
             if (
                 not adopt_existing
                 and not ms.exists(self._meta_path(tenant_id))
-                and ms.list_dirs(root)
+                # exists(root) catches roots retaining only FILES —
+                # _config.json holds the deleted tenant's users and API
+                # keys even when every stream dir is gone, and
+                # list_dirs alone missed it (r7 review: the old
+                # credentials silently authenticated against the new
+                # tenant)
+                and (ms.list_dirs(root) or ms.exists(root))
             ):
                 raise ValueError(
                     f"tenant id {tenant_id!r} has retained storage from a "
@@ -279,10 +313,15 @@ class TenantManager:
             if api is None:
                 raise TenantNotFound(tenant_id)
             self._meta.pop(tenant_id, None)
-            for name in list(api._stores):
-                api.engine.deregister_stream(name)
-            api.scheduler.stop()
             get_metastore().delete_prefix(self._meta_path(tenant_id))
+        # slow teardown OUTSIDE the manager lock (r7 review):
+        # scheduler.stop() joins the alert thread (up to 5 s mid-
+        # evaluate) and would stall tenant resolution for every
+        # in-flight request; the tenant is already unregistered above,
+        # so nothing can route to it meanwhile
+        for name in list(api._stores):
+            api.engine.deregister_stream(name)
+        api.scheduler.stop()
 
     def api_for(self, tenant_id: str):
         api = self._apis.get(tenant_id)
@@ -364,12 +403,19 @@ class TenantManager:
         (middleware.rs:361-377 derives it from the authenticated user)
         and to distinguish 403 wrong-tenant from 401 unknown."""
         out = []
+        # snapshot under the lock, probe OUTSIDE it: each probe takes
+        # that API's own lock (possibly contended by a slow request),
+        # and holding the manager lock across them serialized every
+        # header-less request behind the slowest tenant (r7 review —
+        # this is also the manager→api edge of the former ABBA
+        # deadlock, kept one-directional now)
         with self._lock:
-            ids = [DEFAULT_TENANT] + sorted(t for t in self._apis if t != DEFAULT_TENANT)
-            for tid in ids:
-                # '*' (built-in admin / open server) matches everywhere
-                # the same credential pair is configured — the
-                # SuperAdmin analog; tenant users match only their home
-                if probe(self._apis[tid]) is not None:
-                    out.append(tid)
+            apis = dict(self._apis)
+        ids = [DEFAULT_TENANT] + sorted(t for t in apis if t != DEFAULT_TENANT)
+        for tid in ids:
+            # '*' (built-in admin / open server) matches everywhere
+            # the same credential pair is configured — the
+            # SuperAdmin analog; tenant users match only their home
+            if probe(apis[tid]) is not None:
+                out.append(tid)
         return out

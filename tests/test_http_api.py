@@ -1545,19 +1545,30 @@ def test_oidc_login_flow_e2e(spark, tmp_path):
         loc = up.urlparse(hdrs["Location"])
         q = dict(up.parse_qsl(loc.query))
         assert hdrs["Location"].startswith(provider.base + "/authorize")
-        assert q["client_id"] == "pclient" and q["state"] == "/console"
+        # r7: the state is a single-use server-side NONCE bound to this
+        # login (the raw redirect path enabled login CSRF / session
+        # fixation); the redirect is redeemed server-side at callback
+        assert q["client_id"] == "pclient" and q["state"] != "/console"
+        assert len(q["state"]) >= 16
         assert q["response_type"] == "code"
         # absolute redirect target → 400 (open-redirect guard)
         code_, _ = get("/api/v1/o/login?redirect=http://evil.example/")
         assert code_ == 400
 
         # provider redirects back with the code → session cookie
-        code_, hdrs = get("/api/v1/o/code?code=good-code&state=/console")
+        code_, hdrs = get(f"/api/v1/o/code?code=good-code&state={q['state']}")
         assert code_ == 307 and hdrs["Location"] == "/console"
         cookie = hdrs["Set-Cookie"].split(";")[0]
         assert cookie.startswith("session=")
-        # bad code → 401
-        assert get("/api/v1/o/code?code=bad&state=/")[0] == 401
+        # the nonce is SINGLE-USE: replaying it is rejected
+        assert get(f"/api/v1/o/code?code=good-code&state={q['state']}")[0] == 400
+        # forged/absent state → 400 (attacker-delivered code)
+        assert get("/api/v1/o/code?code=good-code&state=/")[0] == 400
+        def _mint_state():
+            _, h = get("/api/v1/o/login?redirect=/")
+            return dict(up.parse_qsl(up.urlparse(h["Location"]).query))["state"]
+        # bad code (valid state) → 401
+        assert get(f"/api/v1/o/code?code=bad&state={_mint_state()}")[0] == 401
 
         # the session authenticates and carries the analyst role only
         # (the unknown group "not-a-role" was dropped)
@@ -1631,6 +1642,10 @@ def test_oidc_hardening(spark, tmp_path):
         )
         return json.loads(r.read())
 
+    def _mint_state():
+        _, h = get("/api/v1/o/login?redirect=/")
+        return dict(up.parse_qsl(up.urlparse(h["Location"]).query))["state"]
+
     try:
         _post(base + "/api/v1/ingest", EVENTS, headers={"x-p-stream": "s1", **admin})
         # a privileged native user the IdP name will try to shadow
@@ -1644,7 +1659,7 @@ def test_oidc_hardening(spark, tmp_path):
 
         # IdP user renames themselves to "victim", with NO groups
         provider.userinfo = {"sub": "u-42", "name": "victim", "groups": []}
-        code_, hdrs = get("/api/v1/o/code?code=good-code&state=/")
+        code_, hdrs = get(f"/api/v1/o/code?code=good-code&state={_mint_state()}")
         assert code_ == 307
         cookie = hdrs["Set-Cookie"].split(";")[0]
         # the session is the namespaced OAuth principal: it has no
@@ -1664,7 +1679,9 @@ def test_oidc_hardening(spark, tmp_path):
         provider.userinfo = {"sub": "u-43", "name": "张伟;x", "groups": []}
         try:
             r = opener.open(
-                urllib.request.Request(base + "/api/v1/o/code?code=good-code&state=/"),
+                urllib.request.Request(
+                    base + f"/api/v1/o/code?code=good-code&state={_mint_state()}"
+                ),
                 timeout=30,
             )
             status, rhdrs = r.status, r.headers
@@ -2268,8 +2285,18 @@ def test_sse_alert_push_e2e(spark, tmp_path):
             [{"privilege": "reader", "stream": "s1"}], admin)
 
         # session via the OIDC code flow (fake provider groups: analyst)
+        # r7: mint a login state first (raw paths are rejected now)
         try:
-            opener.open(base + "/api/v1/o/code?code=good-code&state=/", timeout=30)
+            opener.open(base + "/api/v1/o/login?redirect=/", timeout=30)
+            raise AssertionError("expected 307")
+        except urllib.error.HTTPError as e:
+            import urllib.parse as _up
+            _q = dict(_up.parse_qsl(_up.urlparse(e.headers["Location"]).query))
+        try:
+            opener.open(
+                base + f"/api/v1/o/code?code=good-code&state={_q['state']}",
+                timeout=30,
+            )
             raise AssertionError("expected 307")
         except urllib.error.HTTPError as e:
             assert e.code == 307
@@ -2387,7 +2414,16 @@ def test_sse_stream_closes_on_session_revocation(spark, tmp_path):
 
         opener = urllib.request.build_opener(NoRedirect)
         try:
-            opener.open(base + "/api/v1/o/code?code=good-code&state=/", timeout=30)
+            opener.open(base + "/api/v1/o/login?redirect=/", timeout=30)
+            raise AssertionError("expected 307")
+        except urllib.error.HTTPError as e:
+            import urllib.parse as _up
+            _q = dict(_up.parse_qsl(_up.urlparse(e.headers["Location"]).query))
+        try:
+            opener.open(
+                base + f"/api/v1/o/code?code=good-code&state={_q['state']}",
+                timeout=30,
+            )
             raise AssertionError("expected 307")
         except urllib.error.HTTPError as e:
             cookie = e.headers["Set-Cookie"].split(";")[0]

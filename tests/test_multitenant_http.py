@@ -460,6 +460,100 @@ def test_recreating_deleted_id_does_not_resurrect_old_tenant(mt, tenants_ready, 
     mgr.delete_tenant("phoenix")
 
 
+def test_files_only_root_blocks_resurrection(mt, tenants_ready, spark):
+    """r7 review: the resurrection guard only checked list_dirs(root),
+    so a deleted tenant whose root retained ONLY _config.json (users +
+    API keys, no stream dirs) re-created silently — the old credentials
+    authenticated against the new tenant."""
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/ghostco", {}, adm)
+    assert st == 200
+    # a user (persisted to _config.json) but NO streams
+    st, _ = _req(
+        "POST",
+        f"{base}/api/v1/user/old-admin",
+        {"grants": [{"privilege": "admin"}]},
+        {**adm, "x-p-tenant": "ghostco"},
+    )
+    assert st == 200
+    st, _ = _req("DELETE", f"{base}/api/v1/tenants/ghostco", None, adm)
+    assert st == 200
+    st, out = _req("PUT", f"{base}/api/v1/tenants/ghostco", {}, adm)
+    assert st == 400 and "retained storage" in out["error"]
+    _req("PUT", f"{base}/api/v1/tenants/ghostco", {"adopt_existing": True}, adm)
+    mgr.delete_tenant("ghostco")
+
+
+def test_case_insensitive_tenant_collision_rejected(mt, tenants_ready):
+    """r7 review: 'Acme' and 'acme' share tenant_root on a
+    case-insensitive filesystem — building a second API over the same
+    directory would breach isolation; collide explicitly."""
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/casetest", {}, adm)
+    assert st == 200
+    st, out = _req("PUT", f"{base}/api/v1/tenants/CaseTest", {}, adm)
+    assert st == 400 and "case-insensitively" in out["error"]
+    mgr.delete_tenant("casetest")
+
+
+def test_tenant_grants_are_effective_on_their_workspace(mt, tenants_ready):
+    """r7 review: grants stored tenant='default' on every workspace
+    while authorization ran against the API's own tenant — tenant-field
+    grants were accepted with 200 and then authorized NOTHING. Grants
+    now default to the workspace tenant and actually authorize."""
+    import base64 as _b64
+
+    api, mgr, base, root = mt
+    adm = _basic(*ADMIN)
+    st, _ = _req("PUT", f"{base}/api/v1/tenants/grantco", {}, adm)
+    assert st == 200
+    hdr = {**adm, "x-p-tenant": "grantco"}
+    st, _ = _req(
+        "POST",
+        f"{base}/api/v1/ingest",
+        [{"m": 1}],
+        {**hdr, "x-p-stream": "glogs"},
+    )
+    assert st == 200
+    # a reader user created WITHOUT an explicit tenant field
+    st, _ = _req(
+        "POST",
+        f"{base}/api/v1/user/reba",
+        {"password": "rpw", "grants": [{"privilege": "reader", "stream": "glogs"}]},
+        hdr,
+    )
+    assert st == 200
+    user = {
+        "Authorization": "Basic " + _b64.b64encode(b"reba:rpw").decode(),
+        "x-p-tenant": "grantco",
+    }
+    from datetime import datetime, timedelta, timezone
+
+    now = datetime.now(timezone.utc)
+    rng = {
+        "startTime": (now - timedelta(hours=1)).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "endTime": (now + timedelta(minutes=5)).strftime("%Y-%m-%dT%H:%M:%SZ"),
+    }
+    st, rows = _req(
+        "POST",
+        f"{base}/api/v1/query",
+        {"query": "SELECT count(*) AS n FROM glogs", **rng},
+        user,
+    )
+    assert st == 200 and rows == [{"n": 1}]
+    # a MISMATCHED explicit tenant field is a clear 400, not an inert 200
+    st, out = _req(
+        "POST",
+        f"{base}/api/v1/user/mallory",
+        {"password": "m", "grants": [{"privilege": "admin", "tenant": "other"}]},
+        hdr,
+    )
+    assert st == 400 and "does not match" in out["error"]
+    mgr.delete_tenant("grantco")
+
+
 def test_corrupt_tenant_json_skipped_on_boot(mt, tenants_ready, spark, tmp_path):
     """One torn tenant.json must not abort TenantManager construction
     and take every healthy tenant offline."""
