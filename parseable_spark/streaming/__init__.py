@@ -21,6 +21,7 @@ from .sketches import (
     sketch_cube_batch_writer,
 )
 from .curator import StreamingCurator
+from .ann_index import StreamingEmbeddingIndex
 from .dedup_index import StreamingBloomGate, StreamingDedupIndex
 from .stateful import alert_state_machine
 
@@ -31,6 +32,7 @@ __all__ = [
     "StreamingBloomGate",
     "StreamingCurator",
     "StreamingDedupIndex",
+    "StreamingEmbeddingIndex",
     "alert_state_machine",
     "compact_sketch_cube",
     "foreach_batch_sink",

@@ -193,7 +193,68 @@ def partitioned_chunked_isin(
     return base.filter(F.lit(False)) if out is None else out
 
 
-class StreamingDedupIndex:
+class BatchPartitionedIndex:
+    """Shared machinery for streaming indexes persisted as append-only
+    ``index/batch_id={b}/...`` partitions with compacted negative
+    generations and an atomically-flipped ``LATEST`` pointer — the
+    replay/visibility discipline the LSH signature index established
+    (and the embedding index reuses). Subclasses set ``base_dir``."""
+
+    base_dir: str
+
+    @property
+    def _latest_path(self) -> str:
+        return os.path.join(self.base_dir, "LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._latest_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _commit_version(self, version: int) -> None:
+        tmp = self._latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_path)  # atomic pointer flip
+
+    @property
+    def _index_root(self) -> str:
+        return os.path.join(self.base_dir, "index")
+
+    def _index_parts(self) -> list[int]:
+        """batch_id partition values present on disk (negative =
+        compacted generations)."""
+        out = []
+        for name in os.listdir(self._index_root):
+            if name.startswith("batch_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _visible_parts(self, cutoff: int) -> list[int]:
+        """Partitions a reader at ``cutoff`` may see: committed batches
+        strictly below the cutoff plus every compacted generation.
+        Generations only ever fold batches older than any batch a
+        streaming replay can target (compaction keeps the newest
+        ``keep_recent`` batches untouched and foreachBatch only
+        redelivers the last batch), so negatives are always visible. A
+        partition written by a crashed fold (no LATEST flip) has
+        batch_id ≥ cutoff and is invisible until its replay rewrites
+        it."""
+        return [p for p in self._index_parts() if p < 0 or p < cutoff]
+
+    def _prior_cutoff(self, batch_id: int) -> int:
+        """Visibility cutoff for processing ``batch_id``: committed
+        batches strictly before it. min() with LATEST keeps a crashed
+        fold's half-written own partition invisible on replay."""
+        return min(int(batch_id), self.latest_version() or 0)
+
+
+class StreamingDedupIndex(BatchPartitionedIndex):
     def __init__(
         self,
         spark: SparkSession,
@@ -416,12 +477,6 @@ class StreamingDedupIndex:
             rows_per_band=self.rows_per_band,
             shingle_n=self.shingle_n,
         )
-
-    def _prior_cutoff(self, batch_id: int) -> int:
-        """Visibility cutoff for processing ``batch_id``: committed
-        batches strictly before it. min() with LATEST keeps a crashed
-        fold's half-written own partition invisible on replay."""
-        return min(int(batch_id), self.latest_version() or 0)
 
     def _prior_index(self, batch_id: int) -> DataFrame | None:
         """The full pre-state visible to ``batch_id`` — a replay reads
