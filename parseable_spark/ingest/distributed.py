@@ -84,7 +84,8 @@ def _normalize_records(
     )
     inferred = sc.infer_batch_schema(records)
     coerced = sc.override_data_type(
-        inferred, records, config.schema_version, config.infer_timestamp
+        inferred, records, config.schema_version, config.infer_timestamp,
+        committed=committed,
     )
     batch_schema = {k: committed.get(k, t) for k, t in coerced.items()}
     return records, batch_schema, inferred

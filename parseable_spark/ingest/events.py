@@ -212,7 +212,8 @@ def prepare_batch(
 
     inferred = sc.infer_batch_schema(records)
     coerced = sc.override_data_type(
-        inferred, records, config.schema_version, config.infer_timestamp
+        inferred, records, config.schema_version, config.infer_timestamp,
+        committed=registry.fields,
     )
     # committed types win for already-known fields (derive_arrow_schema path)
     batch_schema = {k: registry.fields.get(k, t) for k, t in coerced.items()}

