@@ -20,7 +20,18 @@ proves individually:
   candidate pairs against all history cost one incremental probe, and
   because the historical side's text lives in this curator's own
   ``kept/`` log, candidates are verified with exact Jaccard before
-  dropping (reason ``near_duplicate_history``).
+  dropping (reason ``near_duplicate_history``);
+- optionally (``semantic_dup_history=True``) cross-batch SEMANTIC
+  near-dup via the rolling ``StreamingEmbeddingIndex`` (IVF cells,
+  growing codebook): paraphrases and re-crawls with boilerplate
+  changes share cosine similarity but not shingles, so the lexical
+  index misses them. The cosine computed in the probe IS the
+  verification (it runs on the stored vectors, no text lookup), and
+  only FINAL survivors fold into the index — the same indexed ⊆ kept
+  discipline as the lexical stage. Batches must carry
+  ``embedding_col``; rows with a NULL embedding bypass this stage
+  (they cannot be semantically compared) but still face every other
+  gate. Reason: ``near_duplicate_semantic``.
 
 Each batch appends two partitioned logs (idempotent under replay —
 dynamic partition overwrite keyed by batch_id, same discipline as the
@@ -68,6 +79,12 @@ class StreamingCurator:
         num_shards: int = 16,
         bits_per_shard: int = 1 << 20,
         num_hashes: int = 7,
+        semantic_dup_history: bool = False,
+        embedding_col: str = "embedding",
+        semantic_threshold: float = 0.92,
+        ann_n_cells: int = 16,
+        ann_nprobe: int = 2,
+        ann_split_target: int | None = None,
     ) -> None:
         self.spark = spark
         self.base_dir = base_dir
@@ -106,6 +123,25 @@ class StreamingCurator:
             if near_dup_history
             else None
         )
+        self.embedding_col = embedding_col
+        if semantic_dup_history:
+            from .ann_index import StreamingEmbeddingIndex
+
+            kwargs = {} if ann_split_target is None else {
+                "split_target": ann_split_target
+            }
+            self.ann = StreamingEmbeddingIndex(
+                spark,
+                os.path.join(base_dir, "ann"),
+                id_col=id_col,
+                vec_col=embedding_col,
+                n_cells=ann_n_cells,
+                nprobe=ann_nprobe,
+                threshold=semantic_threshold,
+                **kwargs,
+            )
+        else:
+            self.ann = None
         if self.lsh is not None and self.lsh.needs_text_backfill():
             # pre-texts-store index on disk (upgrade path): without the
             # backfill, every historical candidate's verify lookup is
@@ -126,6 +162,18 @@ class StreamingCurator:
         # snapshot of this batch's ids: decisions are derived by set
         # difference at each gate (exclusive first-failure reasons)
         batch = batch.localCheckpoint()  # one computation, many consumers
+        vecs = None
+        if self.ann is not None:
+            if self.embedding_col not in batch_df.columns:
+                # a silently-skipped semantic gate would curate
+                # paraphrase floods into the corpus — loud contract
+                raise ValueError(
+                    f"semantic_dup_history needs column "
+                    f"{self.embedding_col!r} on the batch"
+                )
+            vecs = batch_df.select(
+                self.id_col, self.embedding_col
+            ).localCheckpoint()
 
         # 1. history + in-batch exact dedup (the gate commits the new
         # bloom version; its survivor log is this batch's fresh slice,
@@ -310,6 +358,39 @@ class StreamingCurator:
             )
             base = base.join(xnear, self.id_col, "left_anti")
 
+        # 6. (optional) cross-batch SEMANTIC near-dups vs the rolling
+        # IVF embedding index. The probe's cosine against the stored
+        # vectors IS the verification — no text lookup stage. Pairs
+        # can only reach back into committed history (the index's
+        # prior-version cutoff), so in-batch semantics stay with
+        # stage 4. NULL-embedding rows bypass this stage only.
+        ann_assigned = None
+        if self.ann is not None:
+            vec_base = (
+                base.select(self.id_col)
+                .join(vecs, self.id_col)
+                .filter(F.col(self.embedding_col).isNotNull())
+                .localCheckpoint()
+            )
+            if vec_base.head(1):
+                self.ann._ensure_centroids(vec_base)
+                ann_assigned = self.ann._assign_cells(
+                    vec_base, self.ann.nprobe
+                ).localCheckpoint()
+                self.ann.probe_batch(
+                    vec_base, batch_id, assigned=ann_assigned
+                )
+                sem = (
+                    self.ann.pairs()
+                    .filter(F.col("batch_id") == int(batch_id))
+                    .select(F.col("id_new").alias(self.id_col))
+                    .distinct()
+                )
+                drops.append(
+                    sem.withColumn("reason", F.lit("near_duplicate_semantic"))
+                )
+                base = base.join(sem, self.id_col, "left_anti")
+
         whole_drops = drops[0]
         for d in drops[1:]:
             whole_drops = whole_drops.unionByName(d)
@@ -335,6 +416,20 @@ class StreamingCurator:
                 base.select(self.id_col), self.id_col, "left_semi"
             )
             self.lsh.fold_batch(base, batch_id, new_banded=surv_banded)
+        if self.ann is not None:
+            # same survivors-only discipline: indexed ⊆ kept. Reuse the
+            # probe's cell assignments, narrowed to final survivors.
+            surv_vecs = vecs.join(
+                base.select(self.id_col), self.id_col, "left_semi"
+            ).filter(F.col(self.embedding_col).isNotNull())
+            surv_assigned = (
+                ann_assigned.join(
+                    base.select(self.id_col), self.id_col, "left_semi"
+                )
+                if ann_assigned is not None
+                else None
+            )
+            self.ann.fold_batch(surv_vecs, batch_id, assigned=surv_assigned)
 
     def batch_writer(self) -> Callable[[DataFrame, int], None]:
         return self.process_batch

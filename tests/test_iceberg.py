@@ -178,11 +178,31 @@ class TestMirror:
             st.flush()
         meta = st.iceberg.metadata()
         assert len(meta["snapshots"]) <= st.iceberg.keep_snapshots
-        avros = [
-            n for n in os.listdir(st.iceberg.meta_dir) if n.endswith(".avro")
-        ]
-        # ≤ 2 files (manifest + list) per retained snapshot
-        assert len(avros) <= 2 * st.iceberg.keep_snapshots
+        def avro_count():
+            return len(
+                [n for n in os.listdir(st.iceberg.meta_dir) if n.endswith(".avro")]
+            )
+
+        # incremental commits (r8): ≤ keep_snapshots lists + the live
+        # manifests (≤ merge_threshold+1) + manifests retired within
+        # the retained window but still referenced by older lists
+        # (≤ ~2 per retained snapshot: one added + one merge output)
+        bound = (
+            st.iceberg.keep_snapshots
+            + st.iceberg.manifest_merge_threshold + 1
+            + 2 * st.iceberg.keep_snapshots
+        )
+        assert avro_count() <= bound
+        assert sorted(st.iceberg.live_paths()) == sorted(
+            f.file_path for f in st.manifest.files
+        )
+        # the REAL invariant is flatness: another pile of commits must
+        # not grow the metadata dir (reference-counted expiry keeps up)
+        c1 = avro_count()
+        for i in range(20):
+            st.ingest([{"n": i}], p_timestamp=_ts(2 + (i % 25)))
+            st.flush()
+        assert avro_count() <= max(c1, bound)
         assert sorted(st.iceberg.live_paths()) == sorted(
             f.file_path for f in st.manifest.files
         )

@@ -1374,3 +1374,137 @@ def test_curator_null_text_dropped_as_low_quality(spark, tmp_path):
     assert kept == {0}
     reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
     assert 1 in reasons  # the NULL doc has an exclusive drop reason
+
+
+# -- semantic (embedding) cross-batch dedup stage ---------------------------
+
+PARA = (
+    "a fast auburn fox leaps across that sleepy canine before a weary "
+    "hound rests beside some glowing hearth through a silent evening"
+)
+OTHER = (
+    "seven sailors charted the northern strait and every map they drew "
+    "marked the hidden reef beneath the cold grey water near the shore"
+)
+
+
+def _sem_vec(axis: int, dim: int = 8, eps: float = 0.0):
+    v = [0.0] * dim
+    v[axis] = 1.0
+    if eps:
+        v[(axis + 1) % dim] = eps
+        n = (1 + eps * eps) ** 0.5
+        v = [x / n for x in v]
+    return v
+
+
+def test_streaming_curator_semantic_cross_batch(spark, tmp_path):
+    """semantic_dup_history=True: a later batch's PARAPHRASE of an
+    earlier kept doc (lexically distinct, cosine-near embedding) drops
+    with reason near_duplicate_semantic; orthogonal docs survive;
+    replay is idempotent; indexed ⊆ kept."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"),
+        semantic_dup_history=True, ann_n_cells=2,
+        num_shards=4, bits_per_shard=1 << 14,
+    )
+    sch = "doc_id bigint, text string, embedding array<double>"
+    b0 = spark.createDataFrame(
+        [(0, GOOD, _sem_vec(0)), (1, NEAR_A, _sem_vec(1))], sch
+    )
+    b1 = spark.createDataFrame(
+        [(2, PARA, _sem_vec(0, eps=0.05)), (3, OTHER, _sem_vec(2))], sch
+    )
+    cur.process_batch(b0, 0)
+    cur.process_batch(b1, 1)
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0, 1, 3}
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {2: "near_duplicate_semantic"}
+    # the pair is a REAL verified cosine, not just a bucket collision
+    sims = {r["id_new"]: r["sim"] for r in cur.ann.pairs().collect()}
+    assert sims[2] > 0.99
+    # indexed ⊆ kept (survivors-only folds)
+    indexed = {r["doc_id"] for r in cur.ann.index_df().collect()}
+    assert indexed <= kept
+    assert 2 not in indexed
+    # replay batch 1: same bytes, no duplicate decisions
+    kept_once = sorted(r["doc_id"] for r in cur.kept().collect())
+    cur.process_batch(b1, 1)
+    assert sorted(r["doc_id"] for r in cur.kept().collect()) == kept_once
+    assert {
+        r["doc_id"]: r["reason"] for r in cur.decisions().collect()
+    } == reasons
+
+
+def test_streaming_curator_semantic_null_embedding_bypasses(spark, tmp_path):
+    """NULL embeddings cannot be compared semantically: the row skips
+    ONLY the semantic stage (never folded), other gates still apply."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"),
+        semantic_dup_history=True, ann_n_cells=2,
+        num_shards=4, bits_per_shard=1 << 14,
+    )
+    sch = "doc_id bigint, text string, embedding array<double>"
+    cur.process_batch(
+        spark.createDataFrame([(0, GOOD, _sem_vec(0))], sch), 0
+    )
+    cur.process_batch(
+        spark.createDataFrame(
+            [(1, OTHER, None), (2, SHORT, None)], sch
+        ),
+        1,
+    )
+    kept = {r["doc_id"] for r in cur.kept().collect()}
+    assert kept == {0, 1}  # null-embedding OTHER kept, SHORT quality-dropped
+    reasons = {r["doc_id"]: r["reason"] for r in cur.decisions().collect()}
+    assert reasons == {2: "low_quality"}
+    indexed = {r["doc_id"] for r in cur.ann.index_df().collect()}
+    assert indexed == {0}  # null-embedding rows are never folded
+
+
+def test_streaming_curator_semantic_missing_column_is_loud(spark, tmp_path):
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"),
+        semantic_dup_history=True,
+        num_shards=4, bits_per_shard=1 << 14,
+    )
+    b = spark.createDataFrame([(0, GOOD)], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embedding"):
+        cur.process_batch(b, 0)
+
+
+def test_streaming_curator_semantic_index_excludes_stage_losers(
+    spark, tmp_path
+):
+    """A doc dropped by an EARLIER gate (quality) must not reach the
+    embedding index even though it carried a vector."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"),
+        semantic_dup_history=True, ann_n_cells=2,
+        num_shards=4, bits_per_shard=1 << 14,
+    )
+    sch = "doc_id bigint, text string, embedding array<double>"
+    cur.process_batch(
+        spark.createDataFrame(
+            [(0, GOOD, _sem_vec(0)), (1, SHORT, _sem_vec(1))], sch
+        ),
+        0,
+    )
+    indexed = {r["doc_id"] for r in cur.ann.index_df().collect()}
+    assert indexed == {0}
+    # and a later near-copy of the LOSER's vector is NOT flagged
+    cur.process_batch(
+        spark.createDataFrame([(5, OTHER, _sem_vec(1, eps=0.02))], sch), 1
+    )
+    assert {r["doc_id"] for r in cur.kept().collect()} >= {0, 5}

@@ -1,0 +1,154 @@
+"""Embedding-index probe scaling: bytes read per FIXED probe batch as
+index history grows — the r7 judge's done-bar for the semantic
+streaming index ("per-batch probe bytes sublinear across >=16x history
+growth, measured by an ann_probe tool with the honest rchar counter").
+
+Builds a StreamingEmbeddingIndex by folding clustered synthetic
+vectors (dim 128) at several history sizes spanning >=16x, then probes
+each size with the SAME fixed batch, in two modes:
+
+- frozen: split_target huge -> the codebook stays at its first-batch
+          n_cells (the pre-r8 behavior). Each cell's bytes grow
+          linearly with history, and a probe reads ~nprobe/n_cells of
+          ALL historical vectors.
+- grown:  split_target bounds leaf membership; over-target cells are
+          split at compaction (parent->children tree), so a probe
+          reads ~nprobe * split_target vectors regardless of history.
+
+A flat (or near-flat) grown row while the frozen row grows ~linearly
+is the evidence. Bytes are JVM-process rchar, not Hadoop FileSystem
+counters (the parquet vectorized reader's data-page reads bypass the
+Hadoop counter on local files — measured r7, SCALE.md).
+
+Usage:
+    python tools/ann_probe.py [log2_min log2_max]   # default 12 16
+
+Run on a QUIET box.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 128
+N_ANCHORS = 96
+BATCH = 4096
+# per-batch probe bytes are bounded by PROBE_DOCS * nprobe *
+# split_target vectors — the probe batch must be small enough that the
+# bound sits well under the largest history, or both modes read the
+# whole index and the comparison measures nothing
+PROBE_DOCS = 16
+SPLIT_TARGET = 512
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lo = int(args[0]) if args else 12
+    hi = int(args[1]) if len(args) > 1 else 16
+
+    from parseable_spark.session import get_spark
+    from parseable_spark.streaming.ann_index import StreamingEmbeddingIndex
+
+    spark = get_spark("ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+
+    def bytes_read() -> int:
+        with open(f"/proc/{jvm_pid}/io") as f:
+            for line in f:
+                if line.startswith("rchar:"):
+                    return int(line.split()[1])
+        return 0
+
+    rng = random.Random(17)
+
+    def unit(anchor=None, noise=0.0):
+        if anchor is None:
+            v = [rng.gauss(0, 1) for _ in range(DIM)]
+        else:
+            v = [a + rng.gauss(0, noise) for a in anchor]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    anchors = [unit() for _ in range(N_ANCHORS)]
+
+    def batch_rows(start: int, n: int):
+        return [
+            (start + i, unit(anchors[(start + i) % N_ANCHORS], 0.35))
+            for i in range(n)
+        ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, embedding array<double>"
+        )
+
+    first_batch = batch_rows(0, BATCH)
+    # the SAME fixed probe batch at every history size: half planted
+    # near-copies of first-batch docs (must pair), half fresh randoms
+    probe_rows = [
+        (10**9 + i, unit(first_batch[i][1], 0.005))
+        for i in range(PROBE_DOCS // 2)
+    ] + [(2 * 10**9 + i, unit()) for i in range(PROBE_DOCS // 2)]
+
+    checkpoints = [1 << b for b in range(lo, hi + 1, 2)]
+    out = {"dim": DIM, "batch": BATCH, "probe_docs": PROBE_DOCS, "modes": {}}
+    for mode, split_target in (("frozen", 1 << 40), ("grown", SPLIT_TARGET)):
+        base = tempfile.mkdtemp(prefix=f"ann_probe_{mode}_")
+        idx = StreamingEmbeddingIndex(
+            spark,
+            base,
+            n_cells=16,
+            nprobe=2,
+            threshold=0.9,
+            cell_cap=1 << 40,  # isolate SCAN bytes from the rep-only guard
+            split_target=split_target,
+            compact_every=4,
+            max_splits_per_compaction=64,
+        )
+        series = []
+        folded = 0
+        for target in checkpoints:
+            t0 = time.time()
+            while folded < target:
+                rows = first_batch if folded == 0 else batch_rows(folded, BATCH)
+                idx.fold_batch(df(rows), folded // BATCH)
+                folded += BATCH
+            build_s = round(time.time() - t0, 1)
+            idx_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(idx._index_root)
+                for f in fs
+            )
+            leaves = len(idx._centroids or [])
+            pdf = df(probe_rows)
+            idx.probe_batch(pdf, 10**6)  # warm listing + footers
+            r0, t0 = bytes_read(), time.time()
+            idx.probe_batch(pdf, 10**6)
+            row = {
+                "history": folded,
+                "index_mb": round(idx_bytes / 1e6, 1),
+                "leaves": leaves,
+                "probe_mb": round((bytes_read() - r0) / 1e6, 2),
+                "probe_s": round(time.time() - t0, 2),
+                "build_s": build_s,
+                "pairs": idx.pairs().filter("batch_id = 1000000").count(),
+            }
+            series.append(row)
+            print(json.dumps({"mode": mode, **row}), flush=True)
+        out["modes"][mode] = series
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,9 @@ exercised by an actual kill. This drill:
       batch content is a pure function of the batch id, so replays
       must converge bit-identically;
    e. index containment: LSH-indexed ⊆ texts ⊆ kept.
+   f. embedding index (r8): centroids.json survives and parses,
+      ANN-indexed ⊆ kept, and a second redelivery of the drained batch
+      leaves pairs/ and kept/ byte-identical (replay idempotence).
 
 Usage:
     python tools/crash_drill.py [--cycles 6]
@@ -91,20 +94,51 @@ def _phase(root: str, name: str) -> None:
         f.write(name)
 
 
-def _batch_rows(b: int, base_texts: list[str]) -> list[tuple[int, str]]:
+def _vec(did: int) -> list[float]:
+    """Deterministic unit embedding per doc id (pure function — replay
+    regenerates byte-identical vectors)."""
+    import math
+    import random as _r
+
+    r = _r.Random(did * 2654435761 % (1 << 31))
+    v = [r.gauss(0, 1) for _ in range(8)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def _near_vec(ref: int, did: int, eps: float = 0.03) -> list[float]:
+    """ref's embedding, deterministically perturbed — a semantic
+    near-dup (cosine ≈ 0.999) with lexically unrelated text."""
+    import math
+
+    base, noise = _vec(ref), _vec(did + 7)
+    v = [b + eps * x for b, x in zip(base, noise)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def _batch_rows(
+    b: int, base_texts: list[str]
+) -> list[tuple[int, str, list[float]]]:
     """Batch content as a PURE function of the batch id — a replay
     after a kill regenerates byte-identical input, exactly like a
     foreachBatch redelivery from a checkpointed source."""
     rows = []
     for i in range(BATCH_DOCS):
         did = b * 1000 + i
+        emb = _vec(did)
         if i == BATCH_DOCS - 1 and b > 0:
             text = base_texts[((b - 1) * 7) % 40] + f" uniq {(b - 1) * 1000}"
         elif i == BATCH_DOCS - 2:
             text = base_texts[(b * 7) % 40] + " tail"  # in-batch near-dup bait
+        elif i == BATCH_DOCS - 3 and b > 0:
+            # cross-batch SEMANTIC bait: unique text, near-copy of the
+            # previous batch's doc 0 embedding (r8: embedding index)
+            text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
+            emb = _near_vec((b - 1) * 1000, did)
         else:
             text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
-        rows.append((did, text))
+        rows.append((did, text, emb))
     return rows
 
 
@@ -127,7 +161,13 @@ def _open(root: str):
     cur = StreamingCurator(
         spark, os.path.join(root, "curator"), near_dup_history=True,
         min_words=1, min_chars=1, min_stopword_ratio=0.0,
+        # r8: semantic near-dup stage in the drill, with a small split
+        # target so codebook GROWTH (cell splits at compaction) happens
+        # under kills too
+        semantic_dup_history=True, ann_n_cells=4,
+        semantic_threshold=0.95, ann_split_target=64,
     )
+    cur.ann.compact_every = 8
     return spark, api, cur, base_texts
 
 
@@ -168,7 +208,7 @@ def worker(root: str) -> None:
             _ledger_append(root, {"type": "compact"})
         _phase(root, "curator")
         rows = _batch_rows(next_b, base_texts)
-        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, embedding array<double>")
         cur.process_batch(df, next_b)
         _ledger_append(root, {"type": "curator", "b": next_b})
         next_b += 1
@@ -195,7 +235,7 @@ def verify(root: str) -> None:
     drain_b = last_b + 1
     cur.process_batch(
         spark.createDataFrame(
-            _batch_rows(drain_b, base_texts), "doc_id bigint, text string"
+            _batch_rows(drain_b, base_texts), "doc_id bigint, text string, embedding array<double>"
         ),
         drain_b,
     )
@@ -268,6 +308,51 @@ def verify(root: str) -> None:
         failures.append(f"indexed ⊄ texts: {sorted(indexed - texts)[:5]}")
     if not texts <= kept:
         failures.append(f"texts ⊄ kept: {sorted(texts - kept)[:5]}")
+
+    # f — embedding index invariants (r8)
+    cb_path = os.path.join(root, "curator", "ann", "centroids.json")
+    if not os.path.exists(cb_path):
+        failures.append("ann centroids.json missing after kills")
+    else:
+        try:
+            with open(cb_path) as f:
+                raw = json.load(f)
+            nodes = raw["nodes"] if isinstance(raw, dict) else raw
+            if not nodes:
+                failures.append("ann codebook empty")
+        except (ValueError, KeyError):
+            failures.append("ann centroids.json unparseable")
+    ann_idx = cur.ann.index_df()
+    ann_indexed = (
+        {r["doc_id"] for r in ann_idx.select("doc_id").distinct().collect()}
+        if ann_idx is not None else set()
+    )
+    if not ann_indexed <= kept:
+        failures.append(f"ann indexed ⊄ kept: {sorted(ann_indexed - kept)[:5]}")
+    report["ann_leaves"] = len(cur.ann._centroids or [])
+    report["ann_split_parents"] = len(cur.ann._children)
+    sem_drops = (
+        cur.decisions().filter("reason = 'near_duplicate_semantic'").count()
+    )
+    report["semantic_drops"] = sem_drops
+    # replay idempotence of the semantic pair log + kept under a SECOND
+    # redelivery of the drained batch
+    pairs_once = sorted(map(tuple, cur.ann.pairs().collect()))
+    kept_once = sorted(kept)
+    cur.process_batch(
+        spark.createDataFrame(
+            _batch_rows(drain_b, base_texts),
+            "doc_id bigint, text string, embedding array<double>",
+        ),
+        drain_b,
+    )
+    if sorted(map(tuple, cur.ann.pairs().collect())) != pairs_once:
+        failures.append("ann pairs not replay-idempotent")
+    kept_again = sorted(
+        r["doc_id"] for r in cur.kept().select("doc_id").collect()
+    )
+    if kept_again != kept_once:
+        failures.append("kept changed under second redelivery")
 
     report["failures"] = failures
     report["ok"] = not failures
