@@ -176,6 +176,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for _, r in pdf.iterrows():
                 dur = int(r["duration_ms"] or 0)
                 payload = r["payload"] or b""
+                # same data-controlled-duration bound as the real
+                # sampler: 16 payload bytes per fake frame (r8 review)
+                dur = min(dur, max(len(payload) // 16 + 1, 1) * every_ms)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
@@ -782,6 +785,12 @@ def sample_frames_real(media: DataFrame, every_ms: int = VIDEO_FRAME_MS) -> Data
                 # NaN is truthy — `dur or fallback` would int(NaN) crash
                 if dur is None or pd.isna(dur):
                     dur = len(frames) * frame_ms
+                # duration_ms is DATA-CONTROLLED metadata: a tiny
+                # payload declaring duration 10^12 ms would otherwise
+                # spin ~10^9 sample iterations re-decoding the last
+                # frame (r8 review). The payload's actual content
+                # bounds the sample range; metadata can only shorten.
+                dur = min(int(dur), len(frames) * frame_ms)
                 for ts in range(0, int(dur), every_ms):
                     idx = min(ts // frame_ms, len(frames) - 1)
                     d = decode_image(frames[idx])

@@ -112,8 +112,16 @@ class SseBroadcaster:
                 continue
             if wanted is not None and c.session_id not in wanted:
                 continue
-            if allow is not None and not allow(c.principal):
-                continue
+            if allow is not None:
+                try:
+                    if not allow(c.principal):
+                        continue
+                except Exception:  # noqa: BLE001 — an authz lookup that
+                    # raises (e.g. a principal deleted mid-broadcast)
+                    # must fail CLOSED for this client, not abort the
+                    # fan-out for everyone after it and propagate into
+                    # alert evaluation (r8 review)
+                    continue
             try:
                 c.q.put_nowait(("data", msg))
                 n += 1
