@@ -181,10 +181,32 @@ def main() -> None:
         .collect()
     ]
     cur = StreamingCurator(
-        spark, os.path.join(root, "curator"), near_dup_history=True
+        spark, os.path.join(root, "curator"), near_dup_history=True,
+        # r8: semantic near-dup stage composes in — small split target
+        # so IVF cell splits happen during the soak window
+        semantic_dup_history=True, ann_n_cells=4,
+        semantic_threshold=0.95, ann_split_target=64,
     )
+    cur.ann.compact_every = 8
     curated_ids: set[int] = set()
     cur_batches = [0]
+
+    def _vec(did: int) -> list[float]:
+        import math
+        import random as _r
+
+        r = _r.Random(did * 2654435761 % (1 << 31))
+        v = [r.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    def _near_vec(ref: int, did: int, eps: float = 0.03) -> list[float]:
+        import math
+
+        bv, nz = _vec(ref), _vec(did + 7)
+        v = [a + eps * x for a, x in zip(bv, nz)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
 
     def curator_loop() -> None:
         b = 0
@@ -193,16 +215,24 @@ def main() -> None:
             rows = []
             for i in range(20):
                 did = b * 1000 + i
+                emb = _vec(did)
                 if i == 18 and prev_text is not None:
                     text = prev_text  # exact repeat of an OLD batch doc
                 elif i == 19:
                     text = base_texts[(b * 7) % 40] + " tail"  # near-dup
+                elif i == 17 and b > 0:
+                    # semantic bait: unique text, near-copy embedding of
+                    # the previous batch's doc 0 (r8 embedding stage)
+                    text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
+                    emb = _near_vec((b - 1) * 1000, did)
                 else:
                     text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
-                rows.append((did, text))
+                rows.append((did, text, emb))
                 curated_ids.add(did)
             prev_text = rows[0][1]
-            df = spark.createDataFrame(rows, "doc_id bigint, text string")
+            df = spark.createDataFrame(
+                rows, "doc_id bigint, text string, embedding array<double>"
+            )
             try:
                 cur.process_batch(df, b)
                 cur_batches[0] = b + 1
@@ -276,6 +306,23 @@ def main() -> None:
         failures.append(f"indexed ⊄ texts: {sorted(indexed - texts)[:5]}")
     if not texts <= kept_ids:
         failures.append(f"texts ⊄ kept: {sorted(texts - kept_ids)[:5]}")
+
+    # 4b. embedding index (r8): ANN-indexed ⊆ kept; codebook on disk
+    ann_df = cur.ann.index_df()
+    ann_indexed = (
+        {r["doc_id"] for r in ann_df.select("doc_id").distinct().collect()}
+        if ann_df is not None
+        else set()
+    )
+    if not ann_indexed <= kept_ids:
+        failures.append(f"ann indexed ⊄ kept: {sorted(ann_indexed - kept_ids)[:5]}")
+    if not os.path.exists(os.path.join(root, "curator", "ann", "centroids.json")):
+        failures.append("ann centroids.json missing")
+    report["ann_leaves"] = len(cur.ann._centroids or [])
+    report["ann_split_parents"] = len(cur.ann._children)
+    report["semantic_drops"] = (
+        cur.decisions().filter("reason = 'near_duplicate_semantic'").count()
+    )
 
     # 5. manifest ↔ disk, after compaction swaps (+ Delta mirror
     # parity when P_DELTA_LOG is on: the log's replayed state must
