@@ -84,8 +84,13 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
     video_idx: int | None = None  # the video stream's index
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal fps, width, height, cur_stream, n_streams, video_idx
+        if depth > 32:
+            # LIST nesting is DATA-CONTROLLED: a ~12 KB payload of
+            # nothing but nested LISTs would otherwise recurse to
+            # RecursionError (r8 review). Real AVIs nest 2-3 deep.
+            raise ValueError("AVI LIST nesting too deep (corrupt payload)")
         pos = lo
         while pos + 8 <= hi:
             cid = payload[pos : pos + 4]
@@ -93,7 +98,7 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
             body_lo = pos + 8
             body_hi = min(body_lo + csize, hi)
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip list type word
+                walk(body_lo + 4, body_hi, depth + 1)  # skip list type word
             elif cid == b"strh":
                 # remember the stream type so the FOLLOWING strf is
                 # associated with it — an audio strl preceding the

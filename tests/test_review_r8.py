@@ -79,3 +79,33 @@ class TestDurationFloodCap:
         )
         rows = sample_frames(df, every_ms=1000).collect()
         assert 0 < len(rows) <= 8
+
+
+class TestAviNestingCap:
+    def test_adversarial_list_nesting_raises_value_error(self):
+        """Data-controlled LIST recursion must fail as ValueError, not
+        RecursionError (a ~12 KB nested-LIST payload)."""
+        import struct
+
+        import pytest
+
+        from parseable_spark.llm.avi import decode_avi_mjpeg
+
+        inner = b""
+        for _ in range(500):
+            inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+        payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+        with pytest.raises(ValueError, match="nesting"):
+            decode_avi_mjpeg(payload)
+
+    def test_real_avi_still_decodes(self):
+        from parseable_spark.llm.avi import decode_avi_mjpeg, encode_avi_mjpeg
+        from parseable_spark.llm.jpeg import encode_jpeg
+        import numpy as np
+
+        frames = [
+            encode_jpeg(np.full((16, 16, 3), i * 40, dtype=np.uint8))
+            for i in range(3)
+        ]
+        meta = decode_avi_mjpeg(encode_avi_mjpeg(frames, 16, 16, fps=5))
+        assert meta["n_frames"] == 3 and meta["fps"] == 5

@@ -131,11 +131,24 @@ def _batch_rows(
             text = base_texts[((b - 1) * 7) % 40] + f" uniq {(b - 1) * 1000}"
         elif i == BATCH_DOCS - 2:
             text = base_texts[(b * 7) % 40] + " tail"  # in-batch near-dup bait
+        elif i == BATCH_DOCS - 4:
+            # lexically UNIQUE doc (not from the shared 40-text pool —
+            # pool texts become near_duplicate_history fodder within a
+            # few batches): the next batch's semantic bait refs it, so
+            # it must reliably survive to be folded into the ANN index
+            text = (
+                f"the quick unique record {did} and the word alpha{did} "
+                f"is found in the long text beta{did} of this document"
+            )
         elif i == BATCH_DOCS - 3 and b > 0:
-            # cross-batch SEMANTIC bait: unique text, near-copy of the
-            # previous batch's doc 0 embedding (r8: embedding index)
-            text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
-            emb = _near_vec((b - 1) * 1000, did)
+            # cross-batch SEMANTIC bait: its OWN unique text (lexical
+            # stages pass), near-copy of the previous batch's unique
+            # doc embedding (r8: embedding index)
+            text = (
+                f"a slow distinct entry {did} or the term gamma{did} "
+                f"sits within the short span delta{did} of that page"
+            )
+            emb = _near_vec((b - 1) * 1000 + BATCH_DOCS - 4, did)
         else:
             text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
         rows.append((did, text, emb))

@@ -220,11 +220,26 @@ def main() -> None:
                     text = prev_text  # exact repeat of an OLD batch doc
                 elif i == 19:
                     text = base_texts[(b * 7) % 40] + " tail"  # near-dup
+                elif i == 16:
+                    # lexically UNIQUE doc (the shared pool turns into
+                    # near_duplicate_history fodder within a few
+                    # batches): next batch's semantic bait refs it, so
+                    # it must survive to be folded into the ANN index.
+                    # Long + stopword-bearing to pass the quality gate.
+                    text = (
+                        f"the quick unique record {did} and the word "
+                        f"alpha{did} is found in the long text beta{did} "
+                        f"of this particular document for the soak run"
+                    )
                 elif i == 17 and b > 0:
-                    # semantic bait: unique text, near-copy embedding of
-                    # the previous batch's doc 0 (r8 embedding stage)
-                    text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
-                    emb = _near_vec((b - 1) * 1000, did)
+                    # semantic bait: own unique text, near-copy of the
+                    # previous batch's unique doc embedding (r8 stage)
+                    text = (
+                        f"a slow distinct entry {did} or the term "
+                        f"gamma{did} sits within the short span "
+                        f"delta{did} of that page in the same soak run"
+                    )
+                    emb = _near_vec((b - 1) * 1000 + 16, did)
                 else:
                     text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
                 rows.append((did, text, emb))
