@@ -188,7 +188,28 @@ def _statements() -> list[str]:
         "SELECT COUNT(*) AS n FROM lineitem WHERE l_orderkey % 7 = 0",
         "SELECT SUM(ROUND(l_discount * 100.0, 0)) AS s FROM lineitem",
     ]
-    # 15. null-producing scalar functions over non-null data
+    # 15. window functions (sqlite >= 3.25 has full support)
+    s += [
+        "SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer ORDER BY rn LIMIT 10",
+        "SELECT n_name AS g, RANK() OVER (ORDER BY n_regionkey, n_name) AS r FROM nation ORDER BY r",
+        "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) AS s "
+        "FROM orders ORDER BY o_orderkey LIMIT 20",
+        "SELECT s_suppkey, s_acctbal - AVG(s_acctbal) OVER (PARTITION BY s_nationkey) AS d "
+        "FROM supplier ORDER BY s_suppkey LIMIT 15",
+        "SELECT l_orderkey, l_linenumber, "
+        "SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 25",
+        "SELECT p_partkey, NTILE(4) OVER (ORDER BY p_retailprice, p_partkey) AS q "
+        "FROM part ORDER BY p_partkey LIMIT 20",
+        "SELECT o_orderkey, LAG(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS prev "
+        "FROM orders ORDER BY o_orderkey LIMIT 12",
+        "SELECT c_nationkey AS g, COUNT(*) AS c, "
+        "DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, c_nationkey) AS r "
+        "FROM customer GROUP BY c_nationkey ORDER BY r LIMIT 10",
+    ]
+    # 16. null-producing scalar functions over non-null data
     s += [
         "SELECT COUNT(NULLIF(o_orderstatus, 'O')) AS n FROM orders",
         "SELECT COALESCE(NULLIF(MIN(r_name), ''), 'none') AS g FROM region",
