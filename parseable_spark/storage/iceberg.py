@@ -238,6 +238,7 @@ class IcebergMirror:
         self.meta_dir = os.path.join(table_dir, "metadata")
         self.keep_snapshots = int(keep_snapshots)
         self.manifest_merge_threshold = max(2, int(manifest_merge_threshold))
+        self._ORPHAN_GRACE_S = 600.0  # crash-orphan sweep age gate
         # manifest files are immutable once written (new content = new
         # uuid path), so resolved entries cache safely across versions;
         # a fresh process re-reads only the manifests the current
@@ -654,6 +655,31 @@ class IcebergMirror:
                 os.unlink(mlist)
             except (FileNotFoundError, ValueError):
                 continue
+        # crash orphans: a kill between manifest writes and _publish
+        # leaves .avro files no snapshot ever references — nothing else
+        # deletes them. Sweep unreferenced manifests older than the
+        # grace age (age-gated so an in-flight commit's fresh files are
+        # never raced); lists are named snap-<id>.avro, so any retained
+        # snapshot's list is excluded by id.
+        live_lists = {
+            os.path.basename(self._local(s["manifest-list"])) for s in retained
+        }
+        now = time.time()
+        for name in os.listdir(self.meta_dir):
+            if not name.endswith(".avro"):
+                continue
+            path = os.path.join(self.meta_dir, name)
+            if name.startswith("snap-"):
+                if name in live_lists:
+                    continue
+            elif path in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(path) > self._ORPHAN_GRACE_S:
+                    os.unlink(path)
+                    self._manifest_cache.pop(path, None)
+            except FileNotFoundError:
+                pass
         # metadata version files: keep a window for readers mid-flight
         floor = current_version - 2 * self.keep_snapshots
         for name in os.listdir(self.meta_dir):

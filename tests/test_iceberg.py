@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from datetime import datetime
 
 import pytest
@@ -252,3 +253,30 @@ def test_real_pyiceberg_reader_roundtrip(spark, tmp_path):
     v = st.iceberg.current_version()
     tbl = StaticTable.from_metadata(st.iceberg._metadata_path(v))
     assert tbl.scan().to_arrow().num_rows == 25
+
+
+def test_crash_orphan_manifests_swept(spark, tmp_path):
+    """A kill between manifest writes and _publish leaves .avro files
+    no snapshot references; the age-gated sweep removes them on a later
+    commit while fresh (possibly in-flight) files survive."""
+    st = _store(spark, tmp_path)
+    st.ingest([{"n": 1}], p_timestamp=_ts(1))
+    st.flush()
+    old = os.path.join(st.iceberg.meta_dir, "deadbeef-m0.avro")
+    fresh = os.path.join(st.iceberg.meta_dir, "cafebabe-m0.avro")
+    stale_list = os.path.join(st.iceberg.meta_dir, "snap-999.avro")
+    for p in (old, fresh, stale_list):
+        with open(p, "wb") as f:
+            f.write(b"Obj\x01orphan")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    os.utime(stale_list, (past, past))
+    st.ingest([{"n": 2}], p_timestamp=_ts(2))
+    st.flush()  # commit -> _expire -> sweep
+    assert not os.path.exists(old)
+    assert not os.path.exists(stale_list)
+    assert os.path.exists(fresh)  # inside the grace window
+    # replay still clean
+    assert sorted(st.iceberg.live_paths()) == sorted(
+        f.file_path for f in st.manifest.files
+    )
