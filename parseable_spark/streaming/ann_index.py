@@ -52,6 +52,15 @@ Replay/visibility discipline is inherited from
 `compact_index` merges out-of-grace batches into negative generations
 with globally-recomputed cell stats).
 
+One bounded nondeterminism window, stated honestly: a crash AFTER a
+fold-triggered compaction split but BEFORE the streaming source
+checkpoint commits means the replayed batch probes under the
+POST-split codebook — the pair set it rewrites is recall-equivalent
+(same index contents, slightly different nprobe cell boundaries), not
+byte-identical to what the pre-crash probe emitted. Curator exactness
+(kept ⊎ decisions == inputs) is unaffected; only WHICH near-boundary
+near-dups are caught can differ, the standard IVF trade.
+
 Recall knobs (documented IVF trades): ``nprobe`` nearest leaves are
 probed per new doc — near-boundary pairs in unprobed cells are missed,
 the same trade every IVF ANN makes; ``beam_width`` bounds the descent

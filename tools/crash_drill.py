@@ -117,6 +117,32 @@ def _near_vec(ref: int, did: int, eps: float = 0.03) -> list[float]:
     return [x / n for x in v]
 
 
+_WORDS = (
+    "river stone harbor lantern meadow copper falcon timber orchard "
+    "saddle anchor barley cinder drift ember flint garnet hollow ivory "
+    "juniper kestrel ledger marble nickel otter pebble quarry russet "
+    "spruce tundra umber vessel walnut yarrow zephyr basin cradle dune "
+    "fjord grove heath inlet knoll lagoon mesa notch oxbow prairie"
+).split()
+
+
+def _unique_text(did: int) -> str:
+    """GENUINELY lexically unique per doc: seeded word salad. A shared
+    template with only digits varying is itself a cross-batch lexical
+    near-dup at Jaccard 0.4 — the lexical stage ate the 'unique' docs
+    and starved the semantic baits (r8 fix, measured in the soak).
+    Stopwords sprinkled in for the quality gate."""
+    import random as _r
+
+    r = _r.Random(did * 40503 % (1 << 30))
+    words = []
+    for k in range(14):
+        if k % 4 == 2:
+            words.append(("the", "and", "of", "in")[k % 4 - 2 + (k // 4) % 2])
+        words.append(r.choice(_WORDS) + (str(did) if k == 7 else ""))
+    return " ".join(words)
+
+
 def _batch_rows(
     b: int, base_texts: list[str]
 ) -> list[tuple[int, str, list[float]]]:
@@ -132,22 +158,16 @@ def _batch_rows(
         elif i == BATCH_DOCS - 2:
             text = base_texts[(b * 7) % 40] + " tail"  # in-batch near-dup bait
         elif i == BATCH_DOCS - 4:
-            # lexically UNIQUE doc (not from the shared 40-text pool —
-            # pool texts become near_duplicate_history fodder within a
-            # few batches): the next batch's semantic bait refs it, so
-            # it must reliably survive to be folded into the ANN index
-            text = (
-                f"the quick unique record {did} and the word alpha{did} "
-                f"is found in the long text beta{did} of this document"
-            )
+            # lexically UNIQUE doc (seeded word salad — see
+            # _unique_text): the next batch's semantic bait refs it, so
+            # it must reliably survive every lexical stage and be
+            # folded into the ANN index
+            text = _unique_text(did)
         elif i == BATCH_DOCS - 3 and b > 0:
             # cross-batch SEMANTIC bait: its OWN unique text (lexical
             # stages pass), near-copy of the previous batch's unique
             # doc embedding (r8: embedding index)
-            text = (
-                f"a slow distinct entry {did} or the term gamma{did} "
-                f"sits within the short span delta{did} of that page"
-            )
+            text = _unique_text(did)
             emb = _near_vec((b - 1) * 1000 + BATCH_DOCS - 4, did)
         else:
             text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"

@@ -208,6 +208,25 @@ def main() -> None:
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         return [x / n for x in v]
 
+    _WORDS = (
+        "river stone harbor lantern meadow copper falcon timber orchard "
+        "saddle anchor barley cinder drift ember flint garnet hollow "
+        "ivory juniper kestrel ledger marble nickel otter pebble quarry "
+        "russet spruce tundra umber vessel walnut yarrow zephyr basin "
+        "cradle dune fjord grove heath inlet knoll lagoon mesa notch"
+    ).split()
+
+    def _unique_text(did: int) -> str:
+        import random as _r
+
+        r = _r.Random(did * 40503 % (1 << 30))
+        words = []
+        for k in range(14):
+            if k % 4 == 2:
+                words.append(("the", "and", "of", "in")[k % 4 - 2 + (k // 4) % 2])
+            words.append(r.choice(_WORDS) + (str(did) if k == 7 else ""))
+        return " ".join(words)
+
     def curator_loop() -> None:
         b = 0
         prev_text: str | None = None
@@ -221,24 +240,17 @@ def main() -> None:
                 elif i == 19:
                     text = base_texts[(b * 7) % 40] + " tail"  # near-dup
                 elif i == 16:
-                    # lexically UNIQUE doc (the shared pool turns into
-                    # near_duplicate_history fodder within a few
-                    # batches): next batch's semantic bait refs it, so
-                    # it must survive to be folded into the ANN index.
-                    # Long + stopword-bearing to pass the quality gate.
-                    text = (
-                        f"the quick unique record {did} and the word "
-                        f"alpha{did} is found in the long text beta{did} "
-                        f"of this particular document for the soak run"
-                    )
+                    # GENUINELY unique doc (seeded word salad — a shared
+                    # template with only digits varying is itself a
+                    # cross-batch lexical near-dup at Jaccard 0.4, which
+                    # ate the 'unique' docs and starved the semantic
+                    # baits; measured 4/49 firing pre-fix). Next batch's
+                    # bait refs it, so it must survive to be folded.
+                    text = _unique_text(did)
                 elif i == 17 and b > 0:
                     # semantic bait: own unique text, near-copy of the
                     # previous batch's unique doc embedding (r8 stage)
-                    text = (
-                        f"a slow distinct entry {did} or the term "
-                        f"gamma{did} sits within the short span "
-                        f"delta{did} of that page in the same soak run"
-                    )
+                    text = _unique_text(did)
                     emb = _near_vec((b - 1) * 1000 + 16, did)
                 else:
                     text = base_texts[(b * 7 + i) % 40] + f" uniq {did}"
