@@ -318,23 +318,15 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
         )
 
     # -- per-batch --------------------------------------------------------
-    def probe_batch(
-        self, batch_df: DataFrame, batch_id: int, assigned: DataFrame | None = None
-    ) -> None:
-        """Emit verified cross-batch near-dup pairs (id_new, id_hist,
-        sim ≥ threshold) for the batch into the pairs log. The index is
-        read partition-pruned to the batch's nprobe leaf cells plus
-        their ancestors (pre-split fresh partitions); giant cells
-        contribute only their stored representative."""
+    def probe_pairs_df(
+        self, assigned: DataFrame, batch_id: int
+    ) -> DataFrame | None:
+        """The verified cross-batch pair frame for an assigned batch
+        (None when no prior index exists) — probe_batch's computation,
+        exposed so plan-quality tests can EXPLAIN it."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        docs = batch_df.select(self.id_col, self.vec_col)
-        if not docs.head(1):
-            return
-        self._ensure_centroids(docs)
-        if assigned is None:
-            assigned = self._assign_cells(docs, self.nprobe).localCheckpoint()
         parts = self._visible_parts(self._prior_cutoff(batch_id))
         pairs = None
         if parts:
@@ -399,6 +391,25 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                 .filter(F.col("_rn") <= self.max_pairs_per_doc)
                 .drop("_rn")
             )
+        return pairs
+
+    def probe_batch(
+        self, batch_df: DataFrame, batch_id: int, assigned: DataFrame | None = None
+    ) -> None:
+        """Emit verified cross-batch near-dup pairs (id_new, id_hist,
+        sim ≥ threshold) for the batch into the pairs log. The index is
+        read partition-pruned to the batch's nprobe leaf cells plus
+        their ancestors (pre-split fresh partitions); giant cells
+        contribute only their stored representative."""
+        from pyspark.sql import functions as F
+
+        docs = batch_df.select(self.id_col, self.vec_col)
+        if not docs.head(1):
+            return
+        self._ensure_centroids(docs)
+        if assigned is None:
+            assigned = self._assign_cells(docs, self.nprobe).localCheckpoint()
+        pairs = self.probe_pairs_df(assigned, batch_id)
         if pairs is None:
             pairs = self.spark.createDataFrame(
                 [], assigned.select(self.id_col).schema

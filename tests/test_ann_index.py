@@ -294,3 +294,28 @@ class TestCodebookGrowth:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "cell" in plan.split("PartitionFilters:")[1][:300]
+
+
+def test_probe_plan_stays_jvm_side(spark, tmp_path, corpus):
+    """The semantic probe must never fall back to row-at-a-time Python
+    — the same no-BatchEvalPython invariant the 50 registry plans carry
+    (test_plan_quality), applied to the streaming ANN path."""
+    rng, anchors, rows = corpus
+    idx = StreamingEmbeddingIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, nprobe=2,
+        threshold=0.95, split_target=8, compact_every=0,
+    )
+    many = [(i, _unit(rng, anchors[i % 4], noise=0.45)) for i in range(40)]
+    idx.process_batch(_df(spark, many), 0)
+    idx.compact_index(keep_recent=0)  # splits -> descent + ancestors live
+    assigned = idx._assign_cells(
+        _df(spark, [(900, _unit(rng, many[3][1], noise=0.01))]), idx.nprobe
+    ).localCheckpoint()
+    pairs = idx.probe_pairs_df(assigned, 1)
+    assert pairs is not None
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    # and the descent/assignment plan is JVM-side too
+    aplan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in aplan and "PythonUDF" not in aplan

@@ -194,13 +194,14 @@ def _open(root: str):
     cur = StreamingCurator(
         spark, os.path.join(root, "curator"), near_dup_history=True,
         min_words=1, min_chars=1, min_stopword_ratio=0.0,
-        # r8: semantic near-dup stage in the drill, with a small split
-        # target so codebook GROWTH (cell splits at compaction) happens
-        # under kills too
+        # r8: semantic near-dup stage in the drill, with a TINY split
+        # target so codebook GROWTH (cell splits at compaction — the
+        # codebook-persists-BEFORE-generation crash ordering) actually
+        # happens under kills (at 64 the drill-sized index never split)
         semantic_dup_history=True, ann_n_cells=4,
-        semantic_threshold=0.95, ann_split_target=64,
+        semantic_threshold=0.95, ann_split_target=8,
     )
-    cur.ann.compact_every = 8
+    cur.ann.compact_every = 4
     return spark, api, cur, base_texts
 
 
