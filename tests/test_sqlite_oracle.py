@@ -209,7 +209,23 @@ def _statements() -> list[str]:
         "DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, c_nationkey) AS r "
         "FROM customer GROUP BY c_nationkey ORDER BY r LIMIT 10",
     ]
-    # 16. null-producing scalar functions over non-null data
+    # 16. CTEs — incl. recursive (Spark 4 and sqlite both support)
+    s += [
+        "WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000) "
+        "SELECT o_orderstatus AS g, COUNT(*) AS c FROM big GROUP BY o_orderstatus ORDER BY g",
+        "WITH nat AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2) "
+        "SELECT nat.n_name AS g, COUNT(c.c_custkey) AS c FROM nat "
+        "LEFT JOIN customer c ON c.c_nationkey = nat.n_nationkey "
+        "GROUP BY nat.n_name ORDER BY nat.n_name",
+        "WITH a AS (SELECT AVG(c_acctbal) AS m FROM customer), "
+        "b AS (SELECT AVG(s_acctbal) AS m FROM supplier) "
+        "SELECT CASE WHEN a.m > b.m THEN 'cust' ELSE 'supp' END AS who FROM a, b",
+        "WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 15) "
+        "SELECT SUM(n) AS s, COUNT(*) AS c FROM seq",
+        "WITH RECURSIVE seq(n) AS (SELECT 0 UNION ALL SELECT n + 5 FROM seq WHERE n < 45) "
+        "SELECT n FROM seq ORDER BY n",
+    ]
+    # 17. null-producing scalar functions over non-null data
     s += [
         "SELECT COUNT(NULLIF(o_orderstatus, 'O')) AS n FROM orders",
         "SELECT COALESCE(NULLIF(MIN(r_name), ''), 'none') AS g FROM region",
