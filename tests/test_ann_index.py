@@ -319,3 +319,55 @@ def test_probe_plan_stays_jvm_side(spark, tmp_path, corpus):
     # and the descent/assignment plan is JVM-side too
     aplan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in aplan and "PythonUDF" not in aplan
+
+
+def test_crash_between_codebook_persist_and_generation_write(
+    spark, tmp_path, corpus
+):
+    """The split's crash ordering: the grown codebook lands BEFORE the
+    reassigned generation. Simulate a kill exactly in between (new
+    codebook on disk, index rows still under the pre-split parents):
+    probes must still find history via the ancestor expansion, and the
+    next compaction must re-home everything to leaves."""
+    from pyspark.sql import functions as F
+
+    rng, anchors, rows = corpus
+    idx = StreamingEmbeddingIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, nprobe=2,
+        threshold=0.95, split_target=8, compact_every=0,
+    )
+    many = [(i, _unit(rng, anchors[i % 4], noise=0.45)) for i in range(40)]
+    idx.process_batch(_df(spark, many), 0)
+    # run ONLY the split planning (persists the grown codebook) and
+    # discard its reassigned rows — the on-disk index still holds the
+    # pre-split parent cells: byte-exact crash state
+    src = (
+        spark.read.parquet(idx._index_root)
+        .select("doc_id", "v", "cell")
+        .localCheckpoint()
+    )
+    idx._split_giant_cells(src)
+    assert idx._children, "split planning did not grow the codebook"
+    disk_cells = {
+        r["cell"]
+        for r in spark.read.parquet(idx._index_root)
+        .select("cell").distinct().collect()
+    }
+    leaf_cells = {c for c, _ in idx._centroids}
+    assert disk_cells & set(idx._children), "crash state must keep parents"
+    assert not (disk_cells <= leaf_cells)
+    # probe in the crash state: ancestor expansion covers parent rows
+    idx.process_batch(_df(spark, [(900, _unit(rng, many[5][1], 0.01))]), 1)
+    got = {(r["id_new"], r["id_hist"]) for r in idx.pairs().collect()}
+    assert (900, 5) in got
+    # recovery: compaction re-homes parent rows to current leaves
+    idx.compact_index(keep_recent=0)
+    gen_cells = {
+        r["cell"]
+        for r in spark.read.parquet(idx._index_root)
+        .filter("batch_id < 0").select("cell").distinct().collect()
+    }
+    assert gen_cells <= {c for c, _ in idx._centroids}
+    idx.process_batch(_df(spark, [(901, _unit(rng, many[9][1], 0.01))]), 2)
+    got = {(r["id_new"], r["id_hist"]) for r in idx.pairs().collect()}
+    assert (901, 9) in got
