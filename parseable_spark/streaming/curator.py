@@ -171,9 +171,19 @@ class StreamingCurator:
                     f"semantic_dup_history needs column "
                     f"{self.embedding_col!r} on the batch"
                 )
-            vecs = batch_df.select(
-                self.id_col, self.embedding_col
-            ).localCheckpoint()
+            # ONE deterministic vector per id: the raw batch may carry
+            # duplicate ids (stage 1.5 collapses them for text), and a
+            # plain join here would fan the probe/fold out over every
+            # duplicate's vector — with dropDuplicates the survivor
+            # would be replay-NONdeterministic. max() over the array is
+            # total-ordered and skips NULLs, so the same id always
+            # contributes the same embedding (r8 review).
+            vecs = (
+                batch_df.select(self.id_col, self.embedding_col)
+                .groupBy(self.id_col)
+                .agg(F.max(self.embedding_col).alias(self.embedding_col))
+                .localCheckpoint()
+            )
 
         # 1. history + in-batch exact dedup (the gate commits the new
         # bloom version; its survivor log is this batch's fresh slice,

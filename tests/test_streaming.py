@@ -1508,3 +1508,33 @@ def test_streaming_curator_semantic_index_excludes_stage_losers(
         spark.createDataFrame([(5, OTHER, _sem_vec(1, eps=0.02))], sch), 1
     )
     assert {r["doc_id"] for r in cur.kept().collect()} >= {0, 5}
+
+
+def test_streaming_curator_semantic_duplicate_id_deterministic(spark, tmp_path):
+    """A batch reusing a doc_id (one row with an embedding, one
+    without) must contribute ONE deterministic vector to the semantic
+    stage — not fan the probe/fold out over every duplicate row."""
+    from parseable_spark.streaming import StreamingCurator
+
+    cur = StreamingCurator(
+        spark, str(tmp_path / "c"),
+        semantic_dup_history=True, ann_n_cells=2,
+        num_shards=4, bits_per_shard=1 << 14,
+    )
+    sch = "doc_id bigint, text string, embedding array<double>"
+    cur.process_batch(
+        spark.createDataFrame([(0, GOOD, _sem_vec(0))], sch), 0
+    )
+    # id 1 appears twice: null embedding + real embedding (same text so
+    # stage 1.5 keeps one row deterministically)
+    b1 = spark.createDataFrame(
+        [(1, NEAR_A, None), (1, NEAR_A, _sem_vec(1))], sch
+    )
+    cur.process_batch(b1, 1)
+    indexed = cur.ann.index_df().filter("doc_id = 1").collect()
+    assert len(indexed) == 1  # exactly one fold, the non-null vector
+    assert indexed[0]["v"] is not None
+    # replay: byte-identical
+    once = sorted(map(tuple, cur.ann.index_df().collect()))
+    cur.process_batch(b1, 1)
+    assert sorted(map(tuple, cur.ann.index_df().collect())) == once
