@@ -207,7 +207,30 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             nd = self._nodes.get(nd["parent"])
         return out
 
+    def _tree_depth(self) -> int:
+        """Max node depth, cached per codebook state — recomputing by
+        walking every parent chain was O(nodes·depth) driver work per
+        BATCH (r8 self-review); the codebook only changes at first fold
+        and at splits, both of which persist (invalidating here)."""
+        cached = getattr(self, "_depth_cache", None)
+        if cached is not None:
+            return cached
+        depth = 0
+        memo: dict[int, int] = {}
+        for cid in self._nodes or {}:
+            chain, cur = [], cid
+            while cur is not None and cur not in memo:
+                chain.append(cur)
+                cur = self._nodes[cur]["parent"]
+            base = memo[cur] if cur is not None else -1
+            for off, node in enumerate(reversed(chain)):
+                memo[node] = base + 1 + off
+            depth = max(depth, memo[cid])
+        self._depth_cache = depth
+        return depth
+
     def _save_codebook(self) -> None:
+        self._depth_cache = None
         path = os.path.join(self.base_dir, "centroids.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -271,12 +294,7 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             .filter(F.col("_r") <= beam)
             .drop("_r")
         )
-        depth = 0
-        for cid in self._nodes:
-            d, nd = 0, self._nodes[cid]
-            while nd["parent"] is not None:
-                d, nd = d + 1, self._nodes[nd["parent"]]
-            depth = max(depth, d)
+        depth = self._tree_depth()
         if depth:
             # all edges at once; the expand join is NOT hinted — AQE
             # broadcasts while the tree is small and shuffle-joins once
