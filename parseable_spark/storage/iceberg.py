@@ -384,7 +384,11 @@ class IcebergMirror:
                 "sequence_number": (
                     None if status == _ENTRY_STATUS_ADDED else e["seq"]
                 ),
-                "file_sequence_number": None,
+                # inheritance is ADDED-only per spec: EXISTING entries
+                # must carry their numbers explicitly
+                "file_sequence_number": (
+                    None if status == _ENTRY_STATUS_ADDED else e["seq"]
+                ),
                 "data_file": {
                     "content": 0,  # DATA
                     "file_path": self._uri(e["path"]),
