@@ -639,11 +639,22 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             return
         new_gen = min(gens, default=0) - 1
         sources = old + gens
+        # duplicate ids (a crash between a prior compaction's write and
+        # delete, or an id re-folded with a DIFFERENT embedding when the
+        # curator's lexical identity guard is off) must dedup
+        # DETERMINISTICALLY — dropDuplicates picks an arbitrary survivor
+        # that could flip across compactions (r8 self-review). First
+        # writer wins: generations (negative, holding the oldest data)
+        # sort before fresh batches, matching the lexical path's
+        # canonical-text semantics.
+        w_id = Window.partitionBy(self.id_col).orderBy("batch_id", "cell")
         rows = (
             self.spark.read.parquet(self._index_root)
             .filter(F.col("batch_id").isin(sources))
+            .select(self.id_col, "v", "cell", "batch_id")
+            .withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
             .select(self.id_col, "v", "cell")
-            .dropDuplicates([self.id_col])
         )
         # re-home rows folded under a since-split cell: the non-leaf
         # set is small (parents only), so the isin stays cheap
