@@ -22,6 +22,12 @@ Hadoop counter on local files — measured r7, SCALE.md).
 
 Usage:
     python tools/ann_probe.py [log2_min log2_max]   # default 12 16
+    python tools/ann_probe.py --bsweep [log2h]      # probe-size axis:
+        # at FIXED history, grown-mode probe bytes must scale with the
+        # PROBE batch size (the touched-leaves bound B*nprobe*
+        # split_target), while frozen-mode bytes are flat in B (any
+        # batch already touches most of the 16 cells) — together with
+        # the history axis this pins "bytes ∝ batch, not history".
 
 Run on a QUIET box.
 """
@@ -48,6 +54,86 @@ BATCH = 4096
 # whole index and the comparison measures nothing
 PROBE_DOCS = 16
 SPLIT_TARGET = 512
+
+
+def bsweep() -> None:
+    """Probe bytes vs PROBE batch size at fixed history, both modes."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    log2h = int(args[0]) if args else 16
+
+    from parseable_spark.session import get_spark
+    from parseable_spark.streaming.ann_index import StreamingEmbeddingIndex
+
+    spark = get_spark("ann-bsweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+
+    def bytes_read() -> int:
+        with open(f"/proc/{jvm_pid}/io") as f:
+            for line in f:
+                if line.startswith("rchar:"):
+                    return int(line.split()[1])
+        return 0
+
+    import math
+    import random
+    import tempfile
+
+    rng = random.Random(17)
+
+    def unit(anchor=None, noise=0.0):
+        if anchor is None:
+            v = [rng.gauss(0, 1) for _ in range(DIM)]
+        else:
+            v = [a + rng.gauss(0, noise) for a in anchor]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    anchors = [unit() for _ in range(N_ANCHORS)]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, embedding array<double>"
+        )
+
+    out = {"dim": DIM, "history": 1 << log2h, "modes": {}}
+    for mode, split_target in (("frozen", 1 << 40), ("grown", SPLIT_TARGET)):
+        base = tempfile.mkdtemp(prefix=f"ann_bsweep_{mode}_")
+        idx = StreamingEmbeddingIndex(
+            spark, base, n_cells=16, nprobe=2, threshold=0.9,
+            cell_cap=1 << 40, split_target=split_target,
+            compact_every=4, max_splits_per_compaction=64,
+        )
+        folded = 0
+        while folded < (1 << log2h):
+            rows = [
+                (folded + i, unit(anchors[(folded + i) % N_ANCHORS], 0.35))
+                for i in range(BATCH)
+            ]
+            idx.fold_batch(df(rows), folded // BATCH)
+            folded += BATCH
+        series = []
+        for bsz in (8, 32, 128):
+            probe_rows = [
+                (10**9 + i, unit(anchors[i % N_ANCHORS], 0.02))
+                for i in range(bsz)
+            ]
+            pdf = df(probe_rows)
+            idx.probe_batch(pdf, 10**6)  # warm
+            r0 = bytes_read()
+            idx.probe_batch(pdf, 10**6)
+            series.append(
+                {"probe_docs": bsz,
+                 "probe_mb": round((bytes_read() - r0) / 1e6, 2)}
+            )
+            print(json.dumps({"mode": mode, **series[-1]}), flush=True)
+        out["modes"][mode] = {
+            "leaves": len(idx._centroids or []), "series": series
+        }
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -151,4 +237,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--bsweep" in sys.argv:
+        bsweep()
+    else:
+        main()
