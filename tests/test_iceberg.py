@@ -280,3 +280,28 @@ def test_crash_orphan_manifests_swept(spark, tmp_path):
     assert sorted(st.iceberg.live_paths()) == sorted(
         f.file_path for f in st.manifest.files
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PYICEBERG"),
+    reason="pyiceberg not installed in this container (no network)",
+)
+def test_real_pyiceberg_reads_incremental_shapes(spark, tmp_path):
+    """The r8 incremental commit shapes — carried-forward manifests,
+    removal-rewritten manifests with EXISTING entries, and merged
+    manifests — must all scan correctly through the REAL reader."""
+    from pyiceberg.table import StaticTable  # type: ignore
+
+    st = _store(spark, tmp_path)
+    # many small commits -> adds + carry-forward + merges
+    for i in range(12):
+        st.ingest([{"n": i}], p_timestamp=_ts(1 + (i % 25)))
+        st.flush()
+    # a delete -> manifest rewrite with EXISTING survivors
+    st.apply_retention(
+        days=5, now=datetime(2026, 8, 10, 12), tombstone_grace_seconds=0
+    )
+    v = st.iceberg.current_version()
+    tbl = StaticTable.from_metadata(st.iceberg._metadata_path(v))
+    got = tbl.scan().to_arrow().num_rows
+    assert got == st.manifest.total_rows()
