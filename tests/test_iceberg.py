@@ -268,7 +268,7 @@ def test_crash_orphan_manifests_swept(spark, tmp_path):
     for p in (old, fresh, stale_list):
         with open(p, "wb") as f:
             f.write(b"Obj\x01orphan")
-    past = time.time() - 3600
+    past = time.time() - st.iceberg._ORPHAN_GRACE_S - 3600
     os.utime(old, (past, past))
     os.utime(stale_list, (past, past))
     st.ingest([{"n": 2}], p_timestamp=_ts(2))
