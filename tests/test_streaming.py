@@ -783,11 +783,14 @@ def test_dedup_index_migrates_flat_layout(spark, tmp_path):
 def test_dedup_index_compaction_globalizes_stats_and_heals_orphans(
     spark, tmp_path
 ):
-    """compact_index merges out-of-grace batch partitions + ALL
-    generations (a crash between a compaction's write and delete
-    leaves two generations; folding only the newest would orphan the
-    older forever), de-duplicates crash duplicates on (id, band_idx),
-    and recomputes bsz/rep_id globally."""
+    """max_generations=1 (the pre-r9 full-merge mode): compact_index
+    merges out-of-grace batch partitions + ALL generations (a crash
+    between a compaction's write and delete leaves two generations;
+    folding only the newest would orphan the older forever),
+    de-duplicates crash duplicates on (id, band_idx), and recomputes
+    bsz/rep_id globally within the single generation. Tiered-mode
+    behavior is pinned separately
+    (test_dedup_index_tiered_compaction_*)."""
     import os as _os
     import shutil as _shutil
 
@@ -795,7 +798,8 @@ def test_dedup_index_compaction_globalizes_stats_and_heals_orphans(
 
     d = tmp_path / "d"
     idx = StreamingDedupIndex(
-        spark, str(d), bucket_cap=10**9, compact_every=0
+        spark, str(d), bucket_cap=10**9, compact_every=0,
+        max_generations=1,
     )
     for b in range(6):
         docs = spark.createDataFrame(
@@ -836,6 +840,127 @@ def test_dedup_index_compaction_globalizes_stats_and_heals_orphans(
     )
 
 
+def test_dedup_index_tiered_compaction_bounds_generations(spark, tmp_path):
+    """Tiered mode (r9): each compaction merges only out-of-grace
+    FRESH batches into a NEW generation; generations cascade via
+    size-tiered merges once more than max_generations live — history
+    is never rewritten wholesale, generation count stays bounded, and
+    probes still find cross-batch pairs against rows living in any
+    tier."""
+    import os as _os
+
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    d = tmp_path / "d"
+    idx = StreamingDedupIndex(
+        spark, str(d), bucket_cap=10**9, compact_every=0,
+        max_generations=2, merge_fanout=2,
+    )
+    for b in range(12):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"tier doc body {b * 10 + i}") for i in range(3)],
+            "doc_id bigint, text string",
+        )
+        idx.fold_batch(docs, b)
+    gens = lambda: sorted(  # noqa: E731
+        int(p.split("=", 1)[1])
+        for p in _os.listdir(d / "index")
+        if p.startswith("batch_id=") and "=-" in p
+    )
+    idx.compact_index(keep_recent=8)  # entry: batches 0..3 -> gen -1
+    assert gens() == [-1]
+    idx.compact_index(keep_recent=4)  # entry: 4..7 -> gen -2 (no cascade)
+    assert gens() == [-2, -1]
+    idx.compact_index(keep_recent=2)  # entry: 8,9 -> -3; cascade 2 smallest
+    g = gens()
+    assert len(g) <= 2  # bounded by max_generations
+    # every historical doc still probes: a near-dup of a doc now living
+    # in a cascaded generation lands a cross-batch pair
+    idx.process_batch(
+        spark.createDataFrame(
+            [(900, "tier doc body 0")],  # exact dup: all bands collide
+            "doc_id bigint, text string",
+        ),
+        12,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in idx.candidates().collect()}
+    assert (0, 900) in pairs
+
+
+def test_dedup_index_probe_stats_exact_across_tiers(spark, tmp_path):
+    """The flood guard must see GLOBAL bucket sizes even when a
+    bucket's rows are spread over generations + fresh batches, each
+    layer under bucket_cap (the tiered-generation hazard: layer-local
+    stored stats understate the bucket). probe_index recomputes stats
+    over the pruned slice — exact bsz, global min rep_id."""
+    from pyspark.sql import functions as F
+
+    from parseable_spark.llm.dedup import banded_rows
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    d = tmp_path / "d"
+    idx = StreamingDedupIndex(
+        spark, str(d), compact_every=0, max_generations=4, merge_fanout=2,
+    )
+    same = "identical flood text shared by every doc in the bucket"
+    # 3 layers of the SAME text: two compacted generations + fresh
+    idx.fold_batch(
+        spark.createDataFrame([(1, same), (2, same)], "doc_id bigint, text string"), 0
+    )
+    idx.fold_batch(
+        spark.createDataFrame([(3, same), (4, same)], "doc_id bigint, text string"), 1
+    )
+    idx.compact_index(keep_recent=1)  # batch 0 -> gen -1
+    idx.fold_batch(
+        spark.createDataFrame([(5, same), (6, same)], "doc_id bigint, text string"), 2
+    )
+    idx.compact_index(keep_recent=1)  # batch 1 -> gen -2
+    probe = banded_rows(
+        spark.createDataFrame([(99, same)], "doc_id bigint, text string"),
+        "doc_id", "text",
+    )
+    sl = idx.probe_index(3, probe.localCheckpoint())
+    got = sl.select("doc_id", "bsz", "rep_id").distinct().collect()
+    assert got, "probed slice empty"
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 4, 5, 6}
+    assert all(r["bsz"] == 6 for r in got)  # exact GLOBAL bucket size
+    assert all(r["rep_id"] == 1 for r in got)  # global min representative
+
+
+def test_dedup_index_texts_tiered_compaction(spark, tmp_path):
+    """texts/ tiers like the signature index (r9): entry merges create
+    new generations, cascades bound the generation count, and lookups
+    stay exact across tiers."""
+    import os as _os
+
+    from parseable_spark.streaming import StreamingDedupIndex
+
+    idx = StreamingDedupIndex(
+        spark, str(tmp_path / "d"), text_shards=4, compact_every=0,
+        max_generations=2, merge_fanout=2,
+    )
+    for b in range(12):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"text {b * 10 + i}") for i in range(5)],
+            "doc_id bigint, text string",
+        )
+        idx.fold_batch(docs, b)
+    idx.compact_texts(keep_recent=8)
+    idx.compact_texts(keep_recent=4)
+    idx.compact_texts(keep_recent=2)
+    root = tmp_path / "d" / "texts"
+    gens = [
+        p for p in _os.listdir(root)
+        if p.startswith("batch_id=-")
+    ]
+    assert 1 <= len(gens) <= 2
+    all_ids = spark.createDataFrame(
+        [(b * 10 + i,) for b in range(12) for i in range(5)], "doc_id bigint"
+    )
+    got = sorted(map(tuple, idx.lookup_texts(all_ids).collect()))
+    assert got == sorted((b * 10 + i, f"text {b * 10 + i}") for b in range(12) for i in range(5))
+
+
 def test_dedup_index_texts_compaction(spark, tmp_path):
     """compact_texts merges out-of-grace batch partitions into one
     compacted generation per shard — bounding file count (per-lookup
@@ -848,7 +973,8 @@ def test_dedup_index_texts_compaction(spark, tmp_path):
     from parseable_spark.streaming import StreamingDedupIndex
 
     idx = StreamingDedupIndex(
-        spark, str(tmp_path / "d"), text_shards=4, compact_every=0
+        spark, str(tmp_path / "d"), text_shards=4, compact_every=0,
+        max_generations=1,  # pre-r9 full-merge mode (tiered pinned separately)
     )
     for b in range(8):
         docs = spark.createDataFrame(
