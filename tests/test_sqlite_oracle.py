@@ -231,7 +231,179 @@ def _statements() -> list[str]:
         "SELECT COALESCE(NULLIF(MIN(r_name), ''), 'none') AS g FROM region",
         "SELECT COUNT(*) AS n FROM orders WHERE NULLIF(o_orderpriority, '5-LOW') IS NULL",
     ]
+    # 18. set ops — INTERSECT / EXCEPT (both dialects: distinct set
+    # semantics, no ALL variants in sqlite) (VERDICT r8 next-6)
+    s += [
+        "SELECT n_nationkey AS k FROM nation INTERSECT "
+        "SELECT c_nationkey AS k FROM customer ORDER BY 1",
+        "SELECT n_nationkey AS k FROM nation EXCEPT "
+        "SELECT s_nationkey AS k FROM supplier ORDER BY 1",
+        "SELECT c_nationkey AS k FROM customer INTERSECT "
+        "SELECT s_nationkey AS k FROM supplier ORDER BY 1",
+        "SELECT p_brand AS b FROM part WHERE p_size > 40 INTERSECT "
+        "SELECT p_brand AS b FROM part WHERE p_retailprice > 1800 ORDER BY 1",
+        "SELECT o_custkey AS k FROM orders EXCEPT "
+        "SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY 1 LIMIT 20",
+        "SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48 EXCEPT "
+        "SELECT s_suppkey AS k FROM supplier WHERE s_acctbal < 0 ORDER BY 1 LIMIT 25",
+    ]
+    # 19. correlated EXISTS / NOT EXISTS / correlated scalar aggregates
+    s += [
+        "SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        "SELECT COUNT(*) AS n FROM supplier s WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)",
+        "SELECT COUNT(*) AS n FROM part p WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)",
+        "SELECT COUNT(*) AS n FROM nation n WHERE EXISTS "
+        "(SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) "
+        "AND EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)",
+        "SELECT COUNT(*) AS n FROM orders o WHERE o.o_totalprice > "
+        "(SELECT 2.0 * AVG(l.l_extendedprice) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+        "SELECT COUNT(*) AS n FROM customer c WHERE c.c_acctbal > "
+        "(SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)",
+    ]
+    # 20. explicit NULL-ordering clauses (sqlite >= 3.30; nulls minted
+    # via NULLIF so both engines order the same synthetic NULLs)
+    s += [
+        "SELECT NULLIF(o_orderstatus, 'O') AS g, COUNT(*) AS c FROM orders "
+        "GROUP BY NULLIF(o_orderstatus, 'O') ORDER BY g NULLS FIRST",
+        "SELECT NULLIF(o_orderstatus, 'F') AS g, COUNT(*) AS c FROM orders "
+        "GROUP BY NULLIF(o_orderstatus, 'F') ORDER BY g NULLS LAST",
+        "SELECT NULLIF(l_returnflag, 'N') AS g, SUM(l_quantity) AS s FROM lineitem "
+        "GROUP BY NULLIF(l_returnflag, 'N') ORDER BY g DESC NULLS FIRST",
+        "SELECT NULLIF(c_mktsegment, 'BUILDING') AS g, COUNT(*) AS c FROM customer "
+        "GROUP BY NULLIF(c_mktsegment, 'BUILDING') ORDER BY g DESC NULLS LAST",
+    ]
+    s += _generated()
     return s
+
+
+# -- seeded differential generator (VERDICT r8 next-6 stretch) -------------
+# A deterministic random query generator over the PROVEN dialect
+# intersection (every construct below already appears in the
+# hand-written corpus): filters × aggregates × group-bys × dim joins ×
+# HAVING × top-K. Seeded, so the corpus is pinned — a divergence is
+# reproducible by statement index. Bump GEN_COUNT or the seed to fuzz
+# further; keep outputs deterministic (aggregate-only or fully-keyed
+# ORDER BY).
+GEN_SEED = 0xC0FFEE
+GEN_COUNT = 60
+
+_NUM_COLS = {
+    "customer": [("c_acctbal", -1000.0, 10000.0), ("c_custkey", 1, 1500)],
+    "supplier": [("s_acctbal", -1000.0, 10000.0), ("s_suppkey", 1, 100)],
+    "part": [("p_retailprice", 900.0, 2100.0), ("p_size", 1, 50)],
+    "orders": [("o_totalprice", 1000.0, 400000.0), ("o_orderkey", 1, 60000)],
+    "lineitem": [
+        ("l_quantity", 1.0, 50.0),
+        ("l_extendedprice", 900.0, 100000.0),
+        ("l_discount", 0.0, 0.1),
+    ],
+}
+_STR_COLS = {
+    "customer": [("c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE",
+                                   "HOUSEHOLD", "FURNITURE"])],
+    "orders": [("o_orderstatus", ["F", "O", "P"]),
+               ("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                    "4-NOT SPECIFIED", "5-LOW"])],
+    "lineitem": [("l_returnflag", ["A", "N", "R"]),
+                 ("l_linestatus", ["F", "O"])],
+    "part": [("p_brand", [f"Brand#{i}{j}" for i in range(1, 6)
+                          for j in range(1, 6)])],
+    "supplier": [],
+}
+_GROUP_COLS = {
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "supplier": ["s_nationkey"],
+    "part": ["p_brand", "p_size"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+}
+_JOINS = {  # fact -> (dim, fact_key, dim_key, dim group col)
+    "customer": ("nation", "c_nationkey", "n_nationkey", "n_name"),
+    "supplier": ("nation", "s_nationkey", "n_nationkey", "n_name"),
+    "orders": ("customer", "o_custkey", "c_custkey", "c_mktsegment"),
+    "lineitem": ("part", "l_partkey", "p_partkey", "p_brand"),
+}
+
+
+def _gen_pred(rng, t: str, prefix: str = "") -> str:
+    kind = rng.randrange(4)
+    if kind == 0 and _STR_COLS[t]:
+        col, vals = rng.choice(_STR_COLS[t])
+        col = prefix + col
+        if rng.random() < 0.5:
+            picks = sorted(rng.sample(vals, k=min(len(vals), rng.randrange(1, 4))))
+            quoted = ", ".join(f"'{v}'" for v in picks)
+            return f"{col} IN ({quoted})"
+        return f"{col} {rng.choice(['=', '<>'])} '{rng.choice(vals)}'"
+    col, lo, hi = rng.choice(_NUM_COLS[t])
+    col = prefix + col
+    a = round(rng.uniform(lo, hi), 2)
+    b = round(rng.uniform(lo, hi), 2)
+    lo2, hi2 = min(a, b), max(a, b)
+    kind2 = rng.randrange(3)
+    if kind2 == 0:
+        return f"{col} BETWEEN {lo2} AND {hi2}"
+    if kind2 == 1:
+        return f"{col} {rng.choice(['>', '>=', '<', '<='])} {a}"
+    return f"NOT ({col} > {a})"
+
+
+def _generated() -> list[str]:
+    import random as _random
+
+    rng = _random.Random(GEN_SEED)
+    out: list[str] = []
+    facts = sorted(_NUM_COLS)
+    while len(out) < GEN_COUNT:
+        t = rng.choice(facts)
+        num, _, _ = rng.choice(_NUM_COLS[t])
+        n_preds = rng.randrange(1, 3)
+        preds = " AND ".join(_gen_pred(rng, t) for _ in range(n_preds))
+        aggs = (
+            f"COUNT(*) AS c, SUM({num}) AS s, AVG({num}) AS a, "
+            f"MIN({num}) AS lo, MAX({num}) AS hi"
+        )
+        shape = rng.randrange(4)
+        if shape == 2 and t not in _JOINS:
+            shape = 0  # part has no dim table loaded here
+        if shape == 0:  # plain filtered aggregate
+            out.append(f"SELECT {aggs} FROM {t} WHERE {preds}")
+        elif shape == 1:  # group-by (+ optional HAVING)
+            g = rng.choice(_GROUP_COLS[t])
+            having = (
+                f" HAVING COUNT(*) >= {rng.randrange(2, 5)}"
+                if rng.random() < 0.4
+                else ""
+            )
+            out.append(
+                f"SELECT {g} AS g, {aggs} FROM {t} WHERE {preds} "
+                f"GROUP BY {g}{having} ORDER BY g"
+            )
+        elif shape == 2:  # dim join + group on the dim column
+            dim, fk, dk, dg = _JOINS[t]
+            jpreds = " AND ".join(
+                _gen_pred(rng, t, prefix="f.") for _ in range(n_preds)
+            )
+            out.append(
+                f"SELECT d.{dg} AS g, COUNT(*) AS c, SUM(f.{num}) AS s "
+                f"FROM {t} f JOIN {dim} d ON f.{fk} = d.{dk} "
+                f"WHERE {jpreds} "
+                f"GROUP BY d.{dg} ORDER BY g"
+            )
+        else:  # top-K with full deterministic key
+            key = {
+                "customer": "c_custkey", "supplier": "s_suppkey",
+                "part": "p_partkey", "orders": "o_orderkey",
+                "lineitem": "l_orderkey, l_linenumber",
+            }[t]
+            out.append(
+                f"SELECT {key}, {num} FROM {t} WHERE {preds} "
+                f"ORDER BY {num} DESC, {key} LIMIT {rng.randrange(5, 21)}"
+            )
+    return out
 
 
 def _norm_cell(v):

@@ -336,9 +336,15 @@ def bigbatch() -> None:
     if "--build" in sys.argv:
         return
     bid = idx.latest_version()
-    probe_df = gen(10**9, BIG_BATCH, 10**9, 0.03, 13).localCheckpoint()
+    # NO localCheckpoints here: gen() is a deterministic expression
+    # tree (recompute-safe), and materializing 10^5 × 768-dim rows as
+    # storage blocks is itself the memory hazard this probe exists to
+    # avoid — consumers recompute the assign DAG instead (narrow
+    # windows post-r9), trading CPU for a flat memory profile.
+    probe_df = gen(10**9, BIG_BATCH, 10**9, 0.03, 13)
     t0 = time.time()
-    assigned = idx._assign_cells(probe_df, idx.nprobe).localCheckpoint()
+    assigned = idx._assign_cells(probe_df, idx.nprobe)
+    assigned.count()  # materialize once for timing attribution
     assign_s = round(time.time() - t0, 1)
     common = {
         "heap": heap, "dim": DIM_BIG, "history": BIG_HISTORY,
