@@ -366,7 +366,14 @@ def pq_topk_batch(
         F.round(score, ndigits).alias("approx_d2"),
     )
     local = (
-        scored.withColumn("_salt", F.col(id_col) % salt_buckets)
+        # hash-salt rather than `id % salt_buckets`: works for string
+        # ids too, and spreads skewed numeric id ranges evenly; the
+        # salt only shapes the stage-1 partial top-k grouping, never
+        # the result (r9 review)
+        scored.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)),
+        )
         .groupBy(query_id_col, "_salt")
         .agg(
             F.slice(

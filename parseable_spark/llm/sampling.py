@@ -62,6 +62,10 @@ def hash_sample(
     to `default_rate`. The filter compiles to a single scan-local
     predicate — lexicographic compare of a 2-char hex prefix, which
     equals numeric compare for lowercase hex.
+
+    NULL-id rows are always dropped (the digest of NULL is NULL and
+    NULL < bound is never true) — ids are the sampling key; rows
+    without one have no stable in/out identity to preserve.
     """
     if (rate is None) == (strata_rates is None):
         raise ValueError("pass exactly one of rate= or strata_rates=")

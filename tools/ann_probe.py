@@ -336,15 +336,17 @@ def bigbatch() -> None:
     if "--build" in sys.argv:
         return
     bid = idx.latest_version()
-    # NO localCheckpoints here: gen() is a deterministic expression
-    # tree (recompute-safe), and materializing 10^5 × 768-dim rows as
-    # storage blocks is itself the memory hazard this probe exists to
-    # avoid — consumers recompute the assign DAG instead (narrow
-    # windows post-r9), trading CPU for a flat memory profile.
+    # probe_df stays LAZY (gen() is deterministic, recompute-safe);
+    # `assigned` is localCheckpoint'd exactly like the product entry
+    # points (probe_batch, the curator) do — that checkpoint is load-
+    # bearing for planning: it gives Catalyst the REAL size of the
+    # assigned batch (batch × nprobe × dim), so the un-hinted index
+    # join sees a multi-GB side and never statically picks a broadcast
+    # (measured: with a lazy assigned, Range-derived stats undercount
+    # the array column and the planner broadcast-OOMs at 4g).
     probe_df = gen(10**9, BIG_BATCH, 10**9, 0.03, 13)
     t0 = time.time()
-    assigned = idx._assign_cells(probe_df, idx.nprobe)
-    assigned.count()  # materialize once for timing attribution
+    assigned = idx._assign_cells(probe_df, idx.nprobe).localCheckpoint()
     assign_s = round(time.time() - t0, 1)
     common = {
         "heap": heap, "dim": DIM_BIG, "history": BIG_HISTORY,

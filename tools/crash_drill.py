@@ -369,6 +369,14 @@ def verify(root: str) -> None:
         cur.decisions().filter("reason = 'near_duplicate_semantic'").count()
     )
     report["semantic_drops"] = sem_drops
+    # the stage must actually FIRE, not merely not-crash: every batch
+    # b >= 1 plants one cross-batch semantic bait (unique text, near
+    # vector of the prior batch's unique doc), so zero semantic drops
+    # across the run means the stage was silently disabled — a false
+    # green this check existed to prevent (r9 review: the count was
+    # reported but never gated)
+    if drain_b >= 2 and sem_drops == 0:
+        failures.append("semantic stage never fired despite planted baits")
     # replay idempotence of the semantic pair log + kept under a SECOND
     # redelivery of the drained batch
     pairs_once = sorted(map(tuple, cur.ann.pairs().collect()))

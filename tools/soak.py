@@ -350,6 +350,11 @@ def main() -> None:
     report["semantic_drops"] = (
         cur.decisions().filter("reason = 'near_duplicate_semantic'").count()
     )
+    # gate, don't just report (r9 review): every batch b >= 1 plants a
+    # semantic bait — zero drops over a multi-batch soak means the
+    # stage was silently disabled (false green)
+    if cur_batches[0] >= 3 and report["semantic_drops"] == 0:
+        failures.append("semantic stage never fired despite planted baits")
 
     # 5. manifest ↔ disk, after compaction swaps (+ Delta mirror
     # parity when P_DELTA_LOG is on: the log's replayed state must
