@@ -411,6 +411,111 @@ def bigbatch() -> None:
             }))
 
 
+def deep_recall() -> None:
+    """Recall under a MULTI-LEVEL split tree (judge r9 #3): r8 measured
+    recall at one split level only; beam descent can drop the true
+    nearest leaf once the tree is deep (the ``beam_width`` trade the
+    module docstring states). Geometry forces depth >= 3 (few roots,
+    tiny split_target, long history), then recall vs exact brute force
+    is swept over beam_width x nprobe. Pinned floor lives in
+    tests/test_ann_index.py::test_deep_tree_recall_floor."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    log2h = int(args[0]) if args else 15
+    n_queries = int(args[1]) if len(args) > 1 else 64
+
+    import math
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parseable_spark.functions import as_double_array, cosine
+    from parseable_spark.session import get_spark
+    from parseable_spark.streaming.ann_index import StreamingEmbeddingIndex
+
+    spark = get_spark("ann-deep-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(17)
+
+    def unit(anchor=None, noise=0.0):
+        if anchor is None:
+            v = [rng.gauss(0, 1) for _ in range(DIM)]
+        else:
+            v = [a + rng.gauss(0, noise) for a in anchor]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    anchors = [unit() for _ in range(N_ANCHORS)]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, embedding array<double>"
+        )
+
+    base = tempfile.mkdtemp(prefix="ann_deep_")
+    idx = StreamingEmbeddingIndex(
+        spark, base, n_cells=4, nprobe=2, threshold=0.9,
+        cell_cap=1 << 40, split_target=64,
+        compact_every=4, max_splits_per_compaction=256,
+    )
+    history, folded = [], 0
+    while folded < (1 << log2h):
+        rows = [
+            (folded + i, unit(anchors[(folded + i) % N_ANCHORS], 0.35))
+            for i in range(BATCH)
+        ]
+        if folded == 0:
+            history = rows[:n_queries]
+        idx.fold_batch(df(rows), folded // BATCH)
+        folded += BATCH
+    depth = idx._tree_depth()
+    queries = [
+        (10**9 + i, unit(history[i][1], 0.02)) for i in range(n_queries)
+    ]
+    qdf = df(queries).localCheckpoint()
+    hist = idx.index_df().select(
+        F.col("doc_id").alias("id_hist"), F.col("v").alias("hv")
+    )
+    truth = (
+        qdf.select(
+            F.col("doc_id").alias("id_new"),
+            as_double_array("embedding").alias("qv"),
+        )
+        .crossJoin(hist)
+        .withColumn("sim", cosine(F.col("qv"), F.col("hv")))
+        .filter(F.col("sim") >= idx.threshold)
+        .select("id_new", "id_hist")
+        .collect()
+    )
+    truth_pairs = {(r["id_new"], r["id_hist"]) for r in truth}
+    out = {
+        "dim": DIM, "history": folded, "queries": n_queries,
+        "leaves": len(idx._centroids or []), "depth": depth,
+        "truth_pairs": len(truth_pairs), "recall": {},
+    }
+    idx.max_pairs_per_doc = 1 << 30
+    for beam in (1, 2, 4, 8):
+        for nprobe in (1, 2, 4):
+            idx.beam_width = max(nprobe, beam)
+            idx.nprobe = nprobe
+            assigned = idx._assign_cells(qdf, nprobe).localCheckpoint()
+            pairs = idx.probe_pairs_df(assigned, 10**6)
+            got = {
+                (r["id_new"], r["id_hist"])
+                for r in (pairs.collect() if pairs is not None else [])
+            }
+            rec = len(got & truth_pairs) / max(len(truth_pairs), 1)
+            key = f"beam={beam},nprobe={nprobe}"
+            out["recall"][key] = round(rec, 4)
+            print(json.dumps({"beam": beam, "nprobe": nprobe,
+                              "recall": round(rec, 4), "pairs": len(got)}),
+                  flush=True)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     lo = int(args[0]) if args else 12
@@ -518,5 +623,7 @@ if __name__ == "__main__":
         recall()
     elif "--bigbatch" in sys.argv:
         bigbatch()
+    elif "--deep" in sys.argv:
+        deep_recall()
     else:
         main()
