@@ -453,21 +453,25 @@ def deep_recall() -> None:
         )
 
     base = tempfile.mkdtemp(prefix="ann_deep_")
+    # depth needs REPEATED compactions (each split level materializes
+    # at a merge): small batches + compact_every=2 give the tree
+    # 10+ split opportunities across the history
+    deep_batch = 2048
     idx = StreamingEmbeddingIndex(
         spark, base, n_cells=4, nprobe=2, threshold=0.9,
         cell_cap=1 << 40, split_target=64,
-        compact_every=4, max_splits_per_compaction=256,
+        compact_every=2, max_splits_per_compaction=256,
     )
     history, folded = [], 0
     while folded < (1 << log2h):
         rows = [
             (folded + i, unit(anchors[(folded + i) % N_ANCHORS], 0.35))
-            for i in range(BATCH)
+            for i in range(deep_batch)
         ]
         if folded == 0:
             history = rows[:n_queries]
-        idx.fold_batch(df(rows), folded // BATCH)
-        folded += BATCH
+        idx.fold_batch(df(rows), folded // deep_batch)
+        folded += deep_batch
     depth = idx._tree_depth()
     queries = [
         (10**9 + i, unit(history[i][1], 0.02)) for i in range(n_queries)

@@ -197,10 +197,13 @@ def ann(lo: int, hi: int) -> None:
         "modes": {},
     }
     last_base = None
-    for mode, kwargs in (
+    mode_list = [
         ("legacy", dict(max_generations=1)),
         ("tiered", dict(max_generations=8, merge_fanout=4)),
-    ):
+    ]
+    if "--tiered-only" in sys.argv:  # extend one axis without re-paying
+        mode_list = mode_list[1:]  # the (already-established) legacy run
+    for mode, kwargs in mode_list:
         base = tempfile.mkdtemp(prefix=f"compact_probe_ann_{mode}_")
         series = _run(
             spark, jvm_pid,
