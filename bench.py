@@ -105,10 +105,19 @@ def main() -> None:
     # q34 (per-user window sessionization — one hash shuffle + window)
     # is the second fingerprint so join/window-shaped drift is also
     # self-attributing in-artifact.
+    # r10 (VERDICT r9 next-5): q25 (both shapes), q12 and q31 drifted
+    # environmentally in r8→r9 WITHOUT a fingerprint, forcing a manual
+    # pre-change-baseline re-run to prove innocence — they get repeats
+    # arrays too, so dedup-pipeline / broadcast-join / text-feature
+    # shaped drift is self-attributing from this record on.
     variance = {}
     for fq, label in (
         ("q01_pricing_summary", "q01"),
         ("q34_sessionization", "q34"),
+        ("q12_local_supplier_volume", "q12"),
+        ("q25_dedup_minhash_verified", "q25"),
+        ("q25_dedup_minhash_production", "q25p"),
+        ("q31_text_features", "q31"),
     ):
         fingerprint: list[float] = []
         for _ in range(5):

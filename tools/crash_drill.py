@@ -36,7 +36,7 @@ exercised by an actual kill. This drill:
       batch content is a pure function of the batch id, so replays
       must converge bit-identically;
    e. index containment: LSH-indexed ⊆ texts ⊆ kept.
-   f. embedding index (r8): centroids.json survives and parses,
+   f. embedding index (r8): the codebook parquet log survives and loads,
       ANN-indexed ⊆ kept, and a second redelivery of the drained batch
       leaves pairs/ and kept/ byte-identical (replay idempotence).
 
@@ -343,19 +343,22 @@ def verify(root: str) -> None:
     if not texts <= kept:
         failures.append(f"texts ⊄ kept: {sorted(texts - kept)[:5]}")
 
-    # f — embedding index invariants (r8)
-    cb_path = os.path.join(root, "curator", "ann", "centroids.json")
-    if not os.path.exists(cb_path):
-        failures.append("ann centroids.json missing after kills")
+    # f — embedding index invariants (r8; codebook is a parquet log
+    # since r10 — survives kills iff the topology loads and is non-empty)
+    cb_root = os.path.join(root, "curator", "ann", "codebook")
+    if not os.path.isdir(cb_root):
+        failures.append("ann codebook/ missing after kills")
     else:
         try:
-            with open(cb_path) as f:
-                raw = json.load(f)
-            nodes = raw["nodes"] if isinstance(raw, dict) else raw
-            if not nodes:
+            import pyarrow.dataset as pads
+
+            tab = pads.dataset(
+                cb_root, format="parquet", partitioning="hive"
+            ).to_table(columns=["cid", "parent"])
+            if not tab.num_rows:
                 failures.append("ann codebook empty")
-        except (ValueError, KeyError):
-            failures.append("ann centroids.json unparseable")
+        except Exception:
+            failures.append("ann codebook unreadable")
     ann_idx = cur.ann.index_df()
     ann_indexed = (
         {r["doc_id"] for r in ann_idx.select("doc_id").distinct().collect()}

@@ -343,8 +343,8 @@ def main() -> None:
     )
     if not ann_indexed <= kept_ids:
         failures.append(f"ann indexed ⊄ kept: {sorted(ann_indexed - kept_ids)[:5]}")
-    if not os.path.exists(os.path.join(root, "curator", "ann", "centroids.json")):
-        failures.append("ann centroids.json missing")
+    if not os.path.isdir(os.path.join(root, "curator", "ann", "codebook")):
+        failures.append("ann codebook/ missing")
     report["ann_leaves"] = len(cur.ann._centroids or [])
     report["ann_split_parents"] = len(cur.ann._children)
     report["semantic_drops"] = (
