@@ -103,7 +103,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..llm.semantic import kmeans_fit
-from ..functions import as_double_array, cosine
+from ..functions import as_double_array, cosine, dot, l2_norm
 from .dedup_index import BatchPartitionedIndex, read_log, save_log_schema
 
 
@@ -380,7 +380,32 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
 
         vecs = docs.select(
             F.col(self.id_col), as_double_array(self.vec_col).alias("v")
+        ).withColumn(
+            # doc norm ONCE per doc: cosine per (doc, node) candidate
+            # re-folds both norms per pair — 3 interpreted dim-length
+            # folds instead of 1 at every descent level (r10, found
+            # profiling the bigbatch assign). Node norms are hoisted
+            # per level below. Same sqrt-then-multiply order as
+            # cosine(), so csim stays bit-identical.
+            "_vn",
+            l2_norm(F.col("v")),
         )
+        # the batch side of every re-attach join is PINNED sort-merge:
+        # expression-derived stats undercount array columns (Range →
+        # ~8 B/row), so the planner can statically pick the multi-GB
+        # batch as a BROADCAST build side and OOM (measured r10: the
+        # 131k × 768 probe's assign died exactly this way at 8 GiB
+        # once the norm projection shifted the estimates). Of the
+        # alternatives, an eager vecs checkpoint fixes planning but
+        # doubles resident batch bytes (GC-thrashed the same heap) and
+        # a shuffle-hash pin builds per-partition hash maps that
+        # CANNOT SPILL (32 concurrent wide-row builds starved the same
+        # heap: "Can't acquire ... to build hash relation") — both
+        # measured failures on the same probe. Sort-merge spills
+        # gracefully at any batch size; the sorted side is the batch
+        # re-keyed by id, a bounded per-level cost that the hoisted
+        # norms just made much cheaper than the cosines it feeds.
+        vecs_r = vecs.hint("merge")
         w = Window.partitionBy(self.id_col).orderBy(F.desc("csim"), F.asc("cid"))
         beam = max(int(n), self.beam_width)
         # node vectors come from the codebook PARQUET, level-pruned:
@@ -404,9 +429,9 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             )
 
         roots = with_leaf(
-            cb.filter(F.col("level") == 0).select(
-                "cid", F.col("v").alias("cv")
-            ),
+            cb.filter(F.col("level") == 0)
+            .select("cid", F.col("v").alias("cv"))
+            .withColumn("_cn", l2_norm(F.col("cv"))),
             "cid",
             "leaf",
         )
@@ -421,7 +446,12 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
         # regardless of how far the tree has grown.
         cur = (
             vecs.join(F.broadcast(roots))
-            .withColumn("csim", cosine(F.col("v"), F.col("cv")))
+            .withColumn(
+                "csim",
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")), F.col("_vn") * F.col("_cn")
+                ),
+            )
             .select(self.id_col, "cid", "csim", "leaf")
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= beam)
@@ -437,22 +467,27 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             # leaf level is the flat-scan memory hazard this descent
             # exists to avoid)
             edges = with_leaf(
-                cb.filter(F.col("level") == lvl).select(
+                cb.filter(F.col("level") == lvl)
+                .select(
                     F.col("parent").alias("pcid"),
                     F.col("cid").alias("ccid"),
                     F.col("v").alias("ccv"),
-                ),
+                )
+                .withColumn("_cn", l2_norm(F.col("ccv"))),
                 "ccid",
                 "cleaf",
             )
             expand = (
                 cur.filter(~F.col("leaf"))
                 .join(edges, F.col("cid") == F.col("pcid"))
-                .join(vecs, self.id_col)  # re-attach v for the cosine
+                .join(vecs_r, self.id_col)  # re-attach v for the cosine
                 .select(
                     self.id_col,
                     F.col("ccid").alias("cid"),
-                    cosine(F.col("v"), F.col("ccv")).alias("csim"),
+                    F.try_divide(
+                        dot(F.col("v"), F.col("ccv")),
+                        F.col("_vn") * F.col("_cn"),
+                    ).alias("csim"),
                     F.col("cleaf").alias("leaf"),
                 )
             )
@@ -467,7 +502,7 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             cur.filter(F.col("leaf"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= int(n))
-            .join(vecs, self.id_col)  # re-attach v once for the output
+            .join(vecs_r, self.id_col)  # re-attach v once for the output
             .select(self.id_col, "v", F.col("cid").alias("cell"), "rank")
         )
 
@@ -523,6 +558,9 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                     F.col("v").alias("_nv"),
                     F.col("cell").alias("probe_cell"),
                 )
+                # norm once per assigned row, BEFORE the cell_map
+                # expansion duplicates rows across ancestor levels
+                .withColumn("_nn", l2_norm(F.col("_nv")))
                 .join(F.broadcast(cell_map), "probe_cell")
                 # two probe leaves sharing an ancestor would meet that
                 # ancestor partition's rows twice
@@ -544,15 +582,31 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                 F.count(F.lit(1)).alias("csz"),
                 F.min(self.id_col).alias("crep"),
             )
+            # cell_stats is FORCE-broadcast: its cardinality is the
+            # probed-cell count (≤ leaves × (1 + depth) rows of three
+            # scalars — bounded by the codebook, not by data), and
+            # leaving it to AQE let the planner sort-merge the guard
+            # join at production size — re-sorting the ~6 KB/row slice
+            # this change exists to stop sorting (measured r10: the
+            # bigbatch probe kept a SortMergeJoin here, 960 s).
             candidates = (
-                idx.join(cell_stats, "cell")
+                idx.join(F.broadcast(cell_stats), "cell")
                 .filter(
                     (F.col("csz") <= self.cell_cap)
                     | (F.col(self.id_col) == F.col("crep"))
                 )
                 # csz/crep served the guard filter only — dropping them
-                # BEFORE the shuffle keeps the exchanged rows minimal
+                # BEFORE the shuffle keeps the exchanged rows minimal.
+                # The row's norm is precomputed ONCE here (map side):
+                # cosine per pair would re-fold both norms per
+                # CANDIDATE PAIR — 3 interpreted dim-length folds per
+                # pair instead of 1 — and the pair stage is the probe's
+                # measured compute bottleneck (r10 bigbatch: ~64M pairs
+                # × 768 dims; joins stopped mattering once sorts were
+                # gone). sqrt-then-multiply order matches cosine()
+                # exactly, so sims stay bit-identical.
                 .select("cell", self.id_col, "v")
+                .withColumn("_hn", l2_norm(F.col("v")))
             )
             # SHUFFLE_HASH (judge r9 #1): both sides are cell-keyed and
             # ~6 KB/row at 768 dims — a SortMergeJoin SORTS those wide
@@ -574,7 +628,14 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             scored = (
                 candidates.hint("shuffle_hash").join(probe, "cell")
                 .filter(F.col(self.id_col) != F.col("_nid"))
-                .withColumn("sim", cosine(F.col("v"), F.col("_nv")))
+                # == cosine(v, _nv) with the norms hoisted per row
+                .withColumn(
+                    "sim",
+                    F.try_divide(
+                        dot(F.col("v"), F.col("_nv")),
+                        F.col("_hn") * F.col("_nn"),
+                    ),
+                )
                 .filter(F.col("sim") >= self.threshold)
                 .select(
                     F.col("_nid").alias("id_new"),

@@ -476,8 +476,15 @@ class StreamingDedupIndex(BatchPartitionedIndex):
         idempotent."""
         from pyspark.sql import functions as F
 
+        # src (data-age key) is written when the caller provides it;
+        # probes never read it (_INDEX_COLS stays src-free so pre-r10
+        # stores remain readable), only merges do — with a batch_id
+        # fallback for legacy layers
+        cols = [self.id_col, *_INDEX_COLS] + (
+            ["src"] if "src" in rows.columns else []
+        )
         (
-            rows.select(self.id_col, *_INDEX_COLS)
+            rows.select(*cols)
             .withColumn("band_pt", self._band_pt_expr())
             .withColumn("batch_id", F.lit(int(batch_id)))
             .repartition(F.col("band_pt"))
@@ -737,6 +744,10 @@ class StreamingDedupIndex(BatchPartitionedIndex):
         (
             docs.withColumn("shard", self._shard_expr())
             .withColumn("batch_id", F.lit(int(batch_id)))
+            # data-age key: the ORIGINAL commit batch, carried through
+            # merges so layer dedup keeps the oldest-committed text
+            # deterministically (same fix as the ANN index, ADVICE r9)
+            .withColumn("src", F.lit(int(batch_id)))
             .repartition(F.col("shard"))
             .sortWithinPartitions("shard", self.id_col)
             .write.mode("overwrite")
@@ -768,6 +779,8 @@ class StreamingDedupIndex(BatchPartitionedIndex):
                 new_banded.select(self.id_col, "band_idx", "band_hash")
                 .withColumn("bsz", F.count(F.lit(1)).over(w))
                 .withColumn("rep_id", F.min(self.id_col).over(w))
+                # data-age key (see the texts write above)
+                .withColumn("src", F.lit(int(batch_id)))
             )
             self._write_index_rows(rows, batch_id=int(batch_id))
             self._commit_version(version)
@@ -895,19 +908,39 @@ class StreamingDedupIndex(BatchPartitionedIndex):
     def _merge_text_layers(self, root: str, sources: list[int]) -> None:
         """Merge the given texts/ layers into ONE new generation
         (id-sorted small row groups per shard — the layout every
-        pruned lookup relies on); write-then-delete."""
+        pruned lookup relies on); write-then-delete. Duplicate ids
+        dedup first-writer-wins on the data-age key ``src`` (original
+        commit batch; layer id on pre-r10 layers) — deterministic AND
+        guaranteed to pick the SAME version the signature merge keeps
+        for that id (r10 review)."""
         import shutil
 
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
         all_parts = _list_batch_ids(root)
         new_gen = min([p for p in all_parts if p < 0], default=0) - 1
-        tex = self.spark.read.parquet(root).filter(
-            F.col("batch_id").isin(sources)
+        raw = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(root)
+            .filter(F.col("batch_id").isin(sources))
+        )
+        src = (
+            F.coalesce(F.col("src"), F.col("batch_id"))
+            if "src" in raw.columns
+            else F.col("batch_id")
+        )
+        w_id = Window.partitionBy(self.id_col).orderBy("src", self.text_col)
+        tex = (
+            raw.select(
+                self.id_col, self.text_col, "shard", src.alias("src")
+            )
+            .withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
         (
-            tex.select(self.id_col, self.text_col, "shard")
-            .dropDuplicates([self.id_col])
+            tex.select(self.id_col, self.text_col, "shard", "src")
             .withColumn("batch_id", F.lit(new_gen))
             .repartition(F.col("shard"))
             .sortWithinPartitions("shard", self.id_col)
@@ -968,21 +1001,39 @@ class StreamingDedupIndex(BatchPartitionedIndex):
 
     def _merge_index_layers(self, sources: list[int]) -> None:
         """Merge the given index layers into ONE new generation —
-        write-then-delete; de-duplicates crash duplicates on
-        (id, band_idx) within the merged set. bsz/rep_id written here
-        are LAYER-local (advisory — probes recompute exact global
-        stats)."""
+        write-then-delete; de-duplicates (id, band_idx) collisions
+        within the merged set DETERMINISTICALLY, first-writer-wins on
+        the per-row data-age key ``src`` (original commit batch;
+        falls back to the layer id on pre-r10 layers) — a bare
+        dropDuplicates kept an arbitrary band_hash when an id was
+        re-folded with different text, and could even disagree with
+        the texts store's pick (r10 review, same class as the ANN
+        ADVICE r9 finding). bsz/rep_id written here are LAYER-local
+        (advisory — probes recompute exact global stats)."""
         import shutil
 
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
         new_gen = min([p for p in self._index_parts() if p < 0], default=0) - 1
-        rows = (
-            self.spark.read.parquet(self._index_root)
+        raw = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._index_root)
             .filter(F.col("batch_id").isin(sources))
-            .select(self.id_col, "band_idx", "band_hash")
-            .dropDuplicates([self.id_col, "band_idx"])
+        )
+        src = (
+            F.coalesce(F.col("src"), F.col("batch_id"))
+            if "src" in raw.columns
+            else F.col("batch_id")
+        )
+        w_id = Window.partitionBy(self.id_col, "band_idx").orderBy(
+            "src", "band_hash"
+        )
+        rows = (
+            raw.select(self.id_col, "band_idx", "band_hash", src.alias("src"))
+            .withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
         w = Window.partitionBy("band_idx", "band_hash")
         rows = rows.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(

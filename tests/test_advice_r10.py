@@ -152,6 +152,68 @@ class TestAnnOldestVectorSurvivesCascade:
         assert got[0]["v"] == pytest.approx(vec_a)
 
 
+class TestLexicalOldestTextSurvivesCascade:
+    """r10 review (same class as the ANN ADVICE r9 finding): the
+    lexical index's layer merges used a bare dropDuplicates — an id
+    re-folded with different text kept an ARBITRARY version, and the
+    signature and texts stores could even disagree. Both now dedup
+    first-writer-wins on the data-age key."""
+
+    def test_texts_and_signatures_keep_oldest_consistently(
+        self, spark, tmp_path
+    ):
+        idx = StreamingDedupIndex(
+            spark,
+            str(tmp_path / "d"),
+            text_shards=4,
+            compact_every=0,
+            max_generations=2,
+            merge_fanout=2,
+        )
+
+        def df(rows):
+            return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        text_a = "the original canonical body of document one " * 3
+        text_b = "a completely different replacement body here " * 3
+        fillers = lambda lo, hi: [  # noqa: E731
+            (i, f"unique filler document number {i} " * 4)
+            for i in range(lo, hi)
+        ]
+        idx.process_batch(df([(1, text_a)] + fillers(10, 14)), 0)
+        idx.compact_index(keep_recent=0)
+        idx.compact_texts(keep_recent=0)
+        # batch 1 RE-FOLDS id=1 with different text → its own generation
+        idx.process_batch(df([(1, text_b)] + fillers(20, 24)), 1)
+        idx.compact_index(keep_recent=0)
+        idx.compact_texts(keep_recent=0)
+        # larger batch 2 → the cascade must merge the two generations
+        # holding id=1 (size-tiered picks the two smallest)
+        idx.process_batch(df(fillers(30, 46)), 2)
+        idx.compact_index(keep_recent=0)
+        idx.compact_texts(keep_recent=0)
+        ids = spark.createDataFrame([(1,)], "doc_id bigint")
+        got = idx.lookup_texts(ids).collect()
+        assert len(got) == 1 and got[0]["text"] == text_a
+        # the surviving signature rows for id=1 are batch 0's (text A's
+        # bands), consistent with the text the lookup returns
+        from parseable_spark.llm.dedup import banded_rows
+        from pyspark.sql import functions as F
+
+        want = {
+            (r["band_idx"], r["band_hash"])
+            for r in banded_rows(df([(1, text_a)])).collect()
+        }
+        sig = {
+            (r["band_idx"], r["band_hash"])
+            for r in spark.read.parquet(idx._index_root)
+            .filter(F.col("doc_id") == 1)
+            .select("band_idx", "band_hash")
+            .collect()
+        }
+        assert sig == want
+
+
 class TestJunkPartitionDirSkipped:
     """ADVICE r9 low — dedup_index.py compact_texts cascade."""
 
