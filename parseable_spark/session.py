@@ -30,9 +30,12 @@ RUNTIME_CONFS = {
     # point-lookup IN-lists (dedup_index.partitioned_chunked_isin) must
     # push per-value parquet predicates, not the default min/max-range
     # fallback that prunes nothing for hash-distributed keys; chunks
-    # stay ≤1000 values (Spark 4.1's parquet predicate conversion
-    # stack-overflows ~1.5k — measured, SCALE.md r7). Engine-wide and
-    # documented here rather than mutated ad hoc per probe (r7 review).
+    # are ≤512 values since r10 (whole-stage codegen's split-method
+    # call chain overflows the executor stack ~1k literals in a fused
+    # scan stage — measured, SCALE.md r10; parquet predicate
+    # conversion itself overflows ~1.5k — r7). The threshold stays at
+    # 1001 so an operator-tuned larger chunk still pushes. Engine-wide
+    # and documented here rather than mutated ad hoc per probe (r7).
     "spark.sql.parquet.pushdown.inFilterThreshold": "1001",
     # NOT set: spark.sql.parquet.aggregatePushdown — it only activates
     # on the V2 parquet source (parquet is in useV1SourceList by

@@ -162,7 +162,7 @@ def partitioned_chunked_isin(
     part_col: str,
     key_col: str,
     keys_by_part: dict,
-    chunk: int = 1000,
+    chunk: int = 512,
 ) -> DataFrame:
     """Point-lookup ``key_col IN keys`` over a ``part_col``-partitioned
     store, as a UNION of branches over the SAME relation (one file
@@ -175,8 +175,13 @@ def partitioned_chunked_isin(
 
     Why not one global IN: Spark 4.1 falls back to a min/max RANGE
     above the pushdown threshold (useless for hash keys), its parquet
-    predicate conversion stack-overflows above ~1,500 values, and a
-    20k-literal In is seconds of Catalyst planning. Why pack instead
+    predicate conversion stack-overflows above ~1,500 values, a
+    20k-literal In is seconds of Catalyst planning, and — the binding
+    constraint since r10 — whole-stage codegen splits a big In into a
+    chain of methods calling one another, so a fused scan stage
+    carrying a ~1000-literal In overflows the EXECUTOR thread stack at
+    runtime (measured: the composed curator at 1024-doc batches; 750
+    passed, 512 is the shipped ~2x-headroom default). Why pack instead
     of one branch per partition: each union branch costs ~0.3 s of
     driver planning+scheduling, so 64 singleton branches were 21 s at
     the 20k-id cap (all measured — SCALE.md r7). Branch key sets are
@@ -309,7 +314,17 @@ class StreamingDedupIndex(BatchPartitionedIndex):
         compact_every: int = 16,
         band_partitions: int = 64,
         sig_block_bytes: int = 128 << 10,
-        in_chunk: int = 1000,
+        # 512, not the r7-tuned 1000: whole-stage codegen splits a big
+        # IN into a CHAIN of methods calling one another, so a fused
+        # scan stage carrying a ~1000-literal pushed IN overflows the
+        # executor thread stack AT RUNTIME (measured r10: the composed
+        # curator pipeline at 1024-doc batches died in
+        # GeneratedIterator.processNext; 750 passed, 512 gives ~2x
+        # headroom against deeper fusions). Costs more union branches
+        # only at the adversarial 20k-id lookup cap (~12 s planning vs
+        # r7's 21 s at 64 singleton branches); typical lookups still
+        # plan one branch.
+        in_chunk: int = 512,
         prune_min_bytes: int = 64 << 20,
         probe_key_cap: int = 20_000,
         max_generations: int = 8,

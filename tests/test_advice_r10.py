@@ -257,6 +257,44 @@ class TestJunkPartitionDirSkipped:
         assert _list_batch_ids(str(root)) == [-1, 3]
 
 
+class TestComposedCuratorAtProductionBatchSize:
+    """r10 review, found by tools/semantic_batch_probe.py: at 1024-doc
+    batches WITH history, the LSH probe's ~1000-literal pushed IN
+    overflowed the executor thread stack at runtime (whole-stage
+    codegen splits a big In into a chain of methods calling one
+    another). in_chunk default is now 512; this pin runs the composed
+    pipeline at exactly the size that died."""
+
+    def test_1024_doc_batches_with_history(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from parseable_spark.streaming.curator import StreamingCurator
+
+        def gen(start, n):
+            key = F.col("doc_id")
+            words = F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.when(i % 4 == 0, F.lit("the")).otherwise(
+                    F.substring(F.md5((key * 131 + i).cast("string")), 1, 6)
+                ),
+            )
+            return (
+                spark.range(start, start + n)
+                .withColumnRenamed("id", "doc_id")
+                .withColumn("text", F.concat_ws(" ", words))
+            )
+
+        cur = StreamingCurator(
+            spark, str(tmp_path / "c"), min_stopword_ratio=0.05,
+            near_dup_history=True,
+        )
+        for b in range(2):
+            cur.process_batch(gen(b * 1024, 1024).localCheckpoint(), b)
+        kept = cur.kept().count()
+        dropped = cur.decisions().count()
+        assert kept + dropped == 2048  # exactness holds at this size
+
+
 class TestSplitCountsFreshPartitions:
     """ADVICE r9 low — _split_giant_cells global size must include the
     keep_recent fresh committed batches (count-only, never pulled)."""

@@ -2610,10 +2610,13 @@ def test_sync_cycle_makes_acknowledged_events_durable(spark, tmp_path):
     cadence, so acknowledged events older than the 300 s staging window
     silently vanished from bounded queries and restarts lost everything
     since boot. run_sync + the maintenance sub-tick close that."""
-    from datetime import datetime, timedelta
+    from datetime import datetime, timedelta, timezone
 
     api = ParseableAPI(spark, str(tmp_path))
-    ts = datetime(2026, 8, 15, 12, 0)
+    # anchor the window to NOW: ingest stamps p_timestamp at wall
+    # clock, so a hardcoded date rots — this test started failing the
+    # moment the calendar passed its old ts+1d bound (r10 fix)
+    ts = datetime.now(timezone.utc).replace(tzinfo=None)
     api.ingest("slogs", [{"n": 1}, {"n": 2}])
     # staging only — no parquet yet
     store = api._stores["slogs"]

@@ -36,6 +36,8 @@ import tempfile
 import time
 import tracemalloc
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _rchar() -> int:
     with open("/proc/self/io") as f:
