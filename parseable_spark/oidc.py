@@ -20,6 +20,13 @@ import urllib.request
 from dataclasses import dataclass, field
 from typing import Any
 
+# responses come from an EXTERNAL identity provider and are parsed on
+# the driver: cap the bytes read so a misconfigured/hostile endpoint
+# cannot balloon driver memory — real discovery/token/userinfo bodies
+# are a few KB (r11 review). A truncated over-cap body fails JSON
+# parsing, which is the right fail-closed outcome.
+_MAX_RESPONSE_BYTES = 1 << 20
+
 
 @dataclass
 class OpenidConfig:
@@ -51,7 +58,7 @@ class DiscoveredClient:
                 + "/.well-known/openid-configuration"
             )
             with urllib.request.urlopen(url, timeout=10) as r:
-                self._doc = json.loads(r.read())
+                self._doc = json.loads(r.read(_MAX_RESPONSE_BYTES))
         return self._doc
 
     def auth_url(self, state: str) -> str:
@@ -96,7 +103,7 @@ class DiscoveredClient:
             headers={"Content-Type": "application/x-www-form-urlencoded"},
         )
         with urllib.request.urlopen(req, timeout=10) as r:
-            return json.loads(r.read())
+            return json.loads(r.read(_MAX_RESPONSE_BYTES))
 
     def userinfo(self, access_token: str) -> dict[str, Any]:
         doc = self._discover()
@@ -105,7 +112,7 @@ class DiscoveredClient:
             headers={"Authorization": f"Bearer {access_token}"},
         )
         with urllib.request.urlopen(req, timeout=10) as r:
-            return json.loads(r.read())
+            return json.loads(r.read(_MAX_RESPONSE_BYTES))
 
     def logout_url(self) -> str | None:
         return self._discover().get("end_session_endpoint")

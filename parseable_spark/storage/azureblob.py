@@ -191,17 +191,26 @@ class AzureBlobClient:
         headers["Authorization"] = sign_shared_key(
             self.cfg.account, self.cfg.access_key, sts
         )
-        req = urllib.request.Request(
-            url,
-            data=body if method in ("PUT", "POST") else None,
-            method=method,
-            headers=headers,
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return resp.status, dict(resp.headers), resp.read()
-        except urllib.error.HTTPError as e:
-            return e.code, dict(e.headers), e.read()
+        def attempt() -> tuple[int, dict[str, str], bytes]:
+            req = urllib.request.Request(
+                url,
+                data=body if method in ("PUT", "POST") else None,
+                method=method,
+                headers=headers,
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, dict(resp.headers), resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, dict(e.headers), e.read()
+
+        # transient 5xx/429/connection failures retry with backoff —
+        # the object_store crate's default the reference relies on
+        # (r11 review; the Shared Key signature covers x-ms-date, which
+        # Azure accepts within a 15-minute skew, so re-sends stay valid)
+        from .net import with_retries
+
+        return with_retries(attempt)
 
     # -- blob ops ----------------------------------------------------------
     def put_blob(self, key: str, body: bytes) -> None:

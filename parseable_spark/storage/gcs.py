@@ -87,6 +87,12 @@ class ServiceAccountCredentials:
         sig = self._key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
         return f"{header}.{claims}.{_b64url(sig)}"
 
+    def invalidate_token(self) -> None:
+        """Drop the cached token (server-side revocation / early
+        expiry): the next access_token() mints a fresh one."""
+        self._token = None
+        self._token_exp = 0.0
+
     def access_token(self) -> str:
         """Bearer token, cached until 60 s before expiry."""
         if self._token is not None and time.time() < self._token_exp - 60:
@@ -135,17 +141,35 @@ class GCSClient:
         self, method: str, url: str, body: bytes | None = None,
         content_type: str | None = None,
     ) -> tuple[int, bytes]:
-        headers = {
-            "Authorization": f"Bearer {self.cfg.credentials.access_token()}"
-        }
-        if content_type:
-            headers["Content-Type"] = content_type
-        req = urllib.request.Request(url, data=body, method=method, headers=headers)
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return resp.status, resp.read()
-        except urllib.error.HTTPError as e:
-            return e.code, e.read()
+        def attempt() -> tuple[int, bytes]:
+            headers = {
+                "Authorization": f"Bearer {self.cfg.credentials.access_token()}"
+            }
+            if content_type:
+                headers["Content-Type"] = content_type
+            req = urllib.request.Request(
+                url, data=body, method=method, headers=headers
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, e.read()
+
+        # transient 5xx/429/connection failures retry with backoff —
+        # the object_store crate's default the reference relies on
+        # (r11 review)
+        from .net import with_retries
+
+        st, out = with_retries(attempt)
+        if st == 401:
+            # a server-side-revoked (or early-expired) token would
+            # otherwise poison the cache until its local expiry and
+            # fail every operation — drop it and retry once with a
+            # freshly minted token (r11 review)
+            self.cfg.credentials.invalidate_token()
+            st, out = with_retries(attempt)
+        return st, out
 
     def _obj_url(self, key: str, **params: str) -> str:
         url = (

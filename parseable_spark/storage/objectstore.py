@@ -228,15 +228,25 @@ class S3Client:
         send = dict(headers)
         send.pop("host")  # urllib sets Host itself; value is identical
         send["Authorization"] = auth
-        req = urllib.request.Request(
-            url, data=body if method in ("PUT", "POST") else None,
-            method=method, headers=send,
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                return resp.status, dict(resp.headers), resp.read()
-        except urllib.error.HTTPError as e:
-            return e.code, dict(e.headers), e.read()
+
+        def attempt() -> tuple[int, dict[str, str], bytes]:
+            req = urllib.request.Request(
+                url, data=body if method in ("PUT", "POST") else None,
+                method=method, headers=send,
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, dict(resp.headers), resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, dict(e.headers), e.read()
+
+        # transient 5xx/429/connection failures retry with backoff —
+        # the object_store crate's default the reference relies on
+        # (r11 review; note the SigV4 signature stays valid across
+        # retries: AWS accepts x-amz-date within a 15-minute skew)
+        from .net import with_retries
+
+        return with_retries(attempt)
 
     # -- object ops ---------------------------------------------------------
     def put_object(self, key: str, body: bytes) -> None:

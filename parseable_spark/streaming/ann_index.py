@@ -202,6 +202,13 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
         # A latency smoother, not a capacity reducer: the budget must
         # exceed the AVERAGE per-batch pair work or the carried
         # backlog grows without bound. None = unbudgeted (default).
+        # Replay semantics: under foreachBatch redelivery a budgeted
+        # probe's pair ATTRIBUTION may shift between batch partitions
+        # (the backlog differs between first run and replay); the pair
+        # SET only converges toward the unbudgeted one and every
+        # emitted pair is verified — downstream consumers treat pairs
+        # as idempotent dup evidence, so this is safe but NOT
+        # byte-identical-replay; leave unbudgeted where that matters.
         self.pair_budget = int(pair_budget) if pair_budget else None
         os.makedirs(self._index_root, exist_ok=True)
         os.makedirs(os.path.join(base_dir, "pairs"), exist_ok=True)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.error
 from datetime import datetime, timedelta
 
 import pytest
@@ -145,12 +146,22 @@ class TestClient:
         mini.tokens.clear()  # server-side revocation
         client.cfg.credentials._token_exp = 0  # but client must re-auth
         assert client.get_object("k") == b"v"  # re-exchanged cleanly
-        # a client with a broken key can't get in at all
+        # a forged CACHED token self-heals: the 401 triggers one
+        # re-mint with the (valid) signing key (r11 review)
         client.cfg.credentials._token = "forged"
         client.cfg.credentials._token_exp = time.time() + 999
-        with pytest.raises(GCSError) as ei:
-            client.get_object("k")
-        assert ei.value.status == 401
+        assert client.get_object("k") == b"v"
+        # ...but a client whose KEY the provider rejects can't get in:
+        # the token endpoint refuses the assertion and the re-mint
+        # path surfaces the HTTPError instead of looping
+        client.cfg.credentials._token = "forged2"
+        client.cfg.credentials._token_exp = time.time() + 999
+        real_email, mini.email = mini.email, "other@test"  # iss mismatch
+        try:
+            with pytest.raises(urllib.error.HTTPError):
+                client.get_object("k")
+        finally:
+            mini.email = real_email
 
     def test_list_with_delimiter_and_pagination(self, client):
         for k in ("p/a/1", "p/a/2", "p/b/1", "p/c", "q/x"):
