@@ -425,21 +425,50 @@ class StreamingCurator:
                 self.ann.probe_batch(
                     vec_base, batch_id, assigned=ann_assigned
                 )
-                sem = (
+                sem_all = (
                     self.ann.pairs()
                     .filter(F.col("batch_id") == int(batch_id))
                     .select(F.col("id_new").alias(self.id_col))
                     .distinct()
+                )
+                sem = (
                     # budget-deferred probes surface under a LATER
                     # batch_id with id_new from an OLDER batch — those
                     # ids were already curated and must not appear in
                     # THIS batch's decisions log
-                    .join(base.select(self.id_col), self.id_col, "left_semi")
+                    sem_all.join(
+                        base.select(self.id_col), self.id_col, "left_semi"
+                    )
                 )
                 drops.append(
                     sem.withColumn("reason", F.lit("near_duplicate_semantic"))
                 )
+                if self.ann.pair_budget:
+                    # late verdicts can't retract an already-committed
+                    # kept/ partition — surface them as an ADVISORY log
+                    # instead of dropping them on the floor, so
+                    # deployments can post-filter (anti-join kept
+                    # against late_semantic/). Only the budgeted path
+                    # can produce them. Anti-join against the
+                    # PRE-semantic-drop base: ids this batch itself
+                    # drops are decisions, not late verdicts.
+                    late = sem_all.join(
+                        base.select(self.id_col), self.id_col, "left_anti"
+                    ).localCheckpoint()
                 base = base.join(sem, self.id_col, "left_anti")
+                if self.ann.pair_budget and late.head(1):
+                        stamped_late = late.withColumn(
+                            "batch_id", F.lit(int(batch_id))
+                        )
+                        (
+                            stamped_late.write.mode("overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .partitionBy("batch_id")
+                            .parquet(
+                                os.path.join(self.base_dir, "late_semantic")
+                            )
+                        )
+                        self._save_log_schema("late_semantic", stamped_late)
 
                 # 6b. IN-batch semantic near-dups (judge ADVICE r8):
                 # the history probe reaches only committed batches and
@@ -571,4 +600,13 @@ class StreamingCurator:
     def decisions(self) -> DataFrame:
         return self._read_log(
             "decisions", f"{self.id_col} bigint, reason string, batch_id int"
+        )
+
+    def late_semantic(self) -> DataFrame:
+        """Advisory log of semantic near-dups whose verdict arrived
+        after their own batch committed (only the pair-budgeted path
+        produces them): (id, batch_id-the-verdict-landed-in). kept/ is
+        never retracted; downstream consumers anti-join against this."""
+        return self._read_log(
+            "late_semantic", f"{self.id_col} bigint, batch_id int"
         )

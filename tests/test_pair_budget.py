@@ -194,3 +194,24 @@ def test_curator_budget_keeps_decisions_log_per_batch(spark, tmp_path):
     dec = spark.read.parquet(os.path.join(str(tmp_path / "cur"), "decisions"))
     bad = dec.filter("batch_id = 2 AND doc_id < 30").collect()
     assert not bad, f"older ids leaked into batch 2 decisions: {bad}"
+    # late verdicts are surfaced as the advisory log, not lost: every
+    # late row names an OLDER batch's doc under the verdict's batch
+    late = cur.late_semantic().collect()
+    for r in late:
+        # batch b holds ids 10(b+1)..10(b+1)+3: a late row under
+        # verdict-batch k must name a doc from a batch strictly older
+        assert r["doc_id"] < 10 * (r["batch_id"] + 1), r
+    # and the advisory + decisions together account for every semantic
+    # verdict the index ever emitted
+    all_verdicts = {
+        r["id_new"] for r in cur.ann.pairs().collect()
+    }
+    dropped = {
+        r["doc_id"]
+        for r in dec.filter("reason = 'near_duplicate_semantic'").collect()
+    }
+    advisory = {r["doc_id"] for r in late}
+    assert all_verdicts <= (dropped | advisory), (
+        "semantic verdicts vanished: "
+        f"{sorted(all_verdicts - dropped - advisory)}"
+    )

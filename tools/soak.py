@@ -186,6 +186,11 @@ def main() -> None:
         # so IVF cell splits happen during the soak window
         semantic_dup_history=True, ann_n_cells=4,
         semantic_threshold=0.95, ann_split_target=64,
+        # r11: compose the pair-work budget — sized to defer on the
+        # dup-dense batches (each batch probes a few hundred pair-work
+        # units) so the deferral/carry machinery runs under the full
+        # concurrent load, while most verdicts still land in-batch
+        semantic_pair_budget=400,
     )
     cur.ann.compact_every = 8
     curated_ids: set[int] = set()
@@ -350,10 +355,18 @@ def main() -> None:
     report["semantic_drops"] = (
         cur.decisions().filter("reason = 'near_duplicate_semantic'").count()
     )
+    # r11: with the pair budget composed in, a bait's verdict may land
+    # a batch late — then it can't drop the already-kept doc and is
+    # surfaced in the late_semantic advisory log instead; both count
+    # as the stage firing
+    report["late_semantic"] = cur.late_semantic().count()
     # gate, don't just report (r9 review): every batch b >= 1 plants a
     # semantic bait — zero drops over a multi-batch soak means the
     # stage was silently disabled (false green)
-    if cur_batches[0] >= 3 and report["semantic_drops"] == 0:
+    if (
+        cur_batches[0] >= 3
+        and report["semantic_drops"] + report["late_semantic"] == 0
+    ):
         failures.append("semantic stage never fired despite planted baits")
 
     # 5. manifest ↔ disk, after compaction swaps (+ Delta mirror
