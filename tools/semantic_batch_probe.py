@@ -67,7 +67,9 @@ def gen(spark, start: int, n: int, batch_tag: int):
     )
 
 
-def run_mode(spark, n_docs: int, semantic: bool) -> list[float]:
+def run_mode(
+    spark, n_docs: int, semantic: bool, budget: int | None = None
+) -> list[float]:
     from parseable_spark.streaming.curator import StreamingCurator
 
     base = tempfile.mkdtemp(prefix=f"sembatch_{n_docs}_{semantic}_")
@@ -77,6 +79,7 @@ def run_mode(spark, n_docs: int, semantic: bool) -> list[float]:
         min_stopword_ratio=0.05,
         near_dup_history=True,
         semantic_dup_history=semantic,
+        semantic_pair_budget=budget,
     )
     walls = []
     for b in range(N_BATCHES):
@@ -89,8 +92,17 @@ def run_mode(spark, n_docs: int, semantic: bool) -> list[float]:
         if semantic
         else 0
     )
+    extra = {}
+    if semantic and budget:
+        # the honest companions of a bounded wall: verdicts that
+        # landed late (advisory) and probe rows still carried
+        extra["late_semantic"] = cur.late_semantic().count()
+        backlog = cur.ann._read_deferred()
+        extra["deferred_backlog_rows"] = (
+            backlog.count() if backlog is not None else 0
+        )
     shutil.rmtree(base, ignore_errors=True)
-    return walls, drops
+    return walls, drops, extra
 
 
 def main() -> None:
@@ -102,9 +114,13 @@ def main() -> None:
     sizes = (
         [1 << int(a) for a in args] if args else [1 << 10, 1 << 13, 1 << 16]
     )
+    budget = None
+    for a in sys.argv[1:]:
+        if a.startswith("--budget="):
+            budget = int(a.split("=", 1)[1])
     for n in sizes:
-        base_w, _ = run_mode(spark, n, semantic=False)
-        sem_w, drops = run_mode(spark, n, semantic=True)
+        base_w, _, _ = run_mode(spark, n, semantic=False)
+        sem_w, drops, extra = run_mode(spark, n, semantic=True, budget=budget)
         # steady state = batches 1.. (batch 0 pays codebook bootstrap)
         b_s = sum(base_w[1:]) / len(base_w[1:])
         s_s = sum(sem_w[1:]) / len(sem_w[1:])
@@ -119,7 +135,10 @@ def main() -> None:
                     "steady_overhead_s": round(s_s - b_s, 2),
                     "steady_overhead_pct": round(100 * (s_s - b_s) / b_s, 1),
                     "bootstrap_overhead_s": round(sem_w[0] - base_w[0], 2),
+                    "max_semantic_wall_s": max(sem_w[1:]),
                     "semantic_drops": drops,
+                    "pair_budget": budget,
+                    **extra,
                 }
             ),
             flush=True,
