@@ -567,6 +567,18 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                 .filter(F.col("_r") <= beam)
                 .drop("_r")
             )
+            if depth >= 3:
+                # bound PLAN growth (r11, found live at 2^17 history):
+                # each level references `cur` twice (leaf branch +
+                # expand), so the lazy plan doubles per level — at
+                # depth ~6 the 2^depth-node tree wedged AQE's per-stage
+                # collectFirst traversal for HOURS (measured 1.9 CPU-h
+                # in planning, compact_probe 2^17). Checkpointing the
+                # NARROW beam frame (id, cid, csim, leaf — ints+double
+                # per row) keeps the plan O(1) per level; this is NOT
+                # the r10 wide-vecs checkpoint that GC-thrashed (batch
+                # bytes never duplicated, vecs stays lazy).
+                cur = cur.localCheckpoint()
         return (
             cur.filter(F.col("leaf"))
             .withColumn("rank", F.row_number().over(w))

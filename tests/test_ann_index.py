@@ -609,6 +609,55 @@ def test_descent_has_no_sort_merge_and_no_batch_broadcast(
         )
 
 
+def test_deep_tree_descent_plan_stays_bounded(spark, tmp_path):
+    """Each descent level references the beam frame twice (leaf branch
+    + expand), so without per-level truncation the LAZY plan doubles
+    per level — 2^depth nodes. Found live at 2^17 history in
+    compact_probe: AQE's per-stage plan traversal over the exploded
+    tree burned 1.9 CPU-hours before any task ran (r11). The narrow
+    per-level localCheckpoint bounds the executed plan to O(level);
+    this pins the bound on a depth≥3 tree."""
+    import math as _math
+    import random as _random
+
+    rng = _random.Random(13)
+
+    def unit(anchor=None, noise=0.0):
+        v = (
+            [rng.gauss(0, 1) for _ in range(DIM)]
+            if anchor is None
+            else [a + rng.gauss(0, noise) for a in anchor]
+        )
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    anchors = [unit() for _ in range(4)]
+    idx = StreamingEmbeddingIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, nprobe=2,
+        threshold=0.95, split_target=4, split_fanout_cap=2,
+        max_splits_per_compaction=64, compact_every=0,
+    )
+    for b in range(3):
+        idx.fold_batch(
+            _df(
+                spark,
+                [
+                    (100 * b + i, unit(anchors[i % 4], 0.35))
+                    for i in range(40)
+                ],
+            ),
+            b,
+        )
+        idx.compact_index(keep_recent=0)
+    assert idx._tree_depth() >= 3, f"tree too shallow: {idx._tree_depth()}"
+    assigned = idx._assign_cells(_df(spark, [(900, unit())]), idx.nprobe)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # unbounded doubling at this depth produces thousands of plan
+    # lines; the checkpointed descent stays one-level-sized
+    assert plan.count("\n") < 400, f"descent plan exploded: {plan.count(chr(10))} lines"
+    assert len(assigned.collect()) == idx.nprobe
+
+
 def test_crash_between_codebook_persist_and_generation_write(
     spark, tmp_path, corpus
 ):
