@@ -50,29 +50,35 @@ def kmeans_assign(
     vec_col: str = "embedding",
     ndigits: int = 6,
 ) -> DataFrame:
-    """(id, cluster, sim, v): nearest centroid by cosine, argmax via
-    max-over-struct so the combine happens map-side before the one
-    groupBy shuffle; codebook broadcast."""
+    """(id, cluster, sim, v): nearest centroid by cosine, argmax
+    PER-ROW over the codebook attached as one broadcast row of
+    collect_list(struct(cid, cv)). r11 rework (guide §2.4): the old
+    join(broadcast)+groupBy-argmax emitted k rows per vector and then
+    shuffled the whole corpus through the groupBy (first(v) dragged
+    every embedding across the exchange) — ONCE PER k-MEANS ITERATION
+    via kmeans_fit. array_max keeps the exact max(struct(sim, -cid))
+    comparator (same rounding, same tie-break), with zero shuffles of
+    the vector corpus; the broadcast payload (k x dim doubles) is
+    unchanged."""
+    if not centroids:
+        raise ValueError("kmeans_assign requires a non-empty centroid list")
     cents = _centroid_df(embeddings.sparkSession, centroids)
+    cent_row = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
     vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    return (
-        vecs.join(broadcast(cents))
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(cosine(F.col("v"), F.col("cv")), ndigits).alias("sim"),
-                    (-F.col("cid")).alias("neg_cid"),
-                )
-            ).alias("best"),
-            F.first("v").alias("v"),
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("v"), c["cv"]), ndigits).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+            ),
         )
-        .select(
-            F.col(id_col),
-            (-F.col("best.neg_cid")).alias("cluster"),
-            F.col("best.sim").alias("sim"),
-            "v",
-        )
+    )
+    return vecs.crossJoin(broadcast(cent_row)).select(
+        F.col(id_col),
+        (-best["neg_cid"]).alias("cluster"),
+        best["sim"].alias("sim"),
+        "v",
     )
 
 

@@ -117,22 +117,28 @@ def ivf_ann(
         .limit(nprobe)
         .collect()
     ]
-    # cell assignment: per-vector argmax over the broadcast codebook;
-    # max(struct) keeps the combine map-side (partial aggregation)
+    # cell assignment: PER-ROW argmax over the codebook, attached as one
+    # broadcast row holding collect_list(struct(cid, cv)). r11 rework
+    # (guide §2.4): the previous join(broadcast)+groupBy-argmax emitted
+    # n_centroids rows per vector and then shuffled the whole embedding
+    # corpus through the groupBy (first(v) dragged every vector across
+    # the exchange). array_max over the in-row codebook keeps the exact
+    # max(struct(sim, -cid)) comparator — same rounding, same tie-break
+    # — with ZERO shuffles of the vector corpus at any scale. The
+    # broadcast payload (k x dim doubles) is unchanged.
     vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    assigned = (
-        vecs.join(broadcast(cents))
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
-                    (-F.col("cid")).alias("neg_cid"),
-                )
-            ).alias("best"),
-            F.first("v").alias("v"),
+    cent_row = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("v"), c["cv"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg_cid"),
+            ),
         )
-        .select(F.col(id_col), (-F.col("best.neg_cid")).alias("cell"), "v")
+    )
+    assigned = vecs.crossJoin(broadcast(cent_row)).select(
+        F.col(id_col), (-best["neg_cid"]).alias("cell"), "v"
     )
     hits = assigned.filter(F.col("cell").isin(probe))
     scored = hits.select(
@@ -268,54 +274,55 @@ def ivf_ann_hierarchical(
         F.col(id_col).alias("gid"), as_double_array(vec_col).alias("gv")
     )
 
+    # r11 rework (guide §2.4): every argmax below is PER-ROW over an
+    # in-row codebook array (one broadcast row of collect_list(struct))
+    # instead of join(broadcast)+groupBy — the old shape shuffled the
+    # full vector corpus through THREE groupBys (first(v) dragging each
+    # embedding across every exchange). Comparator unchanged:
+    # max(struct(round(cosine, 6), -id)) — same rounding, same
+    # tie-break, so assignments are bit-identical.
+    coarse_row = coarse.agg(F.collect_list(F.struct("gid", "gv")).alias("_coarse"))
+
+    def _best_group(vec_col_name: str):
+        return F.array_max(
+            F.transform(
+                F.col("_coarse"),
+                lambda g: F.struct(
+                    F.round(cosine(F.col(vec_col_name), g["gv"]), 6).alias("sim"),
+                    (-g["gid"]).alias("neg"),
+                ),
+            )
+        )
+
     # fine centroid → coarse group (C rows × n_coarse — tiny)
-    cent_vecs = cents.select(F.col("cid"), F.col("cv").alias("v"))
     cent_group = (
-        cent_vecs.join(broadcast(coarse))
-        .groupBy("cid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(cosine(F.col("v"), F.col("gv")), 6).alias("sim"),
-                    (-F.col("gid")).alias("neg"),
-                )
-            ).alias("best"),
-            F.first("v").alias("cv"),
-        )
-        .select("cid", (-F.col("best.neg")).alias("gid"), "cv")
+        cents.crossJoin(broadcast(coarse_row))
+        .select("cid", (-_best_group("cv")["neg"]).alias("gid"), "cv")
     )
 
-    # vector → coarse group (n × n_coarse cosines)
+    # vector → coarse group (n × n_coarse cosines, map-side)
     vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    vec_group = (
-        vecs.join(broadcast(coarse))
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(cosine(F.col("v"), F.col("gv")), 6).alias("sim"),
-                    (-F.col("gid")).alias("neg"),
-                )
-            ).alias("best"),
-            F.first("v").alias("v"),
-        )
-        .select(id_col, (-F.col("best.neg")).alias("gid"), "v")
+    vec_group = vecs.crossJoin(broadcast(coarse_row)).select(
+        id_col, (-_best_group("v")["neg"]).alias("gid"), "v"
     )
 
-    # vector → fine cell within its coarse group (n × C/n_coarse cosines)
-    assigned = (
-        vec_group.join(broadcast(cent_group), "gid")
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
-                    (-F.col("cid")).alias("neg"),
-                )
-            ).alias("best"),
-            F.first("v").alias("v"),
+    # vector → fine cell within its coarse group (n × C/n_coarse
+    # cosines): the per-group fine codebook arrives as ONE array per
+    # gid through a broadcast equi-join — no vector shuffle
+    group_cents = cent_group.groupBy("gid").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("_gc")
+    )
+    best_cell = F.array_max(
+        F.transform(
+            F.col("_gc"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("v"), c["cv"]), 6).alias("sim"),
+                (-c["cid"]).alias("neg"),
+            ),
         )
-        .select(F.col(id_col), (-F.col("best.neg")).alias("cell"), "v")
+    )
+    assigned = vec_group.join(broadcast(group_cents), "gid").select(
+        F.col(id_col), (-best_cell["neg"]).alias("cell"), "v"
     )
 
     # probe cells: nearest fine centroids to the query (single-vector work)

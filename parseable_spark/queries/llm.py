@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llm import bloom, dedup, multimodal, sampling, similarity, text
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from . import register
 
 # DuckDB word/shingle helpers (oracle side)
@@ -122,7 +122,12 @@ def _simhash_ctes() -> str:
     ),
 )
 def q14_repetition_filters(spark, sf_dir):
-    return text.repetition_features(load_table(spark, sf_dir, "documents"))
+    # fan_out: the sf parquet is one unsplittable row group, so the
+    # split+posexplode stage otherwise runs as ONE task (guide §2.5);
+    # measured sf0.1 0.65 → 0.41 s, output identical. No-op on
+    # many-file / large inputs.
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return text.repetition_features(docs)
 
 
 @register(
@@ -566,7 +571,11 @@ def _text_features_oracle() -> str:
     ),
 )
 def q31_text_features(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: doc_features is a pure projection, so ALL its regex/HOF
+    # work runs inside the scan stage — one task on a single-row-group
+    # file (guide §2.5). Measured sf0.1: q31 1.72 → 1.00 s, identical
+    # output. No-op on many-file / large inputs.
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     feats = text.doc_features(docs)
     # aggregate-path top-3 (tfidf_keywords): ~25% faster than the
     # ROW_NUMBER window at sf0.1, identical output (probe in SCALE.md)

@@ -53,6 +53,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, key: str, max_bytes: int = 512 * 1024 * 1024) -> DataFrame:
+    """Hash-repartition an under-parallel scan before CPU-heavy per-row
+    work (optimization guide §2.5, input skew: a single-row-group
+    parquet file is unsplittable, so a small-file table scans as ONE
+    task no matter how many cores the session has — every regex/HOF in
+    the projection then serializes on one core).
+
+    Deliberately conservative so it is a NO-OP at warehouse scale and
+    only fires on the provably-tiny-local-scan case:
+    - input must be a plain file scan with fewer files than
+      defaultParallelism (many-file tables already parallelize);
+    - every file must be local and stat-able (object-store inputs are
+      the planner's split problem, not ours);
+    - total bytes must be small (default ≤ 512 MiB) so the repartition
+      shuffle itself is trivially cheap — larger inputs get real
+      parallelism from maxPartitionBytes splits.
+
+    Hash-partitions on `key` (a unique row id spreads evenly) rather
+    than round-robin: keyed repartition skips the sort-before-
+    repartition pass and is deterministic under task retry.
+    """
+    import os as _os
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if not _os.path.isfile(p):
+            return df
+        total += _os.path.getsize(p)
+    if total > max_bytes:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
