@@ -93,6 +93,27 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def eval_once(c: Column) -> Column:
+    """Pin an expensive projection expression to exactly ONE evaluation
+    per row. Catalyst re-evaluates expressions wherever it copies them:
+    PushDownPredicate substitutes a filter/inferred join constraint
+    through a Project by inlining the full producing expression (no
+    cheapness guard), and CollapseProject inlines a producer referenced
+    by several consumers — and interpreted higher-order-function
+    expressions (transform/aggregate lambdas) get no codegen
+    common-subexpression elimination, so every copy is a full re-run
+    (measured: the IVF per-row codebook argmax ran 2x per row when its
+    consumer filter was substituted into the join condition). The
+    wrapper `when(monotonically_increasing_id() >= -1, c)` never
+    changes a value or drops a row (the id is always >= 0), but marks
+    the projection non-deterministic, which Catalyst must not
+    substitute through, duplicate, or collapse — the expression body
+    runs once, and downstream operators see only the cheap attribute.
+    (`rand() >= -1` does NOT work: Spark 4's optimizer knows rand's
+    [0,1) range and folds the guard away.)"""
+    return F.when(F.monotonically_increasing_id() >= -1, c)
+
+
 def salted_join(
     skewed: "DataFrame",
     other: "DataFrame",

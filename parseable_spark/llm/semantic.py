@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions import as_double_array, cosine
+from ..functions import as_double_array, cosine, eval_once
 
 
 def _centroid_df(spark, centroids: list[tuple[int, list[float]]]):
@@ -74,10 +74,19 @@ def kmeans_assign(
             ),
         )
     )
-    return vecs.crossJoin(broadcast(cent_row)).select(
+    # two-stage select with eval_once: `best` is consumed twice
+    # (cluster + sim); writing both extractions over the raw expression
+    # would run the whole codebook argmax twice per row (interpreted
+    # HOF expressions get no CSE), and CollapseProject would inline a
+    # plain alias right back. The pinned staging projection runs the
+    # argmax once; the outer select reads two cheap struct fields.
+    staged = vecs.crossJoin(broadcast(cent_row)).select(
+        F.col(id_col), eval_once(best).alias("_best"), "v"
+    )
+    return staged.select(
         F.col(id_col),
-        (-best["neg_cid"]).alias("cluster"),
-        best["sim"].alias("sim"),
+        (-F.col("_best")["neg_cid"]).alias("cluster"),
+        F.col("_best")["sim"].alias("sim"),
         "v",
     )
 
@@ -155,9 +164,15 @@ def semantic_dedup(
     preserved — see the LSH giant-bucket guard).
     """
     centroids = kmeans_fit(embeddings, k, max_iter, id_col=id_col, vec_col=vec_col)
-    assigned = kmeans_assign(
-        embeddings, centroids, id_col, vec_col
-    ).localCheckpoint()  # consumed by both join branches; freed with result
+    assigned = (
+        kmeans_assign(embeddings, centroids, id_col, vec_col)
+        # sim is unused here; dropping it BEFORE the checkpoint keeps
+        # the materialization narrow and (since interpreted HOF
+        # expressions get no CSE) avoids a second per-row codebook
+        # argmax evaluation just to compute a column nobody reads
+        .select(F.col(id_col), "cluster", "v")
+        .localCheckpoint()  # consumed by both join branches; freed with result
+    )
 
     sized = assigned.withColumn(
         "csz", F.count(F.lit(1)).over(Window.partitionBy("cluster"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import as_double_array, cosine
+from ..functions import as_double_array, cosine, eval_once
 
 
 def brute_force_topk(
@@ -137,8 +137,12 @@ def ivf_ann(
             ),
         )
     )
+    # eval_once: without it the probe filter below is substituted
+    # through this projection (and into the cross-join condition),
+    # re-running the whole codebook argmax per row per copy — measured
+    # 2x per-row cost (no CSE for interpreted HOF expressions)
     assigned = vecs.crossJoin(broadcast(cent_row)).select(
-        F.col(id_col), (-best["neg_cid"]).alias("cell"), "v"
+        F.col(id_col), (-eval_once(best)["neg_cid"]).alias("cell"), "v"
     )
     hits = assigned.filter(F.col("cell").isin(probe))
     scored = hits.select(
@@ -300,10 +304,12 @@ def ivf_ann_hierarchical(
         .select("cid", (-_best_group("cv")["neg"]).alias("gid"), "cv")
     )
 
-    # vector → coarse group (n × n_coarse cosines, map-side)
+    # vector → coarse group (n × n_coarse cosines, map-side).
+    # eval_once: the fine-cell join below infers isnotnull(gid) and
+    # would substitute the full coarse argmax into a pushed filter
     vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
     vec_group = vecs.crossJoin(broadcast(coarse_row)).select(
-        id_col, (-_best_group("v")["neg"]).alias("gid"), "v"
+        id_col, (-eval_once(_best_group("v"))["neg"]).alias("gid"), "v"
     )
 
     # vector → fine cell within its coarse group (n × C/n_coarse
@@ -321,8 +327,9 @@ def ivf_ann_hierarchical(
             ),
         )
     )
+    # eval_once: same single-evaluation pin for the probe filter below
     assigned = vec_group.join(broadcast(group_cents), "gid").select(
-        F.col(id_col), (-best_cell["neg"]).alias("cell"), "v"
+        F.col(id_col), (-eval_once(best_cell)["neg"]).alias("cell"), "v"
     )
 
     # probe cells: nearest fine centroids to the query (single-vector work)

@@ -1,0 +1,100 @@
+"""eval_once: pin the single-evaluation guarantee for expensive
+interpreted projection expressions (r11 optimization).
+
+Catalyst re-evaluates expressions wherever it copies them —
+PushDownPredicate substitutes a consumer filter through a Project with
+no cheapness guard, and join constraint inference (isnotnull on a join
+key) does the same — and interpreted higher-order-function expressions
+get no CSE, so each copy is a full per-row re-run. These tests pin:
+
+1. the wrapper survives optimization (Spark 4 folds `rand() >= -1`
+   away because it knows rand's range — the reason eval_once uses
+   monotonically_increasing_id);
+2. a filter over the wrapped column does NOT duplicate the expression
+   body into the pushed-down predicate;
+3. wrapping changes no values;
+4. the real consumers (ivf_ann / hierarchical / kmeans_assign) keep
+   exactly one corpus-side argmax in their optimized plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parseable_spark.functions import eval_once
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.range(50).select(
+        F.col("id"),
+        F.struct((F.col("id") * 2).alias("a"), (F.col("id") + 1).alias("b")).alias("s"),
+    )
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_wrapper_survives_optimizer(base):
+    out = base.select(eval_once(F.col("s")).alias("_w")).select(
+        F.col("_w")["a"].alias("x")
+    )
+    assert "CASE WHEN" in _optimized(out), (
+        "eval_once guard was folded away — the wrapped expression is "
+        "again exposed to substitution/duplication"
+    )
+
+
+def test_filter_does_not_duplicate_wrapped_expression(base):
+    # an expensive marker expression consumers would duplicate:
+    # aggregate() is a HOF, interpreted, and trivially greppable
+    marker = F.aggregate(
+        F.array(F.col("s")["a"], F.col("s")["b"]), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    plain = base.select(F.col("id"), marker.alias("c")).filter(F.col("c") > 10)
+    wrapped = base.select(F.col("id"), eval_once(marker).alias("c")).filter(
+        F.col("c") > 10
+    )
+    # without the guard the filter is substituted through the Project:
+    # the aggregate body appears once in the Filter AND once in the
+    # Project. With the guard it appears exactly once.
+    assert _optimized(plain).count("aggregate(") >= 2
+    assert _optimized(wrapped).count("aggregate(") == 1
+
+
+def test_wrapping_changes_no_values(base):
+    marker = F.col("s")["a"] + F.col("s")["b"]
+    a = base.select(F.col("id"), marker.alias("c")).filter(F.col("c") > 10)
+    b = base.select(F.col("id"), eval_once(marker).alias("c")).filter(F.col("c") > 10)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_plans_keep_single_corpus_argmax(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from parseable_spark.queries.llm import q33_ann_ivf_hierarchical, q40_ann_ivf
+
+    # q40: exactly one argmax total (the guarded cell assignment)
+    assert _optimized(q40_ann_ivf(spark, sf_dir)).count("array_max") == 1
+    # q33: two corpus-side argmaxes (coarse gid + fine cell), each
+    # guarded; the only unguarded copies live on the C-row centroid
+    # side (constraint substitution there is harmless)
+    plan = _optimized(q33_ann_ivf_hierarchical(spark, sf_dir))
+    assert plan.count("CASE WHEN (monotonically_increasing_id() >= -1)") == 2
+
+
+def test_kmeans_assign_single_argmax(spark):
+    from parseable_spark.llm.semantic import kmeans_assign
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 3).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("embedding"),
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = kmeans_assign(emb, cents)
+    # cluster AND sim both read the staged struct — argmax body once
+    assert _optimized(out).count("array_max") == 1
