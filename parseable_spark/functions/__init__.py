@@ -110,7 +110,16 @@ def eval_once(c: Column) -> Column:
     substitute through, duplicate, or collapse — the expression body
     runs once, and downstream operators see only the cheap attribute.
     (`rand() >= -1` does NOT work: Spark 4's optimizer knows rand's
-    [0,1) range and folds the guard away.)"""
+    [0,1) range and folds the guard away.)
+
+    Two consequences callers accept knowingly (ADVICE r11): the
+    wrapped column becomes NULLABLE (`when` without `otherwise`) —
+    values never change, but schema comparisons that check nullability
+    see the difference; and the guarantee rests on version-specific
+    optimizer behavior (monotonically_increasing_id treated
+    non-deterministic, the when-guard not folded) — pinned by
+    tests/test_eval_once.py, which must be re-run on any Spark
+    upgrade."""
     return F.when(F.monotonically_increasing_id() >= -1, c)
 
 

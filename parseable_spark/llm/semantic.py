@@ -59,7 +59,27 @@ def kmeans_assign(
     via kmeans_fit. array_max keeps the exact max(struct(sim, -cid))
     comparator (same rounding, same tie-break), with zero shuffles of
     the vector corpus; the broadcast payload (k x dim doubles) is
-    unchanged."""
+    unchanged.
+
+    Behavior change vs the pre-r11 join shape (ADVICE r11): an EMPTY
+    centroid list now raises ValueError instead of returning an empty
+    DataFrame — there is no meaningful assignment against zero
+    centroids, and the old empty-in/empty-out silently produced a
+    frame downstream code joined against. kmeans_fit guards its own
+    calls; external callers relying on empty-in/empty-out must check
+    first.
+
+    Codebook-size bound (ADVICE r11): the codebook rides in ONE row of
+    collect_list(struct(cid, cv)) built by a single final-aggregation
+    task and broadcast whole. That is the right shape for the codebook
+    sizes these paths produce (registry queries: ≤64 cells; the
+    streaming index assigns per LEVEL, bounded by split_fanout_cap ×
+    internal nodes per level) but NOT for arbitrarily large codebooks:
+    past ~10⁵ cells × 1k dims (~1 GB in one row) the single row
+    approaches Spark's per-row/broadcast limits — callers with
+    codebooks that size should shard the assignment (chunk the
+    centroid list, argmax per chunk, combine) rather than grow this
+    row."""
     if not centroids:
         raise ValueError("kmeans_assign requires a non-empty centroid list")
     cents = _centroid_df(embeddings.sparkSession, centroids)

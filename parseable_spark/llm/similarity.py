@@ -125,7 +125,12 @@ def ivf_ann(
     # the exchange). array_max over the in-row codebook keeps the exact
     # max(struct(sim, -cid)) comparator — same rounding, same tie-break
     # — with ZERO shuffles of the vector corpus at any scale. The
-    # broadcast payload (k x dim doubles) is unchanged.
+    # broadcast payload (k x dim doubles) is unchanged. Bound (ADVICE
+    # r11): the single collect_list row is built by one final-agg task
+    # and must stay well under Spark's per-row/broadcast limits —
+    # fine for the ≤64-cell codebooks these query paths produce;
+    # ~10⁵ cells × 1k dims would need a sharded argmax instead (see
+    # semantic.kmeans_assign docstring).
     vecs = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
     cent_row = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
     best = F.array_max(

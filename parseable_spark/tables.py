@@ -73,23 +73,42 @@ def fan_out(df: DataFrame, key: str, max_bytes: int = 512 * 1024 * 1024) -> Data
     Hash-partitions on `key` (a unique row id spreads evenly) rather
     than round-robin: keyed repartition skips the sort-before-
     repartition pass and is deterministic under task retry.
-    """
-    import os as _os
 
+    Every decline path degrades to returning `df` unchanged (safe
+    no-op); declines are debug-logged so an under-parallel scan in an
+    unexpected environment is diagnosable (ADVICE r11). File URIs are
+    percent-decoded before stat'ing so local paths with encoded
+    characters don't spuriously decline.
+    """
+    import logging as _logging
+    import os as _os
+    from urllib.parse import unquote as _unquote
+
+    log = _logging.getLogger(__name__)
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
+        log.debug("fan_out declined: inputFiles() unavailable for this plan")
         return df
     if not files or len(files) >= target:
+        if files:
+            log.debug(
+                "fan_out declined: %d files >= parallelism %d",
+                len(files), target,
+            )
         return df
     total = 0
     for f in files:
-        p = f.removeprefix("file:")
+        p = _unquote(f.removeprefix("file:"))
         if not _os.path.isfile(p):
+            log.debug("fan_out declined: non-local/unstatable input %s", f)
             return df
         total += _os.path.getsize(p)
     if total > max_bytes:
+        log.debug(
+            "fan_out declined: %d bytes > max_bytes %d", total, max_bytes
+        )
         return df
     return df.repartition(target, F.col(key))
 

@@ -60,8 +60,16 @@ def test_filter_does_not_duplicate_wrapped_expression(base):
     )
     # without the guard the filter is substituted through the Project:
     # the aggregate body appears once in the Filter AND once in the
-    # Project. With the guard it appears exactly once.
-    assert _optimized(plain).count("aggregate(") >= 2
+    # Project. With the guard it appears exactly once. The plain-plan
+    # duplication is UPSTREAM Catalyst behavior, not ours — if a future
+    # Spark adds a cheapness guard or HOF CSE the precondition
+    # disappears and eval_once simply becomes belt-and-braces, so skip
+    # rather than fail (ADVICE r11).
+    if _optimized(plain).count("aggregate(") < 2:
+        pytest.skip(
+            "this Spark no longer duplicates the pushed expression — "
+            "eval_once's raison d'être is gone upstream"
+        )
     assert _optimized(wrapped).count("aggregate(") == 1
 
 
@@ -73,7 +81,7 @@ def test_wrapping_changes_no_values(base):
 
 
 def test_ivf_plans_keep_single_corpus_argmax(spark):
-    sf_dir = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMALL as sf_dir
     from parseable_spark.queries.llm import q33_ann_ivf_hierarchical, q40_ann_ivf
 
     # q40: exactly one argmax total (the guarded cell assignment)
