@@ -987,21 +987,8 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
         by ancestor expansion until their own layer merges. The caller
         deletes the pulled ``batch_id=g/cell=p`` dirs after the write
         (the returned paths), keeping splits exact without ever
-        rewriting an untouched generation's other cells.
-
-        Returns (rows-without-split-cells, rehomed-rows-or-None,
-        pulled-dirs-to-delete). The re-homed rows come back SEPARATELY
-        (r12, judge r11 #1 — split-aware tiering): a split pulls a
-        cell's rows from every generation, i.e. mostly from the TOP
-        tiers of the size-tiered ladder; folding them into the
-        caller's (entry-sized) output generation demoted them to the
-        bottom tier, and every subsequent cascade re-paid their write
-        — measured at 2^17 as amortized compaction writes growing
-        ×3.37 per ×4 history instead of the lexical axis's ×1.7 log
-        factor (SCALE.md r11). The caller quarantines them in their
-        own generation, so they re-enter the ladder at a size
-        proportional to the pulled cells and the smallest-first victim
-        pick stops re-merging them with every entry generation."""
+        rewriting an untouched generation's other cells. Returns
+        (rows-with-splits-applied, pulled-dirs-to-delete)."""
         from pyspark.sql import functions as F
 
         other_gens = list(other_gens or [])
@@ -1038,7 +1025,7 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             key=lambda cn: (-cn[1], cn[0]),
         )[: self.max_splits_per_compaction]
         if not oversize:
-            return rows, None, []
+            return rows, []
         parents = sorted({c for c, _ in oversize})
         pull_parents = [c for c in parents if pulled_sizes.get(c)]
         # `work` = every row of the splitting cells across ALL layers
@@ -1180,7 +1167,7 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                     n,
                 )
         if not planned:
-            return rows, None, []
+            return rows, []
         split_cents = self.spark.createDataFrame(
             planned, "pcell bigint, ccid bigint, ccv array<double>"
         )
@@ -1226,7 +1213,7 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             < sizes[p]
         }
         if not effective:
-            return rows, None, []
+            return rows, []
         added = [(c, p, v) for p, c, v in planned if p in effective]
         for c, p, _ in added:
             self._nodes[c] = {"parent": p}
@@ -1245,9 +1232,10 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
             if p in pull_parents
         ]
         return (
-            rows.filter(~F.col("cell").isin(eff_list)),
-            reassigned.filter(F.col("pcell").isin(eff_list)).select(
-                self.id_col, "v", "cell", "src"
+            rows.filter(~F.col("cell").isin(eff_list)).unionByName(
+                reassigned.filter(F.col("pcell").isin(eff_list)).select(
+                    self.id_col, "v", "cell", "src"
+                )
             ),
             drop_dirs,
         )
@@ -1366,34 +1354,14 @@ class StreamingEmbeddingIndex(BatchPartitionedIndex):
                 rows = rows.filter(~F.col("cell").isin(nonleaf)).unionByName(
                     rehomed
                 )
-        rows, rehomed, drop_dirs = self._split_giant_cells(
+        rows, drop_dirs = self._split_giant_cells(
             rows.localCheckpoint(), other_gens=others, count_also=fresh_keep
         )
-        if rehomed is not None and self.max_generations == 1:
-            # legacy full-merge mode keeps its single-generation
-            # contract: everything folds into the one output layer
-            rows = rows.unionByName(rehomed)
-            rehomed = None
         w = Window.partitionBy("cell")
-
-        def _stats(df: DataFrame) -> DataFrame:
-            return df.withColumn("csz", F.count(F.lit(1)).over(w)).withColumn(
-                "crep", F.min(self.id_col).over(w)
-            )
-
-        if rehomed is not None:
-            # split-aware tiering (r12, judge r11 #1): the re-homed
-            # rows of split cells were pulled from the ladder's top
-            # tiers — quarantine them in their OWN generation so the
-            # size-tiered cascade sees them at their true size instead
-            # of re-paying them from the bottom tier up (the measured
-            # ×3.37-per-×4-history write-amplification driver,
-            # SCALE.md r11 "ANN tiered write axis"). Both generations
-            # are written BEFORE any source deletion — the crash
-            # discipline is unchanged (duplicates are benign).
-            self._write_index_rows(_stats(rehomed), new_gen)
-            new_gen -= 1
-        self._write_index_rows(_stats(rows), new_gen)
+        rows = rows.withColumn("csz", F.count(F.lit(1)).over(w)).withColumn(
+            "crep", F.min(self.id_col).over(w)
+        )
+        self._write_index_rows(rows, new_gen)
         for p in sources:
             shutil.rmtree(
                 os.path.join(self._index_root, f"batch_id={p}"),

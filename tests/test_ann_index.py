@@ -710,7 +710,16 @@ def test_crash_between_codebook_persist_and_generation_write(
     assert (901, 9) in got
 
 
-# -- split-aware tiering (r12, judge r11 #1) ------------------------------
+# -- split re-home row conservation (r12) ---------------------------------
+# The r12 quarantine variant (re-homed rows in their own generation) was
+# implemented, measured on the full 2^17 write axis, and REVERTED: it
+# regressed amortized compaction writes 30.3 -> 44.5 MB/batch at 2^17
+# (extra generations per split-merge push the ladder over
+# max_generations sooner, so cascades fire more often — see
+# OPTIMIZATION_r12.md). These tests keep the split coverage the variant
+# added — zero row loss through the pull path, probe correctness through
+# the split tree, and the legacy single-generation contract — against
+# the retained r11 fold-into-merge-output behavior.
 
 def _axis(i: int) -> list[float]:
     v = [0.0] * DIM
@@ -722,15 +731,13 @@ def _near(rng, anchor, noise=0.03):
     return _unit(rng, anchor, noise)
 
 
-def test_split_rehomes_quarantined_in_own_generation(spark, tmp_path):
-    """A compaction whose split re-homes a cell's rows must write those
-    rows into their OWN generation (quarantine), separate from the
-    entry-merge generation — the split-aware tiering that stops
-    size-tiered cascades re-paying re-homed rows from the bottom tier
-    up (the measured 2^17 write-amplification driver, SCALE.md r11).
-    Also pins: no row loss across the quarantine write, the pull path
-    deleting the pulled cell dirs, and probe correctness through the
-    split tree afterwards."""
+def test_split_rehomes_without_row_loss(spark, tmp_path):
+    """A compaction whose split re-homes a cell's rows folds them into
+    the single merge-output generation (the retained r11 behavior; the
+    measured-and-reverted quarantine variant is recorded above). Pins:
+    no row loss across the re-home write, the pull path deleting the
+    pulled cell dirs, and probe correctness through the split tree
+    afterwards."""
     from pyspark.sql import functions as F
 
     rng = random.Random(7)
@@ -757,21 +764,15 @@ def test_split_rehomes_quarantined_in_own_generation(spark, tmp_path):
     assert idx._children, "expected the A cell to split"
     child_cells = {c for kids in idx._children.values() for c in kids}
     gens = sorted(p for p in idx._index_parts() if p < 0)
-    assert len(gens) == 2, f"expected entry + quarantine generations, got {gens}"
-    by_gen = {
-        g: {
-            r["cell"]
-            for r in spark.read.parquet(idx._index_root)
-            .filter(F.col("batch_id") == g)
-            .select("cell").distinct().collect()
-        }
-        for g in gens
+    assert len(gens) == 1, f"expected one merge-output generation, got {gens}"
+    gen_cells = {
+        r["cell"]
+        for r in spark.read.parquet(idx._index_root)
+        .filter(F.col("batch_id") == gens[0])
+        .select("cell").distinct().collect()
     }
-    quarantine = [g for g in gens if by_gen[g] and by_gen[g] <= child_cells]
-    assert quarantine, f"no generation holds only re-homed child cells: {by_gen}"
-    entry = [g for g in gens if g not in quarantine]
-    assert all(not (by_gen[g] & child_cells) for g in entry), (
-        f"entry generation must not hold re-homed rows: {by_gen}"
+    assert gen_cells & child_cells, (
+        f"merge output must hold the re-homed child-cell rows: {gen_cells}"
     )
     # no row loss, no duplicates
     ids = [
@@ -801,11 +802,11 @@ def test_split_rehomes_quarantined_in_own_generation(spark, tmp_path):
         .filter(F.col("batch_id").isin(idx._visible_parts(idx.latest_version())))
         .select("doc_id").collect()
     ]
-    assert sorted(ids) == sorted(all_ids), "pull+quarantine lost or duped rows"
+    assert sorted(ids) == sorted(all_ids), "pull+re-home lost or duped rows"
     # probe still finds a near-dup of an early A1 doc through the tree
     idx.process_batch(_df(spark, [(900, _near(rng, A1, 0.005))]), 10)
     got = {r["id_hist"] for r in idx.pairs().filter("id_new = 900").collect()}
-    assert got, "no pairs found after split-aware compactions"
+    assert got, "no pairs found after split compactions"
 
 
 def test_legacy_full_merge_keeps_single_generation(spark, tmp_path):
