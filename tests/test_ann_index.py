@@ -349,8 +349,10 @@ class TestTieredCompaction:
         """A cell whose members are spread across generations — each
         merge's share under split_target, the TOTAL over it — must
         still split: sizes are global (metadata counts) and the split
-        pulls the cell's rows from every generation into the new one,
-        deleting the pulled dirs."""
+        pulls the cell's rows from every generation, deleting the
+        pulled parent-cell dirs and re-homing the rows under the new
+        leaf cells (in the largest existing generation — the r12
+        split-aware tiering placement)."""
         from pyspark.sql import functions as F
 
         rng = random.Random(5)
@@ -379,10 +381,15 @@ class TestTieredCompaction:
         idx.compact_index(keep_recent=2)  # merge 60 + gen 60 + fresh 120 = 240 > 200
         leaves = {c for c, _ in idx._centroids}
         assert len(leaves) >= 2  # split happened across generations
-        gen1 = (
-            spark.read.parquet(idx._index_root).filter("batch_id = -1")
+        # the pulled parent-cell dirs are gone: every remaining
+        # compacted row lives under a leaf cell (the re-homed rows
+        # land back in gen -1, the largest existing generation)
+        nonleaf = (
+            spark.read.parquet(idx._index_root)
+            .filter("batch_id < 0")
+            .filter(~F.col("cell").isin(list(leaves)))
         )
-        assert gen1.count() == 0  # pulled rows left gen -1
+        assert nonleaf.count() == 0  # no rows left under split parents
         # all 120 compacted rows live under leaf cells, none lost
         compacted_ids = {
             r["doc_id"]
@@ -710,16 +717,19 @@ def test_crash_between_codebook_persist_and_generation_write(
     assert (901, 9) in got
 
 
-# -- split re-home row conservation (r12) ---------------------------------
-# The r12 quarantine variant (re-homed rows in their own generation) was
-# implemented, measured on the full 2^17 write axis, and REVERTED: it
-# regressed amortized compaction writes 30.3 -> 44.5 MB/batch at 2^17
-# (extra generations per split-merge push the ladder over
-# max_generations sooner, so cascades fire more often — see
-# OPTIMIZATION_r12.md). These tests keep the split coverage the variant
-# added — zero row loss through the pull path, probe correctness through
-# the split tree, and the legacy single-generation contract — against
-# the retained r11 fold-into-merge-output behavior.
+# -- split re-home row conservation + placement (r12) ---------------------
+# Split-aware tiering history: the quarantine variant (re-homed rows in
+# their OWN generation) was implemented, measured on the full 2^17 write
+# axis, and REVERTED — it regressed amortized compaction writes
+# 30.3 -> 44.5 MB/batch at 2^17 (the extra generation per split-carrying
+# merge pushes the ladder over max_generations sooner, so cascades fire
+# more often — OPTIMIZATION_r12.md). The second candidate APPENDS the
+# re-homed rows as fresh child-cell partition dirs under the largest
+# EXISTING generation: zero generation-count pressure, and the rows
+# re-enter the ladder at the top tier instead of re-climbing it from the
+# entry generation after every split. These tests pin zero row loss
+# through the pull path, probe correctness through the split tree, the
+# append placement, and the legacy single-generation contract.
 
 def _axis(i: int) -> list[float]:
     v = [0.0] * DIM
@@ -732,12 +742,13 @@ def _near(rng, anchor, noise=0.03):
 
 
 def test_split_rehomes_without_row_loss(spark, tmp_path):
-    """A compaction whose split re-homes a cell's rows folds them into
-    the single merge-output generation (the retained r11 behavior; the
-    measured-and-reverted quarantine variant is recorded above). Pins:
-    no row loss across the re-home write, the pull path deleting the
-    pulled cell dirs, and probe correctness through the split tree
-    afterwards."""
+    """A compaction whose split re-homes a cell's rows keeps them ALL:
+    the first compaction here has no untouched generation, so the
+    re-homed rows fold into the single merge-output generation (the
+    no-target fallback); the second exercises the pull path against an
+    existing generation. Pins: no row loss across the re-home write,
+    the pull path deleting the pulled cell dirs, and probe correctness
+    through the split tree afterwards."""
     from pyspark.sql import functions as F
 
     rng = random.Random(7)
@@ -809,10 +820,81 @@ def test_split_rehomes_without_row_loss(spark, tmp_path):
     assert got, "no pairs found after split compactions"
 
 
+def test_split_rehomed_rows_append_to_largest_generation(spark, tmp_path):
+    """A split whose parent cell has rows in an untouched generation
+    must APPEND the re-homed rows to that (largest existing)
+    generation as fresh child-cell dirs: generation count does not
+    grow beyond the entry merge (the quarantine variant's measured
+    failure mode), the new child cells live under the pre-existing
+    generation, the entry-merge output holds none of them, and no row
+    is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    A1, A2, B = _axis(0), _axis(1), _axis(2)
+    idx = StreamingEmbeddingIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, nprobe=2,
+        threshold=0.95, split_target=14, compact_every=0,
+        max_generations=8, merge_fanout=4,
+    )
+    nid = 0
+    for b in range(6):
+        rows = []
+        for anchor in (A1, A1, A2, A2, B):
+            rows.append((nid, _near(rng, anchor)))
+            nid += 1
+        idx.process_batch(_df(spark, rows), b)
+    idx.compact_index(keep_recent=2)
+    assert idx._children, "expected the A cell to split"
+    assert sorted(p for p in idx._index_parts() if p < 0) == [-1]
+    # grow the A1 cell past split_target so the next compaction pulls
+    # its rows from generation -1 (the only — hence largest — existing
+    # generation) and re-homes them
+    for b in range(6, 10):
+        rows = []
+        for anchor in (A1, A1, A1, A1, B):
+            rows.append((nid, _near(rng, anchor, noise=0.12)))
+            nid += 1
+        idx.process_batch(_df(spark, rows), b)
+    all_ids = set(range(nid))
+    pre_children = {c for kids in idx._children.values() for c in kids}
+    idx.compact_index(keep_recent=2)
+    new_children = {
+        c for kids in idx._children.values() for c in kids
+    } - pre_children
+    assert new_children, "expected a second split"
+    gens = sorted(p for p in idx._index_parts() if p < 0)
+    assert gens == [-2, -1], (
+        f"append must not create a generation beyond the entry merge: {gens}"
+    )
+    by_gen = {
+        g: {
+            r["cell"]
+            for r in spark.read.parquet(idx._index_root)
+            .filter(F.col("batch_id") == g)
+            .select("cell").distinct().collect()
+        }
+        for g in gens
+    }
+    assert by_gen[-1] & new_children, (
+        f"re-homed child cells must land in the existing generation: {by_gen}"
+    )
+    assert not (by_gen[-2] & new_children), (
+        f"entry merge must not hold the re-homed child cells: {by_gen}"
+    )
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(idx._index_root)
+        .filter(F.col("batch_id").isin(idx._visible_parts(idx.latest_version())))
+        .select("doc_id").collect()
+    ]
+    assert sorted(ids) == sorted(all_ids), "append lost or duped rows"
+
+
 def test_legacy_full_merge_keeps_single_generation(spark, tmp_path):
     """max_generations=1 (the pre-r9 full-merge A/B mode) must keep its
     one-generation contract even when the merge splits a cell — the
-    quarantine only exists in tiered mode."""
+    re-home append only exists in tiered mode."""
     rng = random.Random(9)
     A1, A2, B = _axis(0), _axis(1), _axis(2)
     idx = StreamingEmbeddingIndex(
