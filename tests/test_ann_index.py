@@ -891,6 +891,81 @@ def test_split_rehomed_rows_append_to_largest_generation(spark, tmp_path):
     assert sorted(ids) == sorted(all_ids), "append lost or duped rows"
 
 
+def test_stray_rehome_lands_in_parent_subtree(spark, tmp_path):
+    """Rows stranded under a since-split cell re-home WITHIN that
+    cell's own subtree (r12: the flat per-parent argmax replaced the
+    root descent, making this a guarantee instead of a tendency —
+    probes to any descendant leaf keep finding the row via ancestor
+    expansion throughout). Covers both merge-time mechanisms: the
+    stray re-home and the split pull, each of which may only move a
+    row DOWN its own subtree. Also re-pins row conservation across
+    the re-home."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    A1, A2, B = _axis(0), _axis(1), _axis(2)
+    idx = StreamingEmbeddingIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, nprobe=2,
+        threshold=0.95, split_target=14, compact_every=0,
+        max_generations=8, merge_fanout=4,
+    )
+    nid = 0
+    for b in range(6):
+        rows = []
+        for anchor in (A1, A1, A2, A2, B):
+            rows.append((nid, _near(rng, anchor)))
+            nid += 1
+        idx.process_batch(_df(spark, rows), b)
+    idx.compact_index(keep_recent=2)  # merges b0..b3; the A cell splits
+    assert idx._children, "expected the A cell to split"
+    # batches 4-5 were folded BEFORE the split: their rows still sit
+    # under the pre-split cells and become strays at the next merge
+    prior = {
+        r["doc_id"]: r["cell"]
+        for r in spark.read.parquet(idx._index_root)
+        .filter(F.col("batch_id").isin([4, 5]))
+        .select("doc_id", "cell").collect()
+    }
+    assert set(prior) & set(range(20, 30)), "expected b4/b5 rows on disk"
+    for b in range(6, 8):
+        rows = []
+        for anchor in (A1, A1, A2, A2, B):
+            rows.append((nid, _near(rng, anchor)))
+            nid += 1
+        idx.process_batch(_df(spark, rows), b)
+    all_ids = set(range(nid))
+    idx.compact_index(keep_recent=2)  # merges b4..b5 → strays re-home
+
+    def subtree(c: int) -> set[int]:
+        out, stack = set(), [c]
+        while stack:
+            cur = stack.pop()
+            out.add(cur)
+            stack.extend(idx._children.get(cur, []))
+        return out
+
+    visible = {
+        r["doc_id"]: r["cell"]
+        for r in spark.read.parquet(idx._index_root)
+        .filter(F.col("batch_id").isin(idx._visible_parts(idx.latest_version())))
+        .select("doc_id", "cell").collect()
+    }
+    assert sorted(visible) == sorted(all_ids), "re-home lost or duped rows"
+    nonleaf = set(idx._children)
+    assert any(p in nonleaf for p in prior.values()), (
+        "fixture regression: no b4/b5 row sat under a split cell, the "
+        "stray path was never exercised"
+    )
+    for did, pcell in prior.items():
+        assert visible[did] in subtree(pcell), (
+            f"doc {did} left its subtree: {pcell} -> {visible[did]}"
+        )
+        if pcell in nonleaf:
+            assert visible[did] != pcell, (
+                f"stray doc {did} was not re-homed off non-leaf {pcell}"
+            )
+
+
 def test_legacy_full_merge_keeps_single_generation(spark, tmp_path):
     """max_generations=1 (the pre-r9 full-merge A/B mode) must keep its
     one-generation contract even when the merge splits a cell — the
